@@ -1,0 +1,45 @@
+"""Text tokenization / fingerprinting column expressions.
+
+Token semantics follow the reference wordcount plugin: a token is a
+maximal run of letters, case-sensitive, empty tokens dropped
+(/root/reference/mrapps/wc.go:21-34 — `unicode.IsLetter` split via
+`strings.FieldsFunc`). The fixture corpus is ASCII, so `[a-zA-Z]`
+equals the Go `unicode.IsLetter` behavior on this data; the pattern is
+kept ASCII so the Spark (Java regex) and DuckDB (RE2) oracles agree on
+every input byte-for-byte.
+
+All helpers return Column expressions — they stay inside whole-stage
+codegen; no Python UDFs in the tokenize path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Split on non-letter runs; ASCII-pinned for cross-engine determinism.
+NON_LETTER_RE = "[^a-zA-Z]+"
+
+
+def tokens(text) -> Column:
+    """Array of letter-run tokens (may contain '' at the edges)."""
+    return F.split(text, NON_LETTER_RE)
+
+
+def explode_tokens(text, alias: str = "word") -> Column:
+    """Explode into one row per token; caller filters `alias != ''`."""
+    return F.explode(tokens(text)).alias(alias)
+
+
+def token_count(text) -> Column:
+    """Number of non-empty tokens, without exploding (scales better:
+    one pass per row, no shuffle)."""
+    return F.size(F.filter(tokens(text), lambda w: w != F.lit("")))
+
+
+def fingerprint(text) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text. Cross-engine reproducible
+    (DuckDB md5() matches Spark md5())."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    return F.md5(normalized)

@@ -1,0 +1,66 @@
+"""SparkSession factory.
+
+The reference hand-rolls its execution substrate (master/worker RPC,
+hash-partitioned shuffle files, straggler re-execution — see SURVEY §2.1
+F3-F5, F10-F14, citing /root/reference/mr/master.go and mr/worker.go).
+Spark subsumes all of it; the only engine-level work left to us is
+configuration:
+
+- AQE on (coalesce + skew-join): replaces the reference's fixed R=10
+  reduce fan-out (/root/reference/main/mrmaster.go:23) with runtime
+  re-planning — the 100 TB posture of SURVEY §4.3.
+- speculation: the Spark analog of the reference's 10 s straggler
+  re-dispatch (/root/reference/mr/master.go:111-127).
+- Arrow: all Python<->JVM data transfer is columnar (pandas UDFs).
+- session timezone pinned to UTC so timestamp semantics match the
+  naive-UTC DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "mapreduce_go_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Honors an already-active session (the driver owns the session in
+    verify runs) but applies runtime-settable SQL confs to it so query
+    semantics (timezone, AQE) are consistent either way.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        _apply_sql_confs(active, n_shuffle)
+        return active
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.speculation", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    _apply_sql_confs(spark, n_shuffle)
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def _apply_sql_confs(spark: SparkSession, n_shuffle: int) -> None:
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))

@@ -1,0 +1,38 @@
+"""Fixture table loaders.
+
+The reference's "catalog" is a list of intermediate file paths held by
+the master (/root/reference/mr/master.go:36); its inputs are whole text
+files, one per map task (/root/reference/mr/master.go:129-144). Our
+inputs are the driver's splittable parquet fixtures (TESTDATA.md) —
+columnar, predicate-pushdown-able, partition-prunable, i.e. the 100 TB
+replacement for whole-file slurping (SURVEY §4.3).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# factor (region/nation are bounded by geography; supplier/part/customer
+# grow with sf but the *broadcastable* set at 100 TB is region+nation).
+SMALL_DIMS = ("region", "nation")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from parquet."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
