@@ -1,0 +1,218 @@
+"""Join family (SURVEY §2.4 D9-D12): inner/outer/semi/anti/broadcast
+plus a TPC-H-shaped multi-join.
+
+The reference composes joins from its primitives as the classic
+repartition join — two tagged inputs shuffled on the join key, reduce
+pairing the groups (SURVEY §2.4 D9, over F3/F7/F8). Declarative
+`df.join` lets Catalyst/AQE pick broadcast-hash vs sort-merge at
+runtime instead of hard-coding the reduce-side pairing.
+
+Scale notes:
+- region/nation are broadcast ALWAYS (bounded cardinality).
+- fact-fact joins (orders x lineitem) shuffle on the join key; AQE
+  skew-join splits hot keys (session.py turns it on).
+- semi/anti compile to existence joins — no payload columns shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.num import dsum, dsum_sql
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: TPC-H Q3-shaped inner join — revenue of BUILDING-segment
+    orders not yet shipped at the cutoff."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .where(F.col("o_orderdate") < "1998-03-15")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > "1998-03-15")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+
+
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: left outer — every customer with order count and spend,
+    zero-filled for the orderless."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(dsum(F.col("o_totalprice")), F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10b: full outer — customer vs supplier counts per nationkey."""
+    c = (
+        tables.load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("ck"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    s = (
+        tables.load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("sk"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        c.join(s, F.col("ck") == F.col("sk"), "full")
+        .select(
+            F.coalesce("ck", "sk").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11a: left semi — customers having at least one 1995 order.
+    Existence join: only c_custkey shuffles, no order payload."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11b: left anti — customers with no orders at all."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12: map-side join — dims explicitly broadcast (the reference
+    idiom of a map task holding a small table in memory, SURVEY §2.4
+    D12). nation/region never justify a shuffle at any scale."""
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name", "r_name")
+    )
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9/D12 composition: TPC-H Q5-shaped — revenue from orders where
+    the supplier is in the customer's nation, per nation in ASIA.
+    Fact-fact joins shuffle; nation/region broadcast."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), (F.col("n_regionkey") == F.col("r_regionkey"))
+              & (F.col("r_name") == "ASIA"))
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+
+
+QUERIES = {
+    "join_inner": join_inner,
+    "join_left_outer": join_left_outer,
+    "join_full_outer": join_full_outer,
+    "join_semi": join_semi,
+    "join_anti": join_anti,
+    "join_broadcast": join_broadcast,
+    "local_supplier_volume": local_supplier_volume,
+}
+
+ORACLES = {
+    "join_inner": f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < timestamp '1998-03-15'
+          AND l_shipdate > timestamp '1998-03-15'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    """,
+    "join_left_outer": f"""
+        SELECT c_custkey, c_name,
+               count(o_orderkey) AS n_orders,
+               coalesce({dsum_sql('o_totalprice')}, 0) AS spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "join_full_outer": """
+        WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust
+                   FROM customer GROUP BY c_nationkey),
+             s AS (SELECT s_nationkey AS sk, count(*) AS n_supp
+                   FROM supplier GROUP BY s_nationkey)
+        SELECT coalesce(ck, sk) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM c FULL OUTER JOIN s ON ck = sk
+    """,
+    "join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= timestamp '1995-01-01'
+                        AND o_orderdate < timestamp '1996-01-01')
+    """,
+    "join_anti": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "join_broadcast": """
+        SELECT s_suppkey, s_name, n_name, r_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+    """,
+    "local_supplier_volume": f"""
+        SELECT n_name,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        WHERE o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1997-01-01'
+        GROUP BY n_name
+    """,
+}

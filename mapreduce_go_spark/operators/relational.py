@@ -1,0 +1,322 @@
+"""Relational capability closure, part 1 (SURVEY §2.4 D1-D8, D13-D14,
+D16): projection, filter, aggregates, distinct, sort, top-k, set ops,
+rollup/cube, scalar-function pack.
+
+Each operator is a composition the reference's model supports (map
+emitting subsets/0-or-1 records, sort-group-reduce — SURVEY §2.4 cites
+the primitives); here they are single declarative plans so Catalyst
+gets predicate pushdown, column pruning and partial aggregation for
+free (the reference has no optimizer at all, SURVEY §4.1).
+
+Float discipline: every money aggregate is rounded to 2 decimals and
+every average to 6 IN BOTH engines, so the order-insensitive value
+hash is stable against summation-order nondeterminism.
+
+Scale notes: all aggregates here are algebraic -> partial+final hash
+agg, shuffle carries only group keys (bounded cardinality). The sorts
+(D7/D8) range-partition; top-k plans as TakeOrderedAndProject (no
+global sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.num import (davg, davg_sql, dround,
+                                              dround_sql, dsum, dsum_sql)
+
+
+# --- D1 projection -------------------------------------------------------
+
+def projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1: column subset + computed column; scan reads only 4 columns
+    (check ReadSchema in .explain). Primitive: map emitting a transform
+    of fields (/root/reference/mr/worker.go:109)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        dround(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2)
+        .alias("disc_price"),
+    )
+
+
+def filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2: selective predicate, pushed to the parquet scan
+    (PushedFilters). Primitive: map emitting 0-or-1 records
+    (/root/reference/mrapps/indexer.go:20-31)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+        & (F.col("l_quantity") > 24)
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3: TPC-H Q1-shaped pricing summary — the flagship algebraic
+    aggregate (8 aggs over 2 keys). Upgrades the reference's
+    sort-aggregate + no-combiner (SURVEY §4.2 P2) to partial+final
+    hash agg."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= "2001-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def distinct_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4: distinct over a projection — job-wide generalization of the
+    indexer's per-doc set dedup (/root/reference/mrapps/indexer.go:21-26)."""
+    o = tables.load(spark, sf_dir, "orders")
+    return o.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+def count_distinct_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D5: exact count-distinct per group (indexer reduce counts
+    distinct docs per word, /root/reference/mrapps/indexer.go:36-38).
+    At 100 TB swap in approx_count_distinct (see approx_distinct query)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+    )
+
+
+def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: per-key sorted value list — the holistic reducer shape of
+    indexer/crash (/root/reference/mrapps/crash.go:48-53). Per-key
+    state bounded by lines-per-order (<=7), safe at any scale."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("lines")
+    )
+
+
+def global_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: total order — range partition + sort, replacing the
+    reference's single-reducer global-sort idiom
+    (/root/reference/main/mrsequential.go:59)."""
+    o = tables.load(spark, sf_dir, "orders")
+    return o.orderBy(F.col("o_totalprice").desc(), "o_orderkey").select(
+        "o_orderkey", "o_custkey",
+        dround(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8: top-k — plans as TakeOrderedAndProject (per-partition heap +
+    driver merge), not a global sort. Unique tiebreak on o_orderkey
+    keeps the result deterministic."""
+    o = tables.load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", dround(F.col("o_totalprice"), 2).alias("total"))
+    )
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13a: UNION (distinct) — concatenated inputs + dedup
+    (/root/reference/mr/master.go:131 takes a file list)."""
+    c = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13b: INTERSECT."""
+    c = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13c: EXCEPT (set semantics — subtract, not exceptAll+distinct,
+    which would wrongly keep values that merely lost multiplicity)."""
+    c = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14a: ROLLUP — multi-level aggregate in one pass, replacing the
+    reference idiom of chaining two MR jobs through mr-out files
+    (SURVEY §2.4 D14)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14b: CUBE over order status x priority."""
+    o = tables.load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        dsum(F.col("o_totalprice")).alias("total"),
+        F.count("*").alias("n"),
+    )
+
+
+def scalar_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16a: scalar string/date/math functions — all app-side code in
+    the reference (tokenize/format/strconv, SURVEY §2.4 D16), here
+    JVM-side codegen'd expressions."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("type_upper"),
+        F.substring("event_type", 1, 3).alias("type_pfx"),
+        F.length("event_type").alias("type_len"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("event_day"),
+        F.year("ts").alias("event_year"),
+        dround(F.col("value"), 2).alias("val_round"),
+        dround(F.sqrt(F.abs(F.col("value"))), 6).alias("val_sqrt"),
+        F.concat(F.col("event_type"), F.lit("-"),
+                 F.col("user_id").cast("string")).alias("tag"),
+    )
+
+
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16b: JSON access on events.props (from_json/get_json_object)."""
+    ev = tables.load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+    )
+
+
+QUERIES = {
+    "projection": projection,
+    "filter_pushdown": filter_pushdown,
+    "pricing_summary": pricing_summary,
+    "distinct_rows": distinct_rows,
+    "count_distinct_per_group": count_distinct_per_group,
+    "collect_sorted_lists": collect_sorted_lists,
+    "global_sort": global_sort,
+    "top_k": top_k,
+    "set_union": set_union,
+    "set_intersect": set_intersect,
+    "set_except": set_except,
+    "rollup_agg": rollup_agg,
+    "cube_agg": cube_agg,
+    "scalar_pack": scalar_pack,
+    "json_extract": json_extract,
+}
+
+ORACLES = {
+    "projection": f"""
+        SELECT l_orderkey, l_linenumber,
+               {dround_sql('l_extendedprice * (1 - l_discount)')} AS disc_price
+        FROM lineitem
+    """,
+    "filter_pushdown": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1997-01-01'
+          AND l_shipdate < timestamp '1998-01-01'
+          AND l_quantity > 24
+    """,
+    "pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty,
+               {dsum_sql('l_extendedprice')} AS sum_base_price,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               {davg_sql('l_quantity')} AS avg_qty,
+               {davg_sql('l_extendedprice')} AS avg_price,
+               {davg_sql('l_discount')} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= timestamp '2001-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "distinct_rows": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "count_distinct_per_group": """
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "collect_sorted_lists": """
+        SELECT l_orderkey,
+               string_agg(cast(l_linenumber AS varchar), ','
+                          ORDER BY l_linenumber) AS lines
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "global_sort": f"""
+        SELECT o_orderkey, o_custkey, {dround_sql('o_totalprice')} AS total
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey
+    """,
+    "top_k": f"""
+        SELECT o_orderkey, {dround_sql('o_totalprice')} AS total
+        FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+    """,
+    "set_union": """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION SELECT s_nationkey FROM supplier
+    """,
+    "set_intersect": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT SELECT s_nationkey FROM supplier
+    """,
+    "set_except": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT SELECT s_nationkey FROM supplier
+    """,
+    "rollup_agg": f"""
+        SELECT l_returnflag, l_linestatus,
+               {dsum_sql('l_quantity')} AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "cube_agg": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {dsum_sql('o_totalprice')} AS total, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "scalar_pack": f"""
+        SELECT event_id,
+               upper(event_type) AS type_upper,
+               substring(event_type, 1, 3) AS type_pfx,
+               length(event_type) AS type_len,
+               cast(date_trunc('day', ts) AS date) AS event_day,
+               cast(year(ts) AS int) AS event_year,
+               {dround_sql('value')} AS val_round,
+               {dround_sql('sqrt(abs(value))', 6)} AS val_sqrt,
+               event_type || '-' || cast(user_id AS varchar) AS tag
+        FROM events
+    """,
+    "json_extract": """
+        SELECT event_id,
+               cast(json_extract_string(props, '$.k') AS int) AS k
+        FROM events
+    """,
+}

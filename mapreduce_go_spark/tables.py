@@ -27,11 +27,31 @@ SMALL_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, applied idempotently so
+    the engine behaves identically under the driver's own session:
+    - UTC session timezone (oracle comparability);
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
+      vectorized reader otherwise rejects (PARQUET_TYPE_ILLEGAL).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from parquet."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    _ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # nanos-as-long -> microsecond timestamp. Integer division: the
+        # ns epoch (~1.7e18) exceeds double's 2^53 integer range, so a
+        # float path would corrupt low-order digits.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

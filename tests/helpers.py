@@ -56,8 +56,9 @@ def compare(spark_df, duck_rel, name: str) -> None:
     _, sc = canonical_rows(s_cols, s_rows)
     _, dc = canonical_rows(d_cols, d_rows)
     if sc != dc:
-        diff_s = [r for r in sc if r not in set(dc)][:5]
-        diff_d = [r for r in dc if r not in set(sc)][:5]
+        d_set, s_set = set(dc), set(sc)
+        diff_s = [r for r in sc if r not in d_set][:5]
+        diff_d = [r for r in dc if r not in s_set][:5]
         raise AssertionError(
             f"{name}: value mismatch; spark-only={diff_s} duck-only={diff_d}"
         )
