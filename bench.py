@@ -1,0 +1,78 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query executes end-to-end into a noop sink (full plan runs, no
+driver materialization), timed after a session warm-up so JVM/codegen
+startup isn't attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduce_go_spark import registry  # noqa: E402
+from mapreduce_go_spark.session import get_spark  # noqa: E402
+
+# Headline set: the reference-parity workloads plus one representative
+# per operator family (agg/join/window/sort/dedup/similarity/text).
+HEADLINE = [
+    "wc",
+    "indexer",
+    "pricing_summary",
+    "join_inner",
+    "local_supplier_volume",
+    "join_left_outer",
+    "window_rank",
+    "topk_per_group",
+    "global_sort",
+    "top_k",
+    "crash_payload",
+    "scalar_pack",
+    # extension families (present from the round they land)
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "knn_cosine_topk",
+    "lang_id",
+    "quality_score",
+    "tumbling_window",
+    "sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="mapreduce_go_spark-bench")
+
+    queries = registry.all_queries()
+    names = [n for n in HEADLINE if n in queries]
+
+    # Warm up the JVM / parquet footer caches outside the timed region.
+    queries[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,305 @@
+"""Deduplication operators (SURVEY §2.4 D17, north-star mandate):
+exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Design for 100 TB:
+- exact dedup: hash-groupBy on a 128-bit fingerprint — shuffle carries
+  (16-byte hash, doc_id) only, never the text.
+- n-gram Jaccard is the EXACT verifier: cost is bounded by pairs
+  sharing a shingle. At corpus scale it runs AFTER candidate
+  generation (MinHash bands), not standalone; standalone here because
+  the fixture corpus is small and it doubles as the LSH recall oracle.
+- MinHash/LSH: all hashing is md5-based and engine-portable, so even
+  the LSH pipeline is differentially tested against a DuckDB
+  re-implementation — no "trust me" randomness. Permutation i is
+  h_i(x) = min over shingles of md5(i ':' x); lexicographic order on
+  md5 hex equals numeric order on the 128-bit value.
+- SimHash: 64-bit signature from per-token md5 bits weighted by term
+  frequency, emitted as a 64-char '0/1' string; bit extraction is
+  portable nibble arithmetic (no engine-specific bit ops).
+
+The reference's only dedup primitive is the indexer's per-doc token
+set (/root/reference/mrapps/indexer.go:21-26); everything here
+generalizes that "build a set, collapse duplicates" move.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.text import NON_LETTER_RE, fingerprint
+
+N_MINHASH = 12          # permutations
+LSH_BANDS = 4           # bands -> candidate if all rows in any band agree
+LSH_ROWS = N_MINHASH // LSH_BANDS
+JACCARD_THRESHOLD = 0.5
+SHINGLE_N = 3
+
+# bit j of a 32-hex-char md5 string, as portable SQL arithmetic
+# (identical text runs in Spark SQL and DuckDB): nibble value via
+# instr on the hex alphabet, bit via floor-div + mod.
+_BIT_SQL = ("cast(floor((instr('0123456789abcdef',"
+            " substring({h}, cast(floor({j} / 4.0) AS int) + 1, 1)) - 1)"
+            " / pow(2, 3 - ({j} % 4))) AS int) % 2")
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5 fingerprint of normalized text ->
+    group size + keeper (min doc_id). The fixture corpus has no exact
+    dups (500 singleton groups) — the operator shape is the point."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("keeper"),
+        )
+    )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): distinct word-3-gram shingles via one
+    JVM-side array transform — no Python, no extra shuffle."""
+    toks = F.filter(
+        F.split(F.col("text"), NON_LETTER_RE), lambda w: w != F.lit("")
+    )
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE_N, F.lit(0)))
+    sh = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N))
+    )
+    return (
+        docs.select("doc_id", F.explode(sh).alias("shingle"))
+        .where(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+# DuckDB twin of _shingles, shared by several oracles.
+_SHINGLES_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, ts,
+               unnest(generate_series(1, greatest(len(ts) - {SHINGLE_N - 1}, 1)))
+                   AS i
+        FROM toks
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(ts[i:i+{SHINGLE_N - 1}], ' ') AS shingle
+        FROM starts
+        WHERE length(array_to_string(ts[i:i+{SHINGLE_N - 1}], ' ')) > 0
+    )
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-gram Jaccard >= 0.5, d1 < d2.
+
+    Plan: shingle inverted index -> self-equi-join on shingle
+    (intersection counts) -> broadcast per-doc set sizes -> algebraic
+    Jaccard. Shuffle keys are shingle strings and doc-id pairs."""
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    return (
+        sh.select(
+            "doc_id",
+            "shingle",
+            F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
+        )
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(
+                F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature rows (doc_id, seed, minhash) — the
+    differentially-tested building block of the LSH pipeline."""
+    return _minhash_sig(spark, sf_dir)
+
+
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 12 permutations, 4 bands x 3 rows;
+    docs collide when a band's minhashes all agree. The scale path:
+    cost |docs| x bands; candidates get exact-verified by
+    ngram_jaccard_pairs downstream."""
+    sig = _minhash_sig(spark, sf_dir)
+    bands = (
+        sig.withColumn("band", (F.col("seed") / F.lit(LSH_ROWS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                    ",",
+                )
+            ).alias("band_key")
+        )
+    )
+    x = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
+    y = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    return (
+        x.join(y, ["band", "band_key"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document as a 64-char '0/1' string.
+    bit j = [ sum_t tf(t) * (2*bit_j(md5(t)) - 1) > 0 ]."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), NON_LETTER_RE)).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    bit = F.expr(_BIT_SQL.format(h="h", j="j"))
+    perbit = (
+        tf.select(
+            "doc_id",
+            "tf",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
+        )
+        .select("doc_id", "j", (F.col("tf") * (2 * bit - 1)).alias("c"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("c").alias("s"))
+        .select(
+            "doc_id",
+            "j",
+            F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+        )
+    )
+    return perbit.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "bit"))),
+                lambda s: s["bit"],
+            ),
+            "",
+        ).alias("simhash")
+    )
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "minhash_signatures": minhash_signatures,
+    "dedup_minhash_pairs": dedup_minhash_pairs,
+    "simhash": simhash,
+}
+
+_MINHASH_SQL = _SHINGLES_SQL + f""",
+    sig AS (
+        SELECT doc_id, seed,
+               min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
+        FROM shingles, generate_series(0, {N_MINHASH - 1}) AS s(seed)
+        GROUP BY doc_id, seed
+    )
+"""
+
+ORACLES = {
+    "dedup_exact": r"""
+        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+               count(*) AS n_docs, min(doc_id) AS keeper
+        FROM documents GROUP BY fp
+    """,
+    "ngram_jaccard_pairs": _SHINGLES_SQL + f""",
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM shingles a JOIN shingles b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= {JACCARD_THRESHOLD}
+    """,
+    "minhash_signatures": _MINHASH_SQL + """
+        SELECT doc_id, seed, minhash FROM sig
+    """,
+    "dedup_minhash_pairs": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        )
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x JOIN bands y USING (band, band_key)
+        WHERE x.doc_id < y.doc_id
+    """,
+    "simhash": f"""
+        WITH tf AS (
+            SELECT doc_id, tok, count(*) AS tf, md5(tok) AS h
+            FROM (SELECT doc_id,
+                         unnest(regexp_split_to_array(text, '{NON_LETTER_RE}'))
+                             AS tok
+                  FROM documents)
+            WHERE tok <> '' GROUP BY doc_id, tok
+        ),
+        perbit AS (
+            SELECT doc_id, j,
+                   CASE WHEN sum(tf * (2 * ({_BIT_SQL.format(h='h', j='j')}) - 1)) > 0
+                        THEN '1' ELSE '0' END AS bit
+            FROM tf, generate_series(0, 63) AS g(j)
+            GROUP BY doc_id, j
+        )
+        SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+        FROM perbit GROUP BY doc_id
+    """,
+}

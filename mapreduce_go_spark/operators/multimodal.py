@@ -1,0 +1,148 @@
+"""Multimodal columns (SURVEY §2.4 D20, north-star): typed nested
+columns (struct/array/map from JSON), opaque binary payloads with
+typed metadata, and the Arrow-batched decode plumbing for media.
+
+The container ships no image/audio libraries, so `decode` is a
+clearly-marked deterministic stub (NotImplementedError for real
+decoding) — but the Spark-side plumbing is real: binary column in,
+`mapInPandas` over Arrow batches, typed feature schema out, tested in
+tests/test_multimodal.py. Swapping the stub for PIL/librosa is a
+one-function change that alters no plan shape.
+
+Scale note: media rows are wide (MBs); the decode pipeline keeps them
+out of shuffles entirely — metadata extraction is a narrow map, and
+any downstream agg happens on the (small) feature columns after the
+binary column is dropped.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+                               StructField, StructType)
+
+from mapreduce_go_spark import tables
+
+
+def multimodal_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20: build nested struct/array/map columns from events, then
+    extract typed fields — the round-trip a multimodal row (text +
+    vectors + structured props) takes through the engine."""
+    ev = tables.load(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "struct<k:int>").alias("pj"),
+        F.struct(
+            F.col("event_type").alias("t"), F.col("value").alias("v")
+        ).alias("meta"),
+        F.create_map(
+            F.lit("user"), F.col("user_id").cast("string"),
+            F.lit("type"), F.col("event_type"),
+        ).alias("m"),
+        F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("pj.k").alias("k"),
+        F.col("meta.t").alias("meta_type"),
+        F.element_at(F.col("m"), "user").alias("map_user"),
+        F.element_at(F.col("vals"), 2).alias("val_x2"),
+    )
+
+
+def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary metadata: byte length, head hex, sha256 — the
+    typed-metadata side of a binary media column, computed without
+    ever shipping the payload through Python."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").alias("n_bytes"),
+        F.hex(F.substring(F.col("text"), 1, 8).cast("binary")).alias("head_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256"),
+    )
+
+
+# --- media decode plumbing (stubbed decode, real pipeline) -----------------
+
+MEDIA_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("channels", IntegerType()),
+    StructField("mean_luma", DoubleType()),
+])
+
+
+def decode_image(payload: bytes) -> dict:
+    """REAL image decoding is unavailable in this container (no
+    PIL/opencv). Deterministic fake: header-derived dimensions. Raises
+    for genuinely unknown payloads the way a real decoder would."""
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("real image decoding needs PIL/opencv")
+    # deterministic fake "header parse"
+    w = 16 + payload[0] % 64
+    h = 16 + (payload[1] if len(payload) > 1 else 0) % 64
+    c = 3
+    luma = float(sum(payload[:64]) % 256)
+    return {"width": w, "height": h, "channels": c, "mean_luma": luma}
+
+
+def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
+            b = bytes(payload) if payload is not None else b""
+            try:
+                feat = decode_image(b)
+            except NotImplementedError:
+                feat = {"width": 0, "height": 0, "channels": 0,
+                        "mean_luma": 0.0}
+            out.append({"doc_id": doc_id, "n_bytes": len(b), **feat})
+        yield pd.DataFrame(out, columns=[f.name for f in MEDIA_FEATURE_SCHEMA])
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction: binary column ->
+    mapInPandas -> typed features. The documents' text bytes stand in
+    for image payloads (no media fixture exists); decode is stubbed,
+    plumbing (schema, batching, partitioning) is real."""
+    docs = tables.load(spark, sf_dir, "documents")
+    binary = docs.select(
+        "doc_id", F.col("text").cast("binary").alias("img")
+    )
+    return binary.mapInPandas(_extract_features, MEDIA_FEATURE_SCHEMA)
+
+
+QUERIES = {
+    "multimodal_pack": multimodal_pack,
+    "binary_meta": binary_meta,
+    "media_features": media_features,
+}
+
+ORACLES = {
+    "multimodal_pack": """
+        SELECT event_id,
+               cast(json_extract_string(props, '$.k') AS int) AS k,
+               event_type AS meta_type,
+               cast(user_id AS varchar) AS map_user,
+               value * 2 AS val_x2
+        FROM events
+    """,
+    "binary_meta": """
+        SELECT doc_id,
+               cast(octet_length(encode(text)) AS int) AS n_bytes,
+               hex(encode(substring(text, 1, 8))) AS head_hex,
+               sha256(text) AS sha256
+        FROM documents
+    """,
+    # media_features: decode stub is non-SQL — driver records the
+    # weaker rows-only check; the Arrow plumbing is pinned by
+    # tests/test_multimodal.py instead.
+}

@@ -1,0 +1,233 @@
+"""Similarity search over embeddings (SURVEY §2.4 D18, north-star):
+exact brute-force cosine top-k, IVF-bucketed ANN, cosine near-dup
+pairs.
+
+Numeric discipline: the dot product and squared norms are accumulated
+in decimal(28,12) over bitwise-identical per-element double products,
+so both engines compute the SAME number regardless of summation order
+(same trick as functions/num.py, applied inside array aggregation).
+Ranking uses the full-precision value; only display values are
+rounded.
+
+Design for 100 TB:
+- brute force: query set is broadcast; each partition scores its local
+  shard and emits only (query, candidate, score) — top-k via
+  window-filter, no global materialization of the score matrix.
+- IVF path (ann_ivf_topk): candidates restricted to the query's
+  partition cell (here the `label` column as the cell id); at real
+  scale the cell id comes from a trained coarse quantizer and the
+  table is partitioned/bucketed by it, turning ANN into a co-located
+  per-cell scan. The query semantic (exact top-k WITHIN the cell) is
+  itself exactly oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+
+N_QUERIES = 8          # vec_id < 8 are the query vectors
+TOP_K = 10
+NEARDUP_COS = 0.35     # calibrated: ~p99.9 of the fixture pair cosines
+
+_DEC = "decimal(28,12)"
+
+
+def _dot_dec(a: Column, b: Column) -> Column:
+    """Exact decimal dot product of two float arrays (double widening
+    per element, decimal accumulation), returned as double."""
+    prods = F.zip_with(
+        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
+    )
+    return F.aggregate(
+        prods,
+        F.lit(0).cast(_DEC),
+        lambda acc, v: (acc + v).cast(_DEC),
+    ).cast("double")
+
+
+def _with_norm(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "norm", F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding")))
+    )
+
+
+def _cosine(qe: Column, ce: Column, qn: Column, cn: Column) -> Column:
+    return _dot_dec(qe, ce) / (qn * cn)
+
+
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for each query vector
+    (vec_id < 8) over the whole table, self excluded."""
+    from pyspark.sql import Window
+
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "rk",
+                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
+    )
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: exact top-10 within the query's cell (label).
+    Probing 1 cell of ~n/10 candidates — the 100 TB shape where cells
+    are partition keys and each probe is a co-located scan."""
+    from pyspark.sql import Window
+
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("cell"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, "cell")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+            .alias("cos"),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "rk",
+                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
+    )
+
+
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: cosine >= 0.35, d1 < d2.
+    All-pairs here (fixture scale); at corpus scale the same scoring
+    runs after LSH/IVF blocking exactly like dedup_minhash_pairs."""
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("d1"),
+                   F.col("embedding").alias("ea"), F.col("norm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("d2"),
+                   F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            _cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+            .alias("cos"),
+        )
+        .where(F.col("cos") >= NEARDUP_COS)
+        .select("d1", "d2",
+                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
+    )
+
+
+QUERIES = {
+    "knn_cosine_topk": knn_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
+    "embedding_neardup_pairs": embedding_neardup_pairs,
+}
+
+# DuckDB twin of _dot_dec: positionally-parallel unnest + decimal sum.
+_NORMS_SQL = """
+    WITH norms AS (
+        SELECT vec_id, label, embedding,
+               sqrt(cast((SELECT sum(cast(cast(x AS double) * cast(x AS double)
+                                           AS decimal(28,12)))
+                          FROM unnest(embedding) AS u(x)) AS double)) AS norm
+        FROM embeddings
+    )
+"""
+
+
+def _pair_cos_sql(qfilter: str, join_cond: str) -> str:
+    return f"""
+    {_NORMS_SQL},
+    q AS (SELECT vec_id AS q_id, label AS q_cell, embedding AS qe, norm AS qn
+          FROM norms WHERE {qfilter}),
+    c AS (SELECT vec_id AS c_id, label AS c_cell, embedding AS ce, norm AS cn
+          FROM norms),
+    pairs AS (
+        SELECT q_id, c_id, qe, ce, qn, cn FROM q JOIN c ON {join_cond}
+    ),
+    elems AS (
+        SELECT q_id, c_id, qn, cn, unnest(qe) AS x, unnest(ce) AS y FROM pairs
+    ),
+    dots AS (
+        SELECT q_id, c_id, any_value(qn) AS qn, any_value(cn) AS cn,
+               cast(sum(cast(cast(x AS double) * cast(y AS double)
+                             AS decimal(28,12))) AS double) AS dot
+        FROM elems GROUP BY q_id, c_id
+    ),
+    scored AS (
+        SELECT q_id, c_id, dot / (qn * cn) AS cos FROM dots
+    )
+    """
+
+
+ORACLES = {
+    "knn_cosine_topk": _pair_cos_sql(
+        f"vec_id < {N_QUERIES}", "q_id <> c_id"
+    ) + f"""
+        SELECT q_id, c_id, rk,
+               cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
+        FROM (SELECT q_id, c_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id) AS rk
+              FROM scored)
+        WHERE rk <= {TOP_K}
+    """,
+    "ann_ivf_topk": _pair_cos_sql(
+        f"vec_id < {N_QUERIES}", "q_cell = c_cell AND q_id <> c_id"
+    ) + f"""
+        SELECT q_id, c_id, rk,
+               cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
+        FROM (SELECT q_id, c_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id) AS rk
+              FROM scored)
+        WHERE rk <= {TOP_K}
+    """,
+    "embedding_neardup_pairs": _pair_cos_sql(
+        "true", "q_id < c_id"
+    ) + f"""
+        SELECT q_id AS d1, c_id AS d2,
+               cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
+        FROM scored WHERE cos >= {NEARDUP_COS}
+    """,
+}

@@ -1,0 +1,169 @@
+"""Event-time windowing, batch twins (SURVEY §2.4 D21).
+
+Each query here is the BATCH execution of a windowed plan that also
+runs as a Structured Streaming job (mapreduce_go_spark/streaming/):
+same window expressions, same aggregates. The batch run is the oracle
+anchor (DuckDB-checkable); tests/test_streaming.py then asserts the
+streaming execution of the same plan converges to the batch answer —
+mirroring how the reference defines streaming-free correctness by a
+sequential twin (/root/reference/main/mrsequential.go, SURVEY §5).
+
+Scale notes: windowed aggs are algebraic (count/sum) -> partial
+aggregation before the shuffle on (window, key); session windows
+shuffle once on user_id then sort-scan per user (Spark's
+session-window exec), state bounded by the gap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.num import dsum, dsum_sql
+
+SESSION_GAP = "30 minutes"
+
+
+def tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event type: count + exact sum."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = F.window("ts", "1 day")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes: each event lands in 2
+    windows (explode happens inside Spark's window generator)."""
+    ev = tables.load(spark, sf_dir, "events")
+    w = F.window("ts", "1 hour", "30 minutes")
+    return (
+        ev.groupBy(w.alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (30-min inactivity gap): session start,
+    last-event time, event count, exact value sum. Uses the
+    lag+cumsum formulation so the batch plan is portable; the
+    streaming twin uses F.session_window over the same gap."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gapped = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        (
+            F.when(
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(w)
+                > 30 * 60,
+                1,
+            ).otherwise(0)
+        ).alias("new_sess"),
+    ).withColumn(
+        "sess_no",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return gapped.groupBy("user_id", "sess_no").agg(
+        F.min("ts").alias("sess_start"),
+        F.max("ts").alias("sess_last"),
+        F.count("*").alias("n_events"),
+        dsum(F.col("value")).alias("total"),
+    )
+
+
+def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) — the batch twin of streaming
+    dropDuplicatesWithinWatermark: deterministic 'first' via event-time
+    order (not Spark's nondeterministic dropDuplicates)."""
+    from pyspark.sql import Window
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+QUERIES = {
+    "tumbling_window": tumbling_window,
+    "sliding_window": sliding_window,
+    "sessionize": sessionize,
+    "dedup_first_event": dedup_first_event,
+}
+
+ORACLES = {
+    "tumbling_window": f"""
+        SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+               time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS win_end,
+               event_type, count(*) AS n,
+               {dsum_sql('value')} AS total
+        FROM events GROUP BY 1, 2, 3
+    """,
+    "sliding_window": f"""
+        WITH assigned AS (
+            SELECT time_bucket(INTERVAL '30 minutes', ts)
+                       - o.off * INTERVAL '30 minutes' AS win_start,
+                   event_type, value
+            FROM events, (VALUES (0), (1)) AS o(off)
+        )
+        SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
+               event_type, count(*) AS n,
+               {dsum_sql('value')} AS total
+        FROM assigned GROUP BY 1, 2, 3
+    """,
+    "sessionize": f"""
+        WITH gapped AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT *, sum(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sess_no
+            FROM gapped
+        )
+        SELECT user_id, sess_no,
+               min(ts) AS sess_start, max(ts) AS sess_last,
+               count(*) AS n_events, {dsum_sql('value')} AS total
+        FROM numbered GROUP BY user_id, sess_no
+    """,
+    "dedup_first_event": """
+        SELECT user_id, event_type, event_id, ts
+        FROM (SELECT user_id, event_type, event_id, ts,
+                     row_number() OVER (PARTITION BY user_id, event_type
+                                        ORDER BY ts, event_id) AS rn
+              FROM events)
+        WHERE rn = 1
+    """,
+}

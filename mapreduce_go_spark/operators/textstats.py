@@ -1,0 +1,214 @@
+"""Text analysis operators (SURVEY §2.4 D19, north-star): token
+statistics, language-ID heuristic, quality scoring, document
+fingerprinting (md5 + rolling hash).
+
+All token math happens with array expressions on the JVM side — no
+explode, no shuffle, no Python: each query is a single narrow pass
+over the documents table (mapper-only job in reference terms,
+/root/reference/mr/worker.go:102-125, minus the shuffle it would have
+needed).
+
+Numeric discipline: ratios are int/int divisions (bitwise identical
+across engines); the quality score is a linear combination of such
+ratios — no transcendental functions whose libm rounding could differ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.num import dround, dround_sql
+from mapreduce_go_spark.functions.text import NON_LETTER_RE, fingerprint
+
+STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
+
+# Marker stopword lists for the language-ID heuristic. On the synthetic
+# corpus every doc scores as 'en' — the heuristic's *mechanics* (marker
+# counting + deterministic argmax) are what the oracle pins down.
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "los", "que", "es"),
+    "fr": ("le", "les", "des", "est", "une"),
+}
+_LANG_ORDER = ("en", "de", "es", "fr")  # argmax tie-break: first wins
+
+ROLL_MOD = 2147483647  # 2^31 - 1
+ROLL_BASE = 31
+
+
+def _toks(col: Column) -> Column:
+    return F.filter(F.split(col, NON_LETTER_RE), lambda w: w != F.lit(""))
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token statistics: counts, distinct counts, mean token
+    length — one narrow pass, exact integer arithmetic."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    tok_chars = F.aggregate(
+        F.transform(toks, F.length),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        dround(tok_chars / F.size(toks), 6).alias("mean_tok_len"),
+    )
+
+
+def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(m) for m in markers])
+    return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: argmax over marker-stopword hit counts,
+    ties broken by fixed language order; 'und' (undetermined) when no
+    marker hits at all."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            _marker_count(toks, LANG_MARKERS[lg]).alias(f"s_{lg}")
+            for lg in _LANG_ORDER
+        ],
+    )
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in _LANG_ORDER])
+    guess = F.when(best == 0, F.lit("und"))
+    for lg in _LANG_ORDER:
+        guess = guess.when(F.col(f"s_{lg}") == best, F.lit(lg))
+    return scored.select(
+        "doc_id",
+        F.col("lang").alias("declared_lang"),
+        guess.alias("guess_lang"),
+        best.alias("marker_hits"),
+    )
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, alpha ratio, length saturation
+    -> linear score in [0,1]. The classic cheap pre-filter for
+    training-data pipelines."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = _toks(F.col("text"))
+    n_tok = F.size(toks)
+    stop_ratio = _marker_count(toks, STOPWORDS) / n_tok
+    alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
+    alpha_ratio = alpha_chars / F.length("text")
+    len_sat = F.least(F.length("text") / F.lit(2000.0), F.lit(1.0))
+    score = 0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_sat
+    return docs.select(
+        "doc_id",
+        dround(stop_ratio, 6).alias("stop_ratio"),
+        dround(alpha_ratio, 6).alias("alpha_ratio"),
+        dround(len_sat, 6).alias("len_sat"),
+        dround(score, 6).alias("quality"),
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: md5 of normalized text + 31-base rolling
+    hash mod 2^31-1 over the raw bytes (sequential fold — identical
+    evaluation order in both engines)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    chars = F.split(F.col("text"), "")
+    roll = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLL_BASE + F.ascii(c)) % ROLL_MOD,
+    )
+    return docs.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fp_md5"),
+        roll.alias("fp_roll"),
+    )
+
+
+QUERIES = {
+    "token_stats": token_stats,
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+_TOKS_SQL = (f"list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),"
+             " x -> x <> '')")
+
+
+def _marker_sql(markers: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter({_TOKS_SQL}, x -> x IN ({inlist})))"
+
+
+_GUESS_SQL = "CASE WHEN " + " WHEN ".join(
+    [f"best = 0 THEN 'und'"]
+    + [f"s_{lg} = best THEN '{lg}'" for lg in _LANG_ORDER]
+) + " END"
+
+ORACLES = {
+    "token_stats": f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len({_TOKS_SQL}) AS n_tokens,
+               len(list_distinct({_TOKS_SQL})) AS n_distinct,
+               {dround_sql(
+                   f"list_sum(list_transform({_TOKS_SQL}, x -> length(x)))"
+                   f" / len({_TOKS_SQL})", 6)} AS mean_tok_len
+        FROM documents
+    """,
+    "lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {", ".join(f"{_marker_sql(LANG_MARKERS[lg])} AS s_{lg}"
+                              for lg in _LANG_ORDER)}
+            FROM documents
+        ),
+        withbest AS (
+            SELECT *, greatest({", ".join(f"s_{lg}" for lg in _LANG_ORDER)})
+                          AS best
+            FROM scored
+        )
+        SELECT doc_id, lang AS declared_lang,
+               {_GUESS_SQL} AS guess_lang,
+               best AS marker_hits
+        FROM withbest
+    """,
+    "quality_score": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   {_marker_sql(STOPWORDS)} * 1.0 / len({_TOKS_SQL})
+                       AS stop_ratio,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                       / length(text) AS alpha_ratio,
+                   least(length(text) / 2000.0, 1.0) AS len_sat
+            FROM documents
+        )
+        SELECT doc_id,
+               {dround_sql('stop_ratio', 6)} AS stop_ratio,
+               {dround_sql('alpha_ratio', 6)} AS alpha_ratio,
+               {dround_sql('len_sat', 6)} AS len_sat,
+               {dround_sql('0.4 * stop_ratio + 0.4 * alpha_ratio'
+                           ' + 0.2 * len_sat', 6)} AS quality
+        FROM base
+    """,
+    "doc_fingerprint": rf"""
+        SELECT doc_id,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   AS fp_md5,
+               list_reduce(
+                   list_prepend(cast(0 AS bigint),
+                       list_transform(regexp_split_to_array(text, ''),
+                                      c -> cast(ascii(c) AS bigint))),
+                   (acc, c) -> (acc * {ROLL_BASE} + c) % {ROLL_MOD}
+               ) AS fp_roll
+        FROM documents
+    """,
+}

@@ -64,3 +64,41 @@ def _apply_sql_confs(spark: SparkSession, n_shuffle: int) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+
+
+_SHIPPED_CONTEXTS: set[int] = set()
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    The driver may own a session whose workers don't share our
+    sys.path (e.g. launched from another cwd); any query using a
+    Python UDF / mapInPandas would then fail to unpickle module
+    references on the worker. Zipping the package through Spark's
+    file-distribution machinery is the cluster-correct fix (works the
+    same on a real multi-node deployment, where sys.path tricks
+    never could)."""
+    import zipfile
+
+    sc = spark.sparkContext
+    if id(sc) in _SHIPPED_CONTEXTS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    import tempfile
+
+    zpath = os.path.join(tempfile.gettempdir(),
+                         "mapreduce_go_spark_pyfiles.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if not f.endswith(".py"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.join(
+                    "mapreduce_go_spark",
+                    os.path.relpath(full, pkg_dir),
+                )
+                z.write(full, rel)
+    sc.addPyFile(zpath)
+    _SHIPPED_CONTEXTS.add(id(sc))

@@ -1,0 +1,119 @@
+"""Structured Streaming jobs (SURVEY §2.4 D21).
+
+The reference has no streaming; its closest analog is incremental job
+re-runs (SURVEY §2.4 D21). Here each windowed operator from
+operators/streaming_batch.py runs as a real `readStream` pipeline:
+file source -> event-time windows (+ watermark) -> memory sink. The
+batch twin is the correctness oracle (tests/test_streaming.py drives
+both and compares).
+
+At production scale the file source swaps for Kafka and the memory
+sink for a parquet/Delta sink with checkpointing; the plan between
+them — watermark, window, partial aggregation, state store — is
+unchanged. State sizing: watermark bounds tumbling/sliding state to
+(lateness / slide) windows per key; session state is bounded by the
+gap; dropDuplicatesWithinWatermark state is one key per id inside the
+watermark horizon.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.num import dsum
+from mapreduce_go_spark.operators.streaming_batch import SESSION_GAP
+
+WATERMARK = "2 hours"
+
+
+def _stage_events_dir(sf_dir: str) -> str:
+    """Copy events.parquet into a temp directory (file sources stream
+    directories); caller owns cleanup."""
+    d = tempfile.mkdtemp(prefix="mrgs_stream_")
+    shutil.copy(os.path.join(sf_dir, "events.parquet"),
+                os.path.join(d, "part-000.parquet"))
+    return d
+
+
+def events_stream(spark: SparkSession, sf_dir: str,
+                  staged_dir: str | None = None) -> DataFrame:
+    """readStream over the events fixture with the same nanos->micros
+    normalization tables.load applies to the batch side."""
+    tables._ensure_confs(spark)
+    src = staged_dir or _stage_events_dir(sf_dir)
+    # schema from the batch reader, pre-conversion
+    raw_schema = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")).schema
+    stream = spark.readStream.schema(raw_schema).parquet(src)
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def tumbling_counts(stream: DataFrame) -> DataFrame:
+    """Streaming twin of operators.streaming_batch.tumbling_window."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total"))
+        .select(F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "event_type", "n", "total")
+    )
+
+
+def sliding_counts(stream: DataFrame) -> DataFrame:
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                 "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total"))
+        .select(F.col("w.start").alias("win_start"),
+                F.col("w.end").alias("win_end"),
+                "event_type", "n", "total")
+    )
+
+
+def session_counts(stream: DataFrame) -> DataFrame:
+    """Streaming session windows (native session_window operator —
+    the batch twin uses the portable lag+cumsum formulation)."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             dsum(F.col("value")).alias("total"))
+        .select("user_id",
+                F.col("w.start").alias("sess_start"),
+                "n_events", "total")
+    )
+
+
+def dedup_within_watermark(stream: DataFrame) -> DataFrame:
+    """Streaming dedup by (user_id, event_type) within the watermark
+    horizon — batch twin: operators.streaming_batch.dedup_first_event
+    (keys only; which row survives is engine-chosen)."""
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
+                  name: str, output_mode: str) -> DataFrame:
+    """Execute a streaming plan to completion against the staged input
+    (file source drains fully) and return the sink contents."""
+    q = (streaming_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")

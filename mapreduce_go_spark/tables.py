@@ -36,6 +36,9 @@ def _ensure_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from mapreduce_go_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

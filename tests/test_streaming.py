@@ -1,0 +1,67 @@
+"""Streaming-vs-batch differential tests (SURVEY §5 pattern: the
+distributed/incremental execution must match the oracle twin).
+
+Each test runs the Structured Streaming job to completion on the
+staged events fixture and compares against the batch twin from
+operators/streaming_batch.py.
+"""
+
+import shutil
+
+import pytest
+
+from mapreduce_go_spark.operators import streaming_batch
+from mapreduce_go_spark.streaming import jobs
+
+from .helpers import canonical_rows
+
+
+@pytest.fixture(scope="module")
+def staged(sf_dir):
+    d = jobs._stage_events_dir(sf_dir)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _assert_same(name, stream_df, batch_df):
+    s_cols, s = canonical_rows(stream_df.columns,
+                               [tuple(r) for r in stream_df.collect()])
+    b_cols, b = canonical_rows(batch_df.columns,
+                               [tuple(r) for r in batch_df.collect()])
+    assert s_cols == b_cols, f"{name}: columns {s_cols} != {b_cols}"
+    assert s == b, f"{name}: streaming result != batch twin"
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, staged):
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = jobs.run_to_memory(
+        spark, jobs.tumbling_counts(stream), "t_tumble", "complete")
+    _assert_same("tumbling", out, streaming_batch.tumbling_window(spark, sf_dir))
+
+
+def test_sliding_stream_matches_batch(spark, sf_dir, staged):
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = jobs.run_to_memory(
+        spark, jobs.sliding_counts(stream), "t_slide", "complete")
+    _assert_same("sliding", out, streaming_batch.sliding_window(spark, sf_dir))
+
+
+def test_session_stream_matches_batch(spark, sf_dir, staged):
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = jobs.run_to_memory(
+        spark, jobs.session_counts(stream), "t_sess", "complete")
+    batch = (
+        streaming_batch.sessionize(spark, sf_dir)
+        .select("user_id", "sess_start", "n_events", "total")
+    )
+    _assert_same("session", out, batch)
+
+
+def test_dedup_within_watermark_keys(spark, sf_dir, staged):
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = jobs.run_to_memory(
+        spark, jobs.dedup_within_watermark(stream), "t_dedup", "append")
+    batch = streaming_batch.dedup_first_event(spark, sf_dir)
+    s_keys = sorted((r.user_id, r.event_type) for r in out.collect())
+    b_keys = sorted((r.user_id, r.event_type) for r in batch.collect())
+    assert s_keys == b_keys
