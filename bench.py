@@ -54,7 +54,19 @@ def main() -> None:
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
 
-    # Warm up the JVM / parquet footer caches outside the timed region.
+    # Warm-up outside the timed region: run representative plan shapes
+    # (scan/agg/join/window/explode) at the smallest scale factor so
+    # JIT + whole-stage-codegen compilation isn't billed to the first
+    # timed queries, then touch the bench tables' footers.
+    warm_dir = "/root/testdata/sf0.001"
+    for wname in ("wc", "pricing_summary", "join_inner", "window_rank",
+                  "dedup_minhash_pairs", "knn_cosine_topk"):
+        if wname in queries:
+            try:
+                queries[wname](spark, warm_dir).write.format(
+                    "noop").mode("overwrite").save()
+            except Exception:
+                pass
     queries[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}

@@ -10,9 +10,9 @@ Design for 100 TB:
   the fixture corpus is small and it doubles as the LSH recall oracle.
 - MinHash/LSH: all hashing is md5-based and engine-portable, so even
   the LSH pipeline is differentially tested against a DuckDB
-  re-implementation — no "trust me" randomness. Permutation i is
-  h_i(x) = min over shingles of md5(i ':' x); lexicographic order on
-  md5 hex equals numeric order on the 128-bit value.
+  re-implementation — no "trust me" randomness. One md5 per shingle,
+  split into two 56-bit halves (a, b); permutation i is
+  h_i = min over shingles of (a + i*b) mod 2^56 (affine family).
 - SimHash: 64-bit signature from per-token md5 bits weighted by term
   frequency, emitted as a 64-char '0/1' string; bit extraction is
   portable nibble arithmetic (no engine-specific bit ops).
@@ -35,6 +35,8 @@ LSH_BANDS = 4           # bands -> candidate if all rows in any band agree
 LSH_ROWS = N_MINHASH // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
 SHINGLE_N = 3
+MINHASH_MOD = 2 ** 56   # affine-family modulus; a,b < 2^56 so
+                        # a + 11*b < 2^60 — no bigint overflow
 
 # bit j of a 32-hex-char md5 string, as portable SQL arithmetic
 # (identical text runs in Spark SQL and DuckDB): nibble value via
@@ -59,21 +61,39 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(docs: DataFrame) -> DataFrame:
-    """(doc_id, shingle): distinct word-3-gram shingles via one
-    JVM-side array transform — no Python, no extra shuffle."""
-    toks = F.filter(
-        F.split(F.col("text"), NON_LETTER_RE), lambda w: w != F.lit("")
-    )
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - SHINGLE_N, F.lit(0)))
-    sh = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, SHINGLE_N))
-    )
+def _shingles_all(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): word-3-gram shingles WITH multiplicity.
+
+    posexplode + lead-window instead of nested array HOFs: the
+    transform/slice/concat_ws formulation runs interpreted (higher-
+    order functions break whole-stage codegen) and was ~3x slower than
+    this codegen'd explode + one narrow per-doc window pass."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), NON_LETTER_RE)).alias("pos", "tok"),
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
     return (
-        docs.select("doc_id", F.explode(sh).alias("shingle"))
-        .where(F.length("shingle") > 0)
-        .distinct()
+        toks.select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.col("tok"),
+                F.lead("tok", 1).over(w),
+                F.lead("tok", 2).over(w),
+            ).alias("shingle"),
+            F.lead("tok", SHINGLE_N - 1).over(w).alias("_last"),
+        )
+        .where(F.col("_last").isNotNull())
+        .drop("_last")
     )
+
+
+def _shingles(docs: DataFrame) -> DataFrame:
+    """Distinct shingles (the set view, for Jaccard)."""
+    return _shingles_all(docs).distinct()
 
 
 # DuckDB twin of _shingles, shared by several oracles.
@@ -86,16 +106,15 @@ _SHINGLES_SQL = f"""
     ),
     starts AS (
         SELECT doc_id, ts,
-               unnest(generate_series(1, greatest(len(ts) - {SHINGLE_N - 1}, 1)))
-                   AS i
+               unnest(generate_series(1, len(ts) - {SHINGLE_N - 1})) AS i
         FROM toks
     ),
-    shingles AS (
-        SELECT DISTINCT doc_id,
+    shingles_all AS (
+        SELECT doc_id,
                array_to_string(ts[i:i+{SHINGLE_N - 1}], ' ') AS shingle
         FROM starts
-        WHERE length(array_to_string(ts[i:i+{SHINGLE_N - 1}], ' ')) > 0
-    )
+    ),
+    shingles AS (SELECT DISTINCT doc_id, shingle FROM shingles_all)
 """
 
 
@@ -134,24 +153,29 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One md5 per shingle; the 12 permutations are derived
+    arithmetically: split the md5 into two 56-bit halves (a, b) and
+    h_i = (a + i*b) mod 2^56 — the classic affine family, 12x fewer
+    hashes than hashing (seed, shingle) pairs. Single shuffle
+    (groupBy doc_id) with map-side partial min aggregation."""
     docs = tables.load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    return (
-        sh.select(
-            "doc_id",
-            "shingle",
-            F.explode(F.sequence(F.lit(0), F.lit(N_MINHASH - 1))).alias("seed"),
-        )
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(
-                F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    sh = _shingles_all(docs).withColumn("h", F.md5("shingle"))
+    a = F.conv(F.substring("h", 1, 14), 16, 10).cast("long")
+    b = F.conv(F.substring("h", 15, 14), 16, 10).cast("long")
+    hashed = sh.select("doc_id", a.alias("a"), b.alias("b"))
+    aggs = [
+        F.min(
+            (F.col("a") + F.lit(i) * F.col("b")) % F.lit(MINHASH_MOD)
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    # unpivot to the (doc_id, seed, minhash) signature shape
+    stack_expr = "stack({n}, {args}) as (seed, minhash)".format(
+        n=N_MINHASH,
+        args=", ".join(f"{i}, mh{i}" for i in range(N_MINHASH)),
     )
+    return wide.select("doc_id", F.expr(stack_expr))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +198,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_join(
                     F.transform(
                         F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"],
+                        lambda s: s["minhash"].cast("string"),
                     ),
                     ",",
                 )
@@ -193,7 +217,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document as a 64-char '0/1' string.
-    bit j = [ sum_t tf(t) * (2*bit_j(md5(t)) - 1) > 0 ]."""
+    bit j = [ sum_t tf(t) * (2*bit_j(md5(t)) - 1) > 0 ].
+
+    Plan shape: the md5-bit table is computed once per DISTINCT token
+    (|vocab| rows) and broadcast; per-doc signatures are then 64
+    algebraic sums in one hash aggregate — no 64x row explosion, no
+    per-row hex parsing."""
     docs = tables.load(spark, sf_dir, "documents")
     tf = (
         docs.select(
@@ -203,34 +232,32 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
         .groupBy("doc_id", "tok")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.md5(F.col("tok")))
     )
-    bit = F.expr(_BIT_SQL.format(h="h", j="j"))
-    perbit = (
-        tf.select(
-            "doc_id",
-            "tf",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("j"),
-        )
-        .select("doc_id", "j", (F.col("tf") * (2 * bit - 1)).alias("c"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("c").alias("s"))
+    vocab_bits = (
+        tf.select("tok").distinct()
+        .withColumn("h", F.md5("tok"))
         .select(
-            "doc_id",
-            "j",
-            F.when(F.col("s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("bit"),
+            "tok",
+            F.array(
+                *[F.expr(_BIT_SQL.format(h="h", j=j)) for j in range(64)]
+            ).alias("bits"),
         )
     )
-    return perbit.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("j", "bit"))),
-                lambda s: s["bit"],
-            ),
-            "",
-        ).alias("simhash")
+    joined = tf.join(F.broadcast(vocab_bits), "tok")
+    sums = [
+        F.sum(
+            F.col("tf") * (2 * F.element_at(F.col("bits"), j + 1) - 1)
+        ).alias(f"s{j}")
+        for j in range(64)
+    ]
+    wide = joined.groupBy("doc_id").agg(*sums)
+    sig = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(64)
+        ]
     )
+    return wide.select("doc_id", sig.alias("simhash"))
 
 
 QUERIES = {
@@ -241,11 +268,22 @@ QUERIES = {
     "simhash": simhash,
 }
 
+# hex -> bigint by folding nibbles (DuckDB has no conv())
+_HEX2INT = ("list_reduce(list_prepend(cast(0 AS bigint),"
+            " list_transform(regexp_split_to_array({expr}, ''),"
+            " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
+            " (acc, v) -> acc * 16 + v)")
+
 _MINHASH_SQL = _SHINGLES_SQL + f""",
+    hashed AS (
+        SELECT doc_id,
+               {_HEX2INT.format(expr="substring(md5(shingle), 1, 14)")} AS a,
+               {_HEX2INT.format(expr="substring(md5(shingle), 15, 14)")} AS b
+        FROM shingles_all
+    ),
     sig AS (
-        SELECT doc_id, seed,
-               min(md5(cast(seed AS varchar) || ':' || shingle)) AS minhash
-        FROM shingles, generate_series(0, {N_MINHASH - 1}) AS s(seed)
+        SELECT doc_id, seed, min((a + seed * b) % {MINHASH_MOD}) AS minhash
+        FROM hashed, generate_series(0, {N_MINHASH - 1}) AS s(seed)
         GROUP BY doc_id, seed
     )
 """
@@ -276,7 +314,8 @@ ORACLES = {
     "dedup_minhash_pairs": _MINHASH_SQL + f""",
         bands AS (
             SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
-                   md5(string_agg(minhash, ',' ORDER BY seed)) AS band_key
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
             FROM sig GROUP BY 1, 2
         )
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
