@@ -1,0 +1,234 @@
+"""Advanced relational coverage: grouping sets, pivot/unpivot, exact
+and approximate order statistics, as-of and range joins.
+
+These extend SURVEY §2.4 (D14 multi-level aggregates, D16) with the
+OLAP shapes a training-data pipeline leans on. The as-of join is the
+merge formulation — the reference could express it as a secondary-sort
+job (tag streams, shuffle on key, sorted scan carrying the last seen
+dimension row: exactly F3+F6+F8, SURVEY §2.4 D15's idiom); Spark runs
+the same shape as one shuffle + one window pass, with no join blowup.
+
+Approximate aggregates (HLL, KLL/GK quantiles) are engine-specific by
+construction, so they carry no value oracle — tests/test_approx.py
+bounds their error against exact answers instead (the driver records
+a rows-only check; SURVEY §7.4 risk 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.num import dround, dround_sql, dsum, dsum_sql
+
+
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D14c: GROUPING SETS — the general multi-level aggregate (rollup
+    and cube are special cases)."""
+    tables.load(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_gs_orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {dsum_sql('o_totalprice')} AS total, count(*) AS n
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+def pivot_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: return-flag columns per line status (explicit pivot
+    values — at scale never let Spark run the extra distinct scan)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum(F.col("l_quantity")))
+    )
+
+
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt via stack: wide order row -> (metric, value)."""
+    o = tables.load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.expr(
+            "stack(2, 'totalprice', o_totalprice,"
+            " 'custkey', cast(o_custkey AS double)) AS (metric, val)"
+        ),
+    ).select("o_orderkey", "metric", dround(F.col("val"), 2).alias("val"))
+
+
+def exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (order statistics on
+    identical sorted doubles -> engine-identical)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        dround(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        dround(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90_price"),
+    )
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct counts — the 100 TB replacement for exact
+    countDistinct (D5). No oracle: sketch values are engine-specific;
+    accuracy bounded in tests/test_approx.py."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("apx_parts"),
+        F.approx_count_distinct("l_suppkey").alias("apx_supps"),
+    )
+
+
+def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (GK sketch). No oracle; accuracy
+    bounded in tests/test_approx.py."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("apx_median"),
+        F.percentile_approx("l_extendedprice", 0.9).alias("apx_p90"),
+    )
+
+
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (Spark has no native one): each event matched to the
+    latest order of the same key at-or-before the event time.
+
+    Merge formulation: tag both streams, union, one window pass per
+    key carrying the last-seen order struct — one shuffle on the key,
+    cost O(n log n) per key, no range-join blowup. Ties: orders sort
+    before events at equal timestamp (inclusive <=), max o_orderkey
+    wins within a tied order timestamp."""
+    ev = tables.load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("t"),
+        F.lit(1).alias("pri"),
+        "event_id",
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+    )
+    od = tables.load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("pri"),
+        F.lit(None).cast("long").alias("event_id"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    merged = od.unionByName(ev)
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "pri", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = merged.withColumn(
+        "last_order",
+        F.last(
+            F.when(
+                F.col("pri") == 0,
+                F.struct("o_orderkey", "o_totalprice"),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        carried.where(F.col("pri") == 1)
+        .where(F.col("last_order").isNotNull())
+        .select(
+            "event_id",
+            F.col("k").alias("user_id"),
+            F.col("last_order.o_orderkey").alias("o_orderkey"),
+            dround(F.col("last_order.o_totalprice"), 2).alias("o_totalprice"),
+        )
+    )
+
+
+def range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: line items shipped within 90 days of their order's
+    date. Equality on the key keeps it a hash join with a residual
+    range filter; at scale, bucketize the time axis to bound a pure
+    range join's candidate set."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    od = tables.load(spark, sf_dir, "orders")
+    return (
+        od.join(
+            li,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate")
+               < F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        )
+        .groupBy("o_orderkey")
+        .agg(
+            F.count("*").alias("n_fast_lines"),
+            dsum(F.col("l_extendedprice")).alias("fast_revenue"),
+        )
+    )
+
+
+QUERIES = {
+    "grouping_sets_agg": grouping_sets_agg,
+    "pivot_agg": pivot_agg,
+    "unpivot_metrics": unpivot_metrics,
+    "exact_median": exact_median,
+    "approx_distinct": approx_distinct,
+    "approx_quantile": approx_quantile,
+    "asof_join": asof_join,
+    "range_join_count": range_join_count,
+}
+
+ORACLES = {
+    "grouping_sets_agg": f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {dsum_sql('o_totalprice')} AS total, count(*) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    "pivot_agg": f"""
+        SELECT l_linestatus,
+               {dsum_sql("CASE WHEN l_returnflag = 'A' THEN l_quantity END")}
+                   AS "A",
+               {dsum_sql("CASE WHEN l_returnflag = 'N' THEN l_quantity END")}
+                   AS "N",
+               {dsum_sql("CASE WHEN l_returnflag = 'R' THEN l_quantity END")}
+                   AS "R"
+        FROM lineitem GROUP BY l_linestatus
+    """,
+    "unpivot_metrics": f"""
+        SELECT o_orderkey, 'totalprice' AS metric,
+               {dround_sql('o_totalprice')} AS val FROM orders
+        UNION ALL
+        SELECT o_orderkey, 'custkey', {dround_sql('cast(o_custkey AS double)')}
+        FROM orders
+    """,
+    "exact_median": f"""
+        SELECT l_returnflag,
+               {dround_sql('quantile_cont(l_extendedprice, 0.5)', 4)}
+                   AS median_price,
+               {dround_sql('quantile_cont(l_extendedprice, 0.9)', 4)}
+                   AS p90_price
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "asof_join": f"""
+        SELECT event_id, user_id, o_orderkey,
+               {dround_sql('o_totalprice')} AS o_totalprice
+        FROM (
+            SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+            FROM events e
+            JOIN orders o ON e.user_id = o.o_custkey
+                         AND o.o_orderdate <= e.ts
+        ) WHERE rn = 1
+    """,
+    "range_join_count": f"""
+        SELECT o_orderkey, count(*) AS n_fast_lines,
+               {dsum_sql('l_extendedprice')} AS fast_revenue
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+                       AND l.l_shipdate >= o.o_orderdate
+                       AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAY
+        GROUP BY o_orderkey
+    """,
+}

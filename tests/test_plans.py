@@ -1,0 +1,60 @@
+"""Physical-plan assertions: the scale properties SURVEY §4.3 demands
+must be visible in the executed plan, not just intended.
+
+- filters reach the parquet scan (PushedFilters)
+- projections prune the scan schema (ReadSchema)
+- dimension joins broadcast (BroadcastHashJoin), fact joins don't
+  collapse to nested-loop
+- algebraic aggregates run partial+final (map-side combine — the
+  upgrade over the reference's combiner-less reduce, SURVEY §2.3)
+- top-k plans as TakeOrderedAndProject, not a global sort
+"""
+
+import contextlib
+import io
+
+from mapreduce_go_spark.operators import apps, joins, relational
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    p = plan_of(relational.filter_pushdown(spark, sf_dir))
+    assert "PushedFilters:" in p
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln][0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed, pushed
+
+
+def test_projection_prunes_scan(spark, sf_dir):
+    p = plan_of(relational.projection(spark, sf_dir))
+    sched = [ln for ln in p.splitlines() if "ReadSchema" in ln][0]
+    assert "l_extendedprice" in sched
+    assert "l_shipdate" not in sched, sched  # unused column not read
+    assert "l_returnflag" not in sched, sched
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    p = plan_of(joins.join_broadcast(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q5_broadcasts_dims_not_facts(spark, sf_dir):
+    p = plan_of(joins.local_supplier_volume(spark, sf_dir))
+    assert "BroadcastHashJoin" in p  # nation/region side
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
+def test_wordcount_partial_aggregation(spark, sf_dir):
+    p = plan_of(apps.wordcount(spark, sf_dir))
+    assert "partial_count" in p or "Partial" in p, p  # map-side combine
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    p = plan_of(relational.top_k(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p, p
