@@ -260,12 +260,64 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select("doc_id", sig.alias("simhash"))
 
 
+SIMHASH_BANDS = 4       # 4 x 16-bit bands for candidate blocking
+HAMMING_MAX = 8
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one 16-bit
+    band of the 64-bit signature (pigeonhole: any pair with hamming
+    <= 3 must collide; wider radius pairs are found probabilistically),
+    then exact hamming filter <= 8. Banding keeps the pair generation
+    |docs| x bands; the hamming check runs on candidates only."""
+    sig = simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat(
+                    F.lit(str(b)),
+                    F.lit(":"),
+                    F.substring("simhash", 1 + 16 * b, 16),
+                )
+                for b in range(SIMHASH_BANDS)
+            ])
+        ).alias("band_key"),
+    )
+    x = bands.select(F.col("doc_id").alias("d1"),
+                     F.col("simhash").alias("s1"), "band_key")
+    y = bands.select(F.col("doc_id").alias("d2"),
+                     F.col("simhash").alias("s2"), "band_key")
+    cands = (
+        x.join(y, "band_key")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "s1", "s2")
+        .distinct()
+    )
+    ham = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("s1", ""), F.split("s2", ""),
+                lambda a, b: a != b,
+            ),
+            lambda d: d,
+        )
+    )
+    return (
+        cands.withColumn("hamming", ham)
+        .where(F.col("hamming") <= HAMMING_MAX)
+        .select("d1", "d2", "hamming")
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash": simhash,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
 }
 
 # hex -> bigint by folding nibbles (DuckDB has no conv())
@@ -285,6 +337,28 @@ _MINHASH_SQL = _SHINGLES_SQL + f""",
         SELECT doc_id, seed, min((a + seed * b) % {MINHASH_MOD}) AS minhash
         FROM hashed, generate_series(0, {N_MINHASH - 1}) AS s(seed)
         GROUP BY doc_id, seed
+    )
+"""
+
+_SIMHASH_CTE = f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf, md5(tok) AS h
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '{NON_LETTER_RE}'))
+                         AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    perbit AS (
+        SELECT doc_id, j,
+               CASE WHEN sum(tf * (2 * ({_BIT_SQL.format(h='h', j='j')}) - 1)) > 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM tf, generate_series(0, 63) AS g(j)
+        GROUP BY doc_id, j
+    ),
+    sigs AS (
+        SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+        FROM perbit GROUP BY doc_id
     )
 """
 
@@ -322,23 +396,33 @@ ORACLES = {
         FROM bands x JOIN bands y USING (band, band_key)
         WHERE x.doc_id < y.doc_id
     """,
-    "simhash": f"""
-        WITH tf AS (
-            SELECT doc_id, tok, count(*) AS tf, md5(tok) AS h
-            FROM (SELECT doc_id,
-                         unnest(regexp_split_to_array(text, '{NON_LETTER_RE}'))
-                             AS tok
-                  FROM documents)
-            WHERE tok <> '' GROUP BY doc_id, tok
+    "simhash": _SIMHASH_CTE + """
+        SELECT doc_id, simhash FROM sigs
+    """,
+    "simhash_neardup_pairs": _SIMHASH_CTE + f""",
+        bands AS (
+            SELECT doc_id, simhash,
+                   cast(b AS varchar) || ':'
+                       || substring(simhash, 1 + 16 * b, 16) AS band_key
+            FROM sigs, generate_series(0, {SIMHASH_BANDS - 1}) AS g(b)
         ),
-        perbit AS (
-            SELECT doc_id, j,
-                   CASE WHEN sum(tf * (2 * ({_BIT_SQL.format(h='h', j='j')}) - 1)) > 0
-                        THEN '1' ELSE '0' END AS bit
-            FROM tf, generate_series(0, 63) AS g(j)
-            GROUP BY doc_id, j
+        cands AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                   x.simhash AS s1, y.simhash AS s2
+            FROM bands x JOIN bands y USING (band_key)
+            WHERE x.doc_id < y.doc_id
+        ),
+        elems AS (
+            SELECT d1, d2,
+                   unnest(regexp_split_to_array(s1, '')) AS cx,
+                   unnest(regexp_split_to_array(s2, '')) AS cy
+            FROM cands
+        ),
+        ham AS (
+            SELECT d1, d2, sum(CASE WHEN cx <> cy THEN 1 ELSE 0 END) AS hamming
+            FROM elems GROUP BY d1, d2
         )
-        SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
-        FROM perbit GROUP BY doc_id
+        SELECT d1, d2, cast(hamming AS int) AS hamming
+        FROM ham WHERE hamming <= {HAMMING_MAX}
     """,
 }

@@ -1,0 +1,61 @@
+"""Format connectors: schema-explicit readers, atomic writers.
+
+All writers go through Spark's task-commit protocol — the scalable
+replacement for the reference's temp-file + rename idiom
+(/root/reference/mr/worker.go:96-97,154-155): tasks write attempt
+files, the committer publishes exactly one winner, so speculative /
+retried tasks never corrupt output (SURVEY §2.1 F13).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_csv(spark: SparkSession, path: str, schema: StructType,
+             header: bool = True) -> DataFrame:
+    """CSV with an explicit schema — never inferSchema (extra full
+    scan) outside exploration."""
+    return spark.read.csv(path, schema=schema, header=header)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: StructType) -> DataFrame:
+    """JSON-lines with explicit schema (splittable; one JSON doc per
+    line, matching the reference's JSON-lines intermediate encoding,
+    /root/reference/mr/worker.go:147-152)."""
+    return spark.read.json(path, schema=schema)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_parquet(df: DataFrame, path: str,
+                  partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    df.write.mode("overwrite").csv(path, header=header)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def write_text_kv(df: DataFrame, key: str, value: str, path: str) -> None:
+    """The reference's sink: "%v %v" lines, one shard per partition
+    (/root/reference/mr/worker.go:92-98)."""
+    (df.select(F.format_string("%s %s", F.col(key), F.col(value))
+               .alias("line"))
+     .write.mode("overwrite").text(path))

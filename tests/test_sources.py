@@ -1,0 +1,61 @@
+"""Source/sink round-trips: every format must preserve values through
+write -> read against the parquet ground truth."""
+
+import pytest
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.sources import io as sio
+
+from .helpers import canonical_rows
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    return tables.load(spark, sf_dir, "nation")
+
+
+def _rows(df):
+    return canonical_rows(df.columns, [tuple(r) for r in df.collect()])
+
+
+def test_csv_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "n_csv")
+    sio.write_csv(nation, p)
+    back = sio.read_csv(spark, p, nation.schema)
+    assert _rows(back) == _rows(nation)
+
+
+def test_json_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "n_json")
+    sio.write_json(nation, p)
+    back = sio.read_json(spark, p, nation.schema)
+    assert _rows(back) == _rows(nation)
+
+
+def test_orc_roundtrip(spark, nation, tmp_path):
+    p = str(tmp_path / "n_orc")
+    sio.write_orc(nation, p)
+    assert _rows(sio.read_orc(spark, p)) == _rows(nation)
+
+
+def test_partitioned_parquet_prunes(spark, nation, tmp_path):
+    """Partition pruning: reading one partition touches one directory."""
+    p = str(tmp_path / "n_part")
+    sio.write_parquet(nation, p, partition_by=["n_regionkey"])
+    one = spark.read.parquet(p).where("n_regionkey = 2")
+    import contextlib, io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    # partition filter must be applied at scan time, not post-scan
+    assert "PartitionFilters" in buf.getvalue()
+    assert one.count() == nation.where("n_regionkey = 2").count()
+
+
+def test_text_kv_sink(spark, nation, tmp_path):
+    p = str(tmp_path / "n_txt")
+    sio.write_text_kv(nation.select(
+        nation.n_nationkey.cast("string").alias("k"), "n_name"), "k", "n_name", p)
+    lines = sorted(r.value for r in spark.read.text(p).collect())
+    assert len(lines) == 25 and lines[0].split(" ")[1]
