@@ -33,19 +33,28 @@ TOP_K = 10
 NEARDUP_COS = 0.35     # calibrated: ~p99.9 of the fixture pair cosines
 
 _DEC = "decimal(28,12)"
+_SCALE = 1e12  # per-element products scaled to integers: exact,
+               # order-independent long sums; |p|*1e12*dim stays far
+               # below 2^63 for unit-ish embeddings. (Measured ~1.5x
+               # faster than decimal accumulation — lambda aggregates
+               # run interpreted, and long ops are the cheapest there.)
 
 
 def _dot_dec(a: Column, b: Column) -> Column:
-    """Exact decimal dot product of two float arrays (double widening
-    per element, decimal accumulation), returned as double."""
+    """Exact dot product of two float arrays: identical IEEE doubles
+    per element in both engines, rounded to a 1e-12 integer grid and
+    summed as longs (order-independent), returned as double."""
     prods = F.zip_with(
-        a, b, lambda x, y: (x.cast("double") * y.cast("double")).cast(_DEC)
+        a,
+        b,
+        lambda x, y: F.round(
+            x.cast("double") * y.cast("double") * F.lit(_SCALE)
+        ).cast("long"),
     )
-    return F.aggregate(
-        prods,
-        F.lit(0).cast(_DEC),
-        lambda acc, v: (acc + v).cast(_DEC),
-    ).cast("double")
+    return (
+        F.aggregate(prods, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        / F.lit(_SCALE)
+    )
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
@@ -163,13 +172,13 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
 
-# DuckDB twin of _dot_dec: positionally-parallel unnest + decimal sum.
+# DuckDB twin of _dot_dec: positionally-parallel unnest + scaled-long sum.
 _NORMS_SQL = """
     WITH norms AS (
         SELECT vec_id, label, embedding,
-               sqrt(cast((SELECT sum(cast(cast(x AS double) * cast(x AS double)
-                                           AS decimal(28,12)))
-                          FROM unnest(embedding) AS u(x)) AS double)) AS norm
+               sqrt((SELECT sum(cast(round(cast(x AS double) * cast(x AS double)
+                                           * 1e12) AS bigint))
+                     FROM unnest(embedding) AS u(x)) / 1e12) AS norm
         FROM embeddings
     )
 """
@@ -190,8 +199,8 @@ def _pair_cos_sql(qfilter: str, join_cond: str) -> str:
     ),
     dots AS (
         SELECT q_id, c_id, any_value(qn) AS qn, any_value(cn) AS cn,
-               cast(sum(cast(cast(x AS double) * cast(y AS double)
-                             AS decimal(28,12))) AS double) AS dot
+               sum(cast(round(cast(x AS double) * cast(y AS double) * 1e12)
+                        AS bigint)) / 1e12 AS dot
         FROM elems GROUP BY q_id, c_id
     ),
     scored AS (

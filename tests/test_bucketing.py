@@ -1,0 +1,48 @@
+"""Bucketed-table co-located join: pre-bucketing both fact tables on
+the join key removes the per-query shuffle entirely (SCALE.md: the
+100 TB layout for repeated fact-fact joins). Asserts the physical
+plan contains NO Exchange."""
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    od = tables.load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice")
+
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .option("path", str(tmp_path / "li_b"))
+     .mode("overwrite").saveAsTable("li_bucketed"))
+    (od.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .option("path", str(tmp_path / "od_b"))
+     .mode("overwrite").saveAsTable("od_bucketed"))
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("li_bucketed")
+             .join(spark.table("od_bucketed"),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("l_orderkey")
+             .agg(F.count("*").alias("n")))
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        expected = (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+                    .groupBy("l_orderkey").agg(F.count("*").alias("n")))
+        got = sorted(map(tuple, j.collect()))
+        assert got == sorted(map(tuple, expected.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS od_bucketed")
