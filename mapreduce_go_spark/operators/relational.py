@@ -62,19 +62,34 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg."""
     li = tables.load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    # One decimal sum per measure; averages derive from the sums in
+    # the post-projection (sum/count), not as separate aggregates —
+    # 5 exact accumulators instead of 8.
+    grouped = (
         li.where(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            davg(F.col("l_quantity")).alias("avg_qty"),
-            davg(F.col("l_extendedprice")).alias("avg_price"),
-            davg(F.col("l_discount")).alias("avg_disc"),
+            F.sum(dec(F.col("l_quantity"))).alias("_sq"),
+            F.sum(dec(F.col("l_extendedprice"))).alias("_sp"),
+            F.sum(dec(disc_price)).alias("_sd"),
+            F.sum(dec(disc_price * (1 + F.col("l_tax")))).alias("_sc"),
+            F.sum(dec(F.col("l_discount"))).alias("_sdisc"),
             F.count("*").alias("count_order"),
         )
+    )
+    n = F.col("count_order")
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round(F.col("_sq"), 2).cast("double").alias("sum_qty"),
+        F.round(F.col("_sp"), 2).cast("double").alias("sum_base_price"),
+        F.round(F.col("_sd"), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.col("_sc"), 2).cast("double").alias("sum_charge"),
+        F.round(F.col("_sq").cast("double") / n, 6).alias("avg_qty"),
+        F.round(F.col("_sp").cast("double") / n, 6).alias("avg_price"),
+        F.round(F.col("_sdisc").cast("double") / n, 6).alias("avg_disc"),
+        "count_order",
     )
 
 
