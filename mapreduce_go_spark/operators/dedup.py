@@ -169,8 +169,11 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"mh{i}")
         for i in range(N_MINHASH)
     ]
-    wide = hashed.groupBy("doc_id").agg(*aggs)
-    # unpivot to the (doc_id, seed, minhash) signature shape
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def _sig_long(wide: DataFrame) -> DataFrame:
+    """Unpivot the wide signature to (doc_id, seed, minhash) rows."""
     stack_expr = "stack({n}, {args}) as (seed, minhash)".format(
         n=N_MINHASH,
         args=", ".join(f"{i}, mh{i}" for i in range(N_MINHASH)),
@@ -181,30 +184,33 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signature rows (doc_id, seed, minhash) — the
     differentially-tested building block of the LSH pipeline."""
-    return _minhash_sig(spark, sf_dir)
+    return _sig_long(_minhash_sig(spark, sf_dir))
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 12 permutations, 4 bands x 3 rows;
-    docs collide when a band's minhashes all agree. The scale path:
-    cost |docs| x bands; candidates get exact-verified by
-    ngram_jaccard_pairs downstream."""
-    sig = _minhash_sig(spark, sf_dir)
-    bands = (
-        sig.withColumn("band", (F.col("seed") / F.lit(LSH_ROWS)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    docs collide when a band's minhashes all agree. Band keys are
+    hashed straight off the wide signature row (no unpivot/regroup
+    round-trip); pair generation is |docs| x bands; candidates get
+    exact-verified by ngram_jaccard_pairs downstream."""
+    wide = _minhash_sig(spark, sf_dir)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
+                F.concat_ws(
                     ",",
+                    *[F.col(f"mh{b * LSH_ROWS + r}").cast("string")
+                      for r in range(LSH_ROWS)],
                 )
-            ).alias("band_key")
+            ).alias("band_key"),
         )
-    )
+        for b in range(LSH_BANDS)
+    ])
+    bands = wide.select(
+        "doc_id", F.explode(band_structs).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
     x = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
     y = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
     return (
@@ -311,6 +317,65 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the exact-Jaccard
+    pair graph, labeled by the minimum doc_id reachable (the keeper).
+
+    Iterative label propagation to a fixpoint: each round joins every
+    node's label against its neighbors' and takes the min — O(E) work
+    per round, diameter-many rounds (near-dup clusters are tiny, so
+    2-3). The loop is driver-side control flow only; all data work is
+    shuffled joins/aggregates, so it scales like any join. Singleton
+    docs keep their own id as cluster label.
+
+    This is the step that turns pair queries (minhash/jaccard) into an
+    actionable keep/drop list — the core of a corpus dedup pipeline.
+    """
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    # undirected edge list, both directions
+    edges = pairs.union(
+        pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).cache()
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(20):  # diameter bound; fixpoint checked below
+        neighbor_min = (
+            edges.join(labels, edges.d2 == labels.doc_id)
+            .groupBy(F.col("d1").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels.groupBy("label").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("members"),
+    )
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
@@ -318,6 +383,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "simhash": simhash,
     "simhash_neardup_pairs": simhash_neardup_pairs,
+    "dedup_clusters": dedup_clusters,
 }
 
 # hex -> bigint by folding nibbles (DuckDB has no conv())
@@ -395,6 +461,39 @@ ORACLES = {
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         FROM bands x JOIN bands y USING (band, band_key)
         WHERE x.doc_id < y.doc_id
+    """,
+    "dedup_clusters": _SHINGLES_SQL.replace(
+        "WITH toks", "WITH RECURSIVE toks") + f""",
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles
+                  GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM shingles a JOIN shingles b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        ),
+        jpairs AS (
+            SELECT d1, d2 FROM inter
+            JOIN sizes sa ON sa.doc_id = d1
+            JOIN sizes sb ON sb.doc_id = d2
+            WHERE round(i / (sa.n_sh + sb.n_sh - i), 6)
+                  >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+            SELECT d1, d2 FROM jpairs
+            UNION ALL SELECT d2, d1 FROM jpairs
+        ),
+        reach AS (
+            SELECT doc_id AS src, doc_id AS dst FROM documents
+            UNION
+            SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
+        ),
+        labels AS (
+            SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src
+        )
+        SELECT label, count(*) AS n_docs,
+               string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)
+                   AS members
+        FROM labels GROUP BY label
     """,
     "simhash": _SIMHASH_CTE + """
         SELECT doc_id, simhash FROM sigs

@@ -106,6 +106,57 @@ def dedup_within_watermark(stream: DataFrame) -> DataFrame:
     )
 
 
+USER_STATS_SCHEMA = ("user_id bigint, n_events bigint, total double, "
+                     "last_ts timestamp")
+_USER_STATE_SCHEMA = "n bigint, total double, last_us bigint"
+
+
+def _user_stats_fn(key, pdf_iter, state):
+    """Custom stateful operator: running per-user count / value sum /
+    last event time, carried across micro-batches in GroupState."""
+    import pandas as pd
+
+    if state.exists:
+        n, total, last_us = state.get
+    else:
+        n, total, last_us = 0, 0.0, 0
+    for pdf in pdf_iter:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        last_us = max(last_us,
+                      int(pdf["ts"].max().value // 1000))
+    state.update((n, total, last_us))
+    yield pd.DataFrame({
+        "user_id": [key[0]],
+        "n_events": [n],
+        "total": [total],
+        "last_ts": [pd.Timestamp(last_us, unit="us")],
+    })
+
+
+def stateful_user_stats(stream: DataFrame) -> DataFrame:
+    """D21 custom stateful operator (applyInPandasWithState): per-user
+    running aggregates with explicit state, emitted each micro-batch
+    (update semantics). The batch twin is a plain groupBy — asserted
+    equal in tests/test_streaming.py.
+
+    State is one tiny tuple per user; at scale the state store
+    partitions by the group key and a TTL/timeout policy bounds it
+    (ProcessingTimeTimeout here, set to no timeout for the bounded
+    fixture)."""
+    return (
+        stream.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=USER_STATS_SCHEMA,
+            stateStructType=_USER_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
 def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
                   name: str, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion against the staged input

@@ -36,6 +36,16 @@ def _ensure_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The driver may hand us a stock session (200 static shuffle
+    # partitions): turn on AQE + coalescing so partitioning adapts to
+    # actual data sizes, and bound the static count by the core count.
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    )
     from mapreduce_go_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)

@@ -57,6 +57,36 @@ def test_session_stream_matches_batch(spark, sf_dir, staged):
     _assert_same("session", out, batch)
 
 
+def test_stateful_user_stats_matches_batch(spark, sf_dir, staged):
+    """Custom GroupState operator: the last update emitted per user
+    must equal the batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.functions.num import dsum
+
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = jobs.run_to_memory(
+        spark, jobs.stateful_user_stats(stream), "t_state", "update")
+    # update mode may emit multiple rows per user across batches; the
+    # final (max n_events) row is the converged state
+    got = {
+        r.user_id: (r.n_events, round(r.total, 4), r.last_ts)
+        for r in out.orderBy("n_events").collect()
+    }
+    ev = tables.load(spark, sf_dir, "events")
+    batch = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("total"),
+        F.max("ts").alias("last_ts"),
+    )
+    want = {
+        r.user_id: (r.n, round(r.total, 4), r.last_ts)
+        for r in batch.collect()
+    }
+    assert got == want
+
+
 def test_dedup_within_watermark_keys(spark, sf_dir, staged):
     stream = jobs.events_stream(spark, sf_dir, staged)
     out = jobs.run_to_memory(
