@@ -166,7 +166,23 @@ def range_join_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hour/day/total
+    resolutions of the event stream in ONE pass via ROLLUP over the
+    truncation hierarchy (day ⊃ hour) — instead of three scans or
+    chained jobs. At scale this materializes incrementally per
+    watermarked window; the batch form is the backfill path."""
+    ev = tables.load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    hour = F.date_trunc("hour", F.col("ts"))
+    return (
+        ev.rollup(day.alias("day"), hour.alias("hour"))
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total"))
+    )
+
+
 QUERIES = {
+    "multi_resolution_rollup": multi_resolution_rollup,
     "grouping_sets_agg": grouping_sets_agg,
     "pivot_agg": pivot_agg,
     "unpivot_metrics": unpivot_metrics,
@@ -178,6 +194,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "multi_resolution_rollup": f"""
+        SELECT cast(date_trunc('day', ts) AS timestamp) AS day,
+               date_trunc('hour', ts) AS hour,
+               count(*) AS n, {dsum_sql('value')} AS total
+        FROM events
+        GROUP BY ROLLUP (day, hour)
+    """,
     "grouping_sets_agg": f"""
         SELECT o_orderstatus, o_orderpriority,
                {dsum_sql('o_totalprice')} AS total, count(*) AS n
