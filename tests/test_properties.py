@@ -1,0 +1,56 @@
+"""Property-based tests (hypothesis) for the engine's pure-Python
+kernels — the parts whose correctness the DuckDB differential can't
+probe beyond the fixture distribution."""
+
+import re
+from collections import Counter
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mapreduce_go_spark import runner
+
+texts = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                           max_codepoint=0x7F),
+    max_size=200,
+)
+corpora = st.lists(
+    st.tuples(st.sampled_from(["f1", "f2", "f3"]), texts),
+    min_size=0, max_size=8,
+)
+
+
+@given(corpora)
+@settings(max_examples=200, deadline=None)
+def test_sequential_wc_is_token_counter(corpus):
+    got = dict(runner.run_sequential(corpus, runner.wc_map, runner.wc_reduce))
+    want = Counter(
+        w for _, text in corpus for w in re.split(r"[^a-zA-Z]+", text) if w
+    )
+    assert got == {k: str(v) for k, v in want.items()}
+
+
+@given(corpora)
+@settings(max_examples=200, deadline=None)
+def test_sequential_indexer_counts_distinct_files(corpus):
+    got = dict(runner.run_sequential(
+        corpus, runner.indexer_map, runner.indexer_reduce))
+    # df per word = number of corpus ROWS containing it (a filename
+    # repeated across rows counts once per row — matches the map
+    # contract: one emission per (row, distinct word))
+    for word, out in got.items():
+        n, files = out.split(" ", 1)
+        rows_with = [fn for fn, text in corpus
+                     if word in set(re.split(r"[^a-zA-Z]+", text))]
+        assert int(n) == len(rows_with)
+        assert files == ",".join(sorted(rows_with))
+
+
+@given(corpora)
+@settings(max_examples=100, deadline=None)
+def test_sequential_output_is_sorted_and_unique_keys(corpus):
+    out = runner.run_sequential(corpus, runner.wc_map, runner.wc_reduce)
+    keys = [k for k, _ in out]
+    assert keys == sorted(keys)
+    assert len(keys) == len(set(keys))
