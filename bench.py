@@ -36,6 +36,8 @@ HEADLINE = [
     "crash_payload",
     "scalar_pack",
     # extension families (present from the round they land)
+    "q6_forecast_revenue",
+    "q10_returned_items",
     "dedup_exact",
     "dedup_minhash_pairs",
     "knn_cosine_topk",

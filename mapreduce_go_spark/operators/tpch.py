@@ -1,0 +1,262 @@
+"""TPC-H-shaped benchmark queries over the driver's star schema
+(FIXTURES.md). The reference could express each as chained MapReduce
+jobs (SURVEY §2.4 D9/D14); here each is one declarative plan.
+
+Date constants are adapted to the fixture's 1995-2001 range. Every
+aggregate follows the functions/num.py determinism discipline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.num import davg_sql, dround, dround_sql, dsum, dsum_sql
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4: orders with at least one late line item, counted by
+    priority — existence join (left semi), no payload shuffle."""
+    o = tables.load(spark, sf_dir, "orders")
+    late = tables.load(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    )
+    return (
+        o.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q6: pure filter + aggregate — the pushdown showcase (scan reads
+    4 columns, all predicates pushed)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.03, 0.05))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"))
+            .alias("revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q10: top-20 customers by returned-item revenue — join + agg +
+    TakeOrdered."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    n = tables.load(spark, sf_dir, "nation")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_returnflag") == "R")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12: conditional aggregation after a fact-fact join (the
+    fixture has no shipmode; returnflag partitions the measure)."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high.cast("long")).alias("high_line_count"),
+            F.sum((~high).cast("long")).alias("low_line_count"),
+        )
+    )
+
+
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14: ratio of a conditional aggregate to the total — broadcast
+    dim join + two exact sums."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    joined = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    )
+    agg = joined.agg(
+        F.sum(
+            F.when(F.col("p_type").startswith("PROMO"), dec(rev))
+            .otherwise(F.lit(0).cast("decimal(18,6)"))
+        ).alias("_promo"),
+        F.sum(dec(rev)).alias("_total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double")
+            / F.col("_total").cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: customers with any order whose total quantity exceeds a
+    threshold — agg-then-join (the IN-subquery becomes a semi join)."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    c = tables.load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
+        .where(F.col("_q") > 150)  # exact decimal: no float boundary flip
+        .select("l_orderkey",
+                F.round(F.col("_q"), 2).cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            dround(F.col("o_totalprice"), 2).alias("total"),
+            "total_qty",
+        )
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19: disjunctive join predicates (brand x quantity bands) —
+    Catalyst extracts the common equi-key; the OR bands stay residual."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    bands = (
+        ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("l_quantity").between(20, 30))
+    )
+    return j.where(bands).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .alias("revenue"),
+        F.count("*").alias("n"),
+    )
+
+
+QUERIES = {
+    "q4_order_priority": q4_order_priority,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q12_shipmode_priority": q12_shipmode_priority,
+    "q14_promo_effect": q14_promo_effect,
+    "q18_large_orders": q18_large_orders,
+    "q19_discounted_revenue": q19_discounted_revenue,
+}
+
+ORACLES = {
+    "q4_order_priority": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+    """,
+    "q6_forecast_revenue": f"""
+        SELECT {dsum_sql('l_extendedprice * l_discount')} AS revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= timestamp '1996-01-01'
+          AND l_shipdate < timestamp '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.05
+          AND l_quantity < 24
+    """,
+    "q10_returned_items": f"""
+        SELECT c_custkey, c_name, n_name,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1996-07-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    "q12_shipmode_priority": """
+        SELECT l_returnflag,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= timestamp '1996-01-01'
+          AND l_shipdate < timestamp '1997-01-01'
+        GROUP BY l_returnflag
+    """,
+    "q14_promo_effect": """
+        SELECT round(100.0
+                 * cast(sum(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN cast(l_extendedprice * (1 - l_discount)
+                                      AS decimal(18,6))
+                            ELSE cast(0 AS decimal(18,6)) END) AS double)
+                 / cast(sum(cast(l_extendedprice * (1 - l_discount)
+                                 AS decimal(18,6))) AS double), 6)
+               AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= timestamp '1996-01-01'
+          AND l_shipdate < timestamp '1996-04-01'
+    """,
+    "q18_large_orders": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   sum(cast(l_quantity AS decimal(18,6))) AS q
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(cast(l_quantity AS decimal(18,6))) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               cast(o_orderdate AS date) AS o_date,
+               {dround_sql('o_totalprice')} AS total,
+               cast(round(q, 2) AS double) AS total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+    """,
+    "q19_discounted_revenue": f"""
+        SELECT {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+               count(*) AS n
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
+    """,
+}
