@@ -157,6 +157,27 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """D21 stream-stream inner join: purchases joined to same-user
+    clicks within the preceding hour. Both sides watermarked; the
+    range condition bounds each side's join state to the watermark +
+    range window (without it, stream-stream state grows forever)."""
+    p = (purchases.withWatermark("ts", WATERMARK)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("purchase_id")))
+    c = (clicks.withWatermark("ts", WATERMARK)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("click_id")))
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+
+
 def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
                   name: str, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion against the staged input

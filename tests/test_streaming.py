@@ -87,6 +87,40 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir, staged):
     assert got == want
 
 
+def test_stream_stream_join_matches_batch(spark, sf_dir, staged):
+    """Purchases x clicks within 1 hour: streaming join result must
+    equal the batch join on the same data."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    purchases = jobs.events_stream(spark, sf_dir, staged).where(
+        F.col("event_type") == "purchase")
+    clicks = jobs.events_stream(spark, sf_dir, staged).where(
+        F.col("event_type") == "click")
+    out = jobs.run_to_memory(
+        spark, jobs.stream_stream_join(purchases, clicks),
+        "t_ssjoin", "append")
+
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"))
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"))
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+
+    got = sorted(map(tuple, out.collect()))
+    want = sorted(map(tuple, batch.collect()))
+    assert got == want and len(got) > 0
+
+
 def test_dedup_within_watermark_keys(spark, sf_dir, staged):
     stream = jobs.events_stream(spark, sf_dir, staged)
     out = jobs.run_to_memory(
