@@ -178,6 +178,27 @@ def stream_stream_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
 
 
+def run_foreach_batch_parquet(spark: SparkSession, streaming_df: DataFrame,
+                              out_dir: str, checkpoint_dir: str) -> None:
+    """Exactly-once parquet sink via foreachBatch: each micro-batch
+    writes to an epoch-keyed subdirectory, so a replayed epoch (after
+    failure) overwrites its own output instead of duplicating —
+    idempotent writes + checkpointed offsets = exactly-once. This is
+    the production sink pattern the memory-sink tests stand in for."""
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        (batch_df.write.mode("overwrite")
+         .parquet(f"{out_dir}/epoch={epoch_id}"))
+
+    q = (streaming_df.writeStream
+         .foreachBatch(write_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
                   name: str, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion against the staged input

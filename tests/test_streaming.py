@@ -121,6 +121,21 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, staged):
     assert got == want and len(got) > 0
 
 
+def test_foreach_batch_parquet_sink(spark, sf_dir, staged, tmp_path):
+    """foreachBatch epoch-keyed parquet sink: all rows land exactly
+    once, readable back as plain parquet."""
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = str(tmp_path / "sink")
+    jobs.run_foreach_batch_parquet(
+        spark, stream.select("event_id", "user_id", "value"),
+        out, str(tmp_path / "ckpt"))
+    back = spark.read.parquet(out)
+    from mapreduce_go_spark import tables
+
+    assert back.count() == tables.load(spark, sf_dir, "events").count()
+    assert back.select("event_id").distinct().count() == back.count()
+
+
 def test_dedup_within_watermark_keys(spark, sf_dir, staged):
     stream = jobs.events_stream(spark, sf_dir, staged)
     out = jobs.run_to_memory(
