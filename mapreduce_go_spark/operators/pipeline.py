@@ -1,0 +1,167 @@
+"""Training-data pipeline operators (north-star): deterministic
+sampling, train/test splits, sequence packing, data-quality checks.
+
+Sampling is HASH-based, never RNG-based: md5(id) mod 100 gives the
+same sample on any engine, any partitioning, any rerun — the property
+a reproducible data pipeline actually needs (Spark's sample() is
+seed-stable only within one engine). All four operators are exact
+DuckDB-checkable for the same reason.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.text import token_count
+
+SAMPLE_PCT = 20
+TRAIN_PCT = 90
+PACK_BUDGET = 512  # tokens per packed sequence bin
+
+# md5-hex -> bucket 0..99: first 8 hex chars as int, mod 100.
+# conv() on the Spark side, nibble-fold on DuckDB (no conv there).
+_BUCKET_SPARK = lambda col: (  # noqa: E731
+    F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    .cast("long") % 100
+)
+_BUCKET_SQL = ("(list_reduce(list_prepend(cast(0 AS bigint),"
+               " list_transform(regexp_split_to_array("
+               "substring(md5(cast({col} AS varchar)), 1, 8), ''),"
+               " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
+               " (acc, v) -> acc * 16 + v) % 100)")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~20% sample per language stratum: hash-bucket on
+    doc_id < 20. Exactly reproducible; per-stratum rates verified by
+    the oracle, not a seed."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("bucket", _BUCKET_SPARK(F.col("doc_id")))
+        .where(F.col("bucket") < SAMPLE_PCT)
+        .select("doc_id", "lang", "bucket")
+    )
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 split — membership is a pure function of
+    doc_id, so it never shifts when the corpus grows or repartitions
+    (the property random splits lose)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    bucket = _BUCKET_SPARK(F.col("doc_id"))
+    return docs.select(
+        "doc_id",
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .otherwise(F.lit("test")).alias("split"),
+    )
+
+
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to ~512-token bins by running
+    token cumsum in deterministic doc_id order — the distributable
+    form of greedy packing (bin = floor((cumsum - n_tokens) / budget),
+    i.e. a doc starts a new bin when the budget would overflow the
+    running total at its start offset). One window pass; at scale,
+    partition the cumsum by shard key and pack within shards."""
+    docs = tables.load(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    packed = toks.withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    ).withColumn(
+        "bin",
+        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET))
+        .cast("long"),
+    )
+    return packed.groupBy("bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def dq_orphan_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality FK check: line items whose order doesn't exist
+    (anti join on the key). Fixture is clean -> 1 summary row with 0."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    orphans = li.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey"), "left_anti")
+    return orphans.agg(F.count("*").alias("n_orphans"))
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality profile of orders: null counts, domain violations,
+    range bounds — the assertions a pipeline runs before training."""
+    o = tables.load(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_cust"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long"))
+        .alias("bad_status"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos_price"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+
+
+QUERIES = {
+    "stratified_sample": stratified_sample,
+    "train_test_split": train_test_split,
+    "pack_sequences": pack_sequences,
+    "dq_orphan_lineitems": dq_orphan_lineitems,
+    "dq_profile": dq_profile,
+}
+
+_TOKS = ("len(list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'),"
+         " x -> x <> ''))")
+
+ORACLES = {
+    "stratified_sample": f"""
+        SELECT doc_id, lang,
+               {_BUCKET_SQL.format(col='doc_id')} AS bucket
+        FROM documents
+        WHERE {_BUCKET_SQL.format(col='doc_id')} < {SAMPLE_PCT}
+    """,
+    "train_test_split": f"""
+        SELECT doc_id,
+               CASE WHEN {_BUCKET_SQL.format(col='doc_id')} < {TRAIN_PCT}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    """,
+    "pack_sequences": f"""
+        WITH toks AS (
+            SELECT doc_id, {_TOKS} AS n_tokens FROM documents
+        ),
+        packed AS (
+            SELECT doc_id, n_tokens,
+                   cast(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_tokens) / {PACK_BUDGET}.0) AS bigint) AS bin
+            FROM toks
+        )
+        SELECT bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+               min(doc_id) AS first_doc
+        FROM packed GROUP BY bin
+    """,
+    "dq_orphan_lineitems": """
+        SELECT count(*) AS n_orphans
+        FROM lineitem
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+    """,
+    "dq_profile": """
+        SELECT count(*) AS n_rows,
+               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+               sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS bad_status,
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                   AS nonpos_price,
+               min(o_orderdate) AS min_date,
+               max(o_orderdate) AS max_date
+        FROM orders
+    """,
+}

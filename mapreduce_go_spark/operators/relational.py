@@ -63,18 +63,21 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
-    # One decimal sum per measure; averages derive from the sums in
-    # the post-projection (sum/count), not as separate aggregates —
-    # 5 exact accumulators instead of 8.
+    # decimal(8,2) inputs keep the sum buffer at decimal(18,2) —
+    # long-backed, ~30% faster — safe ONLY for bounded measures
+    # (qty<=1e6, discount<=1: group sums stay < 1e16 even at 100 TB).
+    # Price sums stay decimal(18,6): their group sums could reach the
+    # 1e16 long-backed cap at extreme scale.
+    small = lambda c: c.cast("decimal(8,2)")  # noqa: E731
     grouped = (
         li.where(F.col("l_shipdate") <= "2001-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).alias("_sq"),
+            F.sum(small(F.col("l_quantity"))).alias("_sq"),
             F.sum(dec(F.col("l_extendedprice"))).alias("_sp"),
             F.sum(dec(disc_price)).alias("_sd"),
             F.sum(dec(disc_price * (1 + F.col("l_tax")))).alias("_sc"),
-            F.sum(dec(F.col("l_discount"))).alias("_sdisc"),
+            F.sum(small(F.col("l_discount"))).alias("_sdisc"),
             F.count("*").alias("count_order"),
         )
     )
