@@ -354,16 +354,20 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
+        new_labels = new_labels.cache()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .where(F.col("n.label") != F.col("o.label"))
             .limit(1)
             .count()
-        )
-        labels = new_labels.cache()
+        )  # materializes new_labels, so the old cache can go
+        if hasattr(labels, "unpersist"):
+            labels.unpersist()
+        labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()
     return labels.groupBy("label").agg(
         F.count("*").alias("n_docs"),
         F.array_join(

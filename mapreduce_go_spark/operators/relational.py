@@ -182,6 +182,25 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.subtract(s)
 
 
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13d: INTERSECT ALL — multiset semantics (min multiplicity),
+    distinct from D13b's set semantics."""
+    c = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.intersectAll(s)
+
+
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13e: EXCEPT ALL — multiplicity subtraction."""
+    c = tables.load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"))
+    s = tables.load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey"))
+    return c.exceptAll(s)
+
+
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D14a: ROLLUP — multi-level aggregate in one pass, replacing the
     reference idiom of chaining two MR jobs through mr-out files
@@ -242,6 +261,8 @@ QUERIES = {
     "set_union": set_union,
     "set_intersect": set_intersect,
     "set_except": set_except,
+    "set_intersect_all": set_intersect_all,
+    "set_except_all": set_except_all,
     "rollup_agg": rollup_agg,
     "cube_agg": cube_agg,
     "scalar_pack": scalar_pack,
@@ -309,6 +330,14 @@ ORACLES = {
     "set_except": """
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT SELECT s_nationkey FROM supplier
+    """,
+    "set_intersect_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL SELECT s_nationkey FROM supplier
+    """,
+    "set_except_all": """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT ALL SELECT s_nationkey FROM supplier
     """,
     "rollup_agg": f"""
         SELECT l_returnflag, l_linestatus,
