@@ -181,8 +181,34 @@ def multi_resolution_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gapfilled_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled time series: every (hour, event_type) cell in the
+    observed range, zero-filled where no events occurred — the
+    hypertable `time_bucket_gapfill` shape (hourly so gaps genuinely
+    exist in the fixture). The hour spine comes from sequence() over
+    the observed min/max (two tiny scalars via a broadcast cross
+    join, not a driver collect)."""
+    ev = tables.load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(hour.alias("hour"),
+                        "event_type").agg(F.count("*").alias("n"))
+    bounds = ev.agg(F.min(hour).alias("h0"), F.max(hour).alias("h1"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"))
+    types = ev.select("event_type").distinct()
+    dense = spine.crossJoin(types)
+    return (
+        dense.join(counts, ["hour", "event_type"], "left")
+        .select("hour", "event_type",
+                F.coalesce(F.col("n"), F.lit(0)).alias("n"))
+    )
+
+
 QUERIES = {
     "multi_resolution_rollup": multi_resolution_rollup,
+    "gapfilled_hourly_counts": gapfilled_hourly_counts,
     "grouping_sets_agg": grouping_sets_agg,
     "pivot_agg": pivot_agg,
     "unpivot_metrics": unpivot_metrics,
@@ -194,6 +220,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "gapfilled_hourly_counts": """
+        WITH bounds AS (
+            SELECT cast(min(date_trunc('hour', ts)) AS timestamp) AS h0,
+                   cast(max(date_trunc('hour', ts)) AS timestamp) AS h1
+            FROM events
+        ),
+        spine AS (
+            SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                       AS hour
+            FROM bounds
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        counts AS (
+            SELECT cast(date_trunc('hour', ts) AS timestamp) AS hour,
+                   event_type, count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT s.hour, t.event_type, coalesce(c.n, 0) AS n
+        FROM spine s CROSS JOIN types t
+        LEFT JOIN counts c ON c.hour = s.hour AND c.event_type = t.event_type
+    """,
     "multi_resolution_rollup": f"""
         SELECT cast(date_trunc('day', ts) AS timestamp) AS day,
                date_trunc('hour', ts) AS hour,
