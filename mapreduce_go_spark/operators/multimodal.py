@@ -142,7 +142,21 @@ ORACLES = {
                sha256(text) AS sha256
         FROM documents
     """,
-    # media_features: decode stub is non-SQL — driver records the
-    # weaker rows-only check; the Arrow plumbing is pinned by
-    # tests/test_multimodal.py instead.
+    # media_features: the mapInPandas plumbing is the point, but the
+    # deterministic stub math is plain byte arithmetic — so even this
+    # query gets a full value oracle (fixture text is ASCII: byte i ==
+    # ascii(char i)). A real decoder would drop back to rows-only.
+    "media_features": """
+        SELECT doc_id,
+               cast(octet_length(encode(text)) AS int) AS n_bytes,
+               cast(16 + ascii(substring(text, 1, 1)) % 64 AS int) AS width,
+               cast(16 + CASE WHEN length(text) > 1
+                              THEN ascii(substring(text, 2, 1)) % 64
+                              ELSE 0 END AS int) AS height,
+               3 AS channels,
+               cast(list_sum(list_transform(
+                        regexp_split_to_array(substring(text, 1, 64), ''),
+                        c -> ascii(c))) % 256 AS double) AS mean_luma
+        FROM documents
+    """,
 }
