@@ -29,3 +29,25 @@ def sql(spark: SparkSession, sf_dir: str, query: str) -> DataFrame:
     """One-shot SQL entry point over the fixture catalog."""
     register_tables(spark, sf_dir)
     return spark.sql(query)
+
+
+def register_udfs(spark: SparkSession) -> list[str]:
+    """Expose the engine's text kernels as SQL functions (the analog
+    of the reference's plugin registry, reachable from spark.sql).
+    These are thin SQL-expression wrappers — they stay JVM-side and
+    codegen-able, not Python UDFs."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION mrgs_tokens(t STRING)
+        RETURNS ARRAY<STRING>
+        RETURN filter(split(t, '[^a-zA-Z]+'), x -> x != '')
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION mrgs_token_count(t STRING)
+        RETURNS INT RETURN size(mrgs_tokens(t))
+    """)
+    spark.sql(r"""
+        CREATE OR REPLACE TEMPORARY FUNCTION mrgs_fingerprint(t STRING)
+        RETURNS STRING
+        RETURN md5(lower(regexp_replace(trim(t), '\\s+', ' ')))
+    """)
+    return ["mrgs_tokens", "mrgs_token_count", "mrgs_fingerprint"]

@@ -116,7 +116,35 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nested_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16/D20: higher-order functions over arrays of structs — build
+    each customer's order history as an array, then filter/transform/
+    aggregate it IN PLACE (no extra explode+shuffle round trip). The
+    oracle computes the same facts relationally, pinning the HOF
+    semantics."""
+    o = tables.load(spark, sf_dir, "orders")
+    hist = o.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sort_array(
+            F.collect_list(F.struct("o_orderkey", "o_totalprice"))
+        ).alias("orders")
+    )
+    totals = F.transform(F.col("orders"), lambda x: x["o_totalprice"])
+    return hist.select(
+        F.col("c").alias("custkey"),
+        F.size("orders").alias("n_orders"),
+        F.size(
+            F.filter(F.col("orders"), lambda x: x["o_totalprice"] > 200000)
+        ).alias("n_big"),
+        dround(F.array_max(totals), 2).alias("max_total"),
+        F.element_at(F.col("orders"), 1)["o_orderkey"].alias("first_order"),
+        F.exists(
+            F.col("orders"), lambda x: x["o_totalprice"] < 50000
+        ).alias("has_small"),
+    )
+
+
 QUERIES = {
+    "nested_array_ops": nested_array_ops,
     "window_stats": window_stats,
     "scalar_strings": scalar_strings,
     "scalar_dates": scalar_dates,
@@ -125,6 +153,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "nested_array_ops": f"""
+        SELECT o_custkey AS custkey,
+               count(*) AS n_orders,
+               cast(sum(CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END)
+                    AS int) AS n_big,
+               {dround_sql('max(o_totalprice)')} AS max_total,
+               min(o_orderkey) AS first_order,
+               bool_or(o_totalprice < 50000) AS has_small
+        FROM orders GROUP BY o_custkey
+    """,
     "window_stats": f"""
         SELECT o_custkey, o_orderkey,
                dense_rank() OVER w AS drank,

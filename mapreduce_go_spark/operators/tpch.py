@@ -171,7 +171,58 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q17: revenue of line items below 20% of their part's average
+    quantity — a correlated scalar subquery, decorrelated by Catalyst
+    into an aggregate + join. The per-part average uses exact decimal
+    moments so the 0.2x threshold can't flip between engines."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    per_part = (
+        li.groupBy(F.col("l_partkey").alias("pk"))
+        .agg(
+            (F.lit(0.2) * F.sum(F.col("l_quantity").cast("decimal(18,6)"))
+             .cast("double") / F.count("*")).alias("qty_cut")
+        )
+    )
+    return (
+        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        .where(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+def q20_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20-shaped: suppliers whose shipped volume in 1996 exceeds the
+    average shipped volume across suppliers — nested aggregation
+    (aggregate of an aggregate) + semi-join back to supplier."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    vol = (
+        li.where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("v"))
+    )
+    avg_vol = vol.agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("avg_v"))
+    heavy = (
+        vol.crossJoin(F.broadcast(avg_vol))
+        .where(F.col("v").cast("double") > F.col("avg_v"))
+        .select("l_suppkey",
+                F.round(F.col("v"), 2).cast("double").alias("volume"))
+    )
+    return s.join(heavy, F.col("s_suppkey") == F.col("l_suppkey")).select(
+        "s_suppkey", "s_name", "volume")
+
+
 QUERIES = {
+    "q17_small_quantity": q17_small_quantity,
+    "q20_top_suppliers": q20_top_suppliers,
     "q4_order_priority": q4_order_priority,
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
@@ -182,6 +233,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q17_small_quantity": f"""
+        WITH cuts AS (
+            SELECT l_partkey AS pk,
+                   0.2 * cast(sum(cast(l_quantity AS decimal(18,6)))
+                              AS double) / count(*) AS qty_cut
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT {dsum_sql('l_extendedprice')} AS small_qty_revenue,
+               count(*) AS n
+        FROM lineitem JOIN cuts ON l_partkey = pk
+        WHERE l_quantity < qty_cut
+    """,
+    "q20_top_suppliers": """
+        WITH vol AS (
+            SELECT l_suppkey,
+                   sum(cast(l_quantity AS decimal(18,6))) AS v
+            FROM lineitem
+            WHERE l_shipdate >= timestamp '1996-01-01'
+              AND l_shipdate < timestamp '1997-01-01'
+            GROUP BY l_suppkey
+        ),
+        a AS (SELECT cast(sum(v) AS double) / count(*) AS avg_v FROM vol)
+        SELECT s_suppkey, s_name,
+               cast(round(v, 2) AS double) AS volume
+        FROM supplier JOIN vol ON s_suppkey = l_suppkey CROSS JOIN a
+        WHERE cast(v AS double) > avg_v
+    """,
     "q4_order_priority": """
         SELECT o_orderpriority, count(*) AS order_count
         FROM orders

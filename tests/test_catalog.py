@@ -16,3 +16,54 @@ def test_sql_surface(spark, sf_dir):
     """)
     rows = {r.o_orderpriority: r.n for r in df.collect()}
     assert rows and all(n > 0 for n in rows.values())
+
+
+def test_sql_udfs(spark, sf_dir):
+    """SQL-function registry: token kernels callable from spark.sql,
+    consistent with the DataFrame-side implementations."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.functions.text import fingerprint, token_count
+
+    names = catalog.register_udfs(spark)
+    assert len(names) == 3
+    catalog.register_tables(spark, sf_dir)
+    via_sql = {
+        r.doc_id: (r.n, r.fp)
+        for r in spark.sql("""
+            SELECT doc_id, mrgs_token_count(text) AS n,
+                   mrgs_fingerprint(text) AS fp
+            FROM documents
+        """).collect()
+    }
+    docs = tables.load(spark, sf_dir, "documents")
+    via_df = {
+        r.doc_id: (r.n, r.fp)
+        for r in docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("n"),
+            fingerprint(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    assert via_sql == via_df
+
+
+def test_shuffle_hash_join_hint(spark, sf_dir):
+    """Join-strategy hints are honored: SHUFFLE_HASH forces a
+    ShuffledHashJoin where SMJ would be the default."""
+    import contextlib
+    import io
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    j = li.join(o.hint("SHUFFLE_HASH"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        j.explain("formatted")
+    assert "ShuffledHashJoin" in buf.getvalue()
