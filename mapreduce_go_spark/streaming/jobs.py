@@ -199,6 +199,50 @@ def run_foreach_batch_parquet(spark: SparkSession, streaming_df: DataFrame,
         q.stop()
 
 
+def run_continuous_rollup(spark: SparkSession, stream: DataFrame,
+                          out_dir: str, checkpoint_dir: str) -> None:
+    """Incrementally-maintained continuous aggregate (hypertable
+    rollup): each micro-batch's partial day/type counts merge into a
+    materialized rollup table via read-merge-overwrite in
+    foreachBatch. Exactly-once: offsets are checkpointed and the merge
+    is idempotent per epoch only if each epoch's input is disjoint —
+    which the file source guarantees; a keyed sink (Delta MERGE) is
+    the production form.
+
+    This is the incremental path of operators.streaming_batch
+    tumbling_window; tests assert the materialization equals the
+    batch rollup after all batches drain."""
+    from pyspark.sql import functions as F
+
+    def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = (
+            batch_df.groupBy(
+                F.window("ts", "1 day").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("win_start"), "event_type", "n")
+        )
+        try:
+            existing = batch_df.sparkSession.read.parquet(out_dir)
+            merged = (
+                existing.unionByName(partial)
+                .groupBy("win_start", "event_type")
+                .agg(F.sum("n").alias("n"))
+            )
+        except Exception:
+            merged = partial
+        merged.cache().count()  # materialize before overwriting input
+        merged.write.mode("overwrite").parquet(out_dir)
+        merged.unpersist()
+
+    q = (stream.writeStream.foreachBatch(merge_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
                   name: str, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion against the staged input

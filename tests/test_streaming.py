@@ -136,6 +136,41 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, staged, tmp_path):
     assert back.select("event_id").distinct().count() == back.count()
 
 
+def test_continuous_rollup_incremental(spark, sf_dir, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1) incrementally merge
+    into a materialized rollup equal to the one-shot batch rollup."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    # split the events into two halves -> two micro-batches
+    from mapreduce_go_spark import tables
+
+    full = tables.load(spark, sf_dir, "events")
+    h1 = full.where(F.col("event_id") % 2 == 0)
+    h2 = full.where(F.col("event_id") % 2 == 1)
+    h1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    h2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = (spark.readStream.schema(h1.schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+    out = str(tmp_path / "rollup")
+    jobs.run_continuous_rollup(spark, stream, out, str(tmp_path / "ck"))
+
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, (
+        full.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    ).collect()))
+    assert got == want
+    shutil.rmtree(src, ignore_errors=True)
+
+
 def test_dedup_within_watermark_keys(spark, sf_dir, staged):
     stream = jobs.events_stream(spark, sf_dir, staged)
     out = jobs.run_to_memory(
