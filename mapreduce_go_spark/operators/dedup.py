@@ -317,9 +317,9 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup clusters: connected components over the exact-Jaccard
-    pair graph, labeled by the minimum doc_id reachable (the keeper).
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label): connected-component label (minimum reachable
+    doc_id — the keeper) over the exact-Jaccard near-dup graph.
 
     Iterative label propagation to a fixpoint: each round joins every
     node's label against its neighbors' and takes the min — O(E) work
@@ -327,9 +327,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-3). The loop is driver-side control flow only; all data work is
     shuffled joins/aggregates, so it scales like any join. Singleton
     docs keep their own id as cluster label.
-
-    This is the step that turns pair queries (minhash/jaccard) into an
-    actionable keep/drop list — the core of a corpus dedup pipeline.
     """
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
     pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
@@ -368,6 +365,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     edges.unpersist()
+    return labels
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters from cluster_labels: size + sorted members
+    per cluster — the step that turns pair queries (minhash/jaccard)
+    into an actionable keep/drop list (label = keeper doc_id)."""
+    labels = cluster_labels(spark, sf_dir)
     return labels.groupBy("label").agg(
         F.count("*").alias("n_docs"),
         F.array_join(
@@ -389,6 +394,38 @@ QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "dedup_clusters": dedup_clusters,
 }
+
+# Recursive connected-component labels over the Jaccard graph —
+# shared by the dedup_clusters oracle and pipeline.corpus_clean.
+LABELS_CTE_SQL = _SHINGLES_SQL.replace(
+    "WITH toks", "WITH RECURSIVE toks") + f""",
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles
+              GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+        FROM shingles a JOIN shingles b USING (shingle)
+        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT d1, d2 FROM inter
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE round(i / (sa.n_sh + sb.n_sh - i), 6)
+              >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+        SELECT d1, d2 FROM jpairs
+        UNION ALL SELECT d2, d1 FROM jpairs
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
+    ),
+    labels AS (
+        SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src
+    )
+"""
 
 # hex -> bigint by folding nibbles (DuckDB has no conv())
 _HEX2INT = ("list_reduce(list_prepend(cast(0 AS bigint),"
@@ -466,34 +503,7 @@ ORACLES = {
         FROM bands x JOIN bands y USING (band, band_key)
         WHERE x.doc_id < y.doc_id
     """,
-    "dedup_clusters": _SHINGLES_SQL.replace(
-        "WITH toks", "WITH RECURSIVE toks") + f""",
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles
-                  GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-            FROM shingles a JOIN shingles b USING (shingle)
-            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-        ),
-        jpairs AS (
-            SELECT d1, d2 FROM inter
-            JOIN sizes sa ON sa.doc_id = d1
-            JOIN sizes sb ON sb.doc_id = d2
-            WHERE round(i / (sa.n_sh + sb.n_sh - i), 6)
-                  >= {JACCARD_THRESHOLD}
-        ),
-        edges AS (
-            SELECT d1, d2 FROM jpairs
-            UNION ALL SELECT d2, d1 FROM jpairs
-        ),
-        reach AS (
-            SELECT doc_id AS src, doc_id AS dst FROM documents
-            UNION
-            SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
-        ),
-        labels AS (
-            SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src
-        )
+    "dedup_clusters": LABELS_CTE_SQL + """
         SELECT label, count(*) AS n_docs,
                string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)
                    AS members

@@ -109,7 +109,34 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-cleaning flow every training pipeline
+    runs, as one composed plan: keep a document iff
+      (a) it is its near-dup cluster's keeper (connected-component
+          label == own doc_id, from dedup.cluster_labels),
+      (b) its quality score clears 0.38 (the fixture corpus median is
+          ~0.385 - the filter keeps the better half), and
+      (c) it has at least 20 tokens.
+    Output: the surviving corpus with its quality features."""
+    from mapreduce_go_spark.operators.dedup import cluster_labels
+    from mapreduce_go_spark.operators.textstats import quality_score
+
+    labels = cluster_labels(spark, sf_dir)
+    keepers = labels.where(F.col("label") == F.col("doc_id")).select("doc_id")
+    quality = quality_score(spark, sf_dir)
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens"))
+    return (
+        keepers.join(quality, "doc_id")
+        .join(toks, "doc_id")
+        .where((F.col("quality") >= 0.38) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "quality", "n_tokens")
+    )
+
+
 QUERIES = {
+    "corpus_clean": corpus_clean,
     "stratified_sample": stratified_sample,
     "train_test_split": train_test_split,
     "pack_sequences": pack_sequences,
@@ -120,7 +147,38 @@ QUERIES = {
 _TOKS = ("len(list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'),"
          " x -> x <> ''))")
 
+def _corpus_clean_sql() -> str:
+    from mapreduce_go_spark.functions.num import dround_sql
+    from mapreduce_go_spark.operators.dedup import LABELS_CTE_SQL
+    from mapreduce_go_spark.operators.textstats import (STOPWORDS,
+                                                        _marker_sql)
+
+    quality_expr = ("0.4 * (stop_hits * 1.0 / n_toks)"
+                    " + 0.4 * alpha_ratio + 0.2 * len_sat")
+    return LABELS_CTE_SQL + f""",
+        keepers AS (SELECT doc_id FROM labels WHERE label = doc_id),
+        features AS (
+            SELECT doc_id,
+                   {_marker_sql(STOPWORDS)} AS stop_hits,
+                   {_TOKS} AS n_toks,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                       / length(text) AS alpha_ratio,
+                   least(length(text) / 2000.0, 1.0) AS len_sat
+            FROM documents
+        ),
+        q AS (
+            SELECT doc_id, {dround_sql(quality_expr, 6)} AS quality,
+                   n_toks AS n_tokens
+            FROM features
+        )
+        SELECT doc_id, quality, n_tokens
+        FROM keepers JOIN q USING (doc_id)
+        WHERE quality >= 0.38 AND n_tokens >= 20
+    """
+
+
 ORACLES = {
+    "corpus_clean": _corpus_clean_sql(),
     "stratified_sample": f"""
         SELECT doc_id, lang,
                {_BUCKET_SQL.format(col='doc_id')} AS bucket
