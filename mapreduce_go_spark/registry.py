@@ -29,6 +29,7 @@ _MODULES: list[str] = [
     "mapreduce_go_spark.operators.tpch",
     "mapreduce_go_spark.operators.grouped_map",
     "mapreduce_go_spark.operators.pipeline",
+    "mapreduce_go_spark.operators.kmeans",
     "mapreduce_go_spark.operators.windows",
     "mapreduce_go_spark.operators.dedup",
     "mapreduce_go_spark.operators.similarity",
