@@ -94,9 +94,13 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D11b: left anti — customers with no orders at all."""
+    """D11b: left anti — customers with no 1995 order (every fixture
+    customer has SOME order, so the unscoped variant is vacuous)."""
     c = tables.load(spark, sf_dir, "customer")
-    o = tables.load(spark, sf_dir, "orders")
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
     return c.join(
         o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
@@ -194,7 +198,10 @@ ORACLES = {
     """,
     "join_anti": """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= timestamp '1995-01-01'
+                            AND o_orderdate < timestamp '1996-01-01')
     """,
     "join_broadcast": """
         SELECT s_suppkey, s_name, n_name, r_name

@@ -174,10 +174,13 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D13c: EXCEPT (set semantics — subtract, not exceptAll+distinct,
-    which would wrongly keep values that merely lost multiplicity)."""
+    which would wrongly keep values that merely lost multiplicity).
+    Right side restricted to high-balance suppliers so the difference
+    is non-empty (suppliers cover every nation)."""
     c = tables.load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"))
-    s = tables.load(spark, sf_dir, "supplier").select(
+    s = tables.load(spark, sf_dir, "supplier").where(
+        F.col("s_acctbal") > 5000).select(
         F.col("s_nationkey").alias("nationkey"))
     return c.subtract(s)
 
@@ -329,7 +332,7 @@ ORACLES = {
     """,
     "set_except": """
         SELECT c_nationkey AS nationkey FROM customer
-        EXCEPT SELECT s_nationkey FROM supplier
+        EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 5000
     """,
     "set_intersect_all": """
         SELECT c_nationkey AS nationkey FROM customer

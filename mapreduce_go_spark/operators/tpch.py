@@ -220,7 +220,66 @@ def q20_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey", "s_name", "volume")
 
 
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13: distribution of customers by order count — left join +
+    double aggregation (including zero-order customers)."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist"))
+
+
+def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16-shaped: supplier counts per part attribute, excluding a
+    brand and suppliers below an account-balance floor (NOT IN becomes
+    an anti-join on the excluded supplier set)."""
+    p = tables.load(spark, sf_dir, "part")
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    bad_supp = s.where(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_key"))
+    ps = (
+        li.select("l_partkey", "l_suppkey").distinct()
+        .join(bad_supp, F.col("l_suppkey") == F.col("bad_key"), "left_anti")
+    )
+    return (
+        ps.join(F.broadcast(p.where(F.col("p_brand") != "Brand#1")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22-shaped: acctbal of recently-inactive (no order since 1999)
+    customers above the average positive balance — scalar aggregate
+    subquery + anti join."""
+    c = tables.load(spark, sf_dir, "customer")
+    o = tables.load(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+         / F.count("*")).alias("ab"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("ab"))
+        .join(o.where(F.col("o_orderdate") >= "1999-01-01"),
+              F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("numcust"),
+             dsum(F.col("c_acctbal")).alias("totacctbal"))
+    )
+
+
 QUERIES = {
+    "q13_order_count_distribution": q13_order_count_distribution,
+    "q16_part_supplier_counts": q16_part_supplier_counts,
+    "q22_global_sales_opportunity": q22_global_sales_opportunity,
     "q17_small_quantity": q17_small_quantity,
     "q20_top_suppliers": q20_top_suppliers,
     "q4_order_priority": q4_order_priority,
@@ -233,6 +292,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q13_order_count_distribution": """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                   ON c_custkey = o_custkey
+                      AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "q16_part_supplier_counts": """
+        SELECT p_brand, p_type,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type
+    """,
+    "q22_global_sales_opportunity": f"""
+        SELECT c_mktsegment, count(*) AS numcust,
+               {dsum_sql('c_acctbal')} AS totacctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT cast(sum(cast(c_acctbal AS decimal(18,6)))
+                                       AS double) / count(*)
+                           FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= timestamp '1999-01-01')
+        GROUP BY c_mktsegment
+    """,
     "q17_small_quantity": f"""
         WITH cuts AS (
             SELECT l_partkey AS pk,

@@ -25,6 +25,15 @@ def test_plan_builds(spark, name):
     assert df.schema.fields, name
 
 
+def test_no_vacuous_oracles(duck):
+    """Every oracle query must return rows on the fixtures — a 0-row
+    result 'matches' trivially and verifies nothing (three queries
+    shipped vacuous before this audit existed)."""
+    for name, sql in _ORACLES.items():
+        n = duck.execute(f"SELECT count(*) FROM ({sql})").fetchone()[0]
+        assert n > 0, f"{name} returns 0 rows on the fixtures"
+
+
 def test_oracles_reference_known_tables_only(duck):
     # DuckDB's own binder is the checker: EXPLAIN each oracle against
     # the registered views; unknown tables/functions fail here.
