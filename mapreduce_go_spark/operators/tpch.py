@@ -276,7 +276,117 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q7: shipping volume between two nations per year, both
+    directions — two broadcast dim joins with a disjunctive pair
+    filter, then year extraction on the fact side."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    c = tables.load(spark, sf_dir, "customer")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("sk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("ck"),
+                  F.col("n_name").alias("cust_nation"))
+    pair = (
+        ((F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3"))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+    )
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11-shaped: parts whose lineitem value exceeds 1.2x the mean
+    per-part value — per-group aggregate filtered by a global-scalar
+    threshold (HAVING against a subquery). (The spec's 0.1%-of-total
+    cut is below every part's share on the uniform fixture.)"""
+    li = tables.load(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec(F.col("l_extendedprice"))).alias("val"))
+    total = per_part.agg(
+        (F.sum("val").cast("double") / F.count("*") * 1.2).alias("cut"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("val").cast("double") > F.col("cut"))
+        .select("l_partkey",
+                F.round(F.col("val"), 2).cast("double").alias("value"))
+    )
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q15: supplier(s) with the maximum 1996-H1 revenue — argmax via
+    a global-max join (ties kept, exactly like the spec's view form)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    s = tables.load(spark, sf_dir, "supplier")
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    rev = (
+        li.where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1996-07-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("total_rev"))
+    )
+    mx = rev.agg(F.max("total_rev").alias("m"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev") == F.col("m"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.round(F.col("total_rev"), 2).cast("double")
+                .alias("total_rev"))
+    )
+
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped: suppliers involved in multi-supplier 'F' orders
+    where they were the only one with returned items — EXISTS +
+    NOT-EXISTS pair over the same fact table."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    s = tables.load(spark, sf_dir, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag")
+    others = li.select(F.col("l_orderkey").alias("o2"),
+                       F.col("l_suppkey").alias("s2"))
+    others_ret = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    base = (
+        l1.where(F.col("l_returnflag") == "R")
+        .join(o.where(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(others,
+              (F.col("o2") == F.col("l_orderkey"))
+              & (F.col("s2") != F.col("l_suppkey")),
+              "left_semi")
+        .join(others_ret,
+              (F.col("o3") == F.col("l_orderkey"))
+              & (F.col("s3") != F.col("l_suppkey")),
+              "left_anti")
+    )
+    return (
+        base.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 QUERIES = {
+    "q7_volume_shipping": q7_volume_shipping,
+    "q11_important_stock": q11_important_stock,
+    "q15_top_supplier": q15_top_supplier,
+    "q21_waiting_orders": q21_waiting_orders,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
@@ -292,6 +402,63 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q7_volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               cast(year(l_shipdate) AS int) AS l_year,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        GROUP BY 1, 2, 3
+    """,
+    "q11_important_stock": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   sum(cast(l_extendedprice AS decimal(18,6))) AS val
+            FROM lineitem GROUP BY l_partkey
+        ),
+        cut AS (SELECT cast(sum(val) AS double) / count(*) * 1.2 AS c
+                FROM per_part)
+        SELECT l_partkey, cast(round(val, 2) AS double) AS value
+        FROM per_part CROSS JOIN cut
+        WHERE cast(val AS double) > c
+    """,
+    "q15_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey,
+                   sum(cast(l_extendedprice * (1 - l_discount)
+                            AS decimal(18,6))) AS total_rev
+            FROM lineitem
+            WHERE l_shipdate >= timestamp '1996-01-01'
+              AND l_shipdate < timestamp '1996-07-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name,
+               cast(round(total_rev, 2) AS double) AS total_rev
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)
+    """,
+    "q21_waiting_orders": """
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_suppkey, s_name
+    """,
     "q13_order_count_distribution": """
         SELECT c_count, count(*) AS custdist
         FROM (SELECT c_custkey, count(o_orderkey) AS c_count
