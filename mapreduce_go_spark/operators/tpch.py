@@ -8,7 +8,7 @@ aggregate follows the functions/num.py determinism discipline.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
@@ -382,7 +382,132 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2-shaped: cheapest EUROPE supplier per ECONOMY part — the
+    fixture has no partsupp table, so per-(part, supplier) unit cost
+    is derived from observed lineitem prices; the correlated-min
+    subquery becomes a single window over the partkey partition (one
+    shuffle, no self-join)."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    p = tables.load(spark, sf_dir, "part").where(
+        (F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 10))
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").where(
+        F.col("r_name") == "EUROPE")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity"))
+        .alias("unit_cost"))
+    elig = (
+        costs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        elig.withColumn("mc", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("mc"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal",
+                dround(F.col("unit_cost"), 4).alias("unit_cost"))
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3: top-10 unshipped-revenue orders for one market segment —
+    two fact joins then TakeOrdered with a deterministic tiebreak
+    (revenue desc, o_orderdate, l_orderkey) so the limit boundary is
+    engine-independent."""
+    c = tables.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    o = tables.load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < "1996-07-01")
+    li = tables.load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > "1996-07-01")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q8: NATION_3's share of AMERICA-market ECONOMY revenue per
+    year — conditional aggregate over a 5-way join; dims broadcast,
+    single fact shuffle on the group key."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    c = tables.load(spark, sf_dir, "customer")
+    s = tables.load(spark, sf_dir, "supplier")
+    p = tables.load(spark, sf_dir, "part").where(
+        F.col("p_type") == "ECONOMY")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region").where(
+        F.col("r_name") == "AMERICA")
+    n1 = n.select(F.col("n_nationkey").alias("sk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.join(F.broadcast(r),
+                F.col("n_regionkey") == F.col("r_regionkey")).select(
+        F.col("n_nationkey").alias("ck"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c_: c_.cast("decimal(18,6)")  # noqa: E731
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"),
+                "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("ck"),
+              "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(dec(F.when(F.col("supp_nation") == "NATION_3", vol)
+                          .otherwise(0.0))).cast("double")
+                / F.sum(dec(vol)).cast("double"), 6).alias("mkt_share"))
+    )
+
+
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9-shaped: per-nation per-year profit on 'red' parts — the
+    fixture has no ps_supplycost, so cost is the 0.6 * p_retailprice
+    * quantity surrogate; the join/agg shape (fact + 3 dims + year
+    rollup) is the spec's."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    s = tables.load(spark, sf_dir, "supplier")
+    p = tables.load(spark, sf_dir, "part").where(
+        F.col("p_name").startswith("red"))
+    n = tables.load(spark, sf_dir, "nation")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * 0.6
+    )
+    return (
+        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(o.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"),
+                 F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q8_market_share": q8_market_share,
+    "q9_product_type_profit": q9_product_type_profit,
     "q7_volume_shipping": q7_volume_shipping,
     "q11_important_stock": q11_important_stock,
     "q15_top_supplier": q15_top_supplier,
@@ -402,6 +527,82 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q2_min_cost_supplier": """
+        WITH costs AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY 1, 2
+        ),
+        elig AS (
+            SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+                   unit_cost,
+                   min(unit_cost) OVER (PARTITION BY p_partkey) AS mc
+            FROM costs
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_type = 'ECONOMY' AND p_size <= 10
+              AND r_name = 'EUROPE'
+        )
+        SELECT p_partkey, p_name, s_name, n_name, s_acctbal,
+               cast(round(cast(unit_cost AS decimal(18,6)), 4) AS double)
+                   AS unit_cost
+        FROM elig WHERE unit_cost = mc
+    """,
+    "q3_shipping_priority": f"""
+        SELECT l_orderkey,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+               o_orderdate, o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_orderdate < timestamp '1996-07-01'
+          AND l_shipdate > timestamp '1996-07-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q8_market_share": """
+        SELECT cast(year(o_orderdate) AS int) AS o_year,
+               round(
+                 cast(sum(CASE WHEN n1.n_name = 'NATION_3'
+                               THEN cast(l_extendedprice * (1 - l_discount)
+                                         AS decimal(18,6))
+                               ELSE cast(0.0 AS decimal(18,6)) END)
+                      AS double)
+                 / cast(sum(cast(l_extendedprice * (1 - l_discount)
+                                 AS decimal(18,6))) AS double),
+                 6) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_type = 'ECONOMY')
+          AND c_nationkey IN (SELECT n_nationkey FROM nation
+                              JOIN region ON n_regionkey = r_regionkey
+                              WHERE r_name = 'AMERICA')
+          AND o_orderdate >= timestamp '1995-01-01'
+          AND o_orderdate < timestamp '1997-01-01'
+        GROUP BY 1
+    """,
+    "q9_product_type_profit": f"""
+        SELECT n_name AS nation,
+               cast(year(o_orderdate) AS int) AS o_year,
+               {dsum_sql('l_extendedprice * (1 - l_discount)'
+                         ' - p_retailprice * l_quantity * 0.6')}
+                   AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE 'red%'
+        GROUP BY 1, 2
+    """,
     "q7_volume_shipping": f"""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                cast(year(l_shipdate) AS int) AS l_year,
