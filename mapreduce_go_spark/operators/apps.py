@@ -60,6 +60,51 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap for the scalable indexer: fixture-calibrated
+# to 390 of 500 docs so the drop path is exercised (top terms hit df
+# 391-402); in production set to ~0.1% of the corpus — terms above it
+# are stop-words whose posting lists are the one unbounded per-key
+# state in the index (SCALE.md "collect_list reducers").
+INDEXER_DF_CAP = 390
+
+
+def indexer_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2-scale: inverted index with a document-frequency cap.
+
+    Closes the SCALE.md honest gap: the plain indexer's posting list
+    for a stop-word grows with the corpus (unbounded per-key state at
+    100 TB). This variant computes df FIRST (algebraic partial+final
+    count — tiny shuffle), drops over-cap terms, and only then builds
+    posting lists for survivors — the giant lists are never
+    materialized, unlike a HAVING filter after collect. Both
+    aggregations and the join share the `word` hash partitioning, so
+    the filter costs no extra exchange of the big side.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    word_doc = (
+        docs.select("doc_id", explode_tokens("text"))
+        .where(F.col("word") != "")
+        .distinct()
+    )
+    eligible = (
+        word_doc.groupBy("word")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= INDEXER_DF_CAP)
+    )
+    return (
+        word_doc.join(eligible, "word")
+        .groupBy("word")
+        .agg(
+            F.max("df").alias("df"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_set("doc_id")),
+                            lambda c: c.cast("string")),
+                ",",
+            ).alias("docs"),
+        )
+    )
+
+
 def crash_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A5/A6 crash|nocrash payload: per-file metadata rows fanned out to
     four fixed keys, reduced to sorted space-joined value lists.
@@ -104,6 +149,7 @@ def formatted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "wc": wordcount,
     "indexer": inverted_index,
+    "indexer_df_capped": indexer_df_capped,
     "crash_payload": crash_payload,
     "formatted_sink": formatted_sink,
 }
@@ -125,6 +171,24 @@ ORACLES = {
         SELECT word, count(*) AS df,
                string_agg(doc, ',' ORDER BY doc) AS docs
         FROM word_doc WHERE word <> '' GROUP BY word
+    """,
+    "indexer_df_capped": f"""
+        WITH word_doc AS (
+            SELECT DISTINCT doc_id,
+                   unnest(regexp_split_to_array(text, '{NON_LETTER_RE}'))
+                       AS word
+            FROM documents
+        ),
+        dfs AS (
+            SELECT word, count(*) AS df FROM word_doc
+            WHERE word <> '' GROUP BY word
+            HAVING count(*) <= {INDEXER_DF_CAP}
+        )
+        SELECT word, df,
+               string_agg(cast(doc_id AS varchar), ',' ORDER BY doc_id)
+                   AS docs
+        FROM word_doc JOIN dfs USING (word)
+        GROUP BY word, df
     """,
     "crash_payload": """
         WITH pairs AS (

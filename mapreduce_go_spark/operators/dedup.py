@@ -24,7 +24,7 @@ generalizes that "build a set, collapse duplicates" move.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
@@ -193,6 +193,29 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed straight off the wide signature row (no unpivot/regroup
     round-trip); pair generation is |docs| x bands; candidates get
     exact-verified by ngram_jaccard_pairs downstream."""
+    bands = _lsh_bands(spark, sf_dir)
+    x = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
+    y = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+    return (
+        x.join(y, ["band", "band_key"])
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
+# Max docs per LSH bucket before the bucket is declared degenerate
+# and dropped: fixture-calibrated to 2 so the drop path is exercised
+# (the sf0.01 corpus has size-3 buckets); in production ~1e3. A
+# band_key shared by B docs emits B(B-1)/2 pairs — one boilerplate/
+# empty-doc bucket at corpus scale turns the self-join quadratic.
+LSH_BUCKET_CAP = 2
+
+
+def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band, band_key) rows — band keys hashed straight off
+    the wide signature, shared by the capped and uncapped pair
+    generators."""
     wide = _minhash_sig(spark, sf_dir)
     band_structs = F.array(*[
         F.struct(
@@ -207,12 +230,30 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for b in range(LSH_BANDS)
     ])
-    bands = wide.select(
+    return wide.select(
         "doc_id", F.explode(band_structs).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"),
              F.col("bk.band_key").alias("band_key"))
-    x = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    y = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
+
+
+def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with degenerate-bucket capping (closes the
+    SCALE.md honest gap). Buckets holding more than LSH_BUCKET_CAP
+    docs are dropped BEFORE the self-join — the quadratic blowup never
+    materializes; the docs in a dropped bucket still pair through
+    their other bands, and exact duplicates are dedup_exact's job.
+    The bucket-size window shuffles on (band, band_key) — the same key
+    the self-join hashes on — so the cap adds no extra exchange of
+    the pair-generation input."""
+    bands = _lsh_bands(spark, sf_dir)
+    w = Window.partitionBy("band", "band_key")
+    ok = (
+        bands.withColumn("bsz", F.count("*").over(w))
+        .where(F.col("bsz") <= LSH_BUCKET_CAP)
+        .drop("bsz")
+    )
+    x = ok.select(F.col("doc_id").alias("d1"), "band", "band_key")
+    y = ok.select(F.col("doc_id").alias("d2"), "band", "band_key")
     return (
         x.join(y, ["band", "band_key"])
         .where(F.col("d1") < F.col("d2"))
@@ -390,6 +431,7 @@ QUERIES = {
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
+    "dedup_minhash_pairs_capped": dedup_minhash_pairs_capped,
     "simhash": simhash,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "dedup_clusters": dedup_clusters,
@@ -501,6 +543,24 @@ ORACLES = {
         )
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         FROM bands x JOIN bands y USING (band, band_key)
+        WHERE x.doc_id < y.doc_id
+    """,
+    "dedup_minhash_pairs_capped": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        ),
+        sized AS (
+            SELECT doc_id, band, band_key,
+                   count(*) OVER (PARTITION BY band, band_key) AS bsz
+            FROM bands
+        ),
+        ok AS (SELECT doc_id, band, band_key FROM sized
+               WHERE bsz <= {LSH_BUCKET_CAP})
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM ok x JOIN ok y USING (band, band_key)
         WHERE x.doc_id < y.doc_id
     """,
     "dedup_clusters": LABELS_CTE_SQL + """
