@@ -24,7 +24,7 @@ generalizes that "build a set, collapse duplicates" move.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
@@ -64,30 +64,25 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _shingles_all(docs: DataFrame) -> DataFrame:
     """(doc_id, shingle): word-3-gram shingles WITH multiplicity.
 
-    posexplode + lead-window instead of nested array HOFs: the
-    transform/slice/concat_ws formulation runs interpreted (higher-
-    order functions break whole-stage codegen) and was ~3x slower than
-    this codegen'd explode + one narrow per-doc window pass."""
-    from pyspark.sql import Window
-
-    toks = docs.select(
+    slice + arrays_zip + explode — all plain codegen expressions, no
+    lambdas (higher-order functions run interpreted, measured ~3x
+    slower) and, unlike the earlier lead()-window formulation, NO
+    shuffle: the n-gram is assembled inside the row before exploding,
+    so at 100 TB the token stream never hits an exchange. Edge-empty
+    tokens are avoided by trimming leading/trailing non-letters before
+    the split (interior empties can't occur — the split regex
+    collapses separator runs)."""
+    ts = F.split(
+        F.regexp_replace(F.col("text"), "^[^a-zA-Z]+|[^a-zA-Z]+$", ""),
+        NON_LETTER_RE,
+    )
+    n = F.greatest(F.size(ts) - (SHINGLE_N - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(ts, i + 1, n) for i in range(SHINGLE_N)])
+    return docs.select("doc_id", F.explode(z).alias("z")).select(
         "doc_id",
-        F.posexplode(F.split(F.col("text"), NON_LETTER_RE)).alias("pos", "tok"),
-    ).where(F.col("tok") != "")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    return (
-        toks.select(
-            "doc_id",
-            F.concat_ws(
-                " ",
-                F.col("tok"),
-                F.lead("tok", 1).over(w),
-                F.lead("tok", 2).over(w),
-            ).alias("shingle"),
-            F.lead("tok", SHINGLE_N - 1).over(w).alias("_last"),
-        )
-        .where(F.col("_last").isNotNull())
-        .drop("_last")
+        F.concat_ws(
+            " ", *[F.col(f"z.{i}") for i in range(SHINGLE_N)]
+        ).alias("shingle"),
     )
 
 
@@ -187,21 +182,40 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_long(_minhash_sig(spark, sf_dir))
 
 
+def _bucket_pairs(bands: DataFrame, cap: int | None = None) -> DataFrame:
+    """Expand each LSH bucket into its doc pairs WITHOUT a self-join:
+    one groupBy collects the bucket's (sorted) doc list, then
+    posexplode + slice emits the upper triangle. A self-join here
+    computes the whole signature pipeline twice (Spark can't reuse
+    the exchange once one side broadcasts — measured 4 parquet scans);
+    this shape computes it once and adds a single shuffle on the
+    bucket key. With `cap`, over-cap buckets are dropped by array
+    length before any pair exists."""
+    b = bands.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    cond = F.size("ds") >= 2
+    if cap is not None:
+        cond = cond & (F.size("ds") <= cap)
+    return (
+        b.where(cond)
+        .select(F.posexplode("ds").alias("i", "d1"), "ds")
+        .select(
+            "d1",
+            F.explode(
+                F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))
+            ).alias("d2"),
+        )
+        .distinct()
+    )
+
+
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 12 permutations, 4 bands x 3 rows;
     docs collide when a band's minhashes all agree. Band keys are
     hashed straight off the wide signature row (no unpivot/regroup
-    round-trip); pair generation is |docs| x bands; candidates get
-    exact-verified by ngram_jaccard_pairs downstream."""
-    bands = _lsh_bands(spark, sf_dir)
-    x = bands.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    y = bands.select(F.col("doc_id").alias("d2"), "band", "band_key")
-    return (
-        x.join(y, ["band", "band_key"])
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
+    round-trip); pair generation is bucket-local (see _bucket_pairs);
+    candidates get exact-verified by ngram_jaccard_pairs downstream."""
+    return _bucket_pairs(_lsh_bands(spark, sf_dir))
 
 
 # Max docs per LSH bucket before the bucket is declared degenerate
@@ -242,24 +256,9 @@ def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs are dropped BEFORE the self-join — the quadratic blowup never
     materializes; the docs in a dropped bucket still pair through
     their other bands, and exact duplicates are dedup_exact's job.
-    The bucket-size window shuffles on (band, band_key) — the same key
-    the self-join hashes on — so the cap adds no extra exchange of
-    the pair-generation input."""
-    bands = _lsh_bands(spark, sf_dir)
-    w = Window.partitionBy("band", "band_key")
-    ok = (
-        bands.withColumn("bsz", F.count("*").over(w))
-        .where(F.col("bsz") <= LSH_BUCKET_CAP)
-        .drop("bsz")
-    )
-    x = ok.select(F.col("doc_id").alias("d1"), "band", "band_key")
-    y = ok.select(F.col("doc_id").alias("d2"), "band", "band_key")
-    return (
-        x.join(y, ["band", "band_key"])
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .distinct()
-    )
+    The cap is the collected bucket array's length — it rides the
+    same single shuffle pair generation already needs."""
+    return _bucket_pairs(_lsh_bands(spark, sf_dir), LSH_BUCKET_CAP)
 
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
