@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
-                               StructField, StructType)
+                               StringType, StructField, StructType)
 
 from mapreduce_go_spark import tables
 
@@ -120,10 +120,96 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary.mapInPandas(_extract_features, MEDIA_FEATURE_SCHEMA)
 
 
+FRAME_BYTES = 32    # fixed frame width (a real video frame is fixed-
+FRAME_STRIDE = 64   # size too); stride 2x width = sample every other
+                    # frame. Fixture docs are 47-558 bytes -> 1-9
+                    # frames each, so the sampler path is exercised.
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 frame sampling: cut an opaque binary payload into fixed-
+    size frames at a stride and emit per-frame metadata + content
+    hash — the video-frame-sampling shape, entirely JVM-side (a real
+    pipeline samples frame OFFSETS this way, then decodes only the
+    sampled frames via the mapInPandas path). sequence+explode is a
+    narrow map: no shuffle, payload never leaves the row."""
+    docs = tables.load(spark, sf_dir, "documents")
+    nb = F.octet_length("text")
+    n_frames = F.when(
+        nb >= FRAME_BYTES,
+        ((nb - FRAME_BYTES) / FRAME_STRIDE).cast("int") + 1,
+    ).otherwise(0)
+    framed = (
+        docs.select("doc_id", F.col("text"), n_frames.alias("nf"))
+        .where(F.col("nf") > 0)
+        .select(
+            "doc_id", "text",
+            F.explode(F.sequence(F.lit(0), F.col("nf") - 1))
+            .alias("frame_no"),
+        )
+    )
+    off = F.col("frame_no") * FRAME_STRIDE + 1
+    frame = F.expr(
+        f"substring(text, frame_no * {FRAME_STRIDE} + 1, {FRAME_BYTES})")
+    return framed.select(
+        "doc_id",
+        "frame_no",
+        off.alias("frame_off"),
+        F.md5(frame.cast("binary")).alias("frame_md5"),
+    )
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("in_bytes", IntegerType()),
+    StructField("out_bytes", IntegerType()),
+    StructField("out_sha256", StringType()),
+])
+
+
+def resize_payload(payload: bytes) -> bytes:
+    """REAL resampling needs PIL/opencv (unavailable here); the
+    deterministic stand-in is 2:1 byte decimation — same contract: a
+    binary in, a smaller binary out. Swap this function for a real
+    resize; the mapInPandas plumbing is unchanged."""
+    if payload is None:
+        raise NotImplementedError("real resize needs PIL/opencv")
+    return payload[::2]
+
+
+def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
+            b = bytes(payload) if payload is not None else b""
+            small = resize_payload(b)
+            out.append({
+                "doc_id": doc_id,
+                "in_bytes": len(b),
+                "out_bytes": len(small),
+                "out_sha256": hashlib.sha256(small).hexdigest(),
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA])
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 resize: binary in -> smaller binary out via Arrow-batched
+    mapInPandas (stubbed decimation, real plumbing). Returns metadata
+    + content hash of the resized payload so the transform is fully
+    value-checked without shipping binaries into the compare."""
+    docs = tables.load(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.col("text").cast("binary").alias("img"))
+    return binary.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_pack": multimodal_pack,
     "binary_meta": binary_meta,
     "media_features": media_features,
+    "frame_sample": frame_sample,
+    "media_resize": media_resize,
 }
 
 ORACLES = {
@@ -146,6 +232,45 @@ ORACLES = {
     # deterministic stub math is plain byte arithmetic — so even this
     # query gets a full value oracle (fixture text is ASCII: byte i ==
     # ascii(char i)). A real decoder would drop back to rows-only.
+    "frame_sample": f"""
+        WITH framed AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(0,
+                       cast(floor((length(text) - {FRAME_BYTES})
+                                  / {FRAME_STRIDE}.0) AS int))) AS frame_no
+            FROM documents WHERE length(text) >= {FRAME_BYTES}
+        )
+        SELECT doc_id, cast(frame_no AS int) AS frame_no,
+               cast(frame_no * {FRAME_STRIDE} + 1 AS int) AS frame_off,
+               md5(substring(text, cast(frame_no * {FRAME_STRIDE} + 1
+                                        AS int), {FRAME_BYTES}))
+                   AS frame_md5
+        FROM framed
+    """,
+    # fixture text is ASCII, so byte decimation == char decimation and
+    # the resized payload's sha256 is SQL-computable: every-2nd-char
+    # via a correlated generate_series rebuild.
+    "media_resize": """
+        WITH pos AS (
+            SELECT doc_id, length(text) AS n, text,
+                   unnest(generate_series(1, length(text), 2)) AS i
+            FROM documents
+        ),
+        chars AS (
+            SELECT doc_id, n, i,
+                   substring(text, cast(i AS int), 1) AS c
+            FROM pos
+        ),
+        resized AS (
+            SELECT doc_id, max(n) AS n,
+                   string_agg(c, '' ORDER BY i) AS small
+            FROM chars GROUP BY doc_id
+        )
+        SELECT doc_id, cast(n AS int) AS in_bytes,
+               cast(length(small) AS int) AS out_bytes,
+               sha256(small) AS out_sha256
+        FROM resized
+    """,
     "media_features": """
         SELECT doc_id,
                cast(octet_length(encode(text)) AS int) AS n_bytes,

@@ -62,6 +62,34 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 shape, ASCII-pinned so the Java
+# and RE2 engines agree): contractions, optionally-space-prefixed
+# letter runs / digit runs / punctuation runs, whitespace runs. Both
+# engines use leftmost-first alternation, so matches are identical.
+BPE_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+          r"| ?[^a-zA-Z0-9\s]+|\s+")
+
+
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star text analysis): whitespace
+    tokens and BPE-ish-regex pre-tokens, plus their ratio — the
+    standard "tokens per word" fertility proxy. One narrow projection,
+    no shuffle, no UDF."""
+    docs = tables.load(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))
+    # whitespace runs are themselves matches of the last alternative;
+    # exclude them from the BPE token count.
+    bpe_toks = F.filter(bpe, lambda t: ~t.rlike(r"^\s+$"))
+    return docs.select(
+        "doc_id",
+        F.size(ws).alias("n_ws_tokens"),
+        F.size(bpe_toks).alias("n_bpe_tokens"),
+        dround(F.size(bpe_toks).cast("double") / F.size(ws), 6)
+        .alias("fertility"),
+    )
+
+
 def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
@@ -134,6 +162,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "token_stats": token_stats,
+    "bpe_token_stats": bpe_token_stats,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
@@ -163,6 +192,21 @@ ORACLES = {
                    f"list_sum(list_transform({_TOKS_SQL}, x -> length(x)))"
                    f" / len({_TOKS_SQL})", 6)} AS mean_tok_len
         FROM documents
+    """,
+    "bpe_token_stats": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                   x -> x <> '')) AS n_ws_tokens,
+                   len(list_filter(
+                       regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'),
+                       x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_ws_tokens, n_bpe_tokens,
+               {dround_sql("cast(n_bpe_tokens AS double) / n_ws_tokens", 6)}
+                   AS fertility
+        FROM t
     """,
     "lang_id": f"""
         WITH scored AS (

@@ -20,3 +20,20 @@ def test_media_features_schema_and_determinism(spark, sf_dir):
 def test_decode_stub_raises_on_empty():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"")
+
+
+def test_resize_payload_decimates():
+    assert multimodal.resize_payload(b"abcdef") == b"ace"
+    assert multimodal.resize_payload(b"x") == b"x"
+    with pytest.raises(NotImplementedError):
+        multimodal.resize_payload(None)
+
+
+def test_frame_sample_covers_all_docs(spark, sf_dir):
+    df = multimodal.frame_sample(spark, sf_dir)
+    docs = multimodal.tables.load(spark, sf_dir, "documents")
+    # fixture docs are all >= FRAME_BYTES, so every doc emits >=1 frame
+    assert df.select("doc_id").distinct().count() == docs.count()
+    # offsets follow the stride grid
+    bad = df.where((df.frame_off - 1) % multimodal.FRAME_STRIDE != 0).count()
+    assert bad == 0
