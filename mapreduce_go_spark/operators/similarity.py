@@ -142,6 +142,95 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM = 64        # fixture embedding dimensionality (TESTDATA.md)
+LSH_BITS = 6        # hyperplanes per band -> 64 buckets/band
+LSH_BANDS_E = 2     # bands; a query probes its bucket in each band
+
+
+def _hyperplanes() -> list[list[int]]:
+    """Deterministic ±1 random-hyperplane matrix, derived from md5 in
+    the DRIVER and baked into both engines' query texts as literals —
+    no cross-engine hash function needed."""
+    import hashlib
+
+    return [
+        [1 if hashlib.md5(f"{j},{i}".encode()).digest()[0] % 2 else -1
+         for i in range(EMB_DIM)]
+        for j in range(LSH_BITS * LSH_BANDS_E)
+    ]
+
+
+_HP = _hyperplanes()
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (the prompt's 'LSH-bucketed variant'): sign-
+    random-projection signatures — bit j = sign(e . r_j) for a fixed
+    ±1 hyperplane matrix — bucket vectors by each band's bit string,
+    then exact cosine top-k among the query's bucket mates. ANN
+    semantics: a query with no bucket mates returns no rows.
+
+    100 TB shape: signatures are computed once per vector in a narrow
+    pass and the table is partitioned by (band, bucket); each probe
+    is a co-located scan of ~n/2^bits candidates, never the full
+    table. Exactly oracle-checkable because the hyperplanes are
+    literals and the sign sums use the scaled-long grid."""
+    from pyspark.sql import Window
+
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+
+    def band_key(band: int) -> Column:
+        bits = [
+            F.when(
+                _dot_dec(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v))
+                              for v in _HP[band * LSH_BITS + b]]),
+                ) > 0, "1").otherwise("0")
+            for b in range(LSH_BITS)
+        ]
+        return F.concat(*bits)
+
+    bands = emb.select(
+        "vec_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(band).alias("band"),
+                     band_key(band).alias("bkey"))
+            for band in range(LSH_BANDS_E)
+        ])).alias("bk"),
+    ).select("vec_id", F.col("bk.band").alias("band"),
+             F.col("bk.bkey").alias("bkey"))
+    qb = bands.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "band", "bkey")
+    cand = (
+        F.broadcast(qb)
+        .join(bands.select(F.col("vec_id").alias("c_id"), "band", "bkey"),
+              ["band", "bkey"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("ce"), F.col("norm").alias("cn"))
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
+        .select("q_id", "c_id",
+                _cosine(F.col("qe"), F.col("ce"),
+                        F.col("qn"), F.col("cn")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "rk",
+                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs: cosine >= 0.35, d1 < d2.
     All-pairs here (fixture scale); at corpus scale the same scoring
@@ -169,8 +258,14 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_lsh_topk": ann_lsh_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
+
+# the same literal hyperplane matrix, as a DuckDB VALUES list
+_PLANES_SQL = ", ".join(
+    f"({j}, {_HP[j]})" for j in range(LSH_BITS * LSH_BANDS_E)
+)
 
 # DuckDB twin of _dot_dec: positionally-parallel unnest + scaled-long sum.
 _NORMS_SQL = """
@@ -224,6 +319,48 @@ ORACLES = {
     "ann_ivf_topk": _pair_cos_sql(
         f"vec_id < {N_QUERIES}", "q_cell = c_cell AND q_id <> c_id"
     ) + f"""
+        SELECT q_id, c_id, rk,
+               cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
+        FROM (SELECT q_id, c_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id) AS rk
+              FROM scored)
+        WHERE rk <= {TOP_K}
+    """,
+    "ann_lsh_topk": _NORMS_SQL + f""",
+    planes(j, r) AS (VALUES {_PLANES_SQL}),
+    bitsums AS (
+        SELECT vec_id, j,
+               sum(cast(round(cast(x AS double) * y * 1e12) AS bigint)) AS s
+        FROM (SELECT vec_id, j, unnest(embedding) AS x, unnest(r) AS y
+              FROM embeddings, planes)
+        GROUP BY vec_id, j
+    ),
+    sigs AS (
+        SELECT vec_id, cast(floor(j / {LSH_BITS}.0) AS int) AS band,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY j) AS bkey
+        FROM bitsums GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT DISTINCT qs.vec_id AS q_id, cs.vec_id AS c_id
+        FROM sigs qs JOIN sigs cs USING (band, bkey)
+        WHERE qs.vec_id < {N_QUERIES} AND qs.vec_id <> cs.vec_id
+    ),
+    elems AS (
+        SELECT q_id, c_id, nq.norm AS qn, nc.norm AS cn,
+               unnest(nq.embedding) AS x, unnest(nc.embedding) AS y
+        FROM cand
+        JOIN norms nq ON nq.vec_id = q_id
+        JOIN norms nc ON nc.vec_id = c_id
+    ),
+    dots AS (
+        SELECT q_id, c_id, any_value(qn) AS qn, any_value(cn) AS cn,
+               sum(cast(round(cast(x AS double) * cast(y AS double) * 1e12)
+                        AS bigint)) / 1e12 AS dot
+        FROM elems GROUP BY q_id, c_id
+    ),
+    scored AS (SELECT q_id, c_id, dot / (qn * cn) AS cos FROM dots)
         SELECT q_id, c_id, rk,
                cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
         FROM (SELECT q_id, c_id, cos,
