@@ -53,6 +53,33 @@ def write_orc(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").orc(path)
 
 
+def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction — the standing maintenance job of any
+    100 TB lake: a streaming/exactly-once sink lands thousands of
+    tiny files; scans then pay per-file open+footer costs. Rewrites
+    `src_dir` as ceil(total_bytes / target_file_bytes) files and
+    returns that count.
+
+    Sizing uses Hadoop's FileSystem API (works for any supported
+    scheme, not just local paths). The rewrite is one shuffle-free
+    coalesce when shrinking; `repartition` only when file count must
+    GROW (rare for compaction, needed for a fragmented rewrite to
+    more, larger-but-parallel files)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_dir)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    cur = df.rdd.getNumPartitions()
+    out = df.coalesce(int(n)) if n <= cur else df.repartition(int(n))
+    out.write.mode("overwrite").parquet(dst_dir)
+    return int(n)
+
+
 def write_text_kv(df: DataFrame, key: str, value: str, path: str) -> None:
     """The reference's sink: "%v %v" lines, one shard per partition
     (/root/reference/mr/worker.go:92-98)."""

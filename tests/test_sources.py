@@ -59,3 +59,21 @@ def test_text_kv_sink(spark, nation, tmp_path):
         nation.n_nationkey.cast("string").alias("k"), "n_name"), "k", "n_name", p)
     lines = sorted(r.value for r in spark.read.text(p).collect())
     assert len(lines) == 25 and lines[0].split(" ")[1]
+
+
+def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.sources import io as mio
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    frag = str(tmp_path / "frag")
+    li.repartition(40).write.parquet(frag)
+    import glob
+    n_before = len(glob.glob(frag + "/part-*"))
+    assert n_before == 40
+    dst = str(tmp_path / "compact")
+    n = mio.compact_parquet(spark, frag, dst, target_file_bytes=1 << 30)
+    assert n == 1
+    n_after = len(glob.glob(dst + "/part-*"))
+    assert n_after == 1
+    assert spark.read.parquet(dst).count() == li.count()
