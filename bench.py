@@ -74,7 +74,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):  # min-of-2: drops transient JIT/GC noise
+        for _ in range(3):  # min-of-3: drops transient JIT/GC/host noise
+                            # (single runs swung ±15% on the shared host)
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
