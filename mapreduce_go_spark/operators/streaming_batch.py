@@ -111,14 +111,38 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-static dimension-enrichment join
+    (streaming/jobs.enriched_segment_counts): events joined to the
+    broadcast customer dim, aggregated per (segment, type). At 100 TB
+    the events side streams/shuffles; the dim stays broadcast."""
+    ev = tables.load(spark, sf_dir, "events")
+    c = tables.load(spark, sf_dir, "customer")
+    return (
+        ev.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            ev["user_id"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total"))
+    )
+
+
 QUERIES = {
     "tumbling_window": tumbling_window,
+    "event_enrichment": event_enrichment,
     "sliding_window": sliding_window,
     "sessionize": sessionize,
     "dedup_first_event": dedup_first_event,
 }
 
 ORACLES = {
+    "event_enrichment": f"""
+        SELECT c_mktsegment, event_type, count(*) AS n,
+               {dsum_sql('value')} AS total
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY 1, 2
+    """,
     "tumbling_window": f"""
         SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
                time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS win_end,

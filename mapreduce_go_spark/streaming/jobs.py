@@ -157,6 +157,24 @@ def stateful_user_stats(stream: DataFrame) -> DataFrame:
     )
 
 
+def enriched_segment_counts(stream: DataFrame,
+                            customers: DataFrame) -> DataFrame:
+    """D21 stream-static enrichment: each micro-batch joins the STATIC
+    customer dim (broadcast — no streaming state at all, unlike a
+    stream-stream join) and aggregates per (segment, type). The static
+    side is re-resolved every micro-batch, so a dim-table refresh is
+    picked up without restarting the query. Batch twin:
+    operators/streaming_batch.event_enrichment."""
+    return (
+        stream.join(
+            F.broadcast(customers.select("c_custkey", "c_mktsegment")),
+            stream["user_id"] == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").alias("n"), dsum(F.col("value")).alias("total"))
+    )
+
+
 def stream_stream_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     """D21 stream-stream inner join: purchases joined to same-user
     clicks within the preceding hour. Both sides watermarked; the

@@ -179,3 +179,15 @@ def test_dedup_within_watermark_keys(spark, sf_dir, staged):
     s_keys = sorted((r.user_id, r.event_type) for r in out.collect())
     b_keys = sorted((r.user_id, r.event_type) for r in batch.collect())
     assert s_keys == b_keys
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir, staged):
+    from mapreduce_go_spark import tables
+
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    dim = tables.load(spark, sf_dir, "customer")
+    out = jobs.run_to_memory(
+        spark, jobs.enriched_segment_counts(stream, dim),
+        "t_enrich", "complete")
+    _assert_same("enrichment", out,
+                 streaming_batch.event_enrichment(spark, sf_dir))
