@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.num import dround, dround_sql
 from mapreduce_go_spark.functions.text import NON_LETTER_RE, fingerprint
 
 N_MINHASH = 12          # permutations
@@ -261,6 +262,33 @@ def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_pairs(_lsh_bands(spark, sf_dir), LSH_BUCKET_CAP)
 
 
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch calibration: for every LSH candidate pair, the MinHash
+    Jaccard estimate = (# agreeing permutations)/12. Downstream
+    dedup thresholds on this instead of the exact Jaccard when the
+    shingle sets are too large to re-intersect; ngram_jaccard_pairs
+    is the exact twin to calibrate against."""
+    wide = _minhash_sig(spark, sf_dir)
+    pairs = _bucket_pairs(_lsh_bands(spark, sf_dir))
+    a = wide.select(F.col("doc_id").alias("d1"),
+                    *[F.col(f"mh{i}").alias(f"a{i}")
+                      for i in range(N_MINHASH)])
+    b = wide.select(F.col("doc_id").alias("d2"),
+                    *[F.col(f"mh{i}").alias(f"b{i}")
+                      for i in range(N_MINHASH)])
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    return (
+        pairs.join(a, "d1").join(b, "d2")
+        .select("d1", "d2", n_agree.alias("n_agree"))
+        .select("d1", "d2", "n_agree",
+                dround(F.col("n_agree") / F.lit(float(N_MINHASH)), 6)
+                .alias("est_jaccard"))
+    )
+
+
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document as a 64-char '0/1' string.
     bit j = [ sum_t tf(t) * (2*bit_j(md5(t)) - 1) > 0 ].
@@ -431,6 +459,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_capped": dedup_minhash_pairs_capped,
+    "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "simhash": simhash,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "dedup_clusters": dedup_clusters,
@@ -561,6 +590,31 @@ ORACLES = {
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         FROM ok x JOIN ok y USING (band, band_key)
         WHERE x.doc_id < y.doc_id
+    """,
+    "minhash_jaccard_estimate": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            FROM bands x JOIN bands y USING (band, band_key)
+            WHERE x.doc_id < y.doc_id
+        ),
+        agree AS (
+            SELECT d1, d2,
+                   sum(CASE WHEN s1.minhash = s2.minhash
+                            THEN 1 ELSE 0 END) AS n_agree
+            FROM pairs
+            JOIN sig s1 ON s1.doc_id = d1
+            JOIN sig s2 ON s2.doc_id = d2 AND s2.seed = s1.seed
+            GROUP BY d1, d2
+        )
+        SELECT d1, d2, cast(n_agree AS int) AS n_agree,
+               {dround_sql(f'n_agree / {N_MINHASH}.0', 6)} AS est_jaccard
+        FROM agree
     """,
     "dedup_clusters": LABELS_CTE_SQL + """
         SELECT label, count(*) AS n_docs,
