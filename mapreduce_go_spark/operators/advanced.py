@@ -206,7 +206,54 @@ def gapfilled_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ("view", "click", "purchase")
+FUNNEL_HOURS = 24   # each step must follow the previous within 24h
+                    # (fixture-calibrated: 150 -> 60 -> 25 users, so
+                    # every stage transition is exercised)
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel: users who did view -> click ->
+    purchase, each step strictly after the previous and within
+    FUNNEL_HOURS of it; one row per stage with the surviving-user
+    count. Each stage is one user-keyed aggregate + one join — the
+    step tables shrink monotonically, so AQE broadcasts them against
+    the (pre-filtered, pushed-down) event scan at any corpus size."""
+    ev = tables.load(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {FUNNEL_HOURS} HOURS")
+
+    def step_min(prev: DataFrame, etype: str, tprev: str,
+                 tcur: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .where((F.col("ts") > F.col(tprev))
+                   & (F.col("ts") <= F.col(tprev) + win))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(tcur))
+        )
+
+    u1 = (ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+          .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    u2 = step_min(u1, FUNNEL_STEPS[1], "t1", "t2")
+    u3 = step_min(u2, FUNNEL_STEPS[2], "t2", "t3")
+
+    def cnt(df: DataFrame, step: int, name: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n_users")).select(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("event_type"),
+            "n_users",
+        )
+
+    return (
+        cnt(u1, 1, FUNNEL_STEPS[0])
+        .unionAll(cnt(u2, 2, FUNNEL_STEPS[1]))
+        .unionAll(cnt(u3, 3, FUNNEL_STEPS[2]))
+    )
+
+
 QUERIES = {
+    "event_funnel": event_funnel,
     "multi_resolution_rollup": multi_resolution_rollup,
     "gapfilled_hourly_counts": gapfilled_hourly_counts,
     "grouping_sets_agg": grouping_sets_agg,
@@ -220,6 +267,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "event_funnel": f"""
+        WITH u1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY 1
+        ),
+        u2 AS (
+            SELECT e.user_id, min(ts) AS t2 FROM events e
+            JOIN u1 USING (user_id)
+            WHERE event_type = '{FUNNEL_STEPS[1]}'
+              AND ts > t1 AND ts <= t1 + INTERVAL '{FUNNEL_HOURS} hours'
+            GROUP BY 1
+        ),
+        u3 AS (
+            SELECT e.user_id, min(ts) AS t3 FROM events e
+            JOIN u2 USING (user_id)
+            WHERE event_type = '{FUNNEL_STEPS[2]}'
+              AND ts > t2 AND ts <= t2 + INTERVAL '{FUNNEL_HOURS} hours'
+            GROUP BY 1
+        )
+        SELECT 1 AS step, '{FUNNEL_STEPS[0]}' AS event_type,
+               (SELECT count(*) FROM u1) AS n_users
+        UNION ALL
+        SELECT 2, '{FUNNEL_STEPS[1]}', (SELECT count(*) FROM u2)
+        UNION ALL
+        SELECT 3, '{FUNNEL_STEPS[2]}', (SELECT count(*) FROM u3)
+    """,
     "gapfilled_hourly_counts": """
         WITH bounds AS (
             SELECT cast(min(date_trunc('hour', ts)) AS timestamp) AS h0,
