@@ -252,8 +252,37 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first signup; for each later week-offset, how many of the cohort
+    were active (any event). One aggregate for cohorts, one join, one
+    distinct-count — all user-keyed, so at scale every stage shuffles
+    on the same key and AQE reuses the partitioning."""
+    ev = tables.load(spark, sf_dir, "events")
+    first = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    act = (
+        ev.join(first, "user_id")
+        .where(F.col("ts") >= F.col("cohort_week"))
+        .select(
+            "user_id", "cohort_week",
+            ((F.unix_timestamp(F.date_trunc("week", F.col("ts")))
+              - F.unix_timestamp(F.col("cohort_week"))) / 604800)
+            .cast("int").alias("week_offset"),
+        )
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
 QUERIES = {
     "event_funnel": event_funnel,
+    "cohort_retention": cohort_retention,
     "multi_resolution_rollup": multi_resolution_rollup,
     "gapfilled_hourly_counts": gapfilled_hourly_counts,
     "grouping_sets_agg": grouping_sets_agg,
@@ -267,6 +296,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "cohort_retention": """
+        WITH first AS (
+            SELECT user_id,
+                   cast(date_trunc('week', min(ts)) AS timestamp)
+                       AS cohort_week
+            FROM events WHERE event_type = 'signup' GROUP BY 1
+        ),
+        act AS (
+            SELECT e.user_id, cohort_week,
+                   cast((epoch(date_trunc('week', ts))
+                         - epoch(cohort_week)) / 604800 AS int)
+                       AS week_offset
+            FROM events e JOIN first USING (user_id)
+            WHERE ts >= cohort_week
+        )
+        SELECT cohort_week, week_offset,
+               count(DISTINCT user_id) AS n_active
+        FROM act GROUP BY 1, 2
+    """,
     "event_funnel": f"""
         WITH u1 AS (
             SELECT user_id, min(ts) AS t1 FROM events
