@@ -20,15 +20,24 @@ from pyspark.sql import functions as F
 # Split on non-letter runs; ASCII-pinned for cross-engine determinism.
 NON_LETTER_RE = "[^a-zA-Z]+"
 
+# Full `unicode.IsLetter` parity (/root/reference/mrapps/wc.go:23-26):
+# \p{L} is the Unicode Letter general category in BOTH engines' regex
+# dialects (Java util.regex on the Spark side, RE2 on the DuckDB side),
+# so the same pattern text serves query and oracle. This is the variant
+# a multilingual 100 TB corpus needs; NON_LETTER_RE stays as the
+# byte-exact twin of the ASCII fixtures.
+UNICODE_NON_LETTER_RE = r"[^\p{L}]+"
 
-def tokens(text) -> Column:
+
+def tokens(text, pattern: str = NON_LETTER_RE) -> Column:
     """Array of letter-run tokens (may contain '' at the edges)."""
-    return F.split(text, NON_LETTER_RE)
+    return F.split(text, pattern)
 
 
-def explode_tokens(text, alias: str = "word") -> Column:
+def explode_tokens(text, alias: str = "word",
+                   pattern: str = NON_LETTER_RE) -> Column:
     """Explode into one row per token; caller filters `alias != ''`."""
-    return F.explode(tokens(text)).alias(alias)
+    return F.explode(tokens(text, pattern)).alias(alias)
 
 
 def token_count(text) -> Column:

@@ -21,7 +21,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
-from mapreduce_go_spark.functions.text import NON_LETTER_RE, explode_tokens
+from mapreduce_go_spark.functions.text import (NON_LETTER_RE,
+                                               UNICODE_NON_LETTER_RE,
+                                               explode_tokens)
 
 
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,6 +36,26 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     return (
         docs.select(explode_tokens("text"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def wordcount_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 wc, full-Unicode token parity.
+
+    The reference splits on `unicode.IsLetter`
+    (/root/reference/mrapps/wc.go:23-26) — ANY Unicode letter starts a
+    token, not just ASCII. `wc` pins the ASCII subset (byte-exact on
+    the fixtures); this variant uses \\p{L}, the behavior a
+    multilingual corpus gets from the reference. Identical plan shape:
+    explode -> partial+final hash aggregate. Cross-engine non-ASCII
+    agreement is proven in tests/test_text_functions.py.
+    """
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        docs.select(explode_tokens("text", pattern=UNICODE_NON_LETTER_RE))
         .where(F.col("word") != "")
         .groupBy("word")
         .agg(F.count("*").alias("cnt"))
@@ -148,6 +170,7 @@ def formatted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "wc": wordcount,
+    "wc_unicode": wordcount_unicode,
     "indexer": inverted_index,
     "indexer_df_capped": indexer_df_capped,
     "crash_payload": crash_payload,
@@ -158,6 +181,14 @@ ORACLES = {
     "wc": f"""
         SELECT word, count(*) AS cnt
         FROM (SELECT unnest(regexp_split_to_array(text, '{NON_LETTER_RE}')) AS word
+              FROM documents)
+        WHERE word <> ''
+        GROUP BY word
+    """,
+    "wc_unicode": f"""
+        SELECT word, count(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(text,
+                  '{UNICODE_NON_LETTER_RE}')) AS word
               FROM documents)
         WHERE word <> ''
         GROUP BY word

@@ -262,6 +262,47 @@ def dedup_minhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_pairs(_lsh_bands(spark, sf_dir), LSH_BUCKET_CAP)
 
 
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup query: exact word-3-gram Jaccard >= 0.5
+    computed ONLY over the capped-LSH candidate pairs — the composed
+    candidates-then-verify pipeline (dedup_minhash_pairs_capped ->
+    exact Jaccard) that replaces ngram_jaccard_pairs' standalone
+    shingle self-join at corpus scale.
+
+    Plan shape: candidates (bucket-local, capped — never quadratic)
+    drive two key-joins against the shingle index; the intersection
+    count exists only for candidate pairs, so the hot-shingle blowup of
+    the standalone self-join cannot occur. ngram_jaccard_pairs remains
+    registered as the fixture-scale recall oracle for this pipeline."""
+    docs = tables.load(spark, sf_dir, "documents")
+    cands = _bucket_pairs(_lsh_bands(spark, sf_dir), LSH_BUCKET_CAP)
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (
+        cands.join(a, "d1")
+        .join(b, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "d1")
+        .join(F.broadcast(sb), "d2")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+
+
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch calibration: for every LSH candidate pair, the MinHash
     Jaccard estimate = (# agreeing permutations)/12. Downstream
@@ -459,6 +500,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_capped": dedup_minhash_pairs_capped,
+    "dedup_verified_pairs": dedup_verified_pairs,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "simhash": simhash,
     "simhash_neardup_pairs": simhash_neardup_pairs,
@@ -590,6 +632,41 @@ ORACLES = {
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         FROM ok x JOIN ok y USING (band, band_key)
         WHERE x.doc_id < y.doc_id
+    """,
+    "dedup_verified_pairs": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        ),
+        sized AS (
+            SELECT doc_id, band, band_key,
+                   count(*) OVER (PARTITION BY band, band_key) AS bsz
+            FROM bands
+        ),
+        ok AS (SELECT doc_id, band, band_key FROM sized
+               WHERE bsz <= {LSH_BUCKET_CAP}),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+            FROM ok x JOIN ok y USING (band, band_key)
+            WHERE x.doc_id < y.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles
+                  GROUP BY doc_id),
+        inter AS (
+            SELECT c.d1, c.d2, count(*) AS i
+            FROM cands c
+            JOIN shingles a ON a.doc_id = c.d1
+            JOIN shingles b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+            GROUP BY c.d1, c.d2
+        )
+        SELECT d1, d2,
+               round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= {JACCARD_THRESHOLD}
     """,
     "minhash_jaccard_estimate": _MINHASH_SQL + f""",
         bands AS (

