@@ -90,9 +90,12 @@ def null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D19: TF-IDF, top-3 terms per document. tf and df are exact
-    integers; idf = ln(N/df) on identical doubles."""
+    integers; idf = ln(N/df) on identical doubles. N rides the plan as
+    a broadcast 1-row aggregate (no eager driver-side action — the query
+    stays a single lazily-composable plan and the corpus scans once
+    per term pass, not once extra for the scalar)."""
     docs = tables.load(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar; at scale use a broadcast subquery
+    n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tok = (
         docs.select(
             "doc_id",
@@ -106,9 +109,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tfidf").desc(), F.col("tok"))
     return (
         tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
-            dround(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6),
+            dround(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
         )
         .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= TFIDF_TOP_K)

@@ -58,24 +58,55 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Docs per cumsum shard. Shards are contiguous doc_id ranges, so the
+# two-level cumsum is EXACT (same numbers as one global pass). Fixture
+# calibration: 500 docs -> 4 shards, so the multi-shard path is
+# exercised; in production size it so #shards ~ 1e4 (corpus/1e4) —
+# the offsets side stays broadcast-small at any corpus size.
+PACK_SHARD_DOCS = 128
+
+
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs to ~512-token bins by running
     token cumsum in deterministic doc_id order — the distributable
     form of greedy packing (bin = floor((cumsum - n_tokens) / budget),
     i.e. a doc starts a new bin when the budget would overflow the
-    running total at its start offset). One window pass; at scale,
-    partition the cumsum by shard key and pack within shards."""
+    running total at its start offset).
+
+    The cumsum is TWO-LEVEL so no task ever sees the whole corpus:
+    shard = floor(doc_id / PACK_SHARD_DOCS) gives contiguous ranges;
+    each shard cumsums locally (partitioned window), and each shard's
+    start offset is the prefix sum of earlier shards' totals — a tiny
+    aggregate (#shards rows) joined back via broadcast. Identical
+    output to a global-window cumsum (the oracle runs that form), but
+    the plan has no un-partitioned window (asserted in test_plans.py).
+    The prefix sum itself is a self-join aggregate over #shards rows,
+    not a window, so the assertion holds plan-wide."""
     docs = tables.load(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow)
     toks = docs.select(
-        "doc_id", token_count(F.col("text")).alias("n_tokens"))
-    packed = toks.withColumn(
-        "cum", F.sum("n_tokens").over(w)
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
     ).withColumn(
-        "bin",
-        F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(PACK_BUDGET))
-        .cast("long"),
+        "shard", F.floor(F.col("doc_id") / F.lit(PACK_SHARD_DOCS))
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    totals = toks.groupBy("shard").agg(F.sum("n_tokens").alias("tot"))
+    prev = totals.select(F.col("shard").alias("pshard"),
+                         F.col("tot").alias("ptot"))
+    offsets = (
+        totals.join(prev, F.col("pshard") < F.col("shard"), "left")
+        .groupBy("shard")
+        .agg(F.coalesce(F.sum("ptot"), F.lit(0)).alias("offset"))
+    )
+    packed = (
+        toks.withColumn("local_cum", F.sum("n_tokens").over(w))
+        .join(F.broadcast(offsets), "shard")
+        .withColumn("cum", F.col("local_cum") + F.col("offset"))
+        .withColumn(
+            "bin",
+            F.floor((F.col("cum") - F.col("n_tokens"))
+                    / F.lit(PACK_BUDGET)).cast("long"),
+        )
     )
     return packed.groupBy("bin").agg(
         F.count("*").alias("n_docs"),

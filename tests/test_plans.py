@@ -12,8 +12,10 @@ must be visible in the executed plan, not just intended.
 
 import contextlib
 import io
+import re
 
-from mapreduce_go_spark.operators import apps, joins, relational
+from mapreduce_go_spark.operators import apps, joins, pipeline, relational
+from mapreduce_go_spark.operators import similarity
 
 
 def plan_of(df) -> str:
@@ -58,3 +60,39 @@ def test_wordcount_partial_aggregation(spark, sf_dir):
 def test_topk_avoids_global_sort(spark, sf_dir):
     p = plan_of(relational.top_k(spark, sf_dir))
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_bucketed_join_zero_exchange(spark, sf_dir):
+    """join_inner_bucketed (registry) must run join AND aggregate with
+    no Exchange at all — both sides bucket-sorted on the join key and
+    the groupBy reuses that partitioning."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan_of(joins.join_inner_bucketed(spark, sf_dir))
+        assert "Exchange" not in p, p
+        assert "SortMergeJoin" in p, p
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_pack_sequences_no_global_window(spark, sf_dir):
+    """The packing cumsum must never run as one un-partitioned window
+    (the whole corpus through a single task). windowspecdefinition's
+    arg list = partition cols, then `ordercol ASC/DESC ...` specs —
+    an unpartitioned window starts straight at an order spec."""
+    df = pipeline.pack_sequences(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        first = spec.split(",")[0].strip()
+        assert not re.search(r"\b(ASC|DESC)\b", first), (
+            f"unpartitioned window: windowspecdefinition({spec})")
+    assert "windowspecdefinition" in plan  # the partitioned cumsum exists
+
+
+def test_embedding_neardup_no_crossjoin(spark, sf_dir):
+    """Blocked near-dup must not contain an all-pairs product: no
+    cartesian/nested-loop join anywhere in the physical plan."""
+    p = plan_of(similarity.embedding_neardup_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoop" not in p, p
