@@ -233,7 +233,8 @@ ORACLES = {
                         - n_tokens) / {PACK_BUDGET}.0) AS bigint) AS bin
             FROM toks
         )
-        SELECT bin, count(*) AS n_docs, sum(n_tokens) AS bin_tokens,
+        SELECT bin, count(*) AS n_docs,
+               cast(sum(n_tokens) AS bigint) AS bin_tokens,
                min(doc_id) AS first_doc
         FROM packed GROUP BY bin
     """,
@@ -244,11 +245,12 @@ ORACLES = {
     """,
     "dq_profile": """
         SELECT count(*) AS n_rows,
-               sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
-               sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
-                        THEN 1 ELSE 0 END) AS bad_status,
-               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
-                   AS nonpos_price,
+               cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                    AS bigint) AS null_cust,
+               cast(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS bigint) AS bad_status,
+               cast(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                    AS bigint) AS nonpos_price,
                min(o_orderdate) AS min_date,
                max(o_orderdate) AS max_date
         FROM orders

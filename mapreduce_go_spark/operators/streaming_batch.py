@@ -171,10 +171,10 @@ ORACLES = {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         numbered AS (
-            SELECT *, sum(new_sess) OVER (
+            SELECT *, cast(sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS sess_no
+                       AS bigint) AS sess_no
             FROM gapped
         )
         SELECT user_id, sess_no,

@@ -34,6 +34,27 @@ def test_no_vacuous_oracles(duck):
         assert n > 0, f"{name} returns 0 rows on the fixtures"
 
 
+def test_oracles_have_no_hugeint_columns(duck):
+    """The driver's value-hasher is type-sensitive: DuckDB returns
+    HUGEINT (int128) for sum(INTEGER/BIGINT), plain or windowed, and
+    int128 does not canonicalize to the same representation as Spark's
+    long on the driver's pandas path. Round 2 lost exactly its two
+    HUGEINT-column oracles (pack_sequences.bin_tokens,
+    sessionize.sess_no) to this, with values identical. Guard the
+    whole class structurally: no oracle may surface a HUGEINT/UHUGEINT
+    column — wrap integer sums in CAST(... AS BIGINT)."""
+    offenders = []
+    for name, sql in _ORACLES.items():
+        # .sql().types gives real DuckDB types; DB-API .description
+        # collapses every numeric to the useless 'NUMBER'.
+        rel = duck.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        bad = [f"{c}:{t}" for c, t in zip(rel.columns, map(str, rel.types))
+               if "HUGEINT" in str(t).upper()]
+        if bad:
+            offenders.append(f"{name}: {bad}")
+    assert not offenders, offenders
+
+
 def test_oracles_reference_known_tables_only(duck):
     # DuckDB's own binder is the checker: EXPLAIN each oracle against
     # the registered views; unknown tables/functions fail here.
