@@ -137,8 +137,11 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(sa), "d1")
         .join(F.broadcast(sb), "d2")
         .withColumn(
+            # dround, not plain round: a raw-double round diverges
+            # across engines at .xx5 boundaries and would flip the
+            # >= threshold filter differently per engine.
             "jaccard",
-            F.round(
+            dround(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
                 6,
             ),
@@ -292,8 +295,11 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(F.broadcast(sa), "d1")
         .join(F.broadcast(sb), "d2")
         .withColumn(
+            # dround, not plain round: a raw-double round diverges
+            # across engines at .xx5 boundaries and would flip the
+            # >= threshold filter differently per engine.
             "jaccard",
-            F.round(
+            dround(
                 F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
                 6,
             ),
@@ -522,7 +528,7 @@ LABELS_CTE_SQL = _SHINGLES_SQL.replace(
         SELECT d1, d2 FROM inter
         JOIN sizes sa ON sa.doc_id = d1
         JOIN sizes sb ON sb.doc_id = d2
-        WHERE round(i / (sa.n_sh + sb.n_sh - i), 6)
+        WHERE {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)}
               >= {JACCARD_THRESHOLD}
     ),
     edges AS (
@@ -595,11 +601,11 @@ ORACLES = {
             WHERE a.doc_id < b.doc_id GROUP BY 1, 2
         )
         SELECT d1, d2,
-               round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+               {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = d1
         JOIN sizes sb ON sb.doc_id = d2
-        WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= {JACCARD_THRESHOLD}
+        WHERE {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} >= {JACCARD_THRESHOLD}
     """,
     "minhash_signatures": _MINHASH_SQL + """
         SELECT doc_id, seed, minhash FROM sig
@@ -662,11 +668,11 @@ ORACLES = {
             GROUP BY c.d1, c.d2
         )
         SELECT d1, d2,
-               round(i / (sa.n_sh + sb.n_sh - i), 6) AS jaccard
+               {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} AS jaccard
         FROM inter
         JOIN sizes sa ON sa.doc_id = d1
         JOIN sizes sb ON sb.doc_id = d2
-        WHERE round(i / (sa.n_sh + sb.n_sh - i), 6) >= {JACCARD_THRESHOLD}
+        WHERE {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} >= {JACCARD_THRESHOLD}
     """,
     "minhash_jaccard_estimate": _MINHASH_SQL + f""",
         bands AS (

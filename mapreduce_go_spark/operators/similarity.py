@@ -240,19 +240,70 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Max vectors per ND-LSH bucket before the bucket is dropped as
+# degenerate, mirroring dedup's LSH_BUCKET_CAP: a bucket of B vectors
+# emits B(B-1)/2 candidate pairs, so one boilerplate/zero-vector bucket
+# at corpus scale is a quadratic blowup. Fixture-calibrated to 45 so
+# the drop path is exercised (sf0.01 bucket sizes span 12..50 — cap
+# drops 2 buckets there, 4 at sf0.001); in production ~1e3.
+EMB_BUCKET_CAP = 45
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, LSH-blocked: candidates share a
-    sign-random-projection bucket in >=1 of 4 bands (4 bits each,
-    hyperplanes baked as literals); exact cosine >= 0.35 verifies
-    candidates only — the embedding twin of dedup_minhash_pairs ->
-    ngram_jaccard verification.
+    """EXACT embedding-cosine near-dup pairs: all i<j pairs with
+    cosine >= 0.35 — the honest all-pairs semantics this name promised
+    in round 1. Registered as the FIXTURE-SCALE RECALL ORACLE for
+    embedding_neardup_pairs_blocked (the production path), exactly the
+    role ngram_jaccard_pairs plays for dedup_verified_pairs: it is
+    deliberately demoted from the driver window and must never appear
+    in a production plan — the broadcast product is O(n^2) row
+    generation and only viable on the 500-vector fixture."""
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("d1"),
+                   F.col("embedding").alias("ea"), F.col("norm").alias("na"))
+    b = emb.select(F.col("vec_id").alias("d2"),
+                   F.col("embedding").alias("eb"), F.col("norm").alias("nb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            _cosine(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb"))
+            .alias("cos"),
+        )
+        .where(F.col("cos") >= NEARDUP_COS)
+        .select("d1", "d2",
+                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
+    )
+
+
+def embedding_neardup_pairs_blocked(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, LSH-blocked — the PRODUCTION
+    path: candidates share a sign-random-projection bucket in >=1 of 4
+    bands (4 bits each, hyperplanes baked as literals), over-cap
+    buckets dropped (EMB_BUCKET_CAP), exact cosine >= 0.35 verifies
+    candidates only — the embedding twin of dedup_minhash_pairs_capped
+    -> dedup_verified_pairs.
+
+    RECALL IS PART OF THE CONTRACT, hence the _blocked name: the 4x4
+    banding is calibrated for true near-dups (cos >= 0.9 collides with
+    p ~ 0.95); at the 0.35 fixture threshold (the p99.9 of near-random
+    pair cosines — the fixtures contain no planted dups) it keeps
+    133/271 (~49%) of qualifying pairs. embedding_neardup_pairs (exact
+    all-pairs, same threshold) is the registered fixture-scale recall
+    oracle; tests/test_approx.py pins the subset property and the
+    recall floor.
 
     100 TB shape: signatures are one narrow pass over the table;
     candidate pairs are generated bucket-locally (_bucket_pairs — one
     groupBy + posexplode, NO self-join, so the signature pipeline runs
-    once); the exact cosine touches candidate pairs only. The former
-    all-pairs crossJoin is gone. Candidate semantics (banding union) is
-    part of the query definition and mirrored by the DuckDB oracle."""
+    once) with over-cap buckets dropped BEFORE any pair exists; the
+    exact cosine touches candidate pairs only. Candidate semantics
+    (banding union + cap) is part of the query definition and mirrored
+    by the DuckDB oracle."""
     from mapreduce_go_spark.operators.dedup import _bucket_pairs
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
@@ -278,7 +329,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])).alias("bk"),
     ).select("doc_id", F.col("bk.band").alias("band"),
              F.col("bk.band_key").alias("band_key"))
-    cands = _bucket_pairs(bands)
+    cands = _bucket_pairs(bands, EMB_BUCKET_CAP)
     a = emb.select(F.col("vec_id").alias("d1"),
                    F.col("embedding").alias("ea"), F.col("norm").alias("na"))
     b = emb.select(F.col("vec_id").alias("d2"),
@@ -303,6 +354,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
+    "embedding_neardup_pairs_blocked": embedding_neardup_pairs_blocked,
 }
 
 # the same literal hyperplane matrices, as DuckDB VALUES lists
@@ -416,6 +468,24 @@ ORACLES = {
         WHERE rk <= {TOP_K}
     """,
     "embedding_neardup_pairs": _NORMS_SQL + f""",
+        elems AS (
+            SELECT a.vec_id AS d1, b.vec_id AS d2,
+                   a.norm AS n1, b.norm AS n2,
+                   unnest(a.embedding) AS x, unnest(b.embedding) AS y
+            FROM norms a JOIN norms b ON a.vec_id < b.vec_id
+        ),
+        dots AS (
+            SELECT d1, d2, any_value(n1) AS n1, any_value(n2) AS n2,
+                   sum(cast(round(cast(x AS double) * cast(y AS double) * 1e12)
+                            AS bigint)) / 1e12 AS dot
+            FROM elems GROUP BY d1, d2
+        ),
+        scored AS (SELECT d1, d2, dot / (n1 * n2) AS cos FROM dots)
+        SELECT d1, d2,
+               cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
+        FROM scored WHERE cos >= {NEARDUP_COS}
+    """,
+    "embedding_neardup_pairs_blocked": _NORMS_SQL + f""",
         planes(j, r) AS (VALUES {_PLANES_ND_SQL}),
         bitsums AS (
             SELECT vec_id, j,
@@ -430,9 +500,16 @@ ORACLES = {
                               ORDER BY j) AS bkey
             FROM bitsums GROUP BY 1, 2
         ),
+        sized AS (
+            SELECT vec_id, band, bkey,
+                   count(*) OVER (PARTITION BY band, bkey) AS bsz
+            FROM sigs
+        ),
+        ok AS (SELECT vec_id, band, bkey FROM sized
+               WHERE bsz <= {EMB_BUCKET_CAP}),
         cand AS (
             SELECT DISTINCT a.vec_id AS d1, b.vec_id AS d2
-            FROM sigs a JOIN sigs b USING (band, bkey)
+            FROM ok a JOIN ok b USING (band, bkey)
             WHERE a.vec_id < b.vec_id
         ),
         elems AS (

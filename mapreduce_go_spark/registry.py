@@ -95,7 +95,7 @@ _PRIORITY: list[str] = [
     # similarity (D18)
     "knn_cosine_topk",
     "ann_lsh_topk",
-    "embedding_neardup_pairs",
+    "embedding_neardup_pairs_blocked",
     # text analysis (D19)
     "token_stats",
     "lang_id",

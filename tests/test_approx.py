@@ -30,3 +30,61 @@ def test_approx_quantile_within_range(spark, sf_dir):
         em, e90 = exact[k]
         assert abs(am - em) / em < 0.05, (k, am, em)
         assert abs(a90 - e90) / e90 < 0.05, (k, a90, e90)
+
+
+def test_embedding_neardup_blocked_recall(spark, sf_dir):
+    """embedding_neardup_pairs_blocked's recall contract vs its exact
+    all-pairs oracle (embedding_neardup_pairs): blocked results are a
+    strict SUBSET of the exact results (blocking never invents pairs,
+    and the fixture banding provably misses some), and recall stays
+    above the calibrated floor. Guards against silent banding/cap
+    drift — the round-2 advisory was exactly that the blocked variant
+    shipped under the exact variant's name with ~49% recall."""
+    from mapreduce_go_spark.operators import similarity
+
+    exact = {(r.d1, r.d2)
+             for r in similarity.embedding_neardup_pairs(
+                 spark, sf_dir).collect()}
+    blocked = {(r.d1, r.d2)
+               for r in similarity.embedding_neardup_pairs_blocked(
+                   spark, sf_dir).collect()}
+    assert blocked < exact, (len(blocked), len(exact))
+    recall = len(blocked) / len(exact)
+    assert 0.35 <= recall <= 0.75, recall
+
+
+def test_embedding_bucket_cap_exercised(spark, sf_dir):
+    """EMB_BUCKET_CAP must actually drop >=1 over-cap bucket on the
+    fixtures — otherwise the capped code path is vacuously green (the
+    same discipline dedup's LSH_BUCKET_CAP calibration follows)."""
+    from mapreduce_go_spark.operators.dedup import _bucket_pairs
+    from mapreduce_go_spark.operators import similarity as sim
+    from mapreduce_go_spark import tables
+    from pyspark.sql import functions as F
+
+    emb = sim._with_norm(tables.load(spark, sf_dir, "embeddings"))
+
+    def band_key(band):
+        bits = [
+            F.when(
+                sim._dot_dec(
+                    F.col("embedding"),
+                    F.array(*[F.lit(float(v))
+                              for v in sim._HP_ND[band * sim.ND_BITS + b]]),
+                ) > 0, "1").otherwise("0")
+            for b in range(sim.ND_BITS)
+        ]
+        return F.concat(*bits)
+
+    bands = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.explode(F.array(*[
+            F.struct(F.lit(band).alias("band"),
+                     band_key(band).alias("band_key"))
+            for band in range(sim.ND_BANDS)
+        ])).alias("bk"),
+    ).select("doc_id", F.col("bk.band").alias("band"),
+             F.col("bk.band_key").alias("band_key"))
+    over = (bands.groupBy("band", "band_key").count()
+            .where(F.col("count") > sim.EMB_BUCKET_CAP).count())
+    assert over >= 1, "cap never exercised on fixtures — recalibrate"
