@@ -26,6 +26,14 @@ NON_LETTER_RE = "[^a-zA-Z]+"
 # so the same pattern text serves query and oracle. This is the variant
 # a multilingual 100 TB corpus needs; NON_LETTER_RE stays as the
 # byte-exact twin of the ASCII fixtures.
+#
+# ASSUMPTION (empirical, not guaranteed): the two engines ship
+# different Unicode table versions (Java 17 ~ Unicode 13; DuckDB's RE2
+# tracks newer), so codepoints whose Letter status changed between
+# versions could tokenize differently cross-engine. The multilingual
+# differential test in tests/test_text_functions.py pins agreement on
+# 14 scripts + the IsLetter boundary cases; an engine upgrade that
+# drifts the tables fails that test, not production.
 UNICODE_NON_LETTER_RE = r"[^\p{L}]+"
 
 
