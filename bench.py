@@ -45,6 +45,14 @@ HEADLINE = [
     "quality_score",
     "tumbling_window",
     "sessionize",
+    # the scale-shaped production paths the 100 TB design leans on:
+    # capped-LSH candidates, candidates-then-verify dedup, bucketed
+    # ANN, LSH-blocked embedding near-dup, zero-Exchange bucketed join
+    "dedup_minhash_pairs_capped",
+    "dedup_verified_pairs",
+    "ann_lsh_topk",
+    "embedding_neardup_pairs_blocked",
+    "join_inner_bucketed",
 ]
 
 
