@@ -24,9 +24,20 @@ def salted_agg(df: DataFrame, key: str, salts: int,
     """Two-phase salted aggregation.
 
     aggs maps output name -> (fn, col) with fn in {sum, count, min,
-    max}. Phase 1 groups on (key, random salt) — hot keys spread over
+    max}. Phase 1 groups on (key, salt) — hot keys spread over
     `salts` reducers; phase 2 merges partials on key alone (count
     merges by sum).
+
+    The salt is a CONTENT hash of the full row, not rand(): rand()
+    (even seeded) draws per task attempt, so when a lost shuffle
+    partition makes Spark re-execute one map task, the retried rows
+    can land in different salt buckets than the attempt whose other
+    partitions already fed phase 1 — a row's partial aggregates split
+    or double across buckets, corrupting sums under exactly the
+    fault-recovery path tests/test_faults.py exists to exclude. A
+    row-content hash assigns every row the same bucket on every
+    attempt; identical rows sharing a bucket is harmless (bucket
+    choice only affects load spread, not the merged result).
     """
     mergers = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
     phase1 = [
@@ -38,7 +49,8 @@ def salted_agg(df: DataFrame, key: str, salts: int,
         for name, (fn, _c) in aggs.items()
     ]
     salted = df.withColumn(
-        "_salt", (F.rand(seed=42) * salts).cast("int"))
+        "_salt", F.pmod(F.hash(*[F.col(c) for c in df.columns]),
+                        F.lit(salts)))
     return (
         salted.groupBy(key, "_salt").agg(*phase1)
         .groupBy(key).agg(*phase2)

@@ -280,7 +280,34 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted two-phase aggregation as a first-class query:
+    lineitem grouped by l_returnflag — 3 pathologically hot keys over
+    the whole fact table, the exact shape AQE can't split for a GROUP
+    BY — through functions/skew.salted_agg (content-hash salt, 16
+    buckets, partial-then-merge). The salting is algebra-invisible, so
+    the oracle is the plain GROUP BY: any salting bug (row dropped,
+    partial double-merged, nondeterministic bucket under retry)
+    surfaces as a value mismatch."""
+    from mapreduce_go_spark.functions.skew import salted_agg
+
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_quantity")
+    out = salted_agg(
+        li, "l_returnflag", salts=16,
+        n_rows=("count", "l_orderkey"),
+        max_line=("max", "l_linenumber"),
+        min_order=("min", "l_orderkey"),
+        line_sum=("sum", "l_linenumber"),
+    )
+    return out.select(
+        "l_returnflag", "n_rows", "max_line", "min_order",
+        F.col("line_sum").cast("long").alias("line_sum"),
+    )
+
+
 QUERIES = {
+    "salted_skew_agg": salted_skew_agg,
     "event_funnel": event_funnel,
     "cohort_retention": cohort_retention,
     "multi_resolution_rollup": multi_resolution_rollup,
@@ -296,6 +323,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "salted_skew_agg": """
+        SELECT l_returnflag,
+               count(l_orderkey) AS n_rows,
+               max(l_linenumber) AS max_line,
+               min(l_orderkey) AS min_order,
+               cast(sum(l_linenumber) AS bigint) AS line_sum
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "cohort_retention": """
         WITH first AS (
             SELECT user_id,
