@@ -217,40 +217,88 @@ def run_foreach_batch_parquet(spark: SparkSession, streaming_df: DataFrame,
         q.stop()
 
 
+def _latest_rollup_version(out_dir: str, below: int | None = None) -> int | None:
+    """Highest COMMITTED snapshot version (dir has _SUCCESS) in
+    out_dir, optionally restricted to versions < `below`."""
+    if not os.path.isdir(out_dir):
+        return None
+    vs = [
+        int(name[2:]) for name in os.listdir(out_dir)
+        if name.startswith("v=") and name[2:].isdigit()
+        and os.path.exists(os.path.join(out_dir, name, "_SUCCESS"))
+    ]
+    if below is not None:
+        vs = [v for v in vs if v < below]
+    return max(vs) if vs else None
+
+
+def _merge_rollup_epoch(batch_df: DataFrame, epoch_id: int,
+                        out_dir: str) -> None:
+    """One epoch's merge, IDEMPOTENT under replay: the rollup is a
+    chain of immutable epoch-versioned snapshots (out_dir/v=<epoch>,
+    parquet _SUCCESS = commit marker).
+
+    - A replayed epoch (marker already present) is SKIPPED — the
+      failure mode of the old read-merge-overwrite form, where a
+      post-commit crash made the restarted epoch double-count itself.
+    - The merge reads the latest committed snapshot BELOW this epoch
+      and writes a NEW directory, so it never overwrites the input it
+      is reading (the race the old form papered over with
+      cache().count()); a half-written attempt has no _SUCCESS and is
+      simply overwritten by the retry.
+
+    Local-FS marker checks stand in for what a transactional table
+    format (Delta/Iceberg MERGE with txn ids) provides on a cluster —
+    the epoch-versioned layout is the same idea with parquet-only
+    means."""
+    from pyspark.sql import functions as F
+
+    target = os.path.join(out_dir, f"v={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # epoch already applied (foreachBatch replay after restart)
+    partial = (
+        batch_df.groupBy(
+            F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    )
+    prev = _latest_rollup_version(out_dir, below=epoch_id)
+    if prev is None:
+        merged = partial
+    else:
+        existing = batch_df.sparkSession.read.parquet(
+            os.path.join(out_dir, f"v={prev}"))
+        merged = (
+            existing.unionByName(partial)
+            .groupBy("win_start", "event_type")
+            .agg(F.sum("n").alias("n"))
+        )
+    merged.write.mode("overwrite").parquet(target)
+
+
+def read_continuous_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The rollup's current contents: latest committed snapshot."""
+    v = _latest_rollup_version(out_dir)
+    if v is None:
+        raise FileNotFoundError(f"no committed rollup snapshot in {out_dir}")
+    return spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+
+
 def run_continuous_rollup(spark: SparkSession, stream: DataFrame,
                           out_dir: str, checkpoint_dir: str) -> None:
     """Incrementally-maintained continuous aggregate (hypertable
-    rollup): each micro-batch's partial day/type counts merge into a
-    materialized rollup table via read-merge-overwrite in
-    foreachBatch. Exactly-once: offsets are checkpointed and the merge
-    is idempotent per epoch only if each epoch's input is disjoint —
-    which the file source guarantees; a keyed sink (Delta MERGE) is
-    the production form.
+    rollup): each micro-batch's partial day/type counts merge into an
+    epoch-versioned materialization (_merge_rollup_epoch) via
+    foreachBatch. Exactly-once end to end: offsets are checkpointed,
+    and the merge skips replayed epochs + writes copy-on-write
+    snapshots, so epoch replay after a crash cannot double-count
+    (tests/test_streaming.py re-fires an epoch to prove it).
 
     This is the incremental path of operators.streaming_batch
     tumbling_window; tests assert the materialization equals the
     batch rollup after all batches drain."""
-    from pyspark.sql import functions as F
-
     def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        partial = (
-            batch_df.groupBy(
-                F.window("ts", "1 day").alias("w"), "event_type")
-            .agg(F.count("*").alias("n"))
-            .select(F.col("w.start").alias("win_start"), "event_type", "n")
-        )
-        try:
-            existing = batch_df.sparkSession.read.parquet(out_dir)
-            merged = (
-                existing.unionByName(partial)
-                .groupBy("win_start", "event_type")
-                .agg(F.sum("n").alias("n"))
-            )
-        except Exception:
-            merged = partial
-        merged.cache().count()  # materialize before overwriting input
-        merged.write.mode("overwrite").parquet(out_dir)
-        merged.unpersist()
+        _merge_rollup_epoch(batch_df, epoch_id, out_dir)
 
     q = (stream.writeStream.foreachBatch(merge_epoch)
          .option("checkpointLocation", checkpoint_dir)

@@ -161,7 +161,8 @@ def test_continuous_rollup_incremental(spark, sf_dir, tmp_path):
     out = str(tmp_path / "rollup")
     jobs.run_continuous_rollup(spark, stream, out, str(tmp_path / "ck"))
 
-    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    got = sorted(map(tuple,
+                     jobs.read_continuous_rollup(spark, out).collect()))
     want = sorted(map(tuple, (
         full.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count("*").alias("n"))
@@ -169,6 +170,46 @@ def test_continuous_rollup_incremental(spark, sf_dir, tmp_path):
     ).collect()))
     assert got == want
     shutil.rmtree(src, ignore_errors=True)
+
+
+def test_continuous_rollup_epoch_replay_is_idempotent(spark, sf_dir,
+                                                      tmp_path):
+    """foreachBatch replays the last uncommitted epoch after a crash.
+    Re-firing the SAME epoch (same id, same data) twice — and then
+    once more after a later epoch — must not change the rollup: the
+    epoch marker makes the merge skip already-applied batches. The old
+    read-merge-overwrite form double-counted here."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    out = str(tmp_path / "rollup_replay")
+    full = tables.load(spark, sf_dir, "events")
+    h1 = full.where(F.col("event_id") % 2 == 0)
+    h2 = full.where(F.col("event_id") % 2 == 1)
+
+    jobs._merge_rollup_epoch(h1, 0, out)
+    once = sorted(map(tuple,
+                      jobs.read_continuous_rollup(spark, out).collect()))
+    jobs._merge_rollup_epoch(h1, 0, out)  # crash-replay of epoch 0
+    twice = sorted(map(tuple,
+                       jobs.read_continuous_rollup(spark, out).collect()))
+    assert once == twice
+
+    jobs._merge_rollup_epoch(h2, 1, out)
+    after = sorted(map(tuple,
+                       jobs.read_continuous_rollup(spark, out).collect()))
+    jobs._merge_rollup_epoch(h1, 0, out)  # stale replay after commit 1
+    final = sorted(map(tuple,
+                       jobs.read_continuous_rollup(spark, out).collect()))
+    assert after == final
+    # and the merged content equals the one-shot batch rollup
+    want = sorted(map(tuple, (
+        full.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n")
+    ).collect()))
+    assert final == want
 
 
 def test_dedup_within_watermark_keys(spark, sf_dir, staged):
