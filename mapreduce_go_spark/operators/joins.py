@@ -46,27 +46,59 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETS = 8
 
 
+_CLEANUP_REGISTERED: set[str] = set()
+
+
+def _workspace_dir() -> str:
+    """Directory the engine owns for materialized layouts:
+    $SPARK_GRAFT_WORKSPACE, else <repo>/.bucketed_cache. NOT the OS
+    temp dir — tmp cleaners delete long-lived session files out from
+    under the catalog (the advisory's failure mode)."""
+    import os
+    import pathlib
+
+    return os.environ.get(
+        "SPARK_GRAFT_WORKSPACE",
+        str(pathlib.Path(__file__).resolve().parents[2] / ".bucketed_cache"),
+    )
+
+
 def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
                     key: str, cols: list[str]) -> DataFrame:
     """Lazily materialize a bucketed+sorted copy of `table` on `key`
-    and return it. The copy is written ONCE per session under the
-    process temp dir (keyed by applicationId — no cross-session races)
-    and reused by every later call: the one-time shuffle of the write
-    is amortized over every co-located join that reads it, which is
-    the whole point of the 100 TB bucketed layout."""
+    and return it. The copy is written ONCE per session (keyed by
+    applicationId — no cross-session races) and reused by every later
+    call: the one-time shuffle of the write is amortized over every
+    co-located join that reads it, which is the whole point of the
+    100 TB bucketed layout. (The write is a side effect of first
+    construction — bucketing metadata needs a catalog table; bench's
+    min-of-3 keeps it out of steady-state timings.)
+
+    Self-healing: the catalog saying the table exists is trusted only
+    if the backing files do too (_SUCCESS present) — a vanished path
+    drops the stale catalog entry and rewrites instead of silently
+    scanning an empty external table. The session's cache dir is
+    removed at interpreter exit."""
+    import atexit
     import hashlib
     import os
-    import tempfile
+    import shutil
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"{table}_bucketed_{tag}"
-    if not spark.catalog.tableExists(name):
-        path = os.path.join(
-            tempfile.gettempdir(),
-            f"mgs_bucketed_{spark.sparkContext.applicationId}", name)
-        (tables.load(spark, sf_dir, table).select(*cols)
-         .write.bucketBy(BUCKETS, key).sortBy(key)
-         .option("path", path).mode("overwrite").saveAsTable(name))
+    base = os.path.join(_workspace_dir(), spark.sparkContext.applicationId)
+    path = os.path.join(base, name)
+    files_ok = os.path.exists(os.path.join(path, "_SUCCESS"))
+    if spark.catalog.tableExists(name) and files_ok:
+        return spark.table(name)
+    if spark.catalog.tableExists(name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    if base not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(base)
+        atexit.register(shutil.rmtree, base, True)
+    (tables.load(spark, sf_dir, table).select(*cols)
+     .write.bucketBy(BUCKETS, key).sortBy(key)
+     .option("path", path).mode("overwrite").saveAsTable(name))
     return spark.table(name)
 
 

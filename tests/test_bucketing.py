@@ -46,3 +46,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_bucketed")
         spark.sql("DROP TABLE IF EXISTS od_bucketed")
+
+
+def test_bucketed_table_self_heals_after_path_loss(spark, sf_dir):
+    """If the backing files of the session-cached bucketed table
+    vanish (tmp-cleaner scenario), _bucketed_table must detect the
+    stale catalog entry and rewrite instead of returning a reader over
+    a missing path."""
+    import os
+    import shutil
+
+    from mapreduce_go_spark.operators import joins
+
+    df1 = joins._bucketed_table(spark, sf_dir, "orders", "o_orderkey",
+                                ["o_orderkey", "o_totalprice"])
+    n1 = df1.count()
+    assert n1 > 0
+    base = os.path.join(joins._workspace_dir(),
+                        spark.sparkContext.applicationId)
+    shutil.rmtree(base)  # simulate the tmp cleaner
+    df2 = joins._bucketed_table(spark, sf_dir, "orders", "o_orderkey",
+                                ["o_orderkey", "o_totalprice"])
+    assert df2.count() == n1
