@@ -62,37 +62,38 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user (30-min inactivity gap): session start,
-    last-event time, event count, exact value sum. Uses the
-    lag+cumsum formulation so the batch plan is portable; the
-    streaming twin uses F.session_window over the same gap."""
+    last-event time, event count, exact value sum, plus a per-user
+    session ordinal.
+
+    NATIVE F.session_window in batch mode — the same operator the
+    streaming twin runs (streaming/jobs.session_counts), so batch and
+    streaming share one formulation instead of the old lag+cumsum
+    fork. The DuckDB oracle keeps the portable lag+cumsum form, which
+    makes the differential check a cross-engine proof of Spark's
+    session-merge semantics (gap boundary: an event exactly `gap`
+    after the last one starts a NEW session — session windows are
+    half-open [start, last+gap)). One shuffle on user_id, sort-scan
+    per user; the sess_no ranking rides the same partitioning."""
     from pyspark.sql import Window
 
     ev = tables.load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gapped = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        (
-            F.when(
-                F.col("ts").cast("long")
-                - F.lag(F.col("ts").cast("long")).over(w)
-                > 30 * 60,
-                1,
-            ).otherwise(0)
-        ).alias("new_sess"),
-    ).withColumn(
-        "sess_no",
-        F.sum("new_sess").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ),
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", SESSION_GAP).alias("w"))
+        .agg(
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_last"),
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total"),
+        )
     )
-    return gapped.groupBy("user_id", "sess_no").agg(
-        F.min("ts").alias("sess_start"),
-        F.max("ts").alias("sess_last"),
-        F.count("*").alias("n_events"),
-        dsum(F.col("value")).alias("total"),
+    rk = Window.partitionBy("user_id").orderBy("sess_start")
+    return sessions.select(
+        "user_id",
+        F.row_number().over(rk).cast("long").alias("sess_no"),
+        "sess_start",
+        "sess_last",
+        "n_events",
+        "total",
     )
 
 
@@ -162,10 +163,15 @@ ORACLES = {
                {dsum_sql('value')} AS total
         FROM assigned GROUP BY 1, 2, 3
     """,
+    # lag+cumsum twin of Spark's native session_window: >= gap in
+    # MICROSECONDS starts a new session (half-open [start, last+gap));
+    # cumsum+1 gives the 1-based per-user ordinal row_number produces
+    # on the Spark side.
     "sessionize": f"""
         WITH gapped AS (
             SELECT user_id, ts, event_id, value,
-                   CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+                   CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                             >= 1800 * 1000000
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -174,7 +180,7 @@ ORACLES = {
             SELECT *, cast(sum(new_sess) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                       AS bigint) AS sess_no
+                       AS bigint) + 1 AS sess_no
             FROM gapped
         )
         SELECT user_id, sess_no,
