@@ -51,9 +51,14 @@ def events_stream(spark: SparkSession, sf_dir: str,
     raw_schema = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")).schema
     stream = spark.readStream.schema(raw_schema).parquet(src)
-    if dict(stream.dtypes).get("ts") == "bigint":
+    ts_type = dict(stream.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # same NTZ->LTZ normalization as tables.load (session tz = UTC);
+        # withWatermark rejects TIMESTAMP_NTZ event-time columns.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -57,13 +57,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        # nanos-as-long -> microsecond timestamp. Integer division: the
-        # ns epoch (~1.7e18) exceeds double's 2^53 integer range, so a
-        # float path would corrupt low-order digits.
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "bigint":
+            # nanos-as-long -> microsecond timestamp. Integer division:
+            # the ns epoch (~1.7e18) exceeds double's 2^53 integer
+            # range, so a float path would corrupt low-order digits.
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # micros TIMESTAMP_NTZ (isAdjustedToUTC=false) -> session-tz
+            # timestamp. Session tz is pinned to UTC (_ensure_confs), so
+            # the wall clock is preserved exactly and matches DuckDB's
+            # naive TIMESTAMP; watermarks/windows require LTZ.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
