@@ -1,0 +1,114 @@
+"""Vectorized (Arrow/numpy) twins of the scaled-long-grid vector
+kernels in operators/similarity.py.
+
+The interpreted-lambda forms (`F.zip_with` + `F.aggregate`) evaluate
+one expression-tree node per array element per row — correct, but the
+dominant cost of every similarity query (higher-order functions never
+enter whole-stage codegen). These pandas UDFs compute the SAME numbers
+in one Arrow batch per task: the per-element grid products are rounded
+with numpy and summed as exact int64.
+
+Cross-engine parity proof (why numpy rounding is safe here):
+Spark `F.round(double)` goes through BigDecimal HALF_UP on the
+double's shortest decimal representation; DuckDB `round(double)` and
+numpy-`copysign(floor(|p|+0.5), p)` round the exact binary value half
+away from zero. These three agree for every |p| < 2^51:
+
+- every half-integer k+0.5 with |k| < 2^51 is exactly representable
+  as a double (spacing <= 0.5 there), so a double's shortest decimal
+  representation is of the form "k.5" iff the double IS exactly
+  k+0.5 — the only inputs where HALF_UP vs binary-value rounding
+  could differ collapse to the same value, where both round away
+  from zero;
+- `|p| + 0.5` is exact for |p| < 2^51 (same spacing argument), so
+  `floor(|p| + 0.5)` implements half-away-from-zero without an
+  intermediate rounding error.
+
+Our grid products are |x*y*1e12| <~ 1e12 << 2^51 for unit-ish
+embeddings (guarded by a runtime assert), the int64 sums are <= 64 *
+1e12 ~ 6.4e13 < 2^53, so the final long->double division is exact in
+all three engines. tests/test_simd.py additionally pins equality
+against the interpreted forms on the real fixtures and on adversarial
+half-boundary values.
+
+100 TB shape: one narrow Arrow-batched pass per vector (signatures,
+norms) or per candidate pair (dot products); BLAS-free integer
+matmul for the LSH signature bits, O(dim * n_planes) per row with no
+shuffle. The UDFs are stateless and deterministic, so speculative
+re-execution is safe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, StringType
+
+_SCALE = 1e12
+# |product * _SCALE| must stay below 2^51 for the rounding-parity
+# proof in the module docstring to hold.
+_GRID_LIMIT = float(2**51)
+
+
+def _grid(p: np.ndarray) -> np.ndarray:
+    """Half-away-from-zero rounding of p to int64 — bit-identical to
+    Spark F.round(double) and DuckDB round(double) for |p| < 2^51."""
+    if p.size and np.max(np.abs(p)) >= _GRID_LIMIT:
+        raise ValueError(
+            "grid product exceeds 2^51: rounding parity proof no "
+            "longer applies; rescale the inputs")
+    return np.copysign(np.floor(np.abs(p) + 0.5), p).astype(np.int64)
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    """(n, dim) float64 matrix from a Series of list<float> values.
+    float32 -> float64 widening is exact, matching x.cast('double')."""
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+
+
+@pandas_udf(DoubleType())
+def grid_dot(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Vectorized twin of similarity._dot_dec: exact dot product on
+    the 1e-12 integer grid, summed as int64, returned as double."""
+    A, B = _stack(a), _stack(b)
+    total = _grid(A * B * _SCALE).sum(axis=1)
+    return pd.Series(total / _SCALE)
+
+
+def make_band_keys(planes: list[list[int]], bits: int,
+                   bands: int):
+    """Factory for a pandas UDF computing ALL sign-random-projection
+    band keys of an embedding in one integer matmul.
+
+    Exactness: the hyperplane entries are +-1, and round(x * (+-1) *
+    1e12) == +-round(x * 1e12) in every engine (half-away and HALF_UP
+    are both odd functions), so bit j = sign(sum_i h_ij *
+    round(x_i * 1e12)) computed with an exact int64 matmul equals the
+    interpreted per-plane grid dot sign.
+    """
+    H = np.asarray(planes, dtype=np.int64)          # (bands*bits, dim)
+    assert H.shape[0] == bands * bits
+
+    @pandas_udf(ArrayType(StringType()))
+    def band_keys(emb: pd.Series) -> pd.Series:
+        G = _grid(_stack(emb) * _SCALE)             # (n, dim) int64
+        S = G @ H.T                                 # exact int64
+        bit = S > 0                                 # (n, bands*bits)
+        out = [
+            ["".join("1" if row[band * bits + b] else "0"
+                     for b in range(bits))
+             for band in range(bands)]
+            for row in bit
+        ]
+        return pd.Series(out)
+
+    return band_keys
+
+
+def grid_norm(col: Column) -> Column:
+    """sqrt of the grid self-dot — IEEE sqrt is exact-input-exact-
+    output deterministic in Spark, DuckDB and numpy alike."""
+    return F.sqrt(grid_dot(col, col))

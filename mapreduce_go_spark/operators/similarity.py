@@ -27,6 +27,9 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.simd import (
+    grid_dot, grid_norm, make_band_keys,
+)
 
 N_QUERIES = 8          # vec_id < 8 are the query vectors
 TOP_K = 10
@@ -43,7 +46,13 @@ _SCALE = 1e12  # per-element products scaled to integers: exact,
 def _dot_dec(a: Column, b: Column) -> Column:
     """Exact dot product of two float arrays: identical IEEE doubles
     per element in both engines, rounded to a 1e-12 integer grid and
-    summed as longs (order-independent), returned as double."""
+    summed as longs (order-independent), returned as double.
+
+    Interpreted (higher-order lambda) reference form — the production
+    queries use functions.simd.grid_dot, the Arrow-vectorized twin
+    that computes the identical number (tests/test_simd.py pins
+    equality on fixtures and half-boundary adversarial values); this
+    form is kept as the differential oracle for those tests."""
     prods = F.zip_with(
         a,
         b,
@@ -58,13 +67,11 @@ def _dot_dec(a: Column, b: Column) -> Column:
 
 
 def _with_norm(df: DataFrame) -> DataFrame:
-    return df.withColumn(
-        "norm", F.sqrt(_dot_dec(F.col("embedding"), F.col("embedding")))
-    )
+    return df.withColumn("norm", grid_norm(F.col("embedding")))
 
 
 def _cosine(qe: Column, ce: Column, qn: Column, cn: Column) -> Column:
-    return _dot_dec(qe, ce) / (qn * cn)
+    return grid_dot(qe, ce) / (qn * cn)
 
 
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,6 +178,11 @@ ND_BITS = 4
 ND_BANDS = 4
 _HP_ND = _hyperplanes(ND_BITS * ND_BANDS, salt="nd,")
 
+# Arrow-vectorized signature kernels (functions/simd.py): all band
+# keys of a vector in one exact int64 matmul per batch.
+_BAND_KEYS_E = make_band_keys(_HP, LSH_BITS, LSH_BANDS_E)
+_BAND_KEYS_ND = make_band_keys(_HP_ND, ND_BITS, ND_BANDS)
+
 
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the prompt's 'LSH-bucketed variant'): sign-
@@ -188,27 +200,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
 
-    def band_key(band: int) -> Column:
-        bits = [
-            F.when(
-                _dot_dec(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(v))
-                              for v in _HP[band * LSH_BITS + b]]),
-                ) > 0, "1").otherwise("0")
-            for b in range(LSH_BITS)
-        ]
-        return F.concat(*bits)
-
     bands = emb.select(
         "vec_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(band).alias("band"),
-                     band_key(band).alias("bkey"))
-            for band in range(LSH_BANDS_E)
-        ])).alias("bk"),
-    ).select("vec_id", F.col("bk.band").alias("band"),
-             F.col("bk.bkey").alias("bkey"))
+        F.posexplode(_BAND_KEYS_E(F.col("embedding")))
+        .alias("band", "bkey"),
+    )
     qb = bands.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"), "band", "bkey")
     cand = (
@@ -308,27 +304,11 @@ def embedding_neardup_pairs_blocked(
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
 
-    def band_key(band: int) -> Column:
-        bits = [
-            F.when(
-                _dot_dec(
-                    F.col("embedding"),
-                    F.array(*[F.lit(float(v))
-                              for v in _HP_ND[band * ND_BITS + b]]),
-                ) > 0, "1").otherwise("0")
-            for b in range(ND_BITS)
-        ]
-        return F.concat(*bits)
-
     bands = emb.select(
         F.col("vec_id").alias("doc_id"),
-        F.explode(F.array(*[
-            F.struct(F.lit(band).alias("band"),
-                     band_key(band).alias("band_key"))
-            for band in range(ND_BANDS)
-        ])).alias("bk"),
-    ).select("doc_id", F.col("bk.band").alias("band"),
-             F.col("bk.band_key").alias("band_key"))
+        F.posexplode(_BAND_KEYS_ND(F.col("embedding")))
+        .alias("band", "band_key"),
+    ).select("doc_id", "band", "band_key")
     cands = _bucket_pairs(bands, EMB_BUCKET_CAP)
     a = emb.select(F.col("vec_id").alias("d1"),
                    F.col("embedding").alias("ea"), F.col("norm").alias("na"))

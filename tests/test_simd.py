@@ -1,0 +1,82 @@
+"""Differential tests for functions/simd.py: the Arrow-vectorized
+grid kernels must compute numbers IDENTICAL to the interpreted
+higher-order-lambda forms they replaced (similarity._dot_dec), on the
+real fixtures and on adversarial half-boundary values — the rounding
+parity argument is in simd.py's module docstring; these tests pin it
+empirically."""
+
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.simd import grid_dot, make_band_keys
+from mapreduce_go_spark.operators import similarity as sim
+
+
+def test_grid_dot_matches_interpreted_on_fixtures(spark, sf_dir):
+    """Every query-vector x candidate pair dot + every self-dot (norm)
+    over the real embeddings: vectorized == interpreted, exactly."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < sim.N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"))
+    pairs = F.broadcast(q).crossJoin(
+        emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("ce")))
+    diff = pairs.select(
+        grid_dot(F.col("qe"), F.col("ce")).alias("v"),
+        sim._dot_dec(F.col("qe"), F.col("ce")).alias("r"),
+    ).where(F.col("v") != F.col("r"))
+    assert diff.count() == 0
+
+    norms = emb.select(
+        grid_dot(F.col("embedding"), F.col("embedding")).alias("v"),
+        sim._dot_dec(F.col("embedding"), F.col("embedding")).alias("r"),
+    ).where(F.col("v") != F.col("r"))
+    assert norms.count() == 0
+
+
+def test_grid_dot_half_boundary_values(spark):
+    """Products landing exactly on k+0.5 on the 1e12 grid: half-away
+    (numpy/DuckDB) and BigDecimal HALF_UP (Spark F.round) must agree —
+    they do for |p| < 2^51 because those halves are representable."""
+    halves = [2.5e-12, -2.5e-12, 0.5e-12, -0.5e-12, 7.5e-12,
+              1.0, -1.0, 0.0, 3.141592653589793e-6]
+    rows = [([float(x)], [1.0]) for x in halves]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(
+        grid_dot(F.col("a"), F.col("b")).alias("v"),
+        sim._dot_dec(F.col("a"), F.col("b")).alias("r"),
+    ).collect()
+    for r in got:
+        assert r.v == r.r, (r.v, r.r)
+
+
+def test_band_keys_match_interpreted_signature(spark, sf_dir):
+    """The one-matmul band keys equal the per-plane interpreted grid
+    dot signs, for both banding configurations, on every fixture
+    vector."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+
+    for planes, bits, bands in (
+        (sim._HP, sim.LSH_BITS, sim.LSH_BANDS_E),
+        (sim._HP_ND, sim.ND_BITS, sim.ND_BANDS),
+    ):
+        udf = make_band_keys(planes, bits, bands)
+
+        def interp_key(band):
+            cols = [
+                F.when(
+                    sim._dot_dec(
+                        F.col("embedding"),
+                        F.array(*[F.lit(float(v))
+                                  for v in planes[band * bits + b]]),
+                    ) > 0, "1").otherwise("0")
+                for b in range(bits)
+            ]
+            return F.concat(*cols)
+
+        diff = emb.select(
+            udf(F.col("embedding")).alias("keys"),
+            F.array(*[interp_key(band) for band in range(bands)])
+            .alias("ref"),
+        ).where(F.col("keys") != F.col("ref"))
+        assert diff.count() == 0, f"bits={bits} bands={bands}"
