@@ -40,9 +40,86 @@ def dround(col: Column, scale: int = 2) -> Column:
     return F.round(col.cast(_DEC), scale).cast("double")
 
 
+def grid(col: Column, scale: int) -> Column:
+    """Exact per-row integer grid: round(x * scale) as int64.
+
+    Cross-engine parity: Spark F.round(double) (BigDecimal HALF_UP on
+    the shortest decimal representation) and DuckDB round(double)
+    (half away from zero on the binary value) agree for every
+    |x * scale| < 2^51 — the proof is in functions/simd.py's module
+    docstring (every half-integer below 2^51 is exactly representable,
+    so the two rounding rules see the same value). Callers must keep
+    |x * scale| under 2^51."""
+    return F.round(col * F.lit(scale)).cast("long")
+
+
+def partitioned_grid_sums(df, keys: list[str], specs, counts=()):
+    """Exact SUMs that stay int64 in the hot path and survive 100 TB.
+
+    A plain decimal(18,6) SUM is exact but its widened sum buffer
+    (decimal(28,6)) is Int128-backed — measured ~4x slower than long
+    sums. A single-level int64 sum of grid() values is fast but a
+    global per-group total can overflow int64 at extreme scale (6
+    groups x 1e12 rows). This helper does both levels right:
+
+      1. partial: groupBy(keys + spark_partition_id()) summing
+         grid(col, scale) as int64 — map-side combine collapses each
+         input partition to |groups| rows before any exchange, and the
+         partial is bounded by rows-per-partition (~2M at 128 MB
+         splits) x the per-row grid value, orders of magnitude under
+         2^63;
+      2. final: the tiny partial set (|groups| x n_partitions rows)
+         re-aggregated with decimal(28,0) sums — exact, unbounded, and
+         off the hot path.
+
+    Integer addition is associative, so the two-level total is
+    bit-identical to a single-level sum — the DuckDB oracle can use
+    plain sum(cast(round(x*scale) AS bigint)) and match exactly.
+
+    spark_partition_id() is stable under task retry (same input split
+    -> same id) and no exchange precedes it, so speculative
+    re-execution recomputes identical partials.
+
+    specs: [(name, Column, scale)] -> output column `name` =
+    decimal(38,0) total in 1/scale units. counts: names for count(*)
+    outputs (summed longs at the final level).
+    """
+    partial = df.groupBy(
+        *keys, F.spark_partition_id().alias("_pid")
+    ).agg(
+        *[F.sum(grid(c, s)).alias(n) for n, c, s in specs],
+        *[F.count("*").alias(n) for n in counts],
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(F.col(n).cast("decimal(28,0)")).alias(n)
+          for n, _, _ in specs],
+        *[F.sum(n).alias(n) for n in counts],
+    )
+
+
 def dround_sql(expr: str, scale: int = 2) -> str:
     return (f"cast(round(cast(({expr}) AS decimal(18,6)), {scale})"
             f" AS double)")
+
+
+def gsum_sql(expr: str, scale: int, out: int = 2) -> str:
+    """DuckDB twin of a partitioned_grid_sums total finalized to `out`
+    decimals: integer addition is associative, so DuckDB's single-
+    level sum of the same grid values is bit-identical to Spark's
+    two-level total; both sides then cast the exact integer to double
+    (correctly rounded in both engines), divide by the grid scale and
+    dround."""
+    return dround_sql(
+        f"cast(sum(cast(round(({expr}) * {scale}) AS bigint))"
+        f" AS double) / {scale}", out)
+
+
+def gavg_sql(expr: str, scale: int, out: int = 6) -> str:
+    """DuckDB twin of a grid-sum average: same exact integer total,
+    same double division sequence (/scale then /count), same final
+    round."""
+    return (f"round(cast(sum(cast(round(({expr}) * {scale}) AS bigint))"
+            f" AS double) / {scale} / count(*), {out})")
 
 
 def dsum_sql(expr: str, scale: int = 2) -> str:

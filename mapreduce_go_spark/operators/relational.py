@@ -25,7 +25,9 @@ from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
 from mapreduce_go_spark.functions.num import (davg, davg_sql, dround,
-                                              dround_sql, dsum, dsum_sql)
+                                              dround_sql, dsum, dsum_sql,
+                                              gavg_sql, gsum_sql,
+                                              partitioned_grid_sums)
 
 
 # --- D1 projection -------------------------------------------------------
@@ -62,36 +64,40 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash agg."""
     li = tables.load(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
-    # decimal(8,2) inputs keep the sum buffer at decimal(18,2) —
-    # long-backed, ~30% faster — safe ONLY for bounded measures
-    # (qty<=1e6, discount<=1: group sums stay < 1e16 even at 100 TB).
-    # Price sums stay decimal(18,6): their group sums could reach the
-    # 1e16 long-backed cap at extreme scale.
-    small = lambda c: c.cast("decimal(8,2)")  # noqa: E731
-    grouped = (
-        li.where(F.col("l_shipdate") <= "2001-09-02")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum(small(F.col("l_quantity"))).alias("_sq"),
-            F.sum(dec(F.col("l_extendedprice"))).alias("_sp"),
-            F.sum(dec(disc_price)).alias("_sd"),
-            F.sum(dec(disc_price * (1 + F.col("l_tax")))).alias("_sc"),
-            F.sum(small(F.col("l_discount"))).alias("_sdisc"),
-            F.count("*").alias("count_order"),
-        )
+    # Exact sums on per-row integer grids (int64 hot path + decimal
+    # final, see partitioned_grid_sums). Grid scales = the measures'
+    # exact decimal widths: inputs have 2 dp, so qty/price/discount
+    # are exact at 1e2, disc_price (2dp x 2dp product) at 1e4, charge
+    # (three 2dp factors) at 1e6. Per-row grid magnitudes (<=1.2e11
+    # for charge) stay far under the 2^51 rounding-parity bound and
+    # per-partition int64 partials under 2^63 by ~38x at 128 MB
+    # splits.
+    tot = partitioned_grid_sums(
+        li.where(F.col("l_shipdate") <= "2001-09-02"),
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("_sq", F.col("l_quantity"), 100),
+            ("_sp", F.col("l_extendedprice"), 100),
+            ("_sd", disc_price, 10_000),
+            ("_sc", disc_price * (1 + F.col("l_tax")), 1_000_000),
+            ("_sdisc", F.col("l_discount"), 100),
+        ],
+        counts=("count_order",),
     )
     n = F.col("count_order")
-    return grouped.select(
+    out2 = lambda c, s: dround(c.cast("double") / s, 2)  # noqa: E731
+    avg6 = lambda c, s: F.round(  # noqa: E731
+        c.cast("double") / s / n, 6)
+    return tot.select(
         "l_returnflag",
         "l_linestatus",
-        F.round(F.col("_sq"), 2).cast("double").alias("sum_qty"),
-        F.round(F.col("_sp"), 2).cast("double").alias("sum_base_price"),
-        F.round(F.col("_sd"), 2).cast("double").alias("sum_disc_price"),
-        F.round(F.col("_sc"), 2).cast("double").alias("sum_charge"),
-        F.round(F.col("_sq").cast("double") / n, 6).alias("avg_qty"),
-        F.round(F.col("_sp").cast("double") / n, 6).alias("avg_price"),
-        F.round(F.col("_sdisc").cast("double") / n, 6).alias("avg_disc"),
+        out2(F.col("_sq"), 100).alias("sum_qty"),
+        out2(F.col("_sp"), 100).alias("sum_base_price"),
+        out2(F.col("_sd"), 10_000).alias("sum_disc_price"),
+        out2(F.col("_sc"), 1_000_000).alias("sum_charge"),
+        avg6(F.col("_sq"), 100).alias("avg_qty"),
+        avg6(F.col("_sp"), 100).alias("avg_price"),
+        avg6(F.col("_sdisc"), 100).alias("avg_disc"),
         "count_order",
     )
 
@@ -287,13 +293,13 @@ ORACLES = {
     """,
     "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
-               {dsum_sql('l_quantity')} AS sum_qty,
-               {dsum_sql('l_extendedprice')} AS sum_base_price,
-               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
-               {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
-               {davg_sql('l_quantity')} AS avg_qty,
-               {davg_sql('l_extendedprice')} AS avg_price,
-               {davg_sql('l_discount')} AS avg_disc,
+               {gsum_sql('l_quantity', 100)} AS sum_qty,
+               {gsum_sql('l_extendedprice', 100)} AS sum_base_price,
+               {gsum_sql('l_extendedprice * (1 - l_discount)', 10000)} AS sum_disc_price,
+               {gsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 1000000)} AS sum_charge,
+               {gavg_sql('l_quantity', 100)} AS avg_qty,
+               {gavg_sql('l_extendedprice', 100)} AS avg_price,
+               {gavg_sql('l_discount', 100)} AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= timestamp '2001-09-02'
