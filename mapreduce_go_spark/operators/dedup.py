@@ -157,7 +157,12 @@ def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     h_i = (a + i*b) mod 2^56 — the classic affine family, 12x fewer
     hashes than hashing (seed, shingle) pairs. Single shuffle
     (groupBy doc_id) with map-side partial min aggregation."""
-    docs = tables.load(spark, sf_dir, "documents")
+    return _minhash_sig_df(tables.load(spark, sf_dir, "documents"))
+
+
+def _minhash_sig_df(docs: DataFrame) -> DataFrame:
+    """_minhash_sig over an arbitrary (doc_id, text) DataFrame — the
+    form the streaming near-dup job feeds micro-batches through."""
     sh = _shingles_all(docs).withColumn("h", F.md5("shingle"))
     a = F.conv(F.substring("h", 1, 14), 16, 10).cast("long")
     b = F.conv(F.substring("h", 15, 14), 16, 10).cast("long")
@@ -234,7 +239,11 @@ def _lsh_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, band, band_key) rows — band keys hashed straight off
     the wide signature, shared by the capped and uncapped pair
     generators."""
-    wide = _minhash_sig(spark, sf_dir)
+    return _lsh_bands_df(_minhash_sig(spark, sf_dir))
+
+
+def _lsh_bands_df(wide: DataFrame) -> DataFrame:
+    """Band keys from an already-computed wide signature DataFrame."""
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),

@@ -314,6 +314,110 @@ def run_continuous_rollup(spark: SparkSession, stream: DataFrame,
         q.stop()
 
 
+def documents_stream(spark: SparkSession, staged_dir: str,
+                     schema) -> DataFrame:
+    """readStream over staged document parquet files, one file per
+    micro-batch (maxFilesPerTrigger=1) so arrival order is the staged
+    file order."""
+    return (spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1).parquet(staged_dir))
+
+
+def _neardup_index_dir(out_dir: str, epoch_id: int) -> str:
+    return os.path.join(out_dir, f"v={epoch_id}")
+
+
+def _neardup_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str,
+                   flags_dir: str) -> None:
+    """One micro-batch of streaming near-dup detection, idempotent
+    under epoch replay (same versioned-snapshot discipline as
+    _merge_rollup_epoch).
+
+    The batch's docs get minhash-LSH band keys
+    (operators.dedup._lsh_bands_df — the SAME signature pipeline as
+    the batch dedup family); a doc is flagged `dup` iff one of its
+    band keys already exists in the persistent band index (built from
+    all PRIOR epochs) or is shared with an earlier doc (lower doc_id)
+    in the SAME batch. All of the batch's bands — dup or not — then
+    append into a new index snapshot, so the decision is pure
+    "collides with anything seen before", exactly the batch
+    `_bucket_pairs` candidate relation restricted to cross-time pairs.
+
+    Scale shape: the index is (band, band_key, min doc_id) — one row
+    per distinct bucket, NOT per doc; the per-batch probe is an
+    equi-join on (band, band_key) against that index. At production
+    scale the parquet snapshot chain becomes a Delta/Iceberg MERGE
+    (and degenerate buckets get the LSH_BUCKET_CAP treatment); the
+    probe/append plan is unchanged."""
+    from mapreduce_go_spark.operators.dedup import (_lsh_bands_df,
+                                                    _minhash_sig_df)
+
+    target = _neardup_index_dir(out_dir, epoch_id)
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    bands = _lsh_bands_df(_minhash_sig_df(batch_df))
+    # earliest holder per bucket within this batch (for in-batch dups)
+    batch_idx = bands.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("first_doc"))
+    prev = _latest_rollup_version(out_dir, below=epoch_id)
+    if prev is None:
+        index = batch_idx
+        probe = bands.join(batch_idx, ["band", "band_key"]).where(
+            F.col("doc_id") > F.col("first_doc"))
+    else:
+        hist = spark.read.parquet(_neardup_index_dir(out_dir, prev))
+        index = (
+            hist.unionByName(batch_idx)
+            .groupBy("band", "band_key")
+            .agg(F.min("first_doc").alias("first_doc"))
+        )
+        hit_hist = bands.join(hist, ["band", "band_key"]).select("doc_id")
+        hit_batch = bands.join(batch_idx, ["band", "band_key"]).where(
+            F.col("doc_id") > F.col("first_doc")).select("doc_id")
+        probe = hit_hist.unionByName(hit_batch)
+    dups = probe.select("doc_id").distinct()
+
+    flags = (
+        batch_df.select("doc_id")
+        .join(dups.withColumn("dup", F.lit(True)), "doc_id", "left")
+        .fillna(False, subset=["dup"])
+    )
+    # flags first: a crash between the two writes leaves no _SUCCESS on
+    # the index snapshot, so the epoch replays wholesale (both writes
+    # are overwrite-by-epoch — idempotent).
+    flags.write.mode("overwrite").parquet(
+        os.path.join(flags_dir, f"epoch={epoch_id}"))
+    index.write.mode("overwrite").parquet(target)
+
+
+def run_streaming_neardup(spark: SparkSession, stream: DataFrame,
+                          index_dir: str, flags_dir: str,
+                          checkpoint_dir: str) -> None:
+    """Streaming near-duplicate detection: the D17 minhash-LSH dedup
+    as an incremental pipeline. Each micro-batch probes + extends a
+    persistent band index; outputs a per-epoch (doc_id, dup) flag
+    table. Exactly-once: checkpointed offsets + versioned index
+    snapshots + epoch-keyed flag partitions (replay overwrites
+    itself; tests re-fire an epoch to prove no drift)."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _neardup_epoch(batch_df, epoch_id, index_dir, flags_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_neardup_flags(spark: SparkSession, flags_dir: str) -> DataFrame:
+    """All epochs' (doc_id, dup) flags."""
+    return spark.read.parquet(flags_dir)
+
+
 def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
                   name: str, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion against the staged input

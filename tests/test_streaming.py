@@ -232,3 +232,84 @@ def test_stream_static_enrichment_matches_batch(spark, sf_dir, staged):
         "t_enrich", "complete")
     _assert_same("enrichment", out,
                  streaming_batch.event_enrichment(spark, sf_dir))
+
+
+def _stage_docs_in_ranges(spark, sf_dir, src, n_batches=3):
+    """Write the documents table as n_batches doc_id-range parquet
+    dirs, sequentially (file-source mtime order == doc_id order)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    step = (hi + n_batches) // n_batches
+    for i in range(n_batches):
+        part = docs.where(
+            (F.col("doc_id") >= i * step) & (F.col("doc_id") < (i + 1) * step))
+        part.coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+    return docs
+
+
+def test_streaming_neardup_matches_batch_candidates(spark, sf_dir, tmp_path):
+    """Streaming minhash-LSH near-dup over 3 doc_id-ordered
+    micro-batches: the dup-flagged set must equal the batch LSH
+    candidate relation's 'later doc of some pair' set — the signature
+    pipeline is per-doc, so batching must not change any decision."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark.operators import dedup
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+
+    stream = jobs.documents_stream(spark, str(tmp_path / "docs_src/*"),
+                                   docs.schema)
+    idx = str(tmp_path / "nd_index")
+    flags_dir = str(tmp_path / "nd_flags")
+    jobs.run_streaming_neardup(spark, stream, idx, flags_dir,
+                               str(tmp_path / "nd_ck"))
+
+    flags = jobs.read_neardup_flags(spark, flags_dir)
+    assert flags.count() == docs.count()  # every doc flagged exactly once
+    got_dups = {r.doc_id for r in flags.where("dup").collect()}
+
+    pairs = dedup._bucket_pairs(dedup._lsh_bands(spark, sf_dir))
+    want_dups = {r.d2 for r in pairs.select("d2").distinct().collect()}
+    assert got_dups == want_dups
+    assert want_dups, "fixture must contain at least one near-dup pair"
+
+
+def test_streaming_neardup_epoch_replay_is_idempotent(spark, sf_dir,
+                                                      tmp_path):
+    """Re-firing an already-committed epoch (foreachBatch crash
+    replay) must change neither the band index nor the flags."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    idx = str(tmp_path / "nd_index")
+    flags_dir = str(tmp_path / "nd_flags")
+    docs = tables.load(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    h1 = docs.where(F.col("doc_id") <= med)
+    h2 = docs.where(F.col("doc_id") > med)
+
+    jobs._neardup_epoch(h1, 0, idx, flags_dir)
+    jobs._neardup_epoch(h2, 1, idx, flags_dir)
+    flags = jobs.read_neardup_flags(spark, flags_dir)
+    once = sorted(map(tuple, flags.collect()))
+    idx_once = sorted(map(tuple, spark.read.parquet(
+        jobs._neardup_index_dir(idx, 1)).collect()))
+
+    jobs._neardup_epoch(h2, 1, idx, flags_dir)  # crash replay
+    flags2 = jobs.read_neardup_flags(spark, flags_dir)
+    assert sorted(map(tuple, flags2.collect())) == once
+    idx_twice = sorted(map(tuple, spark.read.parquet(
+        jobs._neardup_index_dir(idx, 1)).collect()))
+    assert idx_twice == idx_once
