@@ -80,3 +80,37 @@ def test_band_keys_match_interpreted_signature(spark, sf_dir):
             .alias("ref"),
         ).where(F.col("keys") != F.col("ref"))
         assert diff.count() == 0, f"bits={bits} bands={bands}"
+
+
+def test_grid_rounding_parity_property():
+    """Property test of the module-docstring proof WITHOUT Spark in
+    the loop: for |p| < 2^51, numpy half-away-from-zero rounding of
+    the binary value (what functions.simd._grid and DuckDB compute)
+    must equal BigDecimal-style HALF_UP on the double's shortest
+    decimal representation (what Spark F.round computes — Python's
+    repr() is the same shortest-repr algorithm). Random doubles plus
+    adversarial exact halves."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mapreduce_go_spark.functions.simd import _grid
+
+    def spark_style(p: float) -> int:
+        return int(Decimal(repr(p)).quantize(Decimal(1), ROUND_HALF_UP))
+
+    limit = float(2**50)
+    finite = st.floats(min_value=-limit, max_value=limit,
+                       allow_nan=False, allow_infinity=False)
+    halves = st.integers(min_value=-(2**50), max_value=2**50).map(
+        lambda k: k + 0.5)
+
+    @given(st.one_of(finite, halves))
+    @settings(max_examples=500, deadline=None)
+    def check(p):
+        got = int(_grid(np.array([p]))[0])
+        assert got == spark_style(p), (p, got, spark_style(p))
+
+    check()
