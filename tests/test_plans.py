@@ -99,3 +99,19 @@ def test_embedding_neardup_blocked_no_crossjoin(spark, sf_dir):
     p = plan_of(similarity.embedding_neardup_pairs_blocked(spark, sf_dir))
     assert "CartesianProduct" not in p, p
     assert "BroadcastNestedLoop" not in p, p
+
+
+def test_pricing_summary_hot_path_sums_longs(spark, sf_dir):
+    """The flagship aggregate's per-row level must sum int64 grid
+    values, never a wide (Int128-backed) decimal buffer — the
+    partitioned_grid_sums contract (functions/num.py): decimals may
+    appear only in the final level over the tiny partial set."""
+    df = relational.pricing_summary(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    partials = [ln for ln in plan.splitlines() if "partial_sum" in ln]
+    assert partials, plan
+    # the deepest partial agg (listed last) is the per-row one
+    deepest = partials[-1]
+    assert "cast(round(" in deepest and "as bigint)" in deepest, deepest
+    assert "decimal(28" not in deepest and "decimal(18" not in deepest, (
+        deepest)
