@@ -2,7 +2,7 @@
 columns (struct/array/map from JSON), opaque binary payloads with
 typed metadata, and Arrow-batched media decoding.
 
-`decode_image` is a REAL stdlib decoder for the PNG/GIF/BMP container
+`decode_image` is a REAL stdlib decoder for the PNG/GIF/BMP/JPEG container
 headers (magic sniff + struct.unpack of the dimensioned header,
 format-derived channel counts, ValueError on corrupt input), validated
 against committed genuine image files in tests/fixtures/. Only
@@ -112,9 +112,31 @@ def make_bmp(width: int, height: int, body: bytes = b"") -> bytes:
     return filehdr + info + body
 
 
+# JPEG markers whose segment carries the frame header (SOF0..SOF15
+# minus DHT/JPG/DAC which share the 0xC, JPEG spec table B.1)
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+# markers with NO length field (standalone): TEM, RSTn, SOI, EOI
+_JPEG_STANDALONE = {0x01, *range(0xD0, 0xD8), 0xD8, 0xD9}
+
+
+def make_jpeg(width: int, height: int, body: bytes = b"") -> bytes:
+    """SOI + APP0/JFIF + SOF0 (8-bit, 3 components) + `body` standing
+    in for the entropy-coded stream. The SOF0 is NOT at a fixed offset
+    in real files — decode_image finds it by walking segments."""
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01" \
+        + b"\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    comps = b"".join(struct.pack("BBB", cid, 0x11, 0)
+                     for cid in (1, 2, 3))
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * 3, 8,
+                                    height, width, 3) + comps
+    return b"\xff\xd8" + app0 + sof + body
+
+
 _PNG_BODY_OFF = 8 + 4 + 4 + 13 + 4   # magic + IHDR len/type/data/crc
 _GIF_BODY_OFF = 6 + 4 + 3            # signature + screen desc + flags
 _BMP_BODY_OFF = 14 + 40              # file header + info header
+_JPEG_BODY_OFF = 2 + 18 + 19         # SOI + APP0(2+16) + SOF0(2+17)
 
 
 def decode_image(payload: bytes) -> dict:
@@ -142,6 +164,31 @@ def decode_image(payload: bytes) -> dict:
             raise ValueError("truncated BMP header")
         _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
         fmt, channels, body = "bmp", bpp // 8, payload[_BMP_BODY_OFF:]
+    elif payload[:2] == b"\xff\xd8":
+        # JPEG: the frame header is not at a fixed offset — walk the
+        # segment chain (marker, big-endian length) until a SOF marker,
+        # skipping standalone markers, exactly as a real parser does.
+        off, found = 2, False
+        while off + 4 <= len(payload):
+            if payload[off] != 0xFF:
+                raise ValueError("malformed JPEG: lost marker sync")
+            marker = payload[off + 1]
+            if marker in _JPEG_STANDALONE:
+                off += 2
+                continue
+            seglen = struct.unpack(">H", payload[off + 2:off + 4])[0]
+            if marker in _JPEG_SOF:
+                if off + 4 + 6 > len(payload):
+                    raise ValueError("truncated JPEG SOF")
+                _prec, h, w, nf = struct.unpack(
+                    ">BHHB", payload[off + 4:off + 10])
+                fmt, channels = "jpeg", nf
+                body = payload[off + 2 + seglen:]
+                found = True
+                break
+            off += 2 + seglen
+        if not found:
+            raise ValueError("JPEG without SOF frame header")
     else:
         raise ValueError("unknown container format")
     luma = float(sum(body[:64]) % 256)
@@ -161,7 +208,7 @@ MEDIA_FEATURE_SCHEMA = StructType([
 
 # Deterministic per-doc payload synthesis (the fixtures ship no media
 # files; TESTDATA is read-only): dims derive from doc_id, the doc's
-# text bytes play the pixel stream, format rotates PNG/GIF/BMP so all
+# text bytes play the pixel stream, format rotates PNG/GIF/BMP/JPEG so all
 # three parsers run, and every 11th doc is truncated to exercise the
 # decoder's error path. The ORACLE recomputes the same fields from
 # doc_id/text arithmetic — so if decode_image mis-parsed any header
@@ -177,12 +224,14 @@ def make_media_payload(doc_id: int, body: bytes) -> bytes:
     w, h = _media_dims(doc_id)
     if doc_id % CORRUPT_EVERY == 0:
         return body[:4]  # truncated junk: no parseable header
-    fmt = doc_id % 3
+    fmt = doc_id % 4
     if fmt == 0:
         return make_png(w, h, body)
     if fmt == 1:
         return make_gif(w, h, body)
-    return make_bmp(w, h, body)
+    if fmt == 2:
+        return make_bmp(w, h, body)
+    return make_jpeg(w, h, body)
 
 
 def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -368,24 +417,27 @@ ORACLES = {
     """,
     # Recomputes every field decode_image parses out of the container
     # bytes via doc_id/text arithmetic (payload synthesis is
-    # deterministic): header sizes are the real PNG/GIF/BMP layouts
-    # (33/13/54 bytes), dims are the synthesis formula, channels=3 for
-    # all three synthesized variants (PNG color type 2, GIF, 24-bit
-    # BMP), corrupt rows (doc_id % 11 = 0) have NULL features. A
-    # mis-parse of any header field on the Spark side breaks the match.
+    # deterministic): header sizes are the real PNG/GIF/BMP/JPEG
+    # layouts (33/13/54/39 bytes), dims are the synthesis formula,
+    # channels=3 for all four synthesized variants (PNG color type 2,
+    # GIF, 24-bit BMP, 3-component SOF0), corrupt rows (doc_id % 11 =
+    # 0) have NULL features. A mis-parse of any header field on the
+    # Spark side — including the JPEG segment walk — breaks the match.
     "media_features": f"""
         SELECT doc_id,
                cast(CASE doc_id % {CORRUPT_EVERY} WHEN 0
                     THEN least(octet_length(encode(text)), 4)
                     ELSE octet_length(encode(text))
-                         + CASE doc_id % 3 WHEN 0 THEN 33
+                         + CASE doc_id % 4 WHEN 0 THEN 33
                                            WHEN 1 THEN 13
-                                           ELSE 54 END
+                                           WHEN 2 THEN 54
+                                           ELSE 39 END
                     END AS int) AS n_bytes,
                CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN 'corrupt'
-                    ELSE CASE doc_id % 3 WHEN 0 THEN 'png'
+                    ELSE CASE doc_id % 4 WHEN 0 THEN 'png'
                                          WHEN 1 THEN 'gif'
-                                         ELSE 'bmp' END END AS format,
+                                         WHEN 2 THEN 'bmp'
+                                         ELSE 'jpeg' END END AS format,
                cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
                     ELSE 16 + (doc_id * 7) % 240 END AS int) AS width,
                cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL

@@ -15,6 +15,10 @@ FIXTURES = pathlib.Path(__file__).parent / "fixtures"
     ("sample_7x5.png", "png", 7, 5, 3),
     ("sample_4x3.gif", "gif", 4, 3, 3),
     ("sample_6x2.bmp", "bmp", 6, 2, 3),
+    # real baseline JPEG (from the nodejs doc assets shipped in this
+    # container) — exercises the segment-walking SOF parse on a file
+    # with APP0/DQT/DHT segments before the frame header
+    ("sample_493x58.jpg", "jpeg", 493, 58, 3),
 ])
 def test_decode_real_image_files(fname, fmt, w, h, ch):
     """decode_image parses committed REAL image files (valid IDAT/LZW/
@@ -29,7 +33,8 @@ def test_decode_roundtrips_synthesized_payloads():
     body = bytes(range(200))
     for maker, fmt in [(multimodal.make_png, "png"),
                        (multimodal.make_gif, "gif"),
-                       (multimodal.make_bmp, "bmp")]:
+                       (multimodal.make_bmp, "bmp"),
+                       (multimodal.make_jpeg, "jpeg")]:
         feat = multimodal.decode_image(maker(123, 45, body))
         assert (feat["format"], feat["width"], feat["height"]) == (fmt, 123, 45)
         assert feat["mean_luma"] == float(sum(body[:64]) % 256)
@@ -55,7 +60,7 @@ def test_media_features_schema_and_determinism(spark, sf_dir):
     assert a == b  # deterministic across runs
     assert all(r[1] > 0 for r in a)  # n_bytes from real payloads
     fmts = {r[2] for r in a}
-    assert fmts == {"png", "gif", "bmp", "corrupt"}  # all parsers + errors ran
+    assert fmts == {"png", "gif", "bmp", "jpeg", "corrupt"}  # all parsers + errors ran
     parsed = [r for r in a if r[2] != "corrupt"]
     assert all(16 <= r[3] < 256 and 16 <= r[4] < 256 for r in parsed)
     assert all(r[3] is None and r[4] is None
