@@ -102,24 +102,44 @@ def dround_sql(expr: str, scale: int = 2) -> str:
             f" AS double)")
 
 
+def dround_wide(col: Column, scale: int = 2) -> Column:
+    """dround for GROUP TOTALS: decimal(38,6) image instead of
+    (18,6). A 100 TB group sum exceeds decimal(18,6)'s ~1e12 range
+    (Spark would return NULL, DuckDB would raise); the wide cast
+    rounds identically in range and keeps working to ~1e32. Int128-
+    backed, so reserve it for per-group finalization (rows = groups),
+    never per-row hot paths — dround stays the per-row form (a single
+    row's measure can't reach 1e12)."""
+    return F.round(col.cast("decimal(38,6)"), scale).cast("double")
+
+
+def dround_wide_sql(expr: str, scale: int = 2) -> str:
+    return (f"cast(round(cast(({expr}) AS decimal(38,6)), {scale})"
+            f" AS double)")
+
+
 def gsum_sql(expr: str, scale: int, out: int = 2) -> str:
     """DuckDB twin of a partitioned_grid_sums total finalized to `out`
     decimals: integer addition is associative, so DuckDB's single-
     level sum of the same grid values is bit-identical to Spark's
     two-level total; both sides then cast the exact integer to double
     (correctly rounded in both engines), divide by the grid scale and
-    dround."""
-    return dround_sql(
+    dround through the WIDE decimal image (group totals exceed
+    decimal(18,6) range at scale)."""
+    return dround_wide_sql(
         f"cast(sum(cast(round(({expr}) * {scale}) AS bigint))"
         f" AS double) / {scale}", out)
 
 
 def gavg_sql(expr: str, scale: int, out: int = 6) -> str:
     """DuckDB twin of a grid-sum average: same exact integer total,
-    same double division sequence (/scale then /count), same final
-    round."""
-    return (f"round(cast(sum(cast(round(({expr}) * {scale}) AS bigint))"
-            f" AS double) / {scale} / count(*), {out})")
+    same double division sequence (/scale then /count), then the
+    dround discipline — a raw round(double, 6) diverges between
+    engines at .xxxxxx5 boundaries (the class dround exists for);
+    averages are per-row-sized so the (18,6) image suffices."""
+    return dround_sql(
+        f"cast(sum(cast(round(({expr}) * {scale}) AS bigint))"
+        f" AS double) / {scale} / count(*)", out)
 
 
 def dsum_sql(expr: str, scale: int = 2) -> str:

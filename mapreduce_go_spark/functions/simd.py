@@ -55,7 +55,9 @@ _GRID_LIMIT = float(2**51)
 
 def _grid(p: np.ndarray) -> np.ndarray:
     """Half-away-from-zero rounding of p to int64 — bit-identical to
-    Spark F.round(double) and DuckDB round(double) for |p| < 2^51."""
+    Spark F.round(double) and DuckDB round(double) for |p| < 2^51.
+    Callers must pre-filter non-finite values (NaN poisons the limit
+    check AND the int64 cast); see _valid_rows."""
     if p.size and np.max(np.abs(p)) >= _GRID_LIMIT:
         raise ValueError(
             "grid product exceeds 2^51: rounding parity proof no "
@@ -65,17 +67,49 @@ def _grid(p: np.ndarray) -> np.ndarray:
 
 def _stack(s: pd.Series) -> np.ndarray:
     """(n, dim) float64 matrix from a Series of list<float> values.
-    float32 -> float64 widening is exact, matching x.cast('double')."""
+    float32 -> float64 widening is exact, matching x.cast('double').
+    Caller guarantees no None entries (see _valid_rows) and n >= 1."""
     return np.vstack([np.asarray(v, dtype=np.float64) for v in s])
+
+
+def _valid_rows(*series: pd.Series) -> np.ndarray:
+    """Boolean mask of non-NULL rows across the input columns, with
+    the same contract as the interpreted higher-order forms these
+    kernels replace (differentially tested): a NULL array yields a
+    NULL result, while a NON-FINITE element raises — Spark 4 runs
+    ANSI mode, so the interpreted round(NaN).cast('long') fails the
+    query too; silently gridding NaN would instead emit int64
+    garbage (copysign/floor of NaN casts to INT64_MIN)."""
+    mask = np.ones(len(series[0]), dtype=bool)
+    for s in series:
+        for i, v in enumerate(s):
+            if mask[i]:
+                if v is None:
+                    mask[i] = False
+                elif not np.all(np.isfinite(
+                        np.asarray(v, dtype=np.float64))):
+                    raise ValueError(
+                        "non-finite embedding element: the grid "
+                        "kernels (like ANSI round/cast) reject "
+                        "NaN/Inf; clean the input column first")
+    return mask
 
 
 @pandas_udf(DoubleType())
 def grid_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized twin of similarity._dot_dec: exact dot product on
-    the 1e-12 integer grid, summed as int64, returned as double."""
-    A, B = _stack(a), _stack(b)
-    total = _grid(A * B * _SCALE).sum(axis=1)
-    return pd.Series(total / _SCALE)
+    the 1e-12 integer grid, summed as int64, returned as double.
+    NULL / non-finite embeddings yield NULL, matching the interpreted
+    form (differentially tested in tests/test_simd.py)."""
+    if not len(a):
+        return pd.Series([], dtype=object)
+    mask = _valid_rows(a, b)
+    out = np.full(len(a), None, dtype=object)
+    if mask.any():
+        A, B = _stack(a[mask]), _stack(b[mask])
+        total = _grid(A * B * _SCALE).sum(axis=1)
+        out[mask] = total / _SCALE
+    return pd.Series(out, dtype=object)
 
 
 def make_band_keys(planes: list[list[int]], bits: int,
@@ -94,16 +128,25 @@ def make_band_keys(planes: list[list[int]], bits: int,
 
     @pandas_udf(ArrayType(StringType()))
     def band_keys(emb: pd.Series) -> pd.Series:
-        G = _grid(_stack(emb) * _SCALE)             # (n, dim) int64
-        S = G @ H.T                                 # exact int64
-        bit = S > 0                                 # (n, bands*bits)
-        out = [
-            ["".join("1" if row[band * bits + b] else "0"
-                     for b in range(bits))
-             for band in range(bands)]
-            for row in bit
-        ]
-        return pd.Series(out)
+        if not len(emb):
+            return pd.Series([], dtype=object)
+        mask = _valid_rows(emb)
+        out = np.full(len(emb), None, dtype=object)
+        if mask.any():
+            G = _grid(_stack(emb[mask]) * _SCALE)   # (m, dim) int64
+            S = G @ H.T                             # exact int64
+            bit = S > 0                             # (m, bands*bits)
+            keys = [
+                ["".join("1" if row[band * bits + b] else "0"
+                         for b in range(bits))
+                 for band in range(bands)]
+                for row in bit
+            ]
+            # element-wise (numpy would coerce the nested lists into a
+            # 2-D array and fail the masked assignment)
+            for j, i in enumerate(np.nonzero(mask)[0]):
+                out[i] = keys[j]
+        return pd.Series(out, dtype=object)
 
     return band_keys
 

@@ -136,7 +136,9 @@ def make_jpeg(width: int, height: int, body: bytes = b"") -> bytes:
 _PNG_BODY_OFF = 8 + 4 + 4 + 13 + 4   # magic + IHDR len/type/data/crc
 _GIF_BODY_OFF = 6 + 4 + 3            # signature + screen desc + flags
 _BMP_BODY_OFF = 14 + 40              # file header + info header
-_JPEG_BODY_OFF = 2 + 18 + 19         # SOI + APP0(2+16) + SOF0(2+17)
+# (JPEG has no fixed body offset — decode_image derives it from the
+# segment walk; for make_jpeg's synthesized layout it works out to
+# 2 + 18 + 19 = 39 bytes, the constant the media_features oracle uses)
 
 
 def decode_image(payload: bytes) -> dict:
@@ -172,6 +174,10 @@ def decode_image(payload: bytes) -> dict:
         while off + 4 <= len(payload):
             if payload[off] != 0xFF:
                 raise ValueError("malformed JPEG: lost marker sync")
+            # spec B.1.1.2: any number of 0xFF fill bytes may precede
+            # a marker — consume them so the byte after is the marker
+            while payload[off + 1] == 0xFF and off + 4 <= len(payload):
+                off += 1
             marker = payload[off + 1]
             if marker in _JPEG_STANDALONE:
                 off += 2

@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
 from mapreduce_go_spark.functions.num import (davg, davg_sql, dround,
-                                              dround_sql, dsum, dsum_sql,
-                                              gavg_sql, gsum_sql,
+                                              dround_sql, dround_wide,
+                                              dsum, dsum_sql, gavg_sql,
+                                              gsum_sql,
                                               partitioned_grid_sums)
 
 
@@ -85,9 +86,12 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts=("count_order",),
     )
     n = F.col("count_order")
-    out2 = lambda c, s: dround(c.cast("double") / s, 2)  # noqa: E731
-    avg6 = lambda c, s: F.round(  # noqa: E731
-        c.cast("double") / s / n, 6)
+    # totals via the WIDE decimal image (a 100 TB group total blows
+    # past decimal(18,6)); averages are per-row-sized, and dround
+    # (not raw F.round) keeps the final 6-dp rounding cross-engine
+    # stable at .xxxxxx5 boundaries.
+    out2 = lambda c, s: dround_wide(c.cast("double") / s, 2)  # noqa: E731
+    avg6 = lambda c, s: dround(c.cast("double") / s / n, 6)  # noqa: E731
     return tot.select(
         "l_returnflag",
         "l_linestatus",

@@ -63,10 +63,9 @@ def test_hot_path_has_no_int128_decimal_buffer(spark, sf_dir):
     plan = partitioned_grid_sums(
         li, KEYS, _specs(), counts=("n",)
     )._jdf.queryExecution().executedPlan().toString()
-    partial_aggs = [ln for ln in plan.splitlines()
-                    if "partial_sum" in ln and "SPARK_PARTITION_ID" not in ln]
-    first = next(ln for ln in plan.splitlines() if "partial_sum" in ln)
+    partial_aggs = [ln for ln in plan.splitlines() if "partial_sum" in ln]
+    assert partial_aggs, plan
     # the deepest (first-executed, listed last) partial agg is the
     # per-row one: its sum inputs are the grid longs, not decimals
-    deepest = partial_aggs[-1] if partial_aggs else first
+    deepest = partial_aggs[-1]
     assert "cast(round(" in deepest and "as bigint)" in deepest, deepest

@@ -40,6 +40,18 @@ def test_decode_roundtrips_synthesized_payloads():
         assert feat["mean_luma"] == float(sum(body[:64]) % 256)
 
 
+def test_decode_jpeg_with_fill_bytes():
+    """JPEG spec B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker — the segment walk must consume them, not misread the fill
+    byte as a marker and skip a bogus segment length."""
+    j = multimodal.make_jpeg(80, 60, b"body")
+    # inject two fill bytes before the SOF marker (after SOI+APP0)
+    padded = j[:20] + b"\xff\xff" + j[20:]
+    feat = multimodal.decode_image(padded)
+    assert (feat["format"], feat["width"], feat["height"],
+            feat["channels"]) == ("jpeg", 80, 60, 3)
+
+
 def test_decode_raises_on_garbage():
     with pytest.raises(ValueError):
         multimodal.decode_image(b"")

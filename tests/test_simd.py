@@ -114,3 +114,44 @@ def test_grid_rounding_parity_property():
         assert got == spark_style(p), (p, got, spark_style(p))
 
     check()
+
+
+def test_null_rows_match_interpreted_and_nonfinite_raises(spark):
+    """NULL embeddings must produce NULL from the vectorized kernels
+    exactly like the interpreted forms (zip_with/aggregate over a
+    NULL array is NULL) — not a task-killing vstack crash. Non-finite
+    elements must RAISE, matching ANSI-mode Spark where the
+    interpreted round(NaN).cast('long') also fails the query —
+    never silently grid to INT64_MIN garbage."""
+    import pytest
+
+    rows = [
+        ([1.0, 2.0], [3.0, 4.0]),   # clean
+        (None, [1.0, 1.0]),         # NULL left
+        ([1.0, 1.0], None),         # NULL right
+        ([0.5, -0.25], [4.0, 8.0]),  # clean again (mask mixing)
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(
+        grid_dot(F.col("a"), F.col("b")).alias("v"),
+        sim._dot_dec(F.col("a"), F.col("b")).alias("r"),
+    ).collect()
+    for r in got:
+        assert r.v == r.r, (r.v, r.r)
+
+    bad = spark.createDataFrame(
+        [([float("nan"), 1.0], [1.0, 1.0])],
+        "a array<double>, b array<double>")
+    with pytest.raises(Exception, match="non-finite|CAST_OVERFLOW"):
+        bad.select(grid_dot(F.col("a"), F.col("b"))).collect()
+    with pytest.raises(Exception, match="non-finite|CAST_OVERFLOW"):
+        bad.select(sim._dot_dec(F.col("a"), F.col("b"))).collect()
+
+    # band keys: NULL row -> NULL key array, clean rows -> keys
+    udf = make_band_keys(sim._HP_ND, sim.ND_BITS, sim.ND_BANDS)
+    emb = spark.createDataFrame(
+        [([0.1] * 64,), (None,)], "embedding array<double>")
+    keys = [r.k for r in emb.select(udf(F.col("embedding")).alias("k"))
+            .collect()]
+    assert keys[0] is not None and len(keys[0]) == sim.ND_BANDS
+    assert keys[1] is None
