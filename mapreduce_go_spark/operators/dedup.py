@@ -318,6 +318,24 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-dup verdict: dup = the doc shares an LSH
+    bucket with an EARLIER doc (appears as the later member of a
+    candidate pair). This is the batch anchor of the incremental
+    streaming job (streaming/jobs.run_streaming_neardup) —
+    tests/test_streaming.py proves the streamed per-epoch flags equal
+    this relation exactly, and the oracle here value-checks the
+    relation itself."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pairs = _bucket_pairs(_lsh_bands(spark, sf_dir))
+    dups = pairs.select(F.col("d2").alias("doc_id")).distinct()
+    return (
+        docs.select("doc_id")
+        .join(dups.withColumn("dup", F.lit(True)), "doc_id", "left")
+        .fillna(False, subset=["dup"])
+    )
+
+
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch calibration: for every LSH candidate pair, the MinHash
     Jaccard estimate = (# agreeing permutations)/12. Downstream
@@ -515,6 +533,7 @@ QUERIES = {
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_capped": dedup_minhash_pairs_capped,
+    "neardup_flags": neardup_flags,
     "dedup_verified_pairs": dedup_verified_pairs,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "simhash": simhash,
@@ -629,6 +648,21 @@ ORACLES = {
         SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
         FROM bands x JOIN bands y USING (band, band_key)
         WHERE x.doc_id < y.doc_id
+    """,
+    "neardup_flags": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        ),
+        later AS (
+            SELECT DISTINCT y.doc_id
+            FROM bands x JOIN bands y USING (band, band_key)
+            WHERE x.doc_id < y.doc_id
+        )
+        SELECT d.doc_id, (l.doc_id IS NOT NULL) AS dup
+        FROM documents d LEFT JOIN later l ON l.doc_id = d.doc_id
     """,
     "dedup_minhash_pairs_capped": _MINHASH_SQL + f""",
         bands AS (

@@ -276,13 +276,12 @@ def test_streaming_neardup_matches_batch_candidates(spark, sf_dir, tmp_path):
                                str(tmp_path / "nd_ck"))
 
     flags = jobs.read_neardup_flags(spark, flags_dir)
-    assert flags.count() == docs.count()  # every doc flagged exactly once
-    got_dups = {r.doc_id for r in flags.where("dup").collect()}
-
-    pairs = dedup._bucket_pairs(dedup._lsh_bands(spark, sf_dir))
-    want_dups = {r.d2 for r in pairs.select("d2").distinct().collect()}
-    assert got_dups == want_dups
-    assert want_dups, "fixture must contain at least one near-dup pair"
+    got = sorted((r.doc_id, r.dup) for r in flags.collect())
+    want = sorted((r.doc_id, r.dup)
+                  for r in dedup.neardup_flags(spark, sf_dir).collect())
+    assert got == want  # full (doc_id, dup) relation, every doc once
+    assert any(d for _, d in want), \
+        "fixture must contain at least one near-dup pair"
 
 
 def test_streaming_neardup_epoch_replay_is_idempotent(spark, sf_dir,
