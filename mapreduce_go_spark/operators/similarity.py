@@ -329,12 +329,39 @@ def embedding_neardup_pairs_blocked(
     )
 
 
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 symmetric per-vector quantization — the standard
+    vector-DB / ANN-index prep step: scale = max|x|/127, q_i =
+    round(x_i * 127 / max|x|) in [-127, 127]. Mapper-only, no
+    shuffle, 4-8x index-size reduction at 100 TB.
+
+    Cross-engine exactness: max of doubles is exact, the IEEE
+    division is bit-identical, and the per-element round rides the
+    2^51 rounding-parity proof (functions/simd.py) since |product|
+    <= 127. Zero vectors quantize to zeros (the division would be
+    NaN, which ANSI round rejects)."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    x = F.col("embedding")
+    maxabs = F.array_max(
+        F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q = F.transform(
+        x, lambda v: F.round(v.cast("double") * 127 / maxabs).cast("int"))
+    zeros = F.transform(x, lambda v: F.lit(0))
+    return emb.select(
+        "vec_id",
+        F.round((maxabs / 127).cast(_DEC), 6).cast("double")
+        .alias("scale"),
+        F.when(maxabs == 0, zeros).otherwise(q).alias("qvec"),
+    )
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_pairs_blocked": embedding_neardup_pairs_blocked,
+    "quantize_embeddings": quantize_embeddings,
 }
 
 # the same literal hyperplane matrices, as DuckDB VALUES lists
@@ -383,6 +410,25 @@ def _pair_cos_sql(qfilter: str, join_cond: str) -> str:
 
 
 ORACLES = {
+    "quantize_embeddings": """
+        WITH m AS (
+            SELECT vec_id,
+                   list_max(list_transform(
+                       embedding, x -> abs(cast(x AS double)))) AS maxabs
+            FROM embeddings
+        )
+        SELECT e.vec_id,
+               cast(round(cast(m.maxabs / 127 AS decimal(28,12)), 6)
+                    AS double) AS scale,
+               CASE WHEN m.maxabs = 0
+                    THEN list_transform(e.embedding, x -> 0)
+                    ELSE list_transform(
+                        e.embedding,
+                        x -> cast(round(cast(x AS double) * 127 / m.maxabs)
+                                  AS int))
+               END AS qvec
+        FROM embeddings e JOIN m USING (vec_id)
+    """,
     "knn_cosine_topk": _pair_cos_sql(
         f"vec_id < {N_QUERIES}", "q_id <> c_id"
     ) + f"""
