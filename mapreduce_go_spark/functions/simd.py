@@ -155,3 +155,57 @@ def grid_norm(col: Column) -> Column:
     """sqrt of the grid self-dot — IEEE sqrt is exact-input-exact-
     output deterministic in Spark, DuckDB and numpy alike."""
     return F.sqrt(grid_dot(col, col))
+
+
+def make_rolling_hash(base: int, mod: int, chunk: int = 1024):
+    """Factory for a pandas UDF computing the per-character polynomial
+    rolling hash acc = (acc * base + codepoint) % mod — the
+    textstats.doc_fingerprint fold — without the interpreted
+    per-element lambda (one expression-tree walk PER CHARACTER in the
+    F.aggregate form; the dominant cost of that query).
+
+    Vectorization: Horner in chunks. For a chunk c[0..m) with
+    precomputed powers P[j] = base^j % mod,
+        acc' = (acc * (base^m % mod) + dot(c, P[m-1..0])) % mod
+    — all integer arithmetic, so the result is EXACTLY the
+    sequential fold (tests/test_simd.py pins equality against the
+    interpreted form, including empty and non-ASCII strings).
+
+    Character semantics: UTF-16 code units (utf-16-le encode), which
+    is exactly what the interpreted form sees — F.split(text, '')
+    splits into Java chars, and ascii() of a lone surrogate returns
+    the code unit — so the kernels agree on EVERY string including
+    astral-plane characters. (The DuckDB oracle splits codepoints,
+    a pre-existing divergence for astral chars only; fixtures and
+    tests are BMP.)
+
+    int64 bounds: code units < 2^16, P[j] < mod < 2^31 -> per-element
+    products < 2^47; a 1024-element chunk dot < 2^57; acc * base^m <
+    2^62; their sum < 2^63. Exact at any document length.
+
+    NULL input -> NULL, matching the interpreted form.
+    """
+    powers = np.empty(chunk, dtype=np.int64)
+    powers[0] = 1
+    for j in range(1, chunk):
+        powers[j] = (powers[j - 1] * base) % mod
+    base_chunk = (int(powers[chunk - 1]) * base) % mod  # base^chunk
+
+    @pandas_udf("long")
+    def roll(texts: pd.Series) -> pd.Series:
+        out = np.full(len(texts), None, dtype=object)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            codes = np.frombuffer(
+                t.encode("utf-16-le"), dtype=np.uint16).astype(np.int64)
+            acc = 0
+            for s in range(0, len(codes), chunk):
+                c = codes[s:s + chunk]
+                m = len(c)
+                step = base_chunk if m == chunk else int(powers[m - 1]) * base % mod
+                acc = (acc * step + int(c @ powers[m - 1::-1])) % mod
+            out[i] = acc
+        return pd.Series(out, dtype=object)
+
+    return roll

@@ -155,3 +155,31 @@ def test_null_rows_match_interpreted_and_nonfinite_raises(spark):
             .collect()]
     assert keys[0] is not None and len(keys[0]) == sim.ND_BANDS
     assert keys[1] is None
+
+
+def test_rolling_hash_matches_interpreted(spark, sf_dir):
+    """Chunked-Horner rolling hash == the sequential per-character
+    fold, on the real corpus plus adversarial strings: empty,
+    1-char, exactly-chunk-sized, multi-chunk, non-ASCII BMP, and
+    NULL."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.functions.simd import make_rolling_hash
+    from mapreduce_go_spark.operators import textstats as ts
+
+    roll = make_rolling_hash(ts.ROLL_BASE, ts.ROLL_MOD, chunk=64)
+    docs = tables.load(spark, sf_dir, "documents")
+    diff = docs.select(
+        roll(F.col("text")).alias("v"),
+        ts._roll_interpreted(F.col("text")).alias("r"),
+    ).where(~F.col("v").eqNullSafe(F.col("r")))
+    assert diff.count() == 0
+
+    extra = ["", "a", "x" * 64, "y" * 65, "z" * 1025,
+             "héllo wörld", "日本語テキスト", "Привет мир", None]
+    df = spark.createDataFrame([(s,) for s in extra], "text string")
+    got = df.select(
+        roll(F.col("text")).alias("v"),
+        ts._roll_interpreted(F.col("text")).alias("r"),
+    ).collect()
+    for r in got:
+        assert r.v == r.r, (r.v, r.r)
