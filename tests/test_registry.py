@@ -96,3 +96,23 @@ def test_no_eager_actions_in_operators():
             if re.search(r"\.count\(\)|\.collect\(\)", code):
                 offenders.append(f"{path.name}:{i}: {line.strip()}")
     assert not offenders, offenders
+
+
+def test_bench_headline_names_are_registered():
+    """Every bench.py HEADLINE query must exist in the registry — a
+    renamed/removed query must fail here, not silently drop out of
+    BENCH_r{N} (bench.py filters to known names, so a typo would
+    shrink the benchmark without any error)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    from mapreduce_go_spark import registry
+
+    names = set(registry.all_queries())
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, missing
