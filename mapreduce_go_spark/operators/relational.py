@@ -24,10 +24,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
-from mapreduce_go_spark.functions.num import (davg, davg_sql, dround,
-                                              dround_sql, dround_wide,
-                                              dsum, dsum_sql, gavg_sql,
-                                              gsum_sql,
+from mapreduce_go_spark.functions.num import (dround, dround_sql,
+                                              dround_wide, dsum, dsum_sql,
+                                              gavg_sql, gsum_sql,
                                               partitioned_grid_sums)
 
 
