@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
-from mapreduce_go_spark.functions.num import davg_sql, dround, dround_sql, dsum, dsum_sql
+from mapreduce_go_spark.functions.num import dround, dround_sql, dsum, dsum_sql
 
 
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
