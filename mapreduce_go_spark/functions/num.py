@@ -6,7 +6,7 @@ correct engines disagree in the last ulp and a post-round can flip a
 cent. The fix is exact accumulation: cast each (bitwise-identical,
 IEEE-754) per-row double to decimal(18,6), sum decimals (exact,
 order-independent), then round and return double. Same recipe on the
-DuckDB side via `dsum_sql`/`davg_sql`.
+DuckDB side via `dsum_sql`.
 
 This is a correctness-of-comparison tool, not a performance choice;
 the decimal cast adds one codegen'd conversion per row.
@@ -23,13 +23,6 @@ _DEC = "decimal(18,6)"
 def dsum(col: Column, scale: int = 2) -> Column:
     """Order-independent SUM: round(sum(decimal(col)), scale) as double."""
     return F.round(F.sum(col.cast(_DEC)), scale).cast("double")
-
-
-def davg(col: Column, scale: int = 6) -> Column:
-    """Order-independent AVG: exact decimal sum / non-null count."""
-    return F.round(
-        F.sum(col.cast(_DEC)).cast("double") / F.count(col), scale
-    )
 
 
 def dround(col: Column, scale: int = 2) -> Column:
@@ -146,7 +139,3 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
     return (f"cast(round(sum(cast(({expr}) AS decimal(18,6))), {scale})"
             f" AS double)")
 
-
-def davg_sql(expr: str, scale: int = 6) -> str:
-    return (f"round(cast(sum(cast(({expr}) AS decimal(18,6))) AS double)"
-            f" / count({expr}), {scale})")
