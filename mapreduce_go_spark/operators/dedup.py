@@ -24,7 +24,7 @@ generalizes that "build a set, collapse duplicates" move.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
@@ -318,22 +318,58 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document near-dup verdict: dup = the doc shares an LSH
-    bucket with an EARLIER doc (appears as the later member of a
-    candidate pair). This is the batch anchor of the incremental
-    streaming job (streaming/jobs.run_streaming_neardup) —
-    tests/test_streaming.py proves the streamed per-epoch flags equal
-    this relation exactly, and the oracle here value-checks the
-    relation itself."""
-    docs = tables.load(spark, sf_dir, "documents")
-    pairs = _bucket_pairs(_lsh_bands(spark, sf_dir))
-    dups = pairs.select(F.col("d2").alias("doc_id")).distinct()
+def _dup_doc_ids(bands: DataFrame, cap: int | None = None) -> DataFrame:
+    """Doc ids that collide with an EARLIER doc (lower doc_id) in some
+    LSH bucket — the min-per-bucket probe, NOT pair expansion: a rank
+    within the bucket answers "is there an earlier doc here?" in O(B)
+    per bucket, where _bucket_pairs would generate B(B-1)/2 rows for
+    the same verdict. One window over the bucket key (a single
+    exchange, signature pipeline computed once — the groupBy+join form
+    its streaming twin uses computes the lineage twice; the stream
+    needs that form only because its index is external state).
+
+    With `cap`, a bucket flags at most `cap` docs and then goes
+    inert (a degenerate boilerplate bucket must not mark every future
+    colliding doc as dup) — rank r is flagged iff 2 <= r <= cap+1,
+    exactly the cumulative-prior rule the streaming index applies."""
+    w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    ranked = bands.withColumn("rn", F.row_number().over(w))
+    cond = F.col("rn") >= 2
+    if cap is not None:
+        cond = cond & (F.col("rn") <= cap + 1)
+    return ranked.where(cond).select("doc_id").distinct()
+
+
+def _flags_from_dups(docs: DataFrame, dups: DataFrame) -> DataFrame:
     return (
         docs.select("doc_id")
         .join(dups.withColumn("dup", F.lit(True)), "doc_id", "left")
         .fillna(False, subset=["dup"])
     )
+
+
+def neardup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-dup verdict: dup = the doc shares an LSH
+    bucket with an EARLIER doc (equivalently: doc_id > min(doc_id) of
+    some bucket it belongs to — the min-per-bucket probe; no candidate
+    pair is ever materialized, see _dup_doc_ids). This is the batch
+    anchor of the incremental streaming job
+    (streaming/jobs.run_streaming_neardup) — tests/test_streaming.py
+    proves the streamed per-epoch flags equal this relation exactly,
+    and the oracle here value-checks the relation itself."""
+    docs = tables.load(spark, sf_dir, "documents")
+    dups = _dup_doc_ids(_lsh_bands(spark, sf_dir))
+    return _flags_from_dups(docs, dups)
+
+
+def neardup_flags_capped_df(docs: DataFrame,
+                            cap: int = LSH_BUCKET_CAP) -> DataFrame:
+    """Batch twin of the CAPPED streaming near-dup job: each bucket
+    flags at most `cap` docs (arrival order = doc_id order), then goes
+    inert. tests/test_streaming.py proves the capped streaming flags
+    equal this relation under doc_id-ordered arrival."""
+    dups = _dup_doc_ids(_lsh_bands_df(_minhash_sig_df(docs)), cap)
+    return _flags_from_dups(docs, dups)
 
 
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -459,9 +495,22 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup edge list: verified pairs (capped-LSH
+    candidates -> exact Jaccard, dedup_verified_pairs) — never the
+    standalone quadratic shingle self-join (ngram_jaccard_pairs, the
+    demoted fixture-scale recall oracle). tests/test_plans.py asserts
+    this plan contains no shingle-only equi-join."""
+    return dedup_verified_pairs(spark, sf_dir).select("d1", "d2")
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str,
+                   pairs: DataFrame | None = None) -> DataFrame:
     """(doc_id, label): connected-component label (minimum reachable
-    doc_id — the keeper) over the exact-Jaccard near-dup graph.
+    doc_id — the keeper) over the near-dup graph. The default edge
+    source is neardup_edges (the capped-LSH-verified production
+    pipeline); pass `pairs` to cluster over any other (d1, d2) edge
+    relation.
 
     Iterative label propagation to a fixpoint: each round joins every
     node's label against its neighbors' and takes the min — O(E) work
@@ -471,7 +520,9 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs keep their own id as cluster label.
     """
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    if pairs is None:
+        pairs = neardup_edges(spark, sf_dir)
+    pairs = pairs.select("d1", "d2")
     # undirected edge list, both directions
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
@@ -513,7 +564,10 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters from cluster_labels: size + sorted members
     per cluster — the step that turns pair queries (minhash/jaccard)
-    into an actionable keep/drop list (label = keeper doc_id)."""
+    into an actionable keep/drop list (label = keeper doc_id). Edges
+    come from the PRODUCTION verified-pair pipeline (neardup_edges:
+    capped LSH candidates -> exact Jaccard), so no shingle self-join
+    appears anywhere in this plan."""
     labels = cluster_labels(spark, sf_dir)
     return labels.groupBy("label").agg(
         F.count("*").alias("n_docs"),
@@ -541,38 +595,6 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
 }
 
-# Recursive connected-component labels over the Jaccard graph —
-# shared by the dedup_clusters oracle and pipeline.corpus_clean.
-LABELS_CTE_SQL = _SHINGLES_SQL.replace(
-    "WITH toks", "WITH RECURSIVE toks") + f""",
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles
-              GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-        FROM shingles a JOIN shingles b USING (shingle)
-        WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-    ),
-    jpairs AS (
-        SELECT d1, d2 FROM inter
-        JOIN sizes sa ON sa.doc_id = d1
-        JOIN sizes sb ON sb.doc_id = d2
-        WHERE {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)}
-              >= {JACCARD_THRESHOLD}
-    ),
-    edges AS (
-        SELECT d1, d2 FROM jpairs
-        UNION ALL SELECT d2, d1 FROM jpairs
-    ),
-    reach AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
-        UNION
-        SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
-    ),
-    labels AS (
-        SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src
-    )
-"""
-
 # hex -> bigint by folding nibbles (DuckDB has no conv())
 _HEX2INT = ("list_reduce(list_prepend(cast(0 AS bigint),"
             " list_transform(regexp_split_to_array({expr}, ''),"
@@ -590,6 +612,67 @@ _MINHASH_SQL = _SHINGLES_SQL + f""",
         SELECT doc_id, seed, min((a + seed * b) % {MINHASH_MOD}) AS minhash
         FROM hashed, generate_series(0, {N_MINHASH - 1}) AS s(seed)
         GROUP BY doc_id, seed
+    )
+"""
+
+# The capped-LSH candidate -> exact-Jaccard pair pipeline as reusable
+# CTEs over `sig` (from _MINHASH_SQL) — the DuckDB twin of
+# dedup_verified_pairs / neardup_edges' plan.
+_VERIFIED_PAIRS_CTES = f""",
+    bands AS (
+        SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+               md5(string_agg(cast(minhash AS varchar), ','
+                              ORDER BY seed)) AS band_key
+        FROM sig GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT doc_id, band, band_key,
+               count(*) OVER (PARTITION BY band, band_key) AS bsz
+        FROM bands
+    ),
+    ok AS (SELECT doc_id, band, band_key FROM sized
+           WHERE bsz <= {LSH_BUCKET_CAP}),
+    cands AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM ok x JOIN ok y USING (band, band_key)
+        WHERE x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles
+              GROUP BY doc_id),
+    inter AS (
+        SELECT c.d1, c.d2, count(*) AS i
+        FROM cands c
+        JOIN shingles a ON a.doc_id = c.d1
+        JOIN shingles b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        GROUP BY c.d1, c.d2
+    ),
+    jpairs AS (
+        SELECT d1, d2 FROM inter
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)}
+              >= {JACCARD_THRESHOLD}
+    )
+"""
+
+# Recursive connected-component labels over the PRODUCTION near-dup
+# graph (capped-LSH verified pairs, = neardup_edges) — shared by the
+# dedup_clusters oracle and pipeline.corpus_clean. Until r4 this CTE
+# (and the Spark side) clustered over the standalone quadratic
+# shingle self-join; both sides now feed on the verified pipeline.
+LABELS_CTE_SQL = _MINHASH_SQL.replace(
+    "WITH toks", "WITH RECURSIVE toks") + _VERIFIED_PAIRS_CTES + """,
+    edges AS (
+        SELECT d1, d2 FROM jpairs
+        UNION ALL SELECT d2, d1 FROM jpairs
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
+    ),
+    labels AS (
+        SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src
     )
 """
 

@@ -328,27 +328,38 @@ def _neardup_index_dir(out_dir: str, epoch_id: int) -> str:
 
 
 def _neardup_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str,
-                   flags_dir: str) -> None:
+                   flags_dir: str, bucket_cap: int | None = None) -> None:
     """One micro-batch of streaming near-dup detection, idempotent
     under epoch replay (same versioned-snapshot discipline as
     _merge_rollup_epoch).
 
     The batch's docs get minhash-LSH band keys
     (operators.dedup._lsh_bands_df — the SAME signature pipeline as
-    the batch dedup family); a doc is flagged `dup` iff one of its
-    band keys already exists in the persistent band index (built from
-    all PRIOR epochs) or is shared with an earlier doc (lower doc_id)
-    in the SAME batch. All of the batch's bands — dup or not — then
-    append into a new index snapshot, so the decision is pure
-    "collides with anything seen before", exactly the batch
-    `_bucket_pairs` candidate relation restricted to cross-time pairs.
+    the batch dedup family); a doc is flagged `dup` iff its number of
+    PRIOR bucket-mates (docs from earlier epochs, from the persistent
+    index's per-bucket count, plus earlier docs of the SAME batch via
+    an in-batch rank) is >= 1 — exactly the batch min-per-bucket probe
+    (operators.dedup._dup_doc_ids) restricted by arrival time. All of
+    the batch's bands then merge into a new index snapshot.
 
-    Scale shape: the index is (band, band_key, min doc_id) — one row
-    per distinct bucket, NOT per doc; the per-batch probe is an
-    equi-join on (band, band_key) against that index. At production
-    scale the parquet snapshot chain becomes a Delta/Iceberg MERGE
-    (and degenerate buckets get the LSH_BUCKET_CAP treatment); the
-    probe/append plan is unchanged."""
+    `bucket_cap` (production: dedup.LSH_BUCKET_CAP) closes the
+    degenerate-bucket gap: a bucket flags at most `cap` docs across
+    its lifetime (prior count <= cap), then goes INERT — one
+    boilerplate band key can no longer mark every future colliding doc
+    as dup forever, and the verdict for the docs it did flag is
+    unchanged. The cumulative per-bucket count (`n_docs`) rides the
+    index rows, so the cap costs no extra shuffle. Default None keeps
+    the uncapped anchor semantics (= dedup.neardup_flags); the capped
+    twin is dedup.neardup_flags_capped_df — both parities are proven
+    in tests/test_streaming.py.
+
+    Scale shape: the index is (band, band_key, min doc_id, n_docs) —
+    one row per distinct bucket, NOT per doc; the per-batch probe is
+    an equi-join on (band, band_key) against that index. At production
+    scale the parquet snapshot chain becomes a Delta/Iceberg MERGE;
+    the probe/append plan is unchanged."""
+    from pyspark.sql import Window
+
     from mapreduce_go_spark.operators.dedup import (_lsh_bands_df,
                                                     _minhash_sig_df)
 
@@ -358,26 +369,34 @@ def _neardup_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str,
     spark = batch_df.sparkSession
 
     bands = _lsh_bands_df(_minhash_sig_df(batch_df))
-    # earliest holder per bucket within this batch (for in-batch dups)
+    w = Window.partitionBy("band", "band_key").orderBy("doc_id")
+    ranked = bands.withColumn("rb", F.row_number().over(w))
+    # earliest holder + cumulative count per bucket within this batch
     batch_idx = bands.groupBy("band", "band_key").agg(
-        F.min("doc_id").alias("first_doc"))
+        F.min("doc_id").alias("first_doc"),
+        F.count("*").alias("n_docs"))
     prev = _latest_rollup_version(out_dir, below=epoch_id)
     if prev is None:
+        joined = ranked.withColumn("n_hist", F.lit(0).cast("long"))
         index = batch_idx
-        probe = bands.join(batch_idx, ["band", "band_key"]).where(
-            F.col("doc_id") > F.col("first_doc"))
     else:
         hist = spark.read.parquet(_neardup_index_dir(out_dir, prev))
+        joined = ranked.join(
+            hist.select("band", "band_key",
+                        F.col("n_docs").alias("n_hist")),
+            ["band", "band_key"], "left",
+        ).fillna(0, subset=["n_hist"])
         index = (
             hist.unionByName(batch_idx)
             .groupBy("band", "band_key")
-            .agg(F.min("first_doc").alias("first_doc"))
+            .agg(F.min("first_doc").alias("first_doc"),
+                 F.sum("n_docs").alias("n_docs"))
         )
-        hit_hist = bands.join(hist, ["band", "band_key"]).select("doc_id")
-        hit_batch = bands.join(batch_idx, ["band", "band_key"]).where(
-            F.col("doc_id") > F.col("first_doc")).select("doc_id")
-        probe = hit_hist.unionByName(hit_batch)
-    dups = probe.select("doc_id").distinct()
+    prior = F.col("n_hist") + F.col("rb") - 1
+    cond = prior >= 1
+    if bucket_cap is not None:
+        cond = cond & (prior <= bucket_cap)
+    dups = joined.where(cond).select("doc_id").distinct()
 
     flags = (
         batch_df.select("doc_id")
@@ -394,15 +413,19 @@ def _neardup_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str,
 
 def run_streaming_neardup(spark: SparkSession, stream: DataFrame,
                           index_dir: str, flags_dir: str,
-                          checkpoint_dir: str) -> None:
+                          checkpoint_dir: str,
+                          bucket_cap: int | None = None) -> None:
     """Streaming near-duplicate detection: the D17 minhash-LSH dedup
     as an incremental pipeline. Each micro-batch probes + extends a
     persistent band index; outputs a per-epoch (doc_id, dup) flag
-    table. Exactly-once: checkpointed offsets + versioned index
-    snapshots + epoch-keyed flag partitions (replay overwrites
-    itself; tests re-fire an epoch to prove no drift)."""
+    table. `bucket_cap` bounds how many docs a single (degenerate)
+    bucket may ever flag — see _neardup_epoch; production passes
+    dedup.LSH_BUCKET_CAP. Exactly-once: checkpointed offsets +
+    versioned index snapshots + epoch-keyed flag partitions (replay
+    overwrites itself; tests re-fire an epoch to prove no drift)."""
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
-        _neardup_epoch(batch_df, epoch_id, index_dir, flags_dir)
+        _neardup_epoch(batch_df, epoch_id, index_dir, flags_dir,
+                       bucket_cap=bucket_cap)
 
     q = (stream.writeStream.foreachBatch(on_epoch)
          .option("checkpointLocation", checkpoint_dir)

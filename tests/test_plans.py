@@ -101,6 +101,38 @@ def test_embedding_neardup_blocked_no_crossjoin(spark, sf_dir):
     assert "BroadcastNestedLoop" not in p, p
 
 
+def test_neardup_flags_no_pair_expansion(spark, sf_dir):
+    """The per-doc dup verdict must use the min-per-bucket probe
+    (window rank), never materialize bucket pairs: a B-doc bucket
+    costs O(B), not B(B-1)/2 posexploded pair rows. This query is the
+    batch anchor of the streaming near-dup job, so its plan shape is
+    load-bearing."""
+    from mapreduce_go_spark.operators import dedup
+
+    p = plan_of(dedup.neardup_flags(spark, sf_dir))
+    assert "posexplode" not in p, p
+    assert "Window" in p, p
+
+
+def test_neardup_edges_no_shingle_only_join(spark, sf_dir):
+    """The production cluster edge source (neardup_edges -> verified
+    pairs) must never contain the quadratic standalone shingle
+    self-join: every equi-join keyed on a shingle column must carry a
+    doc-id key too (candidates drive the intersection)."""
+    from mapreduce_go_spark.operators import dedup
+
+    df = dedup.neardup_edges(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    key_lists = re.findall(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w*"
+        r"\s+\[([^\]]*)\]", plan)
+    assert key_lists, plan  # the joins are there to inspect
+    for keys in key_lists:
+        cols = [k.strip() for k in keys.split(",") if k.strip()]
+        assert not (len(cols) == 1 and cols[0].startswith("shingle")), (
+            f"shingle-only self-join in production edge plan: [{keys}]")
+
+
 def test_pricing_summary_hot_path_sums_longs(spark, sf_dir):
     """The flagship aggregate's per-row level must sum int64 grid
     values, never a wide (Int128-backed) decimal buffer — the

@@ -284,6 +284,70 @@ def test_streaming_neardup_matches_batch_candidates(spark, sf_dir, tmp_path):
         "fixture must contain at least one near-dup pair"
 
 
+def test_streaming_neardup_capped_matches_capped_batch(spark, sf_dir,
+                                                       tmp_path):
+    """With the degenerate-bucket cap on, the streamed flags must
+    equal the capped batch twin (neardup_flags_capped_df) under
+    doc_id-ordered arrival, and the capped dup set must be a subset
+    of the uncapped relation."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import dedup
+
+    idx = str(tmp_path / "nd_index")
+    flags_dir = str(tmp_path / "nd_flags")
+    docs = tables.load(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    h1 = docs.where(F.col("doc_id") <= med)
+    h2 = docs.where(F.col("doc_id") > med)
+    cap = dedup.LSH_BUCKET_CAP
+    jobs._neardup_epoch(h1, 0, idx, flags_dir, bucket_cap=cap)
+    jobs._neardup_epoch(h2, 1, idx, flags_dir, bucket_cap=cap)
+    got = sorted((r.doc_id, r.dup) for r in
+                 jobs.read_neardup_flags(spark, flags_dir).collect())
+    want = sorted((r.doc_id, r.dup) for r in
+                  dedup.neardup_flags_capped_df(docs, cap).collect())
+    assert got == want
+    uncapped = {r.doc_id for r in
+                dedup.neardup_flags(spark, sf_dir).collect() if r.dup}
+    assert {d for d, f in got if f} <= uncapped
+
+
+def test_streaming_neardup_degenerate_bucket_goes_inert(spark, tmp_path):
+    """Ten identical docs share every band bucket. With cap=2 the
+    bucket flags docs ranked 2..3 and then goes INERT — including
+    across epochs: the second epoch's docs all collide with the (by
+    then over-cap) index bucket and must NOT be flagged. Re-firing the
+    final epoch must not change anything (replay idempotence holds
+    under the cap too)."""
+    from mapreduce_go_spark.operators import dedup
+
+    text = ("the quick brown fox jumps over the lazy dog "
+            "again and again and again for boilerplate purposes")
+    docs = spark.createDataFrame([(i, text) for i in range(1, 11)],
+                                 "doc_id long, text string")
+    h1 = docs.where("doc_id <= 5")
+    h2 = docs.where("doc_id > 5")
+    idx = str(tmp_path / "idx")
+    fl = str(tmp_path / "fl")
+    jobs._neardup_epoch(h1, 0, idx, fl, bucket_cap=2)
+    jobs._neardup_epoch(h2, 1, idx, fl, bucket_cap=2)
+    flags = {r.doc_id: r.dup for r in
+             jobs.read_neardup_flags(spark, fl).collect()}
+    want = {1: False, 2: True, 3: True, **{i: False for i in range(4, 11)}}
+    assert flags == want
+    # capped batch twin sees the same relation
+    batch = {r.doc_id: r.dup for r in
+             dedup.neardup_flags_capped_df(docs, 2).collect()}
+    assert batch == want
+    # replay of the last epoch changes nothing
+    jobs._neardup_epoch(h2, 1, idx, fl, bucket_cap=2)
+    again = {r.doc_id: r.dup for r in
+             jobs.read_neardup_flags(spark, fl).collect()}
+    assert again == want
+
+
 def test_streaming_neardup_epoch_replay_is_idempotent(spark, sf_dir,
                                                       tmp_path):
     """Re-firing an already-committed epoch (foreachBatch crash
