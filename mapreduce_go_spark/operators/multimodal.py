@@ -2,15 +2,19 @@
 columns (struct/array/map from JSON), opaque binary payloads with
 typed metadata, and Arrow-batched media decoding.
 
-`decode_image` is a REAL stdlib decoder for the PNG/GIF/BMP/JPEG container
-headers (magic sniff + struct.unpack of the dimensioned header,
-format-derived channel counts, ValueError on corrupt input), validated
-against committed genuine image files in tests/fixtures/. Only
-pixel-stream work (IDAT inflate + resampling) still needs an imaging
-library the container lacks; `resize_payload` therefore remains a
-clearly-marked container-level byte decimation, not a pixel resample.
-The Spark-side plumbing — binary column in, `mapInPandas` over Arrow
-batches, typed feature schema out — is real and fully value-oracled.
+`decode_image` is a REAL stdlib decoder: PNG all the way to PIXELS
+(chunk walk -> IDAT zlib inflate -> scanline unfilter, all five
+filter types — decode_png_pixels), and genuine container-header
+parses for GIF/BMP/JPEG (magic sniff + struct.unpack, format-derived
+channel counts, ValueError on corrupt input), validated against
+committed genuine image files in tests/fixtures/. PNG mean_luma is
+therefore a TRUE pixel mean and `png_resize` a TRUE nearest-neighbor
+pixel resample + re-encode (encode_png). Only the entropy-coded
+codecs (GIF LZW, JPEG huffman) still summarize a byte prefix;
+`resize_payload` remains the clearly-marked byte-decimation stand-in
+for those formats. The Spark-side plumbing — binary column in,
+`mapInPandas` over Arrow batches, typed feature schema out — is real
+and fully value-oracled.
 
 Scale note: media rows are wide (MBs); the decode pipeline keeps them
 out of shuffles entirely — metadata extraction is a narrow map, and
@@ -71,16 +75,17 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- media decode: REAL stdlib container-header parsing --------------------
+# --- media decode: REAL stdlib parsing -------------------------------------
 #
-# The container ships no PIL/opencv, but image CONTAINER formats are
-# public byte layouts — PNG magic + IHDR, GIF logical screen
-# descriptor, BMP BITMAPINFOHEADER — parseable with struct.unpack and
-# zero dependencies. decode_image below is a real decoder for those
-# headers (big-endian PNG, little-endian GIF/BMP, per-format channel
-# derivation), validated against committed real image files in
-# tests/fixtures/. Only pixel-data decompression (IDAT inflate etc.)
-# would need an imaging library.
+# The container ships no PIL/opencv, but image formats are public byte
+# layouts — PNG magic + IHDR + zlib IDAT, GIF logical screen
+# descriptor, BMP BITMAPINFOHEADER — parseable with struct.unpack +
+# stdlib zlib and zero dependencies. decode_image below is a real
+# decoder (big-endian PNG with full pixel decode, little-endian
+# GIF/BMP headers, per-format channel derivation), validated against
+# committed real image files in tests/fixtures/. Only the
+# entropy-coded pixel streams (GIF LZW, JPEG huffman) would need a
+# codec library.
 
 import struct
 import zlib
@@ -91,13 +96,138 @@ PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _stored_zlib(data: bytes) -> bytes:
+    """A zlib stream of deflate STORED (uncompressed) blocks, built by
+    hand so its length is a closed-form function of len(data):
+    2 (zlib hdr) + 5*ceil(n/65535) (block headers) + n + 4 (adler32).
+    zlib.decompress reads it like any other stream; the determinism is
+    what lets the DuckDB oracle recompute container sizes exactly."""
+    out = bytearray(b"\x78\x01")
+    n = len(data)
+    if n == 0:
+        out += b"\x01\x00\x00\xff\xff"
+    for off in range(0, n, 65535):
+        blk = data[off:off + 65535]
+        final = 1 if off + 65535 >= n else 0
+        out += struct.pack("<BHH", final, len(blk), len(blk) ^ 0xFFFF)
+        out += blk
+    out += struct.pack(">I", zlib.adler32(data))
+    return bytes(out)
+
+
 def make_png(width: int, height: int, body: bytes = b"") -> bytes:
-    """Minimal structurally-valid PNG: magic + IHDR (8-bit RGB) with a
-    correct CRC, then `body` standing in for the IDAT stream."""
-    ihdr = struct.pack(">II5B", width, height, 8, 2, 0, 0, 0)
-    chunk = (struct.pack(">I", 13) + b"IHDR" + ihdr
-             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
-    return PNG_MAGIC + chunk + body
+    """A REAL, fully decodable 8-bit grayscale PNG: `body` bytes are
+    cycled into a width x height pixel raster, scanline y is filtered
+    with type y % 3 (None/Sub/Up — so the unfilter path is genuinely
+    exercised), and the filtered stream is wrapped in a stored-deflate
+    IDAT (see _stored_zlib) + IEND, all CRCs correct. Total size is
+    closed-form: 8 + 25 (IHDR) + 12 + zlen (IDAT) + 12 (IEND) where
+    zlen = 11 + h*(w+1) for rasters under one stored block."""
+    import numpy as np
+
+    src = body if body else b"\x00"
+    npix = width * height
+    reps = -(-npix // len(src))
+    pixels = np.frombuffer(src * reps, dtype=np.uint8)[:npix]
+    raster = pixels.reshape(height, width)
+    raw = bytearray()
+    prev = np.zeros(width, dtype=np.uint8)
+    for y in range(height):
+        row = raster[y]
+        ftype = y % 3
+        if ftype == 0:
+            filt = row
+        elif ftype == 1:  # Sub: raw[i] = x[i] - x[i-1]
+            filt = np.diff(row, prepend=np.uint8(0)).astype(np.uint8)
+        else:             # Up: raw[i] = x[i] - prior[i]
+            filt = (row - prev).astype(np.uint8)
+        raw.append(ftype)
+        raw += filt.tobytes()
+        prev = row
+    ihdr = struct.pack(">II5B", width, height, 8, 0, 0, 0, 0)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _stored_zlib(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png_pixels(payload: bytes) -> tuple[int, int, int, "object"]:
+    """Full PNG pixel decode, stdlib-only: chunk walk -> IDAT concat ->
+    zlib inflate -> per-scanline unfilter (all five filter types, incl.
+    Average/Paeth for real-world files) -> (width, height, channels,
+    uint8 sample array). Supports the common non-interlaced 8-bit
+    layouts (gray / RGB / gray+alpha / RGBA); palette, sub-byte depths
+    and Adam7 raise ValueError like any decoder without that codepath.
+    Sub/Up unfilters are vectorized (cumsum / running row add), so the
+    per-byte Python loop only runs for Average/Paeth rows."""
+    import numpy as np
+
+    if len(payload) < 33 or payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", payload[16:29])
+    if bit_depth != 8 or interlace != 0 or color_type not in (0, 2, 4, 6):
+        raise ValueError("unsupported PNG pixel layout")
+    channels = _PNG_CHANNELS[color_type]
+    # chunk walk from after IHDR
+    off, idat = 8 + 25, bytearray()
+    while off + 8 <= len(payload):
+        clen, ctype = struct.unpack(">I4s", payload[off:off + 8])
+        data = payload[off + 8:off + 8 + clen]
+        if len(data) < clen:
+            raise ValueError("truncated PNG chunk")
+        if ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        off += 12 + clen
+    if not idat:
+        raise ValueError("PNG without IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG IDAT: {exc}") from exc
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel stream length mismatch")
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+    ftypes, rows = mat[:, 0], mat[:, 1:]
+    recon = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        ft, row = int(ftypes[y]), rows[y]
+        prior = recon[y - 1] if y else np.zeros(stride, dtype=np.uint8)
+        if ft == 0:
+            recon[y] = row
+        elif ft == 1:    # Sub: per-channel-phase cumsum mod 256
+            r = row.reshape(-1, bpp)
+            recon[y] = np.cumsum(r, axis=0, dtype=np.uint64).astype(
+                np.uint8).reshape(-1)
+        elif ft == 2:    # Up
+            recon[y] = row + prior
+        elif ft == 3:    # Average
+            out = recon[y]
+            for i in range(stride):
+                left = int(out[i - bpp]) if i >= bpp else 0
+                out[i] = (int(row[i]) + (left + int(prior[i])) // 2) & 0xFF
+        elif ft == 4:    # Paeth
+            out = recon[y]
+            for i in range(stride):
+                a = int(out[i - bpp]) if i >= bpp else 0
+                b = int(prior[i])
+                c = int(prior[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                out[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+    return int(w), int(h), channels, recon.reshape(-1)
 
 
 def make_gif(width: int, height: int, body: bytes = b"") -> bytes:
@@ -133,7 +263,6 @@ def make_jpeg(width: int, height: int, body: bytes = b"") -> bytes:
     return b"\xff\xd8" + app0 + sof + body
 
 
-_PNG_BODY_OFF = 8 + 4 + 4 + 13 + 4   # magic + IHDR len/type/data/crc
 _GIF_BODY_OFF = 6 + 4 + 3            # signature + screen desc + flags
 _BMP_BODY_OFF = 14 + 40              # file header + info header
 # (JPEG has no fixed body offset — decode_image derives it from the
@@ -142,22 +271,29 @@ _BMP_BODY_OFF = 14 + 40              # file header + info header
 
 
 def decode_image(payload: bytes) -> dict:
-    """REAL image-container decoding, stdlib-only: sniff the magic,
-    struct.unpack the dimensioned header (PNG IHDR is big-endian; GIF
-    and BMP are little-endian), derive channels from the format's own
-    fields (PNG color type, BMP bits-per-pixel). Raises ValueError on
-    truncated/unknown payloads the way a real decoder would. mean_luma
-    summarizes the pixel-data prefix (a real luma needs decompression,
-    which needs an imaging lib — documented, not faked)."""
+    """REAL image decoding, stdlib-only: sniff the magic, struct.unpack
+    the dimensioned header (PNG IHDR is big-endian; GIF and BMP are
+    little-endian), derive channels from the format's own fields (PNG
+    color type, BMP bits-per-pixel). Raises ValueError on truncated/
+    unknown payloads the way a real decoder would.
+
+    PNG goes all the way to PIXELS (decode_png_pixels: IDAT inflate +
+    unfilter), so mean_luma is the TRUE mean of the decoded samples —
+    an exact integer-sum / count double, identical across engines. For
+    GIF/LZW, BMP pixel arrays and JPEG entropy streams (which would
+    need a codec library) mean_luma still summarizes the pixel-data
+    byte prefix — documented stand-in, not a fake decode."""
     if payload is None or len(payload) < 16:
         raise ValueError("truncated payload")
     if payload[:8] == PNG_MAGIC:
         length, ctype = struct.unpack(">I4s", payload[8:16])
         if ctype != b"IHDR" or length != 13 or len(payload) < 33:
             raise ValueError("malformed PNG: first chunk is not IHDR-13")
-        w, h, _bit_depth, color_type = struct.unpack(">IIBB", payload[16:26])
-        fmt, channels, body = "png", _PNG_CHANNELS[color_type], \
-            payload[_PNG_BODY_OFF:]
+        w, h, channels, pixels = decode_png_pixels(payload)
+        return {"format": "png", "width": int(w), "height": int(h),
+                "channels": int(channels),
+                "mean_luma": float(int(pixels.sum(dtype="uint64"))
+                                   / len(pixels))}
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
         w, h = struct.unpack("<HH", payload[6:10])
         fmt, channels, body = "gif", 3, payload[_GIF_BODY_OFF:]
@@ -178,6 +314,11 @@ def decode_image(payload: bytes) -> dict:
             # a marker — consume them so the byte after is the marker
             while payload[off + 1] == 0xFF and off + 4 <= len(payload):
                 off += 1
+            if off + 4 > len(payload):
+                # fill bytes ran into the end of the buffer: too short
+                # for marker + segment length (a short unpack below
+                # would leak struct.error past the ValueError contract)
+                raise ValueError("truncated JPEG segment")
             marker = payload[off + 1]
             if marker in _JPEG_STANDALONE:
                 off += 2
@@ -354,12 +495,101 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary.mapInPandas(_resize_batches, RESIZE_SCHEMA)
 
 
+# --- real PNG pixel resize --------------------------------------------------
+
+# channels -> PNG color type (inverse of _PNG_CHANNELS for depth-8)
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+
+
+def encode_png(width: int, height: int, channels: int,
+               samples: bytes) -> bytes:
+    """Re-encode a decoded sample buffer as a REAL PNG (depth 8, color
+    type from the channel count, filter 0 scanlines, stored-deflate
+    IDAT): the exact inverse of decode_png_pixels. Stored blocks keep
+    the container size closed-form (68 + h*(w*ch+1) under one block) —
+    what lets the png_resize oracle value-check output sizes."""
+    stride = width * channels
+    if len(samples) != stride * height:
+        raise ValueError("sample buffer does not match dimensions")
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)
+        raw += samples[y * stride:(y + 1) * stride]
+    ihdr = struct.pack(">II5B", width, height, 8,
+                       _PNG_COLOR_TYPE[channels], 0, 0, 0)
+    return (PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _stored_zlib(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def resample_png_half(payload: bytes) -> tuple[int, int, bytes, bytes]:
+    """TRUE nearest-neighbor 2:1 downsample of a decodable PNG: decode
+    to pixels, keep every other pixel in x and y (source indices 0, 2,
+    4, ...; output dims ceil(w/2) x ceil(h/2)), re-encode as a real
+    PNG. Returns (out_w, out_h, resampled sample bytes, PNG bytes)."""
+    import numpy as np
+
+    w, h, ch, pixels = decode_png_pixels(payload)
+    raster = np.asarray(pixels).reshape(h, w, ch)
+    out = np.ascontiguousarray(raster[::2, ::2, :])
+    oh, ow = out.shape[0], out.shape[1]
+    buf = out.reshape(-1).tobytes()
+    return ow, oh, buf, encode_png(ow, oh, ch, buf)
+
+
+PNG_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("in_w", IntegerType()),
+    StructField("in_h", IntegerType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("out_bytes", IntegerType()),
+    StructField("pix_sha256", StringType()),
+])
+
+
+def _png_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
+            b = make_media_payload(int(doc_id),
+                                   bytes(payload) if payload is not None
+                                   else b"")
+            in_w, in_h, _ch, _px = decode_png_pixels(b)
+            ow, oh, buf, png = resample_png_half(b)
+            out.append({
+                "doc_id": doc_id, "in_w": in_w, "in_h": in_h,
+                "out_w": ow, "out_h": oh, "out_bytes": len(png),
+                "pix_sha256": hashlib.sha256(buf).hexdigest(),
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in PNG_RESIZE_SCHEMA])
+
+
+def png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 REAL pixel-level media resize (the PNG quarter of the
+    synthesized corpus): decode the PNG to pixels, nearest-neighbor
+    2:1 resample, re-encode a real PNG — all stdlib (zlib). Emits the
+    resized container's true byte size and the sha256 of the resampled
+    PIXEL buffer, so both the geometry and the actual resample are
+    value-checked (hashing the container would need CRC32 in SQL; the
+    pixel hash pins the content). media_resize remains the
+    format-agnostic byte-decimation stand-in for the codec formats."""
+    docs = tables.load(spark, sf_dir, "documents")
+    pngs = docs.where((F.col("doc_id") % 4 == 0)
+                      & (F.col("doc_id") % CORRUPT_EVERY != 0))
+    binary = pngs.select("doc_id", F.col("text").cast("binary").alias("img"))
+    return binary.mapInPandas(_png_resize_batches, PNG_RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_pack": multimodal_pack,
     "binary_meta": binary_meta,
     "media_features": media_features,
     "frame_sample": frame_sample,
     "media_resize": media_resize,
+    "png_resize": png_resize,
 }
 
 ORACLES = {
@@ -423,38 +653,95 @@ ORACLES = {
     """,
     # Recomputes every field decode_image parses out of the container
     # bytes via doc_id/text arithmetic (payload synthesis is
-    # deterministic): header sizes are the real PNG/GIF/BMP/JPEG
-    # layouts (33/13/54/39 bytes), dims are the synthesis formula,
-    # channels=3 for all four synthesized variants (PNG color type 2,
-    # GIF, 24-bit BMP, 3-component SOF0), corrupt rows (doc_id % 11 =
-    # 0) have NULL features. A mis-parse of any header field on the
-    # Spark side — including the JPEG segment walk — breaks the match.
+    # deterministic). PNG rows are fully DECODED on the Spark side
+    # (IDAT inflate + unfilter), so their oracle recomputes the TRUE
+    # pixel mean from the cycled-text synthesis (closed form: whole
+    # cycles + prefix remainder — exact integer sum, one double
+    # division, identical in both engines) and the closed-form stored-
+    # deflate container size 68 + h*(w+1). GIF/BMP/JPEG stay at the
+    # real header layouts (13/54/39 extra bytes) with the documented
+    # 64-byte-prefix luma stand-in. Corrupt rows (doc_id % 11 = 0)
+    # have NULL features. A mis-parse of any header field — or any
+    # bug in the PNG inflate/unfilter path — breaks the match.
     "media_features": f"""
+        WITH m AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   16 + (doc_id * 7) % 240 AS w,
+                   16 + (doc_id * 13) % 240 AS h,
+                   list_sum(list_transform(regexp_split_to_array(text, ''),
+                                           c -> ascii(c))) AS tot
+            FROM documents
+        )
         SELECT doc_id,
-               cast(CASE doc_id % {CORRUPT_EVERY} WHEN 0
-                    THEN least(octet_length(encode(text)), 4)
-                    ELSE octet_length(encode(text))
-                         + CASE doc_id % 4 WHEN 0 THEN 33
-                                           WHEN 1 THEN 13
-                                           WHEN 2 THEN 54
-                                           ELSE 39 END
-                    END AS int) AS n_bytes,
+               cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0
+                         THEN least(n, 4)
+                    WHEN doc_id % 4 = 0 THEN 68 + h * (w + 1)
+                    WHEN doc_id % 4 = 1 THEN n + 13
+                    WHEN doc_id % 4 = 2 THEN n + 54
+                    ELSE n + 39 END AS int) AS n_bytes,
                CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN 'corrupt'
                     ELSE CASE doc_id % 4 WHEN 0 THEN 'png'
                                          WHEN 1 THEN 'gif'
                                          WHEN 2 THEN 'bmp'
                                          ELSE 'jpeg' END END AS format,
                cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
-                    ELSE 16 + (doc_id * 7) % 240 END AS int) AS width,
+                    ELSE w END AS int) AS width,
                cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
-                    ELSE 16 + (doc_id * 13) % 240 END AS int) AS height,
+                    ELSE h END AS int) AS height,
                cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+                    WHEN doc_id % 4 = 0 THEN 1
                     ELSE 3 END AS int) AS channels,
                cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
+                    WHEN doc_id % 4 = 0 THEN
+                        cast((w * h // n) * tot
+                             + coalesce(list_sum(list_transform(
+                                   regexp_split_to_array(
+                                       substring(text, 1,
+                                                 cast((w * h) % n AS int)),
+                                       ''),
+                                   c -> ascii(c))), 0) AS double)
+                        / (w * h)
                     ELSE list_sum(list_transform(
                              regexp_split_to_array(substring(text, 1, 64), ''),
                              c -> ascii(c))) % 256
                     END AS double) AS mean_luma
-        FROM documents
+        FROM m
+    """,
+    # Every output of the real PNG resample is value-checked: dims by
+    # the ceil-halving formula, container size by the stored-deflate
+    # closed form over the OUTPUT dims, and the resampled content by
+    # sha256 over the exact source pixels the nearest-neighbor grid
+    # picks (pixel (yo, xo) <- cycled text byte at (2*yo*w + 2*xo) mod
+    # n; fixture text is ASCII so the SQL string's UTF-8 bytes == the
+    # pixel bytes).
+    "png_resize": f"""
+        WITH dims AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   16 + (doc_id * 7) % 240 AS w,
+                   16 + (doc_id * 13) % 240 AS h,
+                   (16 + (doc_id * 7) % 240 + 1) // 2 AS ow,
+                   (16 + (doc_id * 13) % 240 + 1) // 2 AS oh
+            FROM documents
+            WHERE doc_id % 4 = 0 AND doc_id % {CORRUPT_EVERY} <> 0
+        ),
+        px AS (
+            SELECT doc_id, text, n, w, ow,
+                   unnest(generate_series(0, ow * oh - 1)) AS i
+            FROM dims
+        ),
+        buf AS (
+            SELECT doc_id,
+                   string_agg(substring(text,
+                       cast((2 * (i // ow) * w + 2 * (i % ow)) % n + 1
+                            AS int), 1), '' ORDER BY i) AS pix
+            FROM px GROUP BY doc_id
+        )
+        SELECT d.doc_id, cast(w AS int) AS in_w, cast(h AS int) AS in_h,
+               cast(ow AS int) AS out_w, cast(oh AS int) AS out_h,
+               cast(68 + oh * (ow + 1) AS int) AS out_bytes,
+               sha256(pix) AS pix_sha256
+        FROM dims d JOIN buf USING (doc_id)
     """,
 }

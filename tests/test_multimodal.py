@@ -31,13 +31,120 @@ def test_decode_real_image_files(fname, fmt, w, h, ch):
 
 def test_decode_roundtrips_synthesized_payloads():
     body = bytes(range(200))
-    for maker, fmt in [(multimodal.make_png, "png"),
-                       (multimodal.make_gif, "gif"),
+    for maker, fmt in [(multimodal.make_gif, "gif"),
                        (multimodal.make_bmp, "bmp"),
                        (multimodal.make_jpeg, "jpeg")]:
         feat = multimodal.decode_image(maker(123, 45, body))
         assert (feat["format"], feat["width"], feat["height"]) == (fmt, 123, 45)
         assert feat["mean_luma"] == float(sum(body[:64]) % 256)
+    # PNG is decoded to PIXELS: luma is the true mean of the cycled
+    # body raster, and the container size is the stored-deflate
+    # closed form
+    png = multimodal.make_png(123, 45, body)
+    assert len(png) == 68 + 45 * (123 + 1)
+    npix = 123 * 45
+    exp = (body * (npix // len(body) + 1))[:npix]
+    feat = multimodal.decode_image(png)
+    assert (feat["format"], feat["width"], feat["height"],
+            feat["channels"]) == ("png", 123, 45, 1)
+    assert feat["mean_luma"] == sum(exp) / npix
+
+
+def test_png_pixel_roundtrip_and_real_file():
+    """decode_png_pixels returns the exact raster make_png encoded
+    (through filters 0/1/2 and the stored-deflate IDAT), and decodes
+    the committed REAL RGB PNG (written by a standard encoder, so its
+    IDAT is genuinely compressed) to the full 7x5x3 sample buffer."""
+    body = bytes(range(7, 190))
+    w, h, ch, px = multimodal.decode_png_pixels(
+        multimodal.make_png(51, 33, body))
+    npix = 51 * 33
+    assert (w, h, ch) == (51, 33, 1)
+    assert bytes(px) == (body * (npix // len(body) + 1))[:npix]
+
+    real = (FIXTURES / "sample_7x5.png").read_bytes()
+    w, h, ch, px = multimodal.decode_png_pixels(real)
+    assert (w, h, ch) == (7, 5, 3)
+    assert len(px) == 7 * 5 * 3
+    assert 0.0 <= multimodal.decode_image(real)["mean_luma"] <= 255.0
+
+
+def test_png_unfilter_average_and_paeth():
+    """Real-world PNGs use Average(3)/Paeth(4) filters the synthesizer
+    never emits; verify the unfilter against an independent test-side
+    filter implementation of the spec."""
+    import numpy as np
+    import struct
+    import zlib
+
+    rng = [(i * 37 + 11) % 256 for i in range(6 * 4 * 3)]
+    w, h, ch = 6, 4, 3
+    stride = w * ch
+    raster = [rng[y * stride:(y + 1) * stride] for y in range(h)]
+    raw = bytearray()
+    for y, ftype in enumerate([3, 4, 3, 4]):
+        row, prior = raster[y], raster[y - 1] if y else [0] * stride
+        raw.append(ftype)
+        for i in range(stride):
+            a = raster[y][i - ch] if i >= ch else 0
+            b = prior[i]
+            c = prior[i - ch] if i >= ch else 0
+            if ftype == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            raw.append((row[i] - pred) & 0xFF)
+    ihdr = struct.pack(">II5B", w, h, 8, 2, 0, 0, 0)
+    payload = (multimodal.PNG_MAGIC
+               + multimodal._png_chunk(b"IHDR", ihdr)
+               + multimodal._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + multimodal._png_chunk(b"IEND", b""))
+    dw, dh, dch, px = multimodal.decode_png_pixels(payload)
+    assert (dw, dh, dch) == (w, h, ch)
+    assert list(px) == rng
+
+
+def test_png_resample_half():
+    """resample_png_half keeps every other pixel in both axes and
+    re-encodes a PNG that decodes back to exactly those pixels."""
+    import numpy as np
+
+    body = bytes((i * 13 + 5) % 256 for i in range(300))
+    png = multimodal.make_png(31, 17, body)
+    ow, oh, buf, out_png = multimodal.resample_png_half(png)
+    assert (ow, oh) == (16, 9)
+    npix = 31 * 17
+    exp = np.frombuffer((body * (npix // len(body) + 1))[:npix],
+                        dtype=np.uint8).reshape(17, 31)
+    assert bytes(exp[::2, ::2].reshape(-1)) == buf
+    w2, h2, ch2, px2 = multimodal.decode_png_pixels(out_png)
+    assert (w2, h2, ch2) == (16, 9, 1) and bytes(px2) == buf
+    assert len(out_png) == 68 + 9 * (16 + 1)
+
+
+def test_decode_jpeg_trailing_fill_bytes_raise_valueerror():
+    """A malformed JPEG whose tail is all 0xFF fill bytes must fail
+    with the documented ValueError, not leak struct.error from a
+    short segment-length read."""
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8" + b"\xff" * 20)
+
+
+def test_png_resize_query(spark, sf_dir):
+    df = multimodal.png_resize(spark, sf_dir)
+    rows = df.collect()
+    docs = multimodal.tables.load(spark, sf_dir, "documents")
+    n_png = docs.where(
+        "doc_id % 4 = 0 and doc_id % 11 != 0").count()
+    assert len(rows) == n_png > 0
+    for r in rows:
+        assert r.out_w == (r.in_w + 1) // 2
+        assert r.out_h == (r.in_h + 1) // 2
+        assert r.out_bytes == 68 + r.out_h * (r.out_w + 1)
+        assert len(r.pix_sha256) == 64
 
 
 def test_decode_jpeg_with_fill_bytes():
