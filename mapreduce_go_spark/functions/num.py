@@ -60,7 +60,13 @@ def partitioned_grid_sums(df, keys: list[str], specs, counts=()):
          input partition to |groups| rows before any exchange, and the
          partial is bounded by rows-per-partition (~2M at 128 MB
          splits) x the per-row grid value, orders of magnitude under
-         2^63;
+         2^63. CONTRACT: callers must keep rows_per_partition x
+         max|grid value| < 2^63 — at the charge-measure scale here
+         (grid values ~1.2e11) that is ~7e7 rows per partition, far
+         above any sane split size but reachable if a caller coalesces
+         the input into few giant partitions; Spark runs ANSI mode, so
+         the int64 partial overflowing FAILS the query loudly (the
+         detection backstop) rather than wrapping silently;
       2. final: the tiny partial set (|groups| x n_partitions rows)
          re-aggregated with decimal(28,0) sums — exact, unbounded, and
          off the hot path.

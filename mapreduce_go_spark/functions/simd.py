@@ -102,8 +102,10 @@ def _check_finite(m: np.ndarray) -> np.ndarray:
 def grid_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized twin of similarity._dot_dec: exact dot product on
     the 1e-12 integer grid, summed as int64, returned as double.
-    NULL / non-finite embeddings yield NULL, matching the interpreted
-    form (differentially tested in tests/test_simd.py)."""
+    NULL embeddings yield NULL; non-finite ELEMENTS raise ValueError
+    (_check_finite), matching ANSI-mode Spark where the interpreted
+    round(NaN).cast('long') fails the query too (differentially
+    tested in tests/test_simd.py)."""
     if not len(a):
         return pd.Series([], dtype=object)
     mask = _valid_rows(a, b)
@@ -181,17 +183,19 @@ def make_rolling_hash(base: int, mod: int, chunk: int = 1024):
     sequential fold (tests/test_simd.py pins equality against the
     interpreted form, including empty and non-ASCII strings).
 
-    Character semantics: UTF-16 code units (utf-16-le encode), which
-    is exactly what the interpreted form sees — F.split(text, '')
-    splits into Java chars, and ascii() of a lone surrogate returns
-    the code unit — so the kernels agree on EVERY string including
-    astral-plane characters. (The DuckDB oracle splits codepoints,
-    a pre-existing divergence for astral chars only; fixtures and
-    tests are BMP.)
+    Character semantics: Unicode CODEPOINTS (utf-32-le encode), which
+    is exactly what both oracles see — Spark's F.split(text, '')
+    yields one element per codepoint (it does NOT split surrogate
+    pairs; verified empirically) and ascii() returns the full
+    codepoint, and DuckDB's regexp_split_to_array(text, '') + ascii()
+    do the same — so kernel, interpreted form and SQL oracle agree on
+    EVERY string including astral-plane characters
+    (tests/test_simd.py pins an emoji case against both).
 
-    int64 bounds: code units < 2^16, P[j] < mod < 2^31 -> per-element
-    products < 2^47; a 1024-element chunk dot < 2^57; acc * base^m <
-    2^62; their sum < 2^63. Exact at any document length.
+    int64 bounds: codepoints < 0x110000 (~2^20.1), P[j] < mod < 2^31
+    -> per-element products < ~2.4e15 (2^51.1); a 1024-element chunk
+    dot < ~2.5e18 (2^61.1); acc * base^m < (mod-1)^2 ~ 4.6e18 (2^62);
+    their sum < ~7.1e18 < 2^63 - 1. Exact at any document length.
 
     NULL input -> NULL, matching the interpreted form.
     """
@@ -208,7 +212,7 @@ def make_rolling_hash(base: int, mod: int, chunk: int = 1024):
             if t is None:
                 continue
             codes = np.frombuffer(
-                t.encode("utf-16-le"), dtype=np.uint16).astype(np.int64)
+                t.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
             acc = 0
             for s in range(0, len(codes), chunk):
                 c = codes[s:s + chunk]

@@ -160,7 +160,9 @@ def test_null_rows_match_interpreted_and_nonfinite_raises(spark):
 def test_rolling_hash_matches_interpreted(spark, sf_dir):
     """Chunked-Horner rolling hash == the sequential per-character
     fold, on the real corpus plus adversarial strings: empty,
-    1-char, exactly-chunk-sized, multi-chunk, non-ASCII BMP, and
+    1-char, exactly-chunk-sized, multi-chunk, non-ASCII BMP,
+    astral-plane (surrogate pairs — F.split('') does NOT split them,
+    so the fold is over CODEPOINTS; the kernel must match), and
     NULL."""
     from mapreduce_go_spark import tables
     from mapreduce_go_spark.functions.simd import make_rolling_hash
@@ -175,7 +177,8 @@ def test_rolling_hash_matches_interpreted(spark, sf_dir):
     assert diff.count() == 0
 
     extra = ["", "a", "x" * 64, "y" * 65, "z" * 1025,
-             "héllo wörld", "日本語テキスト", "Привет мир", None]
+             "héllo wörld", "日本語テキスト", "Привет мир",
+             "a\U0001F600b", "\U0001F680" * 70, "\U0010FFFF", None]
     df = spark.createDataFrame([(s,) for s in extra], "text string")
     got = df.select(
         roll(F.col("text")).alias("v"),
