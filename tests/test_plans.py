@@ -133,6 +133,18 @@ def test_neardup_edges_no_shingle_only_join(spark, sf_dir):
             f"shingle-only self-join in production edge plan: [{keys}]")
 
 
+def test_simhash_no_broadcast_vocab(spark, sf_dir):
+    """simhash must carry NO vocab-wide state: the md5 bit table is a
+    pure function of the token, computed inline per tf row — the plan
+    has no join (the old broadcast bit-table was unbounded by corpus
+    size: billions of distinct tokens at 100 TB)."""
+    from mapreduce_go_spark.operators import dedup
+
+    p = plan_of(dedup.simhash(spark, sf_dir))
+    assert "Join" not in p, p
+    assert "BroadcastExchange" not in p, p
+
+
 def test_pricing_summary_hot_path_sums_longs(spark, sf_dir):
     """The flagship aggregate's per-row level must sum int64 grid
     values, never a wide (Int128-backed) decimal buffer — the
