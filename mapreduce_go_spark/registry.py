@@ -65,13 +65,14 @@ _PRIORITY: list[str] = [
     "set_union",             # D13
     "rollup_agg",            # D14
     "json_extract",          # D16
-    # joins
+    # joins (join_semi / join_broadcast demoted r5 to make window room
+    # for the newest operators: D11 keeps dq_orphan_lineitems' anti
+    # join, D12 keeps local_supplier_volume's asserted broadcast; both
+    # demoted queries keep oracles + the full check in test_queries.py)
     "join_inner",            # D9
     "join_inner_bucketed",   # D9, zero-Exchange co-located layout
     "join_left_outer",       # D10
-    "join_semi",             # D11
-    "join_broadcast",        # D12
-    "local_supplier_volume",
+    "local_supplier_volume",  # D12 broadcast (plan-asserted)
     # windows (D15)
     "window_rank",
     "moving_average",
@@ -90,12 +91,14 @@ _PRIORITY: list[str] = [
     "dedup_minhash_pairs",
     "dedup_minhash_pairs_capped",
     "dedup_verified_pairs",
+    "neardup_flags",         # streaming job's batch anchor (r4)
     "simhash_neardup_pairs",
     "dedup_clusters",
     # similarity (D18)
     "knn_cosine_topk",
     "ann_lsh_topk",
     "embedding_neardup_pairs_blocked",
+    "quantize_embeddings",   # int8 quantization (r4)
     # text analysis (D19)
     "token_stats",
     "lang_id",
