@@ -1,0 +1,145 @@
+"""Empirical scale curve for the production dedup/similarity paths.
+
+The sub-quadratic claims in SCALE.md (capped-LSH candidates -> exact
+verify; blocked embedding near-dup) are argued from plan shape; this
+tool MEASURES them: it synthesizes a ~10x corpus from the sf0.1
+fixtures (deterministic perturbation — copies are NOT near-dups of
+each other, so the dup-rate and bucket-size distribution stay
+realistic instead of creating degenerate 10-doc buckets) and times
+the operators at 1x and 10x. A quadratic pipeline would show ~100x;
+the measured ratios go into SCALE.md.
+
+Usage: python tools/scale_curve.py [--base /root/testdata/sf0.1]
+       [--out /tmp/scale_curve] [--factor 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHIFT = 10_000_000  # doc_id/vec_id offset per synthetic copy
+
+
+def build_corpora(spark, base: str, out: str, factor: int) -> tuple[str, str]:
+    """Write x1 (pass-through) and x<factor> scaled dirs with
+    documents.parquet + embeddings.parquet."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    x1 = os.path.join(out, "x1")
+    xn = os.path.join(out, f"x{factor}")
+    shutil.rmtree(out, ignore_errors=True)
+
+    docs = tables.load(spark, base, "documents")
+    emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+
+    docs.coalesce(2).write.parquet(os.path.join(x1, "documents.parquet"))
+    emb.coalesce(1).write.parquet(os.path.join(x1, "embeddings.parquet"))
+
+    doc_parts, emb_parts = [], []
+    for k in range(factor):
+        if k == 0:
+            doc_parts.append(docs)
+            emb_parts.append(emb)
+            continue
+        # perturb ~25% of words (word -> word||letter — a LETTER
+        # suffix: the shingle tokenizer splits on non-letters, so a
+        # digit suffix would be invisible to it, measured as exactly
+        # 10x-inflated buckets): ~58% of 3-gram shingles change, so
+        # copies fall below the 0.5 Jaccard threshold and do NOT form
+        # giant LSH buckets.
+        toks = F.split(F.col("text"), " ")
+        perturbed = F.array_join(
+            F.transform(
+                toks,
+                lambda x, i: F.when((i + F.lit(k)) % 4 == 0,
+                                    F.concat(x, F.lit(chr(96 + k))))
+                .otherwise(x),
+            ),
+            " ",
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + k * SHIFT).alias("doc_id"),
+                perturbed.alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+        )
+        # decorrelate copies: rotate dimensions by k and flip signs
+        # deterministically (norm-preserving). A small jitter would NOT
+        # flip sign-projection bits — the 10 copies would pile into the
+        # same LSH buckets, trip the degenerate-bucket cap and make the
+        # 10x run artificially cheap (measured: 0 candidates).
+        dim = F.size(F.col("embedding"))
+        jit = F.transform(
+            F.col("embedding"),
+            lambda x, j: (
+                F.element_at(F.col("embedding"),
+                             ((j + F.lit(k)) % dim) + 1)
+                * F.when((j + F.col("vec_id") + F.lit(k)) % 2 == 0,
+                         F.lit(-1.0)).otherwise(F.lit(1.0))
+            ).cast("float"),
+        )
+        emb_parts.append(
+            emb.select((F.col("vec_id") + k * SHIFT).alias("vec_id"),
+                       jit.alias("embedding"), "label")
+        )
+    big_docs, big_emb = doc_parts[0], emb_parts[0]
+    for d in doc_parts[1:]:
+        big_docs = big_docs.unionByName(d)
+    for e2 in emb_parts[1:]:
+        big_emb = big_emb.unionByName(e2)
+    big_docs.repartition(8).write.parquet(os.path.join(xn, "documents.parquet"))
+    big_emb.repartition(4).write.parquet(os.path.join(xn, "embeddings.parquet"))
+    return x1, xn
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 2) -> tuple[float, int]:
+    best, rows = float("inf"), 0
+    for _ in range(runs):
+        t0 = time.time()
+        rows = fn(spark, sf_dir).count()
+        best = min(best, time.time() - t0)
+    return best, rows
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default="/tmp/scale_curve")
+    ap.add_argument("--factor", type=int, default=10)
+    args = ap.parse_args()
+
+    from mapreduce_go_spark.session import get_spark
+    from mapreduce_go_spark.operators.dedup import dedup_verified_pairs
+    from mapreduce_go_spark.operators.similarity import (
+        embedding_neardup_pairs_blocked)
+
+    spark = get_spark("scale_curve")
+    x1, xn = build_corpora(spark, args.base, args.out, args.factor)
+
+    result = {"factor": args.factor, "base": args.base, "queries": {}}
+    for name, fn in [("dedup_verified_pairs", dedup_verified_pairs),
+                     ("embedding_neardup_pairs_blocked",
+                      embedding_neardup_pairs_blocked)]:
+        t1, r1 = time_query(fn, spark, x1)
+        tn, rn = time_query(fn, spark, xn)
+        result["queries"][name] = {
+            "t_x1_sec": round(t1, 3), "rows_x1": r1,
+            f"t_x{args.factor}_sec": round(tn, 3),
+            f"rows_x{args.factor}": rn,
+            "ratio": round(tn / t1, 2),
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
