@@ -86,12 +86,15 @@ def sliding_counts(stream: DataFrame) -> DataFrame:
     )
 
 
-def session_counts(stream: DataFrame) -> DataFrame:
+def session_counts(stream: DataFrame, gap: str = SESSION_GAP) -> DataFrame:
     """Streaming session windows (native session_window operator —
-    the batch twin uses the portable lag+cumsum formulation)."""
+    the batch twin uses the portable lag+cumsum formulation). `gap`
+    parameterizes the inactivity gap; tests pin batch/stream parity at
+    a second gap value to guard the merge semantics beyond the single
+    default."""
     return (
         stream.withWatermark("ts", WATERMARK)
-        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"),
              dsum(F.col("value")).alias("total"))
         .select("user_id",

@@ -57,6 +57,36 @@ def test_session_stream_matches_batch(spark, sf_dir, staged):
     _assert_same("session", out, batch)
 
 
+def test_session_stream_matches_batch_at_second_gap(spark, sf_dir, staged):
+    """Session-window batch/stream parity at a SECOND gap value (5
+    minutes vs the default 30): guards the native session_window
+    convergence across gap settings, not just the fixture-calibrated
+    default (different gap -> different merge boundaries -> different
+    session set)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.functions.num import dsum
+
+    gap = "5 minutes"
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = jobs.run_to_memory(
+        spark, jobs.session_counts(stream, gap), "t_sess5", "complete")
+    ev = tables.load(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"),
+             dsum(F.col("value")).alias("total"))
+        .select("user_id", F.col("w.start").alias("sess_start"),
+                "n_events", "total")
+    )
+    _assert_same("session-5m", out, batch)
+    # different gap really yields a different session set
+    n30 = jobs.run_to_memory(
+        spark, jobs.session_counts(stream), "t_sess30b", "complete").count()
+    assert out.count() > n30
+
+
 def test_stateful_user_stats_matches_batch(spark, sf_dir, staged):
     """Custom GroupState operator: the last update emitted per user
     must equal the batch aggregate."""
@@ -346,6 +376,91 @@ def test_streaming_neardup_degenerate_bucket_goes_inert(spark, tmp_path):
     again = {r.doc_id: r.dup for r in
              jobs.read_neardup_flags(spark, fl).collect()}
     assert again == want
+
+
+def test_streaming_neardup_restart_from_checkpoint(spark, sf_dir, tmp_path):
+    """Kill-and-restart recovery: drain ONE micro-batch, stop the
+    query, then restart against the SAME checkpoint after more files
+    arrive. The restarted query must resume from the checkpointed
+    offset (not reprocess epoch 0 — its flag partition must be the
+    epoch-0 docs only) and the final flag relation must equal the
+    batch anchor."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark.operators import dedup
+
+    stage_all = str(tmp_path / "all")
+    os.makedirs(stage_all)
+    docs = _stage_docs_in_ranges(spark, sf_dir, stage_all)
+    live = str(tmp_path / "live")
+    os.makedirs(live)
+    shutil.copytree(os.path.join(stage_all, "b0"),
+                    os.path.join(live, "b0"))
+
+    idx = str(tmp_path / "nd_index")
+    flags_dir = str(tmp_path / "nd_flags")
+    ckpt = str(tmp_path / "nd_ck")
+    stream = jobs.documents_stream(spark, live + "/*", docs.schema)
+    jobs.run_streaming_neardup(spark, stream, idx, flags_dir, ckpt)
+    first = spark.read.parquet(flags_dir)
+    n_b0 = spark.read.parquet(os.path.join(stage_all, "b0")).count()
+    assert first.count() == n_b0  # only epoch 0 processed before the stop
+
+    # "crash is over": the remaining files arrive, same checkpoint
+    for b in ("b1", "b2"):
+        shutil.copytree(os.path.join(stage_all, b), os.path.join(live, b))
+    stream2 = jobs.documents_stream(spark, live + "/*", docs.schema)
+    jobs.run_streaming_neardup(spark, stream2, idx, flags_dir, ckpt)
+
+    flags = jobs.read_neardup_flags(spark, flags_dir)
+    got = sorted((r.doc_id, r.dup) for r in flags.collect())
+    want = sorted((r.doc_id, r.dup)
+                  for r in dedup.neardup_flags(spark, sf_dir).collect())
+    assert got == want
+    # epoch 0 was not reprocessed into a later epoch: every doc
+    # appears exactly once across all epoch partitions
+    assert flags.count() == flags.select("doc_id").distinct().count()
+
+
+def test_streaming_neardup_crash_between_writes_replays_cleanly(
+        spark, sf_dir, tmp_path):
+    """_neardup_epoch writes flags BEFORE committing the index
+    snapshot, so a crash between the two writes leaves a flag
+    partition but no index _SUCCESS. Simulate exactly that state
+    (strip the marker) and re-fire the epoch: both outputs must
+    converge to the pre-crash state — the wholesale-replay guarantee
+    the write ordering exists for."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    idx = str(tmp_path / "nd_index")
+    flags_dir = str(tmp_path / "nd_flags")
+    docs = tables.load(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    h1 = docs.where(F.col("doc_id") <= med)
+    h2 = docs.where(F.col("doc_id") > med)
+
+    jobs._neardup_epoch(h1, 0, idx, flags_dir)
+    jobs._neardup_epoch(h2, 1, idx, flags_dir)
+    flags_before = sorted(map(tuple, jobs.read_neardup_flags(
+        spark, flags_dir).collect()))
+    idx_before = sorted(map(tuple, spark.read.parquet(
+        jobs._neardup_index_dir(idx, 1)).collect()))
+
+    # crash point: epoch 1 flags are on disk, index commit marker is not
+    os.remove(os.path.join(jobs._neardup_index_dir(idx, 1), "_SUCCESS"))
+    jobs._neardup_epoch(h2, 1, idx, flags_dir)  # foreachBatch replay
+
+    assert sorted(map(tuple, jobs.read_neardup_flags(
+        spark, flags_dir).collect())) == flags_before
+    assert sorted(map(tuple, spark.read.parquet(
+        jobs._neardup_index_dir(idx, 1)).collect())) == idx_before
 
 
 def test_streaming_neardup_epoch_replay_is_idempotent(spark, sf_dir,
