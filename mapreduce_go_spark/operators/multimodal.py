@@ -236,10 +236,27 @@ def make_gif(width: int, height: int, body: bytes = b"") -> bytes:
 
 
 def make_bmp(width: int, height: int, body: bytes = b"") -> bytes:
-    """BMP: BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40), 24-bit."""
-    info = struct.pack("<IiiHH", 40, width, height, 1, 24) + b"\x00" * 24
-    filehdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
-    return filehdr + info + body
+    """A REAL, fully decodable 24-bit uncompressed BMP:
+    BITMAPFILEHEADER(14) + BITMAPINFOHEADER(40) + bottom-up pixel
+    array with 4-byte row padding. `body` bytes are cycled into the
+    top-down 3*w*h sample stream (the BMP stores them bottom-up, as
+    the format requires). Total size is closed-form:
+    54 + row_stride * height, row_stride = (3*w + 3) & ~3."""
+    import numpy as np
+
+    src = body if body else b"\x00"
+    n3 = width * height * 3
+    reps = -(-n3 // len(src))
+    px = np.frombuffer(src * reps, dtype=np.uint8)[:n3].reshape(
+        height, width * 3)
+    stride = (width * 3 + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, :width * 3] = px
+    arr = rows[::-1].tobytes()  # bottom-up row order
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       len(arr), 0, 0, 0, 0)
+    filehdr = b"BM" + struct.pack("<IHHI", 54 + len(arr), 0, 0, 54)
+    return filehdr + info + arr
 
 
 # JPEG markers whose segment carries the frame header (SOF0..SOF15
@@ -264,7 +281,6 @@ def make_jpeg(width: int, height: int, body: bytes = b"") -> bytes:
 
 
 _GIF_BODY_OFF = 6 + 4 + 3            # signature + screen desc + flags
-_BMP_BODY_OFF = 14 + 40              # file header + info header
 # (JPEG has no fixed body offset — decode_image derives it from the
 # segment walk; for make_jpeg's synthesized layout it works out to
 # 2 + 18 + 19 = 39 bytes, the constant the media_features oracle uses)
@@ -298,10 +314,34 @@ def decode_image(payload: bytes) -> dict:
         w, h = struct.unpack("<HH", payload[6:10])
         fmt, channels, body = "gif", 3, payload[_GIF_BODY_OFF:]
     elif payload[:2] == b"BM":
-        if len(payload) < 30:
+        # BMP pixel arrays are RAW (no entropy coding), so this format
+        # also decodes to true PIXELS: read the array at the file
+        # header's data offset, undo the bottom-up row order and the
+        # 4-byte row padding, and average the real samples.
+        if len(payload) < 34:
             raise ValueError("truncated BMP header")
+        data_off = struct.unpack("<I", payload[10:14])[0]
         _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
-        fmt, channels, body = "bmp", bpp // 8, payload[_BMP_BODY_OFF:]
+        comp = struct.unpack("<I", payload[30:34])[0]
+        if comp != 0 or bpp not in (8, 24, 32) or h == 0 or w <= 0:
+            raise ValueError("unsupported BMP pixel layout")
+        import numpy as np
+
+        channels = bpp // 8
+        ah = abs(h)
+        stride = (w * channels + 3) & ~3
+        if len(payload) < data_off + stride * ah:
+            raise ValueError("truncated BMP pixel array")
+        mat = np.frombuffer(
+            payload[data_off:data_off + stride * ah], dtype=np.uint8
+        ).reshape(ah, stride)[:, :w * channels]
+        if h > 0:
+            mat = mat[::-1]  # stored bottom-up
+        samples = mat.reshape(-1)
+        return {"format": "bmp", "width": int(w), "height": int(ah),
+                "channels": int(channels),
+                "mean_luma": float(int(samples.sum(dtype="uint64"))
+                                   / samples.size)}
     elif payload[:2] == b"\xff\xd8":
         # JPEG: the frame header is not at a fixed offset — walk the
         # segment chain (marker, big-endian length) until a SOF marker,
@@ -592,6 +632,17 @@ QUERIES = {
     "png_resize": png_resize,
 }
 
+def _cycled_mean_sql(npix_expr: str) -> str:
+    """DuckDB expression: exact mean of `text` bytes cycled to
+    npix_expr samples (whole cycles * total + prefix remainder — one
+    integer sum, one double division; bit-identical to the Python
+    decoder's sum/count). Expects CTE columns text, n, tot."""
+    return (f"cast((({npix_expr}) // n) * tot"
+            f" + coalesce(list_sum(list_transform(regexp_split_to_array("
+            f"substring(text, 1, cast(({npix_expr}) % n AS int)), ''),"
+            f" c -> ascii(c))), 0) AS double) / ({npix_expr})")
+
+
 ORACLES = {
     "multimodal_pack": """
         SELECT event_id,
@@ -678,7 +729,7 @@ ORACLES = {
                          THEN least(n, 4)
                     WHEN doc_id % 4 = 0 THEN 68 + h * (w + 1)
                     WHEN doc_id % 4 = 1 THEN n + 13
-                    WHEN doc_id % 4 = 2 THEN n + 54
+                    WHEN doc_id % 4 = 2 THEN 54 + ((3 * w + 3) // 4) * 4 * h
                     ELSE n + 39 END AS int) AS n_bytes,
                CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN 'corrupt'
                     ELSE CASE doc_id % 4 WHEN 0 THEN 'png'
@@ -693,15 +744,8 @@ ORACLES = {
                     WHEN doc_id % 4 = 0 THEN 1
                     ELSE 3 END AS int) AS channels,
                cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
-                    WHEN doc_id % 4 = 0 THEN
-                        cast((w * h // n) * tot
-                             + coalesce(list_sum(list_transform(
-                                   regexp_split_to_array(
-                                       substring(text, 1,
-                                                 cast((w * h) % n AS int)),
-                                       ''),
-                                   c -> ascii(c))), 0) AS double)
-                        / (w * h)
+                    WHEN doc_id % 4 = 0 THEN {_cycled_mean_sql('w * h')}
+                    WHEN doc_id % 4 = 2 THEN {_cycled_mean_sql('3 * w * h')}
                     ELSE list_sum(list_transform(
                              regexp_split_to_array(substring(text, 1, 64), ''),
                              c -> ascii(c))) % 256

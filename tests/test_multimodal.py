@@ -32,7 +32,6 @@ def test_decode_real_image_files(fname, fmt, w, h, ch):
 def test_decode_roundtrips_synthesized_payloads():
     body = bytes(range(200))
     for maker, fmt in [(multimodal.make_gif, "gif"),
-                       (multimodal.make_bmp, "bmp"),
                        (multimodal.make_jpeg, "jpeg")]:
         feat = multimodal.decode_image(maker(123, 45, body))
         assert (feat["format"], feat["width"], feat["height"]) == (fmt, 123, 45)
@@ -48,6 +47,17 @@ def test_decode_roundtrips_synthesized_payloads():
     assert (feat["format"], feat["width"], feat["height"],
             feat["channels"]) == ("png", 123, 45, 1)
     assert feat["mean_luma"] == sum(exp) / npix
+    # BMP pixel arrays are raw: luma is the true mean of the cycled
+    # 3-channel samples; size is 54 + padded-stride * height
+    bmp = multimodal.make_bmp(123, 45, body)
+    stride = (123 * 3 + 3) & ~3
+    assert len(bmp) == 54 + stride * 45
+    n3 = npix * 3
+    exp3 = (body * (n3 // len(body) + 1))[:n3]
+    feat = multimodal.decode_image(bmp)
+    assert (feat["format"], feat["width"], feat["height"],
+            feat["channels"]) == ("bmp", 123, 45, 3)
+    assert feat["mean_luma"] == sum(exp3) / n3
 
 
 def test_png_pixel_roundtrip_and_real_file():
