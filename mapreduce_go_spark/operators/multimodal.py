@@ -2,17 +2,19 @@
 columns (struct/array/map from JSON), opaque binary payloads with
 typed metadata, and Arrow-batched media decoding.
 
-`decode_image` is a REAL stdlib decoder: PNG all the way to PIXELS
-(chunk walk -> IDAT zlib inflate -> scanline unfilter, all five
-filter types — decode_png_pixels), and genuine container-header
-parses for GIF/BMP/JPEG (magic sniff + struct.unpack, format-derived
-channel counts, ValueError on corrupt input), validated against
-committed genuine image files in tests/fixtures/. PNG mean_luma is
-therefore a TRUE pixel mean and `png_resize` a TRUE nearest-neighbor
-pixel resample + re-encode (encode_png). Only the entropy-coded
-codecs (GIF LZW, JPEG huffman) still summarize a byte prefix;
+`decode_image` is a REAL stdlib decoder that reaches PIXELS for three
+of the four formats: PNG (chunk walk -> IDAT zlib inflate -> scanline
+unfilter, all five filter types — decode_png_pixels), GIF (extension
+skip -> genuine LZW decompression -> palette mapping —
+decode_gif_pixels), and BMP (raw pixel array, bottom-up rows, stride
+padding); JPEG gets a genuine segment-walking header parse (huffman
+entropy decode would need a codec library — its luma summarizes a
+byte prefix, documented). All validated against committed genuine
+image files in tests/fixtures/. mean_luma is therefore a TRUE
+pixel/sample mean for PNG/GIF/BMP, and `png_resize` a TRUE
+nearest-neighbor pixel resample + re-encode (encode_png);
 `resize_payload` remains the clearly-marked byte-decimation stand-in
-for those formats. The Spark-side plumbing — binary column in,
+for the codec format. The Spark-side plumbing — binary column in,
 `mapInPandas` over Arrow batches, typed feature schema out — is real
 and fully value-oracled.
 
@@ -79,13 +81,12 @@ def binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The container ships no PIL/opencv, but image formats are public byte
 # layouts — PNG magic + IHDR + zlib IDAT, GIF logical screen
-# descriptor, BMP BITMAPINFOHEADER — parseable with struct.unpack +
-# stdlib zlib and zero dependencies. decode_image below is a real
-# decoder (big-endian PNG with full pixel decode, little-endian
-# GIF/BMP headers, per-format channel derivation), validated against
-# committed real image files in tests/fixtures/. Only the
-# entropy-coded pixel streams (GIF LZW, JPEG huffman) would need a
-# codec library.
+# descriptor + LZW image data, BMP BITMAPINFOHEADER + raw pixel
+# array — parseable with struct.unpack + stdlib zlib + ~70 lines of
+# LZW, zero dependencies. decode_image below decodes PNG/GIF/BMP to
+# actual pixels and walks JPEG's segment chain for the frame header,
+# validated against committed real image files in tests/fixtures/.
+# Only JPEG's huffman entropy stream would need a codec library.
 
 import struct
 import zlib
@@ -230,9 +231,171 @@ def decode_png_pixels(payload: bytes) -> tuple[int, int, int, "object"]:
     return int(w), int(h), channels, recon.reshape(-1)
 
 
+def _lzw_encode_flat(indices: bytes) -> bytes:
+    """GIF LZW stream in the classic 'uncompressed GIF' scheme: a
+    CLEAR code before every <=254-literal run keeps the dictionary
+    below 512 entries, so every code is exactly 9 bits (LSB-first
+    packing) and the stream length is CLOSED-FORM:
+    ceil(9 * (npix + ceil(npix/254) + 1) / 8). Any conforming LZW
+    decoder (including decode_gif_pixels below, which also handles
+    real variable-width streams) reads it back verbatim."""
+    clear, eoi = 256, 257
+    codes: list[int] = []
+    for off in range(0, len(indices), 254):
+        codes.append(clear)
+        codes.extend(indices[off:off + 254])
+    codes.append(eoi)
+    out = bytearray()
+    acc = nbits = 0
+    for c in codes:
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
 def make_gif(width: int, height: int, body: bytes = b"") -> bytes:
-    """GIF89a header + logical screen descriptor (no color table)."""
-    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00" + body
+    """A REAL, fully decodable GIF89a: 256-entry grayscale-identity
+    global color table (index i -> (i,i,i)), one non-interlaced image
+    block, `body` bytes cycled into the w*h index raster, genuine LZW
+    image data (_lzw_encode_flat). Total size is closed-form:
+    794 + lzw + ceil(lzw/255) with lzw as documented above."""
+    src = body if body else b"\x00"
+    npix = width * height
+    reps = -(-npix // len(src))
+    idx = (src * reps)[:npix]
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    lsd = struct.pack("<HH", width, height) + b"\xf7\x00\x00"
+    desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    lzw = _lzw_encode_flat(idx)
+    blocks = bytearray()
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off:off + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return (b"GIF89a" + lsd + gct + desc + bytes([8]) + bytes(blocks)
+            + b"\x3b")
+
+
+def _lzw_decode(data: bytes, mcs: int, expected: int) -> bytes:
+    """General GIF LZW decode (variable code width, dictionary reset
+    on CLEAR, KwKwK case, width growth capped at 12 bits) — handles
+    both real-world compressed streams and the flat synthesis."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width = mcs + 1
+    table: list[bytes] | None = None
+    prev: bytes | None = None
+    out = bytearray()
+    acc = nbits = 0
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= width:
+            code = acc & ((1 << width) - 1)
+            acc >>= width
+            nbits -= width
+            if code == clear:
+                table, width, prev = list(base), mcs + 1, None
+                continue
+            if code == eoi:
+                return bytes(out)
+            if table is None:
+                raise ValueError("GIF LZW code before first clear")
+            if prev is None:
+                if code >= len(base) - 2:
+                    raise ValueError("GIF LZW first code not a literal")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):  # KwKwK
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError("GIF LZW code beyond dictionary")
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+            if len(out) >= expected:
+                return bytes(out[:expected])
+    raise ValueError("GIF LZW stream ended early")
+
+
+def decode_gif_pixels(payload: bytes) -> tuple[int, int, "object"]:
+    """Full GIF pixel decode, stdlib-only: logical screen descriptor,
+    global/local color table, extension-block skip, genuine LZW
+    decompression of the first image block, palette mapping to RGB
+    samples. Interlaced images raise ValueError (no codepath), like
+    any decoder without that feature. Returns (lsd_w, lsd_h, uint8
+    RGB sample array)."""
+    import numpy as np
+
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h = struct.unpack("<HH", payload[6:10])
+    flags = payload[10]
+    off = 13
+    palette = None
+    if flags & 0x80:
+        size = 2 ** ((flags & 7) + 1)
+        palette = np.frombuffer(
+            payload[off:off + 3 * size], dtype=np.uint8).reshape(-1, 3)
+        if palette.shape[0] != size:
+            raise ValueError("truncated GIF color table")
+        off += 3 * size
+    while off < len(payload):
+        block = payload[off]
+        if block == 0x21:  # extension: label + sub-blocks
+            off += 2
+            while off < len(payload) and payload[off] != 0:
+                off += 1 + payload[off]
+            off += 1
+        elif block == 0x2C:  # image descriptor
+            if off + 10 > len(payload):
+                raise ValueError("truncated GIF image descriptor")
+            _l, _t, iw, ih, iflags = struct.unpack(
+                "<HHHHB", payload[off + 1:off + 10])
+            off += 10
+            if iflags & 0x40:
+                raise ValueError("interlaced GIF unsupported")
+            if iflags & 0x80:  # local color table wins
+                size = 2 ** ((iflags & 7) + 1)
+                palette = np.frombuffer(
+                    payload[off:off + 3 * size], dtype=np.uint8
+                ).reshape(-1, 3)
+                off += 3 * size
+            if palette is None:
+                raise ValueError("GIF image without a color table")
+            if off >= len(payload):
+                raise ValueError("truncated GIF image data")
+            mcs = payload[off]
+            off += 1
+            if not 2 <= mcs <= 8:
+                raise ValueError("bad GIF LZW min code size")
+            data = bytearray()
+            while off < len(payload) and payload[off] != 0:
+                ln = payload[off]
+                data += payload[off + 1:off + 1 + ln]
+                off += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode(bytes(data), mcs, iw * ih), dtype=np.uint8)
+            if int(idx.max(initial=0)) >= palette.shape[0]:
+                raise ValueError("GIF index beyond palette")
+            samples = palette[idx].reshape(-1)
+            return int(w), int(h), samples
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError("unknown GIF block")
+    raise ValueError("GIF without image data")
 
 
 def make_bmp(width: int, height: int, body: bytes = b"") -> bytes:
@@ -280,7 +443,6 @@ def make_jpeg(width: int, height: int, body: bytes = b"") -> bytes:
     return b"\xff\xd8" + app0 + sof + body
 
 
-_GIF_BODY_OFF = 6 + 4 + 3            # signature + screen desc + flags
 # (JPEG has no fixed body offset — decode_image derives it from the
 # segment walk; for make_jpeg's synthesized layout it works out to
 # 2 + 18 + 19 = 39 bytes, the constant the media_features oracle uses)
@@ -311,8 +473,14 @@ def decode_image(payload: bytes) -> dict:
                 "mean_luma": float(int(pixels.sum(dtype="uint64"))
                                    / len(pixels))}
     elif payload[:6] in (b"GIF87a", b"GIF89a"):
-        w, h = struct.unpack("<HH", payload[6:10])
-        fmt, channels, body = "gif", 3, payload[_GIF_BODY_OFF:]
+        # GIF also decodes to PIXELS: real LZW decompression + palette
+        # mapping (decode_gif_pixels); luma is the true mean of the
+        # mapped RGB samples.
+        w, h, samples = decode_gif_pixels(payload)
+        return {"format": "gif", "width": int(w), "height": int(h),
+                "channels": 3,
+                "mean_luma": float(int(samples.sum(dtype="uint64"))
+                                   / samples.size)}
     elif payload[:2] == b"BM":
         # BMP pixel arrays are RAW (no entropy coding), so this format
         # also decodes to true PIXELS: read the array at the file
@@ -720,6 +888,11 @@ ORACLES = {
                    octet_length(encode(text)) AS n,
                    16 + (doc_id * 7) % 240 AS w,
                    16 + (doc_id * 13) % 240 AS h,
+                   (9 * ((16 + (doc_id * 7) % 240)
+                         * (16 + (doc_id * 13) % 240)
+                         + ((16 + (doc_id * 7) % 240)
+                            * (16 + (doc_id * 13) % 240) + 253) // 254
+                         + 1) + 7) // 8 AS lzw,
                    list_sum(list_transform(regexp_split_to_array(text, ''),
                                            c -> ascii(c))) AS tot
             FROM documents
@@ -728,7 +901,7 @@ ORACLES = {
                cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0
                          THEN least(n, 4)
                     WHEN doc_id % 4 = 0 THEN 68 + h * (w + 1)
-                    WHEN doc_id % 4 = 1 THEN n + 13
+                    WHEN doc_id % 4 = 1 THEN 794 + lzw + (lzw + 254) // 255
                     WHEN doc_id % 4 = 2 THEN 54 + ((3 * w + 3) // 4) * 4 * h
                     ELSE n + 39 END AS int) AS n_bytes,
                CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN 'corrupt'
@@ -745,6 +918,7 @@ ORACLES = {
                     ELSE 3 END AS int) AS channels,
                cast(CASE WHEN doc_id % {CORRUPT_EVERY} = 0 THEN NULL
                     WHEN doc_id % 4 = 0 THEN {_cycled_mean_sql('w * h')}
+                    WHEN doc_id % 4 = 1 THEN {_cycled_mean_sql('w * h')}
                     WHEN doc_id % 4 = 2 THEN {_cycled_mean_sql('3 * w * h')}
                     ELSE list_sum(list_transform(
                              regexp_split_to_array(substring(text, 1, 64), ''),

@@ -31,11 +31,21 @@ def test_decode_real_image_files(fname, fmt, w, h, ch):
 
 def test_decode_roundtrips_synthesized_payloads():
     body = bytes(range(200))
-    for maker, fmt in [(multimodal.make_gif, "gif"),
-                       (multimodal.make_jpeg, "jpeg")]:
-        feat = multimodal.decode_image(maker(123, 45, body))
-        assert (feat["format"], feat["width"], feat["height"]) == (fmt, 123, 45)
-        assert feat["mean_luma"] == float(sum(body[:64]) % 256)
+    feat = multimodal.decode_image(multimodal.make_jpeg(123, 45, body))
+    assert (feat["format"], feat["width"], feat["height"]) == ("jpeg", 123, 45)
+    assert feat["mean_luma"] == float(sum(body[:64]) % 256)
+    # GIF is decoded through REAL LZW + the identity grayscale
+    # palette: luma is the true mean of the cycled index raster, and
+    # the flat-LZW container size is closed-form
+    gif = multimodal.make_gif(123, 45, body)
+    npix = 123 * 45
+    lzw = (9 * (npix + -(-npix // 254) + 1) + 7) // 8
+    assert len(gif) == 794 + lzw + -(-lzw // 255)
+    exp = (body * (npix // len(body) + 1))[:npix]
+    feat = multimodal.decode_image(gif)
+    assert (feat["format"], feat["width"], feat["height"],
+            feat["channels"]) == ("gif", 123, 45, 3)
+    assert feat["mean_luma"] == sum(exp) / npix
     # PNG is decoded to PIXELS: luma is the true mean of the cycled
     # body raster, and the container size is the stored-deflate
     # closed form
@@ -77,6 +87,32 @@ def test_png_pixel_roundtrip_and_real_file():
     assert (w, h, ch) == (7, 5, 3)
     assert len(px) == 7 * 5 * 3
     assert 0.0 <= multimodal.decode_image(real)["mean_luma"] <= 255.0
+
+
+def test_gif_lzw_decodes_real_variable_width_stream():
+    """The LZW decoder handles a REAL encoder's variable-width stream
+    (dictionary growth, width bumps), not just our flat 9-bit
+    synthesis: the committed fixture GIF decodes to the full 4x3x3
+    sample buffer."""
+    real = (FIXTURES / "sample_4x3.gif").read_bytes()
+    w, h, samples = multimodal.decode_gif_pixels(real)
+    assert (w, h) == (4, 3)
+    assert len(samples) == 4 * 3 * 3
+    # KwKwK case: code == len(table) right after a literal. Stream:
+    # CLEAR, 1, 258(=KwKwK of b'\x01'), EOI at mcs=8 -> b'\x01\x01\x01'
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for c in (256, 1, 258, 257):
+        acc |= c << nbits
+        nbits += 9
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        out.append(acc & 0xFF)
+    assert multimodal._lzw_decode(bytes(out), 8, 10) == b"\x01\x01\x01"
 
 
 def test_png_unfilter_average_and_paeth():
