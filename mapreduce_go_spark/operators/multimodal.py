@@ -259,20 +259,23 @@ def _lzw_encode_flat(indices: bytes) -> bytes:
     return bytes(out)
 
 
-def make_gif(width: int, height: int, body: bytes = b"") -> bytes:
-    """A REAL, fully decodable GIF89a: 256-entry grayscale-identity
-    global color table (index i -> (i,i,i)), one non-interlaced image
-    block, `body` bytes cycled into the w*h index raster, genuine LZW
-    image data (_lzw_encode_flat). Total size is closed-form:
-    794 + lzw + ceil(lzw/255) with lzw as documented above."""
-    src = body if body else b"\x00"
-    npix = width * height
-    reps = -(-npix // len(src))
-    idx = (src * reps)[:npix]
-    gct = bytes(v for i in range(256) for v in (i, i, i))
+def encode_gif(width: int, height: int, indices: bytes,
+               palette: "object" = None) -> bytes:
+    """Encode an index raster as a REAL GIF89a: 256-entry global color
+    table (`palette` rows, zero-padded — grayscale identity when
+    None), one non-interlaced image block, flat-LZW image data
+    (_lzw_encode_flat). Total size is closed-form:
+    794 + lzw + ceil(lzw/255)."""
+    if len(indices) != width * height:
+        raise ValueError("index buffer does not match dimensions")
+    if palette is None:
+        gct = bytes(v for i in range(256) for v in (i, i, i))
+    else:
+        raw = bytes(bytearray(palette.reshape(-1)))
+        gct = raw + b"\x00" * (768 - len(raw))
     lsd = struct.pack("<HH", width, height) + b"\xf7\x00\x00"
     desc = b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    lzw = _lzw_encode_flat(idx)
+    lzw = _lzw_encode_flat(indices)
     blocks = bytearray()
     for off in range(0, len(lzw), 255):
         chunk = lzw[off:off + 255]
@@ -281,6 +284,31 @@ def make_gif(width: int, height: int, body: bytes = b"") -> bytes:
     blocks.append(0)
     return (b"GIF89a" + lsd + gct + desc + bytes([8]) + bytes(blocks)
             + b"\x3b")
+
+
+def make_gif(width: int, height: int, body: bytes = b"") -> bytes:
+    """A REAL, fully decodable GIF89a with `body` bytes cycled into
+    the w*h index raster over the grayscale-identity palette (index i
+    -> (i,i,i)) — see encode_gif for the closed-form size."""
+    src = body if body else b"\x00"
+    npix = width * height
+    reps = -(-npix // len(src))
+    return encode_gif(width, height, (src * reps)[:npix])
+
+
+def resample_gif_half(payload: bytes) -> tuple[int, int, bytes, bytes]:
+    """TRUE nearest-neighbor 2:1 downsample of a decodable GIF:
+    decode to palette indices, keep every other pixel in x and y,
+    re-encode with the SOURCE palette. Returns (out_w, out_h,
+    resampled index bytes, GIF bytes)."""
+    import numpy as np
+
+    _w, _h, iw, ih, idx, palette = decode_gif_indices(payload)
+    raster = np.asarray(idx).reshape(ih, iw)
+    out = np.ascontiguousarray(raster[::2, ::2])
+    oh, ow = out.shape
+    buf = out.reshape(-1).tobytes()
+    return ow, oh, buf, encode_gif(ow, oh, buf, palette)
 
 
 def _lzw_decode(data: bytes, mcs: int, expected: int) -> bytes:
@@ -336,6 +364,16 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, "object"]:
     samples. Interlaced images raise ValueError (no codepath), like
     any decoder without that feature. Returns (lsd_w, lsd_h, uint8
     RGB sample array)."""
+    w, h, iw, ih, idx, palette = decode_gif_indices(payload)
+    return w, h, palette[idx].reshape(-1)
+
+
+def decode_gif_indices(
+        payload: bytes) -> tuple[int, int, int, int, "object", "object"]:
+    """decode_gif_pixels' index-level form: (lsd_w, lsd_h, img_w,
+    img_h, uint8 index array, (n,3) uint8 palette) — what a resample
+    needs (resampling palette INDICES is the nearest-neighbor
+    operation; RGB mapping is presentation)."""
     import numpy as np
 
     if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
@@ -389,8 +427,7 @@ def decode_gif_pixels(payload: bytes) -> tuple[int, int, "object"]:
                 _lzw_decode(bytes(data), mcs, iw * ih), dtype=np.uint8)
             if int(idx.max(initial=0)) >= palette.shape[0]:
                 raise ValueError("GIF index beyond palette")
-            samples = palette[idx].reshape(-1)
-            return int(w), int(h), samples
+            return int(w), int(h), int(iw), int(ih), idx, palette
         elif block == 0x3B:
             break
         else:
@@ -791,6 +828,39 @@ def png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary.mapInPandas(_png_resize_batches, PNG_RESIZE_SCHEMA)
 
 
+def _gif_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
+            b = make_media_payload(int(doc_id),
+                                   bytes(payload) if payload is not None
+                                   else b"")
+            _w, _h, iw, ih, _idx, _pal = decode_gif_indices(b)
+            ow, oh, buf, gif = resample_gif_half(b)
+            out.append({
+                "doc_id": doc_id, "in_w": iw, "in_h": ih,
+                "out_w": ow, "out_h": oh, "out_bytes": len(gif),
+                "pix_sha256": hashlib.sha256(buf).hexdigest(),
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in PNG_RESIZE_SCHEMA])
+
+
+def gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 REAL pixel-level resize for the GIF quarter of the
+    synthesized media corpus: genuine LZW decode to palette indices,
+    nearest-neighbor 2:1 index resample, re-encode a real GIF with the
+    source palette. Like png_resize, the oracle value-checks geometry,
+    the closed-form flat-LZW container size, and the sha256 of the
+    exact resampled index bytes."""
+    docs = tables.load(spark, sf_dir, "documents")
+    gifs = docs.where((F.col("doc_id") % 4 == 1)
+                      & (F.col("doc_id") % CORRUPT_EVERY != 0))
+    binary = gifs.select("doc_id", F.col("text").cast("binary").alias("img"))
+    return binary.mapInPandas(_gif_resize_batches, PNG_RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_pack": multimodal_pack,
     "binary_meta": binary_meta,
@@ -798,6 +868,7 @@ QUERIES = {
     "frame_sample": frame_sample,
     "media_resize": media_resize,
     "png_resize": png_resize,
+    "gif_resize": gif_resize,
 }
 
 def _cycled_mean_sql(npix_expr: str) -> str:
@@ -961,5 +1032,44 @@ ORACLES = {
                cast(68 + oh * (ow + 1) AS int) AS out_bytes,
                sha256(pix) AS pix_sha256
         FROM dims d JOIN buf USING (doc_id)
+    """,
+    # gif_resize: same pixel-grid formula as png_resize (GIF indices
+    # ARE the cycled text bytes under the identity palette); the
+    # container size is the closed-form flat-LZW encoding over the
+    # OUTPUT dims.
+    "gif_resize": f"""
+        WITH dims AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   16 + (doc_id * 7) % 240 AS w,
+                   16 + (doc_id * 13) % 240 AS h,
+                   (16 + (doc_id * 7) % 240 + 1) // 2 AS ow,
+                   (16 + (doc_id * 13) % 240 + 1) // 2 AS oh
+            FROM documents
+            WHERE doc_id % 4 = 1 AND doc_id % {CORRUPT_EVERY} <> 0
+        ),
+        sized AS (
+            SELECT *,
+                   (9 * (ow * oh + (ow * oh + 253) // 254 + 1) + 7) // 8
+                       AS lzw
+            FROM dims
+        ),
+        px AS (
+            SELECT doc_id, text, n, w, ow,
+                   unnest(generate_series(0, ow * oh - 1)) AS i
+            FROM sized
+        ),
+        buf AS (
+            SELECT doc_id,
+                   string_agg(substring(text,
+                       cast((2 * (i // ow) * w + 2 * (i % ow)) % n + 1
+                            AS int), 1), '' ORDER BY i) AS pix
+            FROM px GROUP BY doc_id
+        )
+        SELECT d.doc_id, cast(w AS int) AS in_w, cast(h AS int) AS in_h,
+               cast(ow AS int) AS out_w, cast(oh AS int) AS out_h,
+               cast(794 + lzw + (lzw + 254) // 255 AS int) AS out_bytes,
+               sha256(pix) AS pix_sha256
+        FROM sized d JOIN buf USING (doc_id)
     """,
 }

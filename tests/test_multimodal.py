@@ -179,6 +179,42 @@ def test_decode_jpeg_trailing_fill_bytes_raise_valueerror():
         multimodal.decode_image(b"\xff\xd8" + b"\xff" * 20)
 
 
+def test_gif_resample_half():
+    """resample_gif_half keeps every other palette index in both axes
+    and re-encodes a GIF that decodes back to exactly those indices
+    with the source palette."""
+    import numpy as np
+
+    body = bytes((i * 11 + 3) % 256 for i in range(300))
+    gif = multimodal.make_gif(31, 17, body)
+    ow, oh, buf, out_gif = multimodal.resample_gif_half(gif)
+    assert (ow, oh) == (16, 9)
+    npix = 31 * 17
+    exp = np.frombuffer((body * (npix // len(body) + 1))[:npix],
+                        dtype=np.uint8).reshape(17, 31)
+    assert bytes(exp[::2, ::2].reshape(-1)) == buf
+    _w, _h, iw, ih, idx, _pal = multimodal.decode_gif_indices(out_gif)
+    assert (iw, ih) == (16, 9) and bytes(idx) == buf
+    lzw = (9 * (16 * 9 + -(-16 * 9 // 254) + 1) + 7) // 8
+    assert len(out_gif) == 794 + lzw + -(-lzw // 255)
+
+
+def test_gif_resize_query(spark, sf_dir):
+    df = multimodal.gif_resize(spark, sf_dir)
+    rows = df.collect()
+    docs = multimodal.tables.load(spark, sf_dir, "documents")
+    n_gif = docs.where(
+        "doc_id % 4 = 1 and doc_id % 11 != 0").count()
+    assert len(rows) == n_gif > 0
+    for r in rows:
+        assert r.out_w == (r.in_w + 1) // 2
+        assert r.out_h == (r.in_h + 1) // 2
+        lzw = (9 * (r.out_w * r.out_h
+                    + -(-r.out_w * r.out_h // 254) + 1) + 7) // 8
+        assert r.out_bytes == 794 + lzw + -(-lzw // 255)
+        assert len(r.pix_sha256) == 64
+
+
 def test_png_resize_query(spark, sf_dir):
     df = multimodal.png_resize(spark, sf_dir)
     rows = df.collect()
