@@ -704,10 +704,12 @@ RESIZE_SCHEMA = StructType([
 
 
 def resize_payload(payload: bytes) -> bytes:
-    """REAL resampling needs PIL/opencv (unavailable here); the
-    deterministic stand-in is 2:1 byte decimation — same contract: a
-    binary in, a smaller binary out. Swap this function for a real
-    resize; the mapInPandas plumbing is unchanged."""
+    """Format-agnostic 2:1 byte decimation — the deterministic
+    stand-in for payloads this repo cannot pixel-decode (JPEG's
+    huffman stream needs a codec library). The REAL pixel resamples
+    live in resample_png_half / resample_gif_half (png_resize /
+    gif_resize queries); same contract here: a binary in, a smaller
+    binary out, mapInPandas plumbing unchanged."""
     if payload is None:
         raise NotImplementedError("real resize needs PIL/opencv")
     return payload[::2]
