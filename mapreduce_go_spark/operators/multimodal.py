@@ -238,25 +238,26 @@ def _lzw_encode_flat(indices: bytes) -> bytes:
     packing) and the stream length is CLOSED-FORM:
     ceil(9 * (npix + ceil(npix/254) + 1) / 8). Any conforming LZW
     decoder (including decode_gif_pixels below, which also handles
-    real variable-width streams) reads it back verbatim."""
+    real variable-width streams) reads it back verbatim. Fully
+    numpy-vectorized (a per-code Python loop cost ~10 ms per image —
+    the dominant cost of the media queries at sf0.1)."""
+    import numpy as np
+
     clear, eoi = 256, 257
-    codes: list[int] = []
-    for off in range(0, len(indices), 254):
-        codes.append(clear)
-        codes.extend(indices[off:off + 254])
-    codes.append(eoi)
-    out = bytearray()
-    acc = nbits = 0
-    for c in codes:
-        acc |= c << nbits
-        nbits += 9
-        while nbits >= 8:
-            out.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-    if nbits:
-        out.append(acc & 0xFF)
-    return bytes(out)
+    idx = np.frombuffer(indices, dtype=np.uint8).astype(np.uint16)
+    n = len(idx)
+    groups = -(-n // 254) if n else 0
+    codes = np.empty(n + groups + 1, dtype=np.uint16)
+    pos = 0
+    for g in range(groups):
+        codes[pos] = clear
+        chunk = idx[g * 254:(g + 1) * 254]
+        codes[pos + 1:pos + 1 + len(chunk)] = chunk
+        pos += 1 + len(chunk)
+    codes[pos] = eoi
+    bits = ((codes[:, None] >> np.arange(9, dtype=np.uint16)) & 1
+            ).astype(np.uint8).reshape(-1)
+    return np.packbits(bits, bitorder="little").tobytes()
 
 
 def encode_gif(width: int, height: int, indices: bytes,
@@ -311,10 +312,49 @@ def resample_gif_half(payload: bytes) -> tuple[int, int, bytes, bytes]:
     return ow, oh, buf, encode_gif(ow, oh, buf, palette)
 
 
+def _lzw_decode_flat9(data: bytes, expected: int) -> bytes | None:
+    """Vectorized decode for the all-literal fixed-9-bit LZW shape
+    _lzw_encode_flat emits (initial CLEAR, <=254-literal runs between
+    CLEARs — so the code width provably never leaves 9 bits). Returns
+    None when the stream doesn't have that shape (real compressed
+    GIFs: dictionary-reference codes, longer runs) — the general
+    decoder below takes over. Same numbers either way; the fast path
+    only exists because the per-code Python loop dominated media query
+    time at sf0.1."""
+    import numpy as np
+
+    bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8),
+                         bitorder="little")
+    ncodes = len(bits) // 9
+    if ncodes == 0:
+        return None
+    codes = bits[:ncodes * 9].reshape(-1, 9).astype(np.uint16) @ (
+        np.uint16(1) << np.arange(9, dtype=np.uint16))
+    eoi_pos = np.nonzero(codes == 257)[0]
+    if len(eoi_pos) == 0:
+        return None
+    codes = codes[:eoi_pos[0]]
+    if len(codes) == 0 or codes[0] != 256:
+        return None
+    clear_idx = np.nonzero(codes == 256)[0]
+    run_lens = np.append(clear_idx[1:], len(codes)) - clear_idx - 1
+    if np.any(run_lens > 254):  # width could have grown past 9 bits
+        return None
+    lits = codes[codes != 256]
+    if len(lits) != expected or np.any(lits > 255):
+        return None  # dictionary references -> general decode
+    return lits.astype(np.uint8).tobytes()
+
+
 def _lzw_decode(data: bytes, mcs: int, expected: int) -> bytes:
     """General GIF LZW decode (variable code width, dictionary reset
     on CLEAR, KwKwK case, width growth capped at 12 bits) — handles
-    both real-world compressed streams and the flat synthesis."""
+    both real-world compressed streams and the flat synthesis (the
+    latter through the vectorized _lzw_decode_flat9 fast path)."""
+    if mcs == 8:
+        fast = _lzw_decode_flat9(data, expected)
+        if fast is not None:
+            return fast
     clear, eoi = 1 << mcs, (1 << mcs) + 1
     base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
     width = mcs + 1
@@ -588,6 +628,22 @@ def decode_image(payload: bytes) -> dict:
             "channels": int(channels), "mean_luma": luma}
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Give Python-side decode work real parallelism: the fixture
+    tables arrive as ONE parquet file -> one input split, so a
+    mapInPandas pipeline would run single-task no matter how many
+    cores exist (measured: media_features 13.4 s single-task vs ~1 s
+    spread at sf0.1). Repartition up to the session's default
+    parallelism when the scan has fewer splits; at production scale
+    the table has plenty of file splits and this is a no-op. The rows
+    shuffled here are (doc_id, payload) only — the decode output never
+    shuffles."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 MEDIA_FEATURE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("n_bytes", IntegerType()),
@@ -653,7 +709,7 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary = docs.select(
         "doc_id", F.col("text").cast("binary").alias("img")
     )
-    return binary.mapInPandas(_extract_features, MEDIA_FEATURE_SCHEMA)
+    return _spread(binary).mapInPandas(_extract_features, MEDIA_FEATURE_SCHEMA)
 
 
 FRAME_BYTES = 32    # fixed frame width (a real video frame is fixed-
@@ -739,7 +795,7 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-checked without shipping binaries into the compare."""
     docs = tables.load(spark, sf_dir, "documents")
     binary = docs.select("doc_id", F.col("text").cast("binary").alias("img"))
-    return binary.mapInPandas(_resize_batches, RESIZE_SCHEMA)
+    return _spread(binary).mapInPandas(_resize_batches, RESIZE_SCHEMA)
 
 
 # --- real PNG pixel resize --------------------------------------------------
@@ -827,7 +883,7 @@ def png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pngs = docs.where((F.col("doc_id") % 4 == 0)
                       & (F.col("doc_id") % CORRUPT_EVERY != 0))
     binary = pngs.select("doc_id", F.col("text").cast("binary").alias("img"))
-    return binary.mapInPandas(_png_resize_batches, PNG_RESIZE_SCHEMA)
+    return _spread(binary).mapInPandas(_png_resize_batches, PNG_RESIZE_SCHEMA)
 
 
 def _gif_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -860,7 +916,7 @@ def gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     gifs = docs.where((F.col("doc_id") % 4 == 1)
                       & (F.col("doc_id") % CORRUPT_EVERY != 0))
     binary = gifs.select("doc_id", F.col("text").cast("binary").alias("img"))
-    return binary.mapInPandas(_gif_resize_batches, PNG_RESIZE_SCHEMA)
+    return _spread(binary).mapInPandas(_gif_resize_batches, PNG_RESIZE_SCHEMA)
 
 
 QUERIES = {
