@@ -53,6 +53,14 @@ HEADLINE = [
     "ann_lsh_topk",
     "embedding_neardup_pairs_blocked",
     "join_inner_bucketed",
+    # NEW in r5 (totals are not comparable to r4 without subtracting
+    # these five): the min-per-bucket flag probe, simhash banding, and
+    # the pixel-real media pipelines (PNG/GIF decode + resample)
+    "neardup_flags",
+    "simhash_neardup_pairs_capped",
+    "media_features",
+    "png_resize",
+    "gif_resize",
 ]
 
 

@@ -443,13 +443,24 @@ SIMHASH_BANDS = 4       # 4 x 16-bit bands for candidate blocking
 HAMMING_MAX = 8
 
 
-def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: candidates share at least one 16-bit
-    band of the 64-bit signature (pigeonhole: any pair with hamming
-    <= 3 must collide; wider radius pairs are found probabilistically),
-    then exact hamming filter <= 8. Banding keeps the pair generation
-    |docs| x bands; the hamming check runs on candidates only."""
-    sig = simhash(spark, sf_dir)
+# Max docs per 16-bit simhash band bucket before the bucket is
+# declared degenerate and dropped (capped variant): natural-language
+# simhash CONCENTRATES — the sf0.1 fixture already grows a 291-doc
+# band bucket (~42k pairs from one key). Fixture-calibrated to 8 so
+# the drop path is exercised (sf0.01 has buckets up to 28); in
+# production ~1e3.
+SIMHASH_BUCKET_CAP = 8
+
+
+def _simhash_pairs(sig: DataFrame, cap: int | None = None) -> DataFrame:
+    """Banded simhash near-dup pairs over a (doc_id, simhash)
+    signature table. Pair generation is bucket-local (collect the
+    bucket, posexplode the upper triangle) like _bucket_pairs — a
+    band_key SELF-JOIN computed the entire simhash pipeline twice
+    (measured 4.1 s vs 3.1 s at sf0.1); this shape computes it once.
+    sort_array on the (doc_id, simhash) structs orders by doc_id, so
+    d1 < d2 falls out of the triangle. With `cap`, over-cap buckets
+    are dropped by array length before any pair exists."""
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -464,30 +475,66 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("band_key"),
     )
-    x = bands.select(F.col("doc_id").alias("d1"),
-                     F.col("simhash").alias("s1"), "band_key")
-    y = bands.select(F.col("doc_id").alias("d2"),
-                     F.col("simhash").alias("s2"), "band_key")
+    buckets = bands.groupBy("band_key").agg(
+        F.sort_array(
+            F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
+    cond = F.size("ds") >= 2
+    if cap is not None:
+        cond = cond & (F.size("ds") <= cap)
     cands = (
-        x.join(y, "band_key")
-        .where(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "s1", "s2")
+        buckets.where(cond)
+        .select(F.posexplode("ds").alias("i", "x"), "ds")
+        .select(
+            "x",
+            F.explode(
+                F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))
+            ).alias("y"),
+        )
+        .select(
+            F.col("x.doc_id").alias("d1"), F.col("y.doc_id").alias("d2"),
+            F.col("x.simhash").alias("s1"), F.col("y.simhash").alias("s2"),
+        )
         .distinct()
     )
-    ham = F.size(
-        F.filter(
-            F.zip_with(
-                F.split("s1", ""), F.split("s2", ""),
-                lambda a, b: a != b,
-            ),
-            lambda d: d,
+    # hamming via codegen bit arithmetic, not an interpreted per-char
+    # lambda (64 zip_with evals per candidate pair dominated the
+    # query): each 16-bit band chunk -> int, XOR, popcount.
+    ham = sum(
+        F.bit_count(
+            F.conv(F.substring("s1", 1 + 16 * b, 16), 2, 10).cast("long")
+            .bitwiseXOR(
+                F.conv(F.substring("s2", 1 + 16 * b, 16), 2, 10)
+                .cast("long"))
         )
+        for b in range(SIMHASH_BANDS)
     )
     return (
-        cands.withColumn("hamming", ham)
+        cands.withColumn("hamming", ham.cast("int"))
         .where(F.col("hamming") <= HAMMING_MAX)
         .select("d1", "d2", "hamming")
     )
+
+
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one 16-bit
+    band of the 64-bit signature (pigeonhole: any pair with hamming
+    <= 3 must collide; wider radius pairs are found probabilistically),
+    then exact hamming filter <= 8. Banding keeps the pair generation
+    |docs| x bands; the hamming check runs on candidates only. See
+    _simhash_pairs for the plan shape; the capped sibling is the
+    production form at corpus scale."""
+    return _simhash_pairs(simhash(spark, sf_dir))
+
+
+def simhash_neardup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION simhash near-dup query: band buckets holding
+    more than SIMHASH_BUCKET_CAP docs are degenerate (boilerplate/
+    near-identical text concentrating on one band value — the sf0.1
+    fixture already grows a 291-doc bucket) and are dropped BEFORE
+    any pair exists, exactly the dedup_minhash_pairs_capped
+    discipline. Docs in a dropped bucket still pair through their
+    other three bands."""
+    return _simhash_pairs(simhash(spark, sf_dir), SIMHASH_BUCKET_CAP)
 
 
 def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,6 +634,7 @@ QUERIES = {
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "simhash": simhash,
     "simhash_neardup_pairs": simhash_neardup_pairs,
+    "simhash_neardup_pairs_capped": simhash_neardup_pairs_capped,
     "dedup_clusters": dedup_clusters,
 }
 
@@ -840,6 +888,39 @@ ORACLES = {
             SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
                    x.simhash AS s1, y.simhash AS s2
             FROM bands x JOIN bands y USING (band_key)
+            WHERE x.doc_id < y.doc_id
+        ),
+        elems AS (
+            SELECT d1, d2,
+                   unnest(regexp_split_to_array(s1, '')) AS cx,
+                   unnest(regexp_split_to_array(s2, '')) AS cy
+            FROM cands
+        ),
+        ham AS (
+            SELECT d1, d2, sum(CASE WHEN cx <> cy THEN 1 ELSE 0 END) AS hamming
+            FROM elems GROUP BY d1, d2
+        )
+        SELECT d1, d2, cast(hamming AS int) AS hamming
+        FROM ham WHERE hamming <= {HAMMING_MAX}
+    """,
+    "simhash_neardup_pairs_capped": _SIMHASH_CTE + f""",
+        bands AS (
+            SELECT doc_id, simhash,
+                   cast(b AS varchar) || ':'
+                       || substring(simhash, 1 + 16 * b, 16) AS band_key
+            FROM sigs, generate_series(0, {SIMHASH_BANDS - 1}) AS g(b)
+        ),
+        sized AS (
+            SELECT doc_id, simhash, band_key,
+                   count(*) OVER (PARTITION BY band_key) AS bsz
+            FROM bands
+        ),
+        ok AS (SELECT doc_id, simhash, band_key FROM sized
+               WHERE bsz <= {SIMHASH_BUCKET_CAP}),
+        cands AS (
+            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2,
+                   x.simhash AS s1, y.simhash AS s2
+            FROM ok x JOIN ok y USING (band_key)
             WHERE x.doc_id < y.doc_id
         ),
         elems AS (

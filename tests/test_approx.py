@@ -88,3 +88,29 @@ def test_embedding_bucket_cap_exercised(spark, sf_dir):
     over = (bands.groupBy("band", "band_key").count()
             .where(F.col("count") > sim.EMB_BUCKET_CAP).count())
     assert over >= 1, "cap never exercised on fixtures — recalibrate"
+
+
+def test_simhash_capped_is_subset_and_cap_exercised(spark, sf_dir):
+    """The capped simhash pairs must be exactly the uncapped relation
+    minus pairs that only collide in over-cap (degenerate) buckets —
+    in particular a subset — and the fixture must actually contain an
+    over-cap band bucket so the drop path runs."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark.operators import dedup
+
+    capped = {(r.d1, r.d2) for r in
+              dedup.simhash_neardup_pairs_capped(spark, sf_dir).collect()}
+    uncapped = {(r.d1, r.d2) for r in
+                dedup.simhash_neardup_pairs(spark, sf_dir).collect()}
+    assert capped <= uncapped
+    assert len(capped) < len(uncapped), \
+        "cap dropped nothing — recalibrate SIMHASH_BUCKET_CAP"
+    sig = dedup.simhash(spark, sf_dir)
+    bands = sig.select(F.explode(F.array(*[
+        F.substring("simhash", 1 + 16 * b, 16)
+        for b in range(dedup.SIMHASH_BANDS)
+    ])).alias("bk"))
+    over = (bands.groupBy("bk").count()
+            .where(F.col("count") > dedup.SIMHASH_BUCKET_CAP).count())
+    assert over >= 1
