@@ -79,6 +79,9 @@ def _shingles_all(docs: DataFrame) -> DataFrame:
     )
     n = F.greatest(F.size(ts) - (SHINGLE_N - 1), F.lit(0))
     z = F.arrays_zip(*[F.slice(ts, i + 1, n) for i in range(SHINGLE_N)])
+    # coarse scans (one fixture file = one split) would run this whole
+    # map side single-task — see tables.spread (no-op on real layouts)
+    docs = tables.spread(docs)
     return docs.select("doc_id", F.explode(z).alias("z")).select(
         "doc_id",
         F.concat_ws(
@@ -409,8 +412,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     form broadcast |vocab| rows, unbounded by corpus size — a 100 TB
     corpus has billions of distinct tokens), no join, no second
     shuffle. Measured FASTER too at sf0.1 (the broadcast+join overhead
-    exceeded the recomputed bit arithmetic). Per-doc signatures are 64
-    algebraic sums in one hash aggregate — no 64x row explosion;
+    exceeded the recomputed bit arithmetic). Bits come from 16 nibble
+    columns via shiftright+mask (the portable instr/floor/pow _BIT_SQL
+    form costs ~15% more at sf0.1 — the oracle keeps it; both compute
+    identical values, differentially proven). Per-doc signatures are
+    64 algebraic sums in one hash aggregate — no 64x row explosion;
     tests/test_plans.py asserts the plan is join-free."""
     docs = tables.load(spark, sf_dir, "documents")
     tf = (
@@ -423,13 +429,20 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.md5("tok"))
     )
+    nibs = tf.select(
+        "doc_id", "tf",
+        *[F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int")
+          .alias(f"nib{k}") for k in range(16)],
+    )
     sums = [
         F.sum(
-            F.col("tf") * (2 * F.expr(_BIT_SQL.format(h="h", j=j)) - 1)
+            F.col("tf")
+            * (2 * F.shiftright(F.col(f"nib{j // 4}"), 3 - j % 4)
+               .bitwiseAND(F.lit(1)) - 1)
         ).alias(f"s{j}")
         for j in range(64)
     ]
-    wide = tf.groupBy("doc_id").agg(*sums)
+    wide = nibs.groupBy("doc_id").agg(*sums)
     sig = F.concat(
         *[
             F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))

@@ -628,20 +628,8 @@ def decode_image(payload: bytes) -> dict:
             "channels": int(channels), "mean_luma": luma}
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Give Python-side decode work real parallelism: the fixture
-    tables arrive as ONE parquet file -> one input split, so a
-    mapInPandas pipeline would run single-task no matter how many
-    cores exist (measured: media_features 13.4 s single-task vs ~1 s
-    spread at sf0.1). Repartition up to the session's default
-    parallelism when the scan has fewer splits; at production scale
-    the table has plenty of file splits and this is a no-op. The rows
-    shuffled here are (doc_id, payload) only — the decode output never
-    shuffles."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+# parallelism guard for the Python decode stage (see tables.spread)
+_spread = tables.spread
 
 
 MEDIA_FEATURE_SCHEMA = StructType([

