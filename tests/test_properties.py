@@ -54,3 +54,24 @@ def test_sequential_output_is_sorted_and_unique_keys(corpus):
     keys = [k for k, _ in out]
     assert keys == sorted(keys)
     assert len(keys) == len(set(keys))
+
+
+def test_minhash_pipeline_partition_invariant(spark, sf_dir):
+    """The minhash/LSH pipeline must produce identical signatures and
+    identical (capped) dup verdicts under ANY input partitioning —
+    the distributed-correctness property that makes tables.spread's
+    repartitioning (and any cluster layout) a pure performance
+    choice."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    base = sorted(map(tuple, dedup._minhash_sig_df(docs).collect()))
+    for n in (1, 7):
+        alt = sorted(map(tuple,
+                         dedup._minhash_sig_df(docs.repartition(n)).collect()))
+        assert alt == base, f"signatures changed under repartition({n})"
+    f1 = sorted(map(tuple, dedup.neardup_flags_capped_df(docs, 2).collect()))
+    f2 = sorted(map(tuple, dedup.neardup_flags_capped_df(
+        docs.repartition(7), 2).collect()))
+    assert f1 == f2
