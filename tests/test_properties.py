@@ -75,3 +75,62 @@ def test_minhash_pipeline_partition_invariant(spark, sf_dir):
     f2 = sorted(map(tuple, dedup.neardup_flags_capped_df(
         docs.repartition(7), 2).collect()))
     assert f1 == f2
+
+
+@given(st.binary(min_size=0, max_size=2000),
+       st.integers(min_value=1, max_value=80),
+       st.integers(min_value=1, max_value=60))
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip_property(body, w, h):
+    """Any body cycled into any raster survives make_png ->
+    decode_png_pixels exactly, and the container size matches the
+    stored-deflate closed form."""
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    png = mm.make_png(w, h, body)
+    assert len(png) == 68 + h * (w + 1)
+    dw, dh, ch, px = mm.decode_png_pixels(png)
+    src = body if body else b"\x00"
+    npix = w * h
+    exp = (src * (npix // len(src) + 1))[:npix]
+    assert (dw, dh, ch) == (w, h, 1)
+    assert bytes(px) == exp
+
+
+@given(st.binary(min_size=0, max_size=2000),
+       st.integers(min_value=1, max_value=80),
+       st.integers(min_value=1, max_value=60))
+@settings(max_examples=40, deadline=None)
+def test_gif_lzw_roundtrip_property(body, w, h):
+    """Any index raster survives the flat-LZW encode -> general decode
+    (and the vectorized fast path, which both decoders agree on)."""
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    gif = mm.make_gif(w, h, body)
+    src = body if body else b"\x00"
+    npix = w * h
+    exp = (src * (npix // len(src) + 1))[:npix]
+    _lw, _lh, iw, ih, idx, pal = mm.decode_gif_indices(gif)
+    assert (iw, ih) == (w, h)
+    assert bytes(idx) == exp
+    # identity palette means samples == indices tripled
+    lzw = (9 * (npix + -(-npix // 254) + 1) + 7) // 8
+    assert len(gif) == 794 + lzw + -(-lzw // 255)
+
+
+@given(st.binary(min_size=0, max_size=1500),
+       st.integers(min_value=1, max_value=60),
+       st.integers(min_value=1, max_value=40))
+@settings(max_examples=40, deadline=None)
+def test_bmp_codec_roundtrip_property(body, w, h):
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    bmp = mm.make_bmp(w, h, body)
+    stride = (3 * w + 3) & ~3
+    assert len(bmp) == 54 + stride * h
+    feat = mm.decode_image(bmp)
+    src = body if body else b"\x00"
+    n3 = 3 * w * h
+    exp = (src * (n3 // len(src) + 1))[:n3]
+    assert (feat["width"], feat["height"], feat["channels"]) == (w, h, 3)
+    assert feat["mean_luma"] == sum(exp) / n3
