@@ -559,6 +559,101 @@ def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_verified_pairs(spark, sf_dir).select("d1", "d2")
 
 
+# Content-defined chunking (rsync/LBFS-style): gram size and the
+# boundary modulus (expected chunk length ~ CDC_P chars + K). The
+# boundary rule is STATELESS (hash of the K-gram at a position), so
+# identical text regions chunk identically regardless of where they
+# sit in a document — what makes chunk-hash dedup find shared spans
+# across near-dup docs — and the whole pipeline is expressible
+# identically in Spark and the SQL oracle.
+CDC_K = 8
+CDC_P = 32
+
+
+def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking: cut each document where the md5 of
+    the K-gram starting at a position satisfies hash % CDC_P == 0,
+    emit (doc_id, chunk_no, chunk_len, chunk_md5). Sub-document
+    dedup building block: shared spans between near-dup docs produce
+    IDENTICAL interior chunks (boundaries depend only on local
+    content), so chunk_md5 grouping finds partial overlaps that
+    whole-doc fingerprints miss.
+
+    Plan: one explode over gram positions (codegen md5 + conv, no
+    HOF), boundary rows are ~len/CDC_P per doc, collected to a
+    per-doc sorted array (one small shuffle), chunk spans derived
+    array-side and md5'd per chunk. Never quadratic; shuffle volume
+    is boundary positions + one row per doc."""
+    return cdc_chunks_df(
+        tables.spread(tables.load(spark, sf_dir, "documents")))
+
+
+def cdc_chunks_df(docs: DataFrame) -> DataFrame:
+    """cdc_chunks over an arbitrary (doc_id, text) DataFrame — also
+    the unit under tests/test_properties.py's content-locality
+    property (a prefix edit must not move chunk boundaries in the
+    distant suffix — the CDC guarantee fixed-size chunking lacks)."""
+    n = F.length("text")
+    hi = n - (CDC_K - 1)
+    pos = (
+        docs.select(
+            "doc_id", "text",
+            F.explode(
+                F.when(hi >= 2, F.sequence(F.lit(2), hi))
+                .otherwise(F.array().cast("array<int>"))
+            ).alias("i"),
+        )
+    )
+    gram_hash = F.conv(
+        F.substring(F.md5(F.expr(f"substring(text, i, {CDC_K})")), 1, 8),
+        16, 10,
+    ).cast("long")
+    bnds = (
+        pos.where(gram_hash % CDC_P == 0)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("i")).alias("bs"))
+    )
+    spans = (
+        docs.join(bnds, "doc_id", "left")
+        .withColumn("bs", F.coalesce(F.col("bs"),
+                                     F.array().cast("array<int>")))
+        .select(
+            "doc_id", "text",
+            F.posexplode(
+                F.arrays_zip(
+                    F.concat(F.array(F.lit(1)), F.col("bs")).alias("s"),
+                    F.concat(
+                        F.transform(F.col("bs"), lambda b: b - 1),
+                        F.array(F.length("text")),
+                    ).alias("e"),
+                )
+            ).alias("chunk_no", "span"),
+        )
+    )
+    ln = F.col("span.e") - F.col("span.s") + 1
+    return spans.select(
+        "doc_id",
+        F.col("chunk_no").cast("int").alias("chunk_no"),
+        ln.cast("int").alias("chunk_len"),
+        F.md5(F.expr("substring(text, span.s, span.e - span.s + 1)"))
+        .alias("chunk_md5"),
+    )
+
+
+def cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated chunks: CDC chunk hashes appearing in
+    >= 2 distinct documents, with occurrence counts — the sub-document
+    dedup verdict (which spans are shared, how widely)."""
+    ch = cdc_chunks(spark, sf_dir)
+    return (
+        ch.groupBy("chunk_md5")
+        .agg(F.countDistinct("doc_id").alias("n_docs"),
+             F.count("*").alias("n_occurrences"),
+             F.min("chunk_len").alias("chunk_len"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def cluster_labels(spark: SparkSession, sf_dir: str,
                    pairs: DataFrame | None = None) -> DataFrame:
     """(doc_id, label): connected-component label (minimum reachable
@@ -649,6 +744,8 @@ QUERIES = {
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "simhash_neardup_pairs_capped": simhash_neardup_pairs_capped,
     "dedup_clusters": dedup_clusters,
+    "cdc_chunks": cdc_chunks,
+    "cdc_dup_chunks": cdc_dup_chunks,
 }
 
 # hex -> bigint by folding nibbles (DuckDB has no conv())
@@ -656,6 +753,46 @@ _HEX2INT = ("list_reduce(list_prepend(cast(0 AS bigint),"
             " list_transform(regexp_split_to_array({expr}, ''),"
             " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
             " (acc, v) -> acc * 16 + v)")
+
+# DuckDB twin of the CDC chunking pipeline (cdc_chunks).
+_CDC_CHUNKS_SQL = f"""
+    WITH docs0 AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+    ),
+    bnd AS (
+        SELECT doc_id, i
+        FROM docs0, unnest(generate_series(2, n - {CDC_K - 1})) AS g(i)
+        WHERE ({_HEX2INT.format(
+            expr=f"substring(md5(substring(text, cast(i AS int),"
+                 f" {CDC_K})), 1, 8)")}) % {CDC_P} = 0
+    ),
+    bl AS (
+        SELECT doc_id, list_sort(list(i)) AS bs FROM bnd GROUP BY doc_id
+    ),
+    wdocs AS (
+        SELECT d.doc_id, d.text, d.n,
+               coalesce(b.bs, cast([] AS bigint[])) AS bs
+        FROM docs0 d LEFT JOIN bl b USING (doc_id)
+    ),
+    spans AS (
+        SELECT doc_id, text, n, bs,
+               unnest(generate_series(1, len(bs) + 1)) AS j
+        FROM wdocs
+    ),
+    bounds AS (
+        SELECT doc_id, text, cast(j - 1 AS int) AS chunk_no,
+               cast(CASE WHEN j = 1 THEN 1
+                    ELSE bs[cast(j - 1 AS int)] END AS int) AS s,
+               cast(CASE WHEN j = len(bs) + 1 THEN n
+                    ELSE bs[cast(j AS int)] - 1 END AS int) AS e
+        FROM spans
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_no, cast(e - s + 1 AS int) AS chunk_len,
+               md5(substring(text, s, e - s + 1)) AS chunk_md5
+        FROM bounds
+    )
+"""
 
 _MINHASH_SQL = _SHINGLES_SQL + f""",
     hashed AS (
@@ -915,6 +1052,16 @@ ORACLES = {
         )
         SELECT d1, d2, cast(hamming AS int) AS hamming
         FROM ham WHERE hamming <= {HAMMING_MAX}
+    """,
+    "cdc_chunks": _CDC_CHUNKS_SQL + """
+        SELECT doc_id, chunk_no, chunk_len, chunk_md5 FROM chunks
+    """,
+    "cdc_dup_chunks": _CDC_CHUNKS_SQL + """
+        SELECT chunk_md5, count(DISTINCT doc_id) AS n_docs,
+               count(*) AS n_occurrences,
+               cast(min(chunk_len) AS int) AS chunk_len
+        FROM chunks GROUP BY chunk_md5
+        HAVING count(DISTINCT doc_id) >= 2
     """,
     "simhash_neardup_pairs_capped": _SIMHASH_CTE + f""",
         bands AS (

@@ -134,3 +134,43 @@ def test_bmp_codec_roundtrip_property(body, w, h):
     exp = (src * (n3 // len(src) + 1))[:n3]
     assert (feat["width"], feat["height"], feat["channels"]) == (w, h, 3)
     assert feat["mean_luma"] == sum(exp) / n3
+
+
+def test_cdc_chunking_is_content_local(spark):
+    """The defining CDC property (why it beats fixed-size chunking
+    for dedup): editing a document's PREFIX must not move chunk
+    boundaries in the distant suffix — after the edit point's
+    neighborhood, both versions produce the same chunk hashes. We
+    assert the two versions share a common chunk-hash suffix covering
+    most of the shared tail, and that the chunks reassemble each
+    document exactly (partition of the text)."""
+    from mapreduce_go_spark.operators import dedup
+
+    tail = ("the quick brown fox jumps over the lazy dog while "
+            "seventeen engineers review a content defined chunking "
+            "pipeline that must remain stable under prefix edits "
+            "because boundaries depend only on local gram hashes "
+            "and never on absolute offsets within the document") * 3
+    a = "PREFIX ONE: " + tail
+    b = "a completely different and much longer prefix text here: " + tail
+    docs = spark.createDataFrame([(1, a), (2, b)],
+                                 "doc_id long, text string")
+    rows = dedup.cdc_chunks_df(docs).collect()
+    lens = {1: 0, 2: 0}
+    hashes = {1: [], 2: []}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_no)):
+        lens[r.doc_id] += r.chunk_len
+        hashes[r.doc_id].append(r.chunk_md5)
+    assert lens == {1: len(a), 2: len(b)}  # chunks partition the text
+    # common suffix of chunk hashes: all chunks after the edit
+    # neighborhood must coincide
+    common = 0
+    for x, y in zip(reversed(hashes[1]), reversed(hashes[2])):
+        if x != y:
+            break
+        common += 1
+    # the divergent region is the prefix plus at most a few chunks
+    # around the edit point (the longer prefix spans ~2 chunks itself)
+    assert common >= max(len(hashes[1]), len(hashes[2])) - 5, (
+        hashes[1], hashes[2])
+    assert common >= 2
