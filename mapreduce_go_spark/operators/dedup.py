@@ -559,6 +559,107 @@ def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_verified_pairs(spark, sf_dir).select("d1", "d2")
 
 
+# Winnowing (the MOSS document-fingerprinting scheme, Schleimer/
+# Wilkerson/Aiken SIGMOD'03): k-gram hashes, keep the MINIMUM hash of
+# every window of WINNOW_W consecutive grams (ties -> rightmost
+# position, per the paper). Guarantee: any shared substring of length
+# >= WINNOW_W + WINNOW_K - 1 contributes at least one shared
+# fingerprint. The argmin-with-tiebreak is encoded ARITHMETICALLY so
+# a plain window MIN computes it identically in Spark and DuckDB:
+# c(i) = h8(i) * 2^20 + (2^20 - 1 - i), h8 < 2^32 -> c < 2^52 (exact
+# in int64 and double); decode pos/fp back out of the winning value.
+# Positions must stay < 2^20 (1M chars/doc) — document-length
+# contract, far above the fixtures. K calibration: 5-char grams are
+# corpus-common in natural text (winnowing's min-selection then picks
+# the same globally-small hashes everywhere — measured: every doc
+# pair shared <= 2 under-cap fps); 10-char grams are discriminative
+# (fixture near-dups share 11-18 fps, random pairs 0-2).
+WINNOW_K = 10
+WINNOW_W = 8
+_POS_M = 1 << 20
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprints per document: distinct (doc_id, pos, fp)
+    selected by the min-of-each-window rule. Plan: one gram-position
+    explode (codegen md5 + conv), one window min per doc ordered by
+    position (single shuffle on doc_id), distinct decode. Linear in
+    text size; fingerprint density ~ 2/(WINNOW_W+1) per gram."""
+    return winnow_fingerprints_df(
+        tables.spread(tables.load(spark, sf_dir, "documents")))
+
+
+def winnow_fingerprints_df(docs: DataFrame) -> DataFrame:
+    """winnow_fingerprints over an arbitrary (doc_id, text) DataFrame
+    — also the unit under the coverage-guarantee property test (any
+    shared substring of length >= WINNOW_W + WINNOW_K - 1 yields a
+    shared fingerprint)."""
+    n = F.length("text")
+    hi = n - (WINNOW_K - 1)
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(hi >= 1, F.sequence(F.lit(1), hi))
+            .otherwise(F.array().cast("array<int>"))
+        ).alias("i"),
+        hi.alias("g"),
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(text, i, {WINNOW_K})")), 1, 8),
+            16, 10,
+        ).cast("long").alias("h8"),
+    )
+    c = F.col("h8") * _POS_M + (_POS_M - 1 - F.col("i"))
+    w = (Window.partitionBy("doc_id").orderBy("i")
+         .rowsBetween(Window.currentRow, WINNOW_W - 1))
+    wins = (
+        grams.withColumn("c", c)
+        .withColumn("m", F.min("c").over(w))
+        .where(F.col("i") <= F.col("g") - (WINNOW_W - 1))
+    )
+    return (
+        wins.select(
+            "doc_id",
+            (_POS_M - 1 - F.col("m") % _POS_M).cast("int").alias("pos"),
+            F.floor(F.col("m") / _POS_M).cast("long").alias("fp"),
+        )
+        .distinct()
+    )
+
+
+# fps held by more docs than this are boilerplate and dropped before
+# pair expansion (same discipline as LSH_BUCKET_CAP); pairs must then
+# share at least WINNOW_MIN_SHARED distinct fingerprints.
+WINNOW_FP_CAP = 8
+WINNOW_MIN_SHARED = 3
+
+
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= WINNOW_MIN_SHARED distinct winnowed
+    fingerprints — the MOSS overlap report. Fingerprints held by more
+    than WINNOW_FP_CAP docs are dropped as boilerplate BEFORE any pair
+    exists (bucket-local expansion, never quadratic in corpus size)."""
+    fps = winnow_fingerprints(spark, sf_dir).select(
+        "doc_id", "fp").distinct()
+    buckets = fps.groupBy("fp").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds"))
+    pairs = (
+        buckets.where((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_FP_CAP))
+        .select(F.posexplode("ds").alias("i", "d1"), "ds")
+        .select(
+            "d1",
+            F.explode(
+                F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))
+            ).alias("d2"),
+        )
+    )
+    return (
+        pairs.groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
 # Content-defined chunking (rsync/LBFS-style): gram size and the
 # boundary modulus (expected chunk length ~ CDC_P chars + K). The
 # boundary rule is STATELESS (hash of the K-gram at a position), so
@@ -746,6 +847,8 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "cdc_chunks": cdc_chunks,
     "cdc_dup_chunks": cdc_dup_chunks,
+    "winnow_fingerprints": winnow_fingerprints,
+    "winnow_overlap_pairs": winnow_overlap_pairs,
 }
 
 # hex -> bigint by folding nibbles (DuckDB has no conv())
@@ -753,6 +856,40 @@ _HEX2INT = ("list_reduce(list_prepend(cast(0 AS bigint),"
             " list_transform(regexp_split_to_array({expr}, ''),"
             " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
             " (acc, v) -> acc * 16 + v)")
+
+# DuckDB twin of the winnowing pipeline: same arithmetic argmin
+# encoding, same window min — the selection is engine-portable by
+# construction.
+_WINNOW_SQL = f"""
+    WITH docs0 AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i, n - {WINNOW_K - 1} AS g,
+               ({_HEX2INT.format(
+                   expr=f"substring(md5(substring(text, cast(i AS int),"
+                        f" {WINNOW_K})), 1, 8)")}) AS h8
+        FROM docs0, unnest(generate_series(1, n - {WINNOW_K - 1})) AS gs(i)
+    ),
+    comp AS (
+        SELECT doc_id, i, g,
+               h8 * {_POS_M} + ({_POS_M} - 1 - i) AS c
+        FROM grams
+    ),
+    wins AS (
+        SELECT doc_id, i, g,
+               min(c) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS m
+        FROM comp
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               cast({_POS_M} - 1 - (m % {_POS_M}) AS int) AS pos,
+               cast(m // {_POS_M} AS bigint) AS fp
+        FROM wins WHERE i <= g - {WINNOW_W - 1}
+    )
+"""
 
 # DuckDB twin of the CDC chunking pipeline (cdc_chunks).
 _CDC_CHUNKS_SQL = f"""
@@ -1062,6 +1199,27 @@ ORACLES = {
                cast(min(chunk_len) AS int) AS chunk_len
         FROM chunks GROUP BY chunk_md5
         HAVING count(DISTINCT doc_id) >= 2
+    """,
+    "winnow_fingerprints": _WINNOW_SQL + """
+        SELECT doc_id, pos, fp FROM sel
+    """,
+    "winnow_overlap_pairs": _WINNOW_SQL + f""",
+        docfps AS (SELECT DISTINCT doc_id, fp FROM sel),
+        sized AS (
+            SELECT doc_id, fp,
+                   count(*) OVER (PARTITION BY fp) AS fsz
+            FROM docfps
+        ),
+        ok AS (SELECT doc_id, fp FROM sized
+               WHERE fsz BETWEEN 2 AND {WINNOW_FP_CAP}),
+        pairs AS (
+            SELECT x.doc_id AS d1, y.doc_id AS d2, count(*) AS n_shared
+            FROM ok x JOIN ok y USING (fp)
+            WHERE x.doc_id < y.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT d1, d2, n_shared FROM pairs
+        WHERE n_shared >= {WINNOW_MIN_SHARED}
     """,
     "simhash_neardup_pairs_capped": _SIMHASH_CTE + f""",
         bands AS (

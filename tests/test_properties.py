@@ -174,3 +174,25 @@ def test_cdc_chunking_is_content_local(spark):
     assert common >= max(len(hashes[1]), len(hashes[2])) - 5, (
         hashes[1], hashes[2])
     assert common >= 2
+
+
+def test_winnowing_coverage_guarantee(spark):
+    """The winnowing guarantee (Schleimer et al.): two documents
+    sharing a substring of length >= WINNOW_W + WINNOW_K - 1 must
+    share at least one fingerprint VALUE — regardless of where the
+    substring sits in each document (position-independent, unlike
+    fixed-stride sampling)."""
+    from mapreduce_go_spark.operators import dedup
+
+    shared = ("zqxjkvbwpf unique shared span that is plenty longer "
+              "than the winnowing guarantee threshold here")
+    a = "left padding words before it " + shared + " and then a tail"
+    b = ("a totally different and much much longer prefix sits here "
+         "before the common region " + shared + " different tail too")
+    docs = spark.createDataFrame([(1, a), (2, b)],
+                                 "doc_id long, text string")
+    fps = dedup.winnow_fingerprints_df(docs).collect()
+    f1 = {r.fp for r in fps if r.doc_id == 1}
+    f2 = {r.fp for r in fps if r.doc_id == 2}
+    assert len(shared) >= dedup.WINNOW_W + dedup.WINNOW_K - 1
+    assert f1 & f2, "no shared fingerprint despite a long shared span"
