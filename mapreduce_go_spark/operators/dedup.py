@@ -1,5 +1,6 @@
 """Deduplication operators (SURVEY §2.4 D17, north-star mandate):
-exact, n-gram Jaccard, MinHash-LSH, SimHash.
+exact, n-gram Jaccard, MinHash-LSH, SimHash, content-defined
+chunking (sub-document dedup), winnowing fingerprints (MOSS).
 
 Design for 100 TB:
 - exact dedup: hash-groupBy on a 128-bit fingerprint — shuffle carries
