@@ -756,6 +756,31 @@ def cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplication ratio over CDC chunks: a chunk
+    OCCURRENCE is dup iff the same chunk_md5 already occurred earlier
+    in corpus order (smaller doc_id, or same doc at a smaller
+    chunk_no) — the metric a training pipeline thresholds on to drop
+    mostly-recycled documents. One window rank per chunk hash; the
+    ordering key (doc_id, chunk_no) is unique, so the verdict is
+    deterministic on any engine. Batch anchor of the incremental
+    streaming job (streaming/jobs.run_streaming_cdc)."""
+    ch = cdc_chunks(spark, sf_dir)
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_no")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_ratio",
+            dround(F.col("n_dup_chunks") / F.col("n_chunks"), 6),
+        )
+    )
+
+
 def cluster_labels(spark: SparkSession, sf_dir: str,
                    pairs: DataFrame | None = None) -> DataFrame:
     """(doc_id, label): connected-component label (minimum reachable
@@ -848,6 +873,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "cdc_chunks": cdc_chunks,
     "cdc_dup_chunks": cdc_dup_chunks,
+    "cdc_dedup_ratio": cdc_dedup_ratio,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
 }
@@ -1200,6 +1226,22 @@ ORACLES = {
                cast(min(chunk_len) AS int) AS chunk_len
         FROM chunks GROUP BY chunk_md5
         HAVING count(DISTINCT doc_id) >= 2
+    """,
+    "cdc_dedup_ratio": _CDC_CHUNKS_SQL + f""",
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY chunk_md5
+                                      ORDER BY doc_id, chunk_no) AS rn
+            FROM chunks
+        ),
+        agg AS (
+            SELECT doc_id, count(*) AS n_chunks,
+                   sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_chunks
+            FROM ranked GROUP BY doc_id
+        )
+        SELECT doc_id, n_chunks, cast(n_dup_chunks AS bigint) AS n_dup_chunks,
+               {dround_sql('n_dup_chunks * 1.0 / n_chunks', 6)} AS dup_ratio
+        FROM agg
     """,
     "winnow_fingerprints": _WINNOW_SQL + """
         SELECT doc_id, pos, fp FROM sel

@@ -444,6 +444,82 @@ def read_neardup_flags(spark: SparkSession, flags_dir: str) -> DataFrame:
     return spark.read.parquet(flags_dir)
 
 
+def _cdc_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
+               out_dir: str) -> None:
+    """One micro-batch of incremental CDC dedup-ratio computation
+    (batch anchor: operators.dedup.cdc_dedup_ratio), idempotent under
+    epoch replay via the same versioned-snapshot discipline as the
+    near-dup job.
+
+    The persistent index is the distinct chunk_md5 set of all PRIOR
+    epochs — one row per hash, no per-doc state. A batch chunk
+    occurrence is dup iff its hash is in the index (seen in an earlier
+    epoch) or an earlier occurrence exists in the SAME batch
+    (row_number over (doc_id, chunk_no)); under doc_id-ordered arrival
+    this equals the batch anchor's global first-occurrence rule
+    exactly (proven in tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    from mapreduce_go_spark.functions.num import dround
+    from mapreduce_go_spark.operators.dedup import cdc_chunks_df
+
+    target = os.path.join(index_dir, f"v={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    ch = cdc_chunks_df(batch_df)
+    w = Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_no")
+    ranked = ch.withColumn("rn", F.row_number().over(w))
+    prev = _latest_rollup_version(index_dir, below=epoch_id)
+    if prev is None:
+        joined = ranked.withColumn("seen", F.lit(False))
+        index = ch.select("chunk_md5").distinct()
+    else:
+        hist = spark.read.parquet(os.path.join(index_dir, f"v={prev}"))
+        joined = ranked.join(
+            hist.withColumn("seen", F.lit(True)), "chunk_md5", "left",
+        ).fillna(False, subset=["seen"])
+        index = (hist.select("chunk_md5")
+                 .unionByName(ch.select("chunk_md5")).distinct())
+    dup_occ = (F.col("seen") | (F.col("rn") > 1)).cast("long")
+    stats = (
+        joined.groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"),
+             F.sum(dup_occ).alias("n_dup_chunks"))
+        .withColumn("dup_ratio",
+                    dround(F.col("n_dup_chunks") / F.col("n_chunks"), 6))
+    )
+    # stats first: a crash before the index commit replays wholesale
+    stats.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"epoch={epoch_id}"))
+    index.write.mode("overwrite").parquet(target)
+
+
+def run_streaming_cdc(spark: SparkSession, stream: DataFrame,
+                      index_dir: str, out_dir: str,
+                      checkpoint_dir: str) -> None:
+    """Incremental sub-document dedup: per micro-batch CDC chunking,
+    probe + extend a persistent chunk-hash index, emit per-epoch
+    per-doc dedup-ratio stats. Exactly-once via checkpointed offsets +
+    versioned index snapshots + epoch-keyed stat partitions."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _cdc_epoch(batch_df, epoch_id, index_dir, out_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_cdc_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All epochs' (doc_id, n_chunks, n_dup_chunks, dup_ratio)."""
+    return spark.read.parquet(out_dir)
+
+
 def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
                   name: str, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion against the staged input

@@ -463,6 +463,61 @@ def test_streaming_neardup_crash_between_writes_replays_cleanly(
         jobs._neardup_index_dir(idx, 1)).collect())) == idx_before
 
 
+def test_streaming_cdc_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming CDC dedup-ratio over 3 doc_id-ordered micro-batches
+    equals the batch anchor (cdc_dedup_ratio) exactly: chunk
+    boundaries are content-local, and the index-or-in-batch
+    first-occurrence rule reproduces global corpus order."""
+    import os
+
+    from mapreduce_go_spark.operators import dedup
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, src + "/*", docs.schema)
+    idx = str(tmp_path / "cdc_index")
+    out = str(tmp_path / "cdc_stats")
+    jobs.run_streaming_cdc(spark, stream, idx, out,
+                           str(tmp_path / "cdc_ck"))
+    got = sorted((r.doc_id, r.n_chunks, r.n_dup_chunks, r.dup_ratio)
+                 for r in jobs.read_cdc_stats(spark, out).collect())
+    want = sorted(map(tuple,
+                      dedup.cdc_dedup_ratio(spark, sf_dir).collect()))
+    assert got == want
+    assert any(r[2] > 0 for r in want), \
+        "fixture must contain duplicated chunks"
+
+
+def test_streaming_cdc_epoch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-firing an already-committed CDC epoch must change neither
+    the chunk index nor the stats."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    idx = str(tmp_path / "cdc_index")
+    out = str(tmp_path / "cdc_stats")
+    docs = tables.load(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    h1 = docs.where(F.col("doc_id") <= med)
+    h2 = docs.where(F.col("doc_id") > med)
+
+    jobs._cdc_epoch(h1, 0, idx, out)
+    jobs._cdc_epoch(h2, 1, idx, out)
+    once = sorted(map(tuple, jobs.read_cdc_stats(spark, out).collect()))
+    idx_once = sorted(map(tuple, spark.read.parquet(
+        os.path.join(idx, "v=1")).collect()))
+
+    jobs._cdc_epoch(h2, 1, idx, out)  # crash replay
+    assert sorted(map(tuple,
+                      jobs.read_cdc_stats(spark, out).collect())) == once
+    assert sorted(map(tuple, spark.read.parquet(
+        os.path.join(idx, "v=1")).collect())) == idx_once
+
+
 def test_streaming_neardup_epoch_replay_is_idempotent(spark, sf_dir,
                                                       tmp_path):
     """Re-firing an already-committed epoch (foreachBatch crash
