@@ -34,6 +34,7 @@ _MODULES: list[str] = [
     "mapreduce_go_spark.operators.dedup",
     "mapreduce_go_spark.operators.similarity",
     "mapreduce_go_spark.operators.textstats",
+    "mapreduce_go_spark.operators.quality",
     "mapreduce_go_spark.operators.multimodal",
     "mapreduce_go_spark.operators.streaming_batch",
 ]
