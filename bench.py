@@ -61,6 +61,12 @@ HEADLINE = [
     "media_features",
     "png_resize",
     "gif_resize",
+    # NEW in r5 (second batch): the corpus-quality layer — in-row
+    # repetition lambdas, broadcast-probe decontamination, BM25's
+    # token shuffle + broadcast df
+    "repetition_stats",
+    "decontaminate",
+    "bm25_top_terms",
 ]
 
 

@@ -49,9 +49,10 @@ _MODULES: list[str] = [
 # full differential check still runs over ALL of them in
 # tests/test_queries.py; only the driver's window is curated here.
 _PRIORITY: list[str] = [
-    # reference apps (SURVEY §2.2) + F-row anchors
+    # reference apps (SURVEY §2.2) + F-row anchors (wc_unicode demoted
+    # r5 — same A1 mechanics as wc; multilingual parity stays pinned
+    # by the differential tests)
     "wc",
-    "wc_unicode",
     "indexer",
     "crash_payload",
     "formatted_sink",
@@ -74,41 +75,51 @@ _PRIORITY: list[str] = [
     "join_inner_bucketed",   # D9, zero-Exchange co-located layout
     "join_left_outer",       # D10
     "local_supplier_volume",  # D12 broadcast (plan-asserted)
-    # windows (D15)
+    # windows (D15; moving_average demoted r5 for window room — D15
+    # keeps window_rank; every demoted query below keeps its oracle
+    # and the full differential in tests/test_queries.py)
     "window_rank",
-    "moving_average",
     # advanced / custom operators
     "exact_median",          # F8 holistic reduce
-    "asof_join",
-    "range_join_count",
+    "asof_join",             # (range_join_count demoted r5 — asof
+                             # keeps the custom-join family's seat)
     "grouped_zscore",        # §2.3 applyInPandas surface
-    # pipeline (north-star)
+    # pipeline (north-star; stratified_sample demoted r5 —
+    # domain_mix_sample exercises the same hash-bucket sampling plus
+    # per-source mixture rates)
     "corpus_clean",
-    "stratified_sample",
+    "domain_mix_sample",     # per-source mixture sampling (r5)
     "pack_sequences",
     "dq_orphan_lineitems",
-    # dedup (D17)
+    # quality (r5: the corpus-quality layer)
+    "repetition_stats",      # Gopher-style repetition filters (r5)
+    "pii_redact",            # PII detect+redact parity (r5)
+    "decontaminate",         # benchmark 5-gram leakage check (r5)
+    # dedup (D17; dedup_minhash_pairs demoted r5 — its capped sibling
+    # runs the identical signature pipeline plus the bucket cap)
     "dedup_exact",           # also D4 distinct
-    "dedup_minhash_pairs",
     "dedup_minhash_pairs_capped",
     "dedup_verified_pairs",
     "neardup_flags",         # streaming job's batch anchor (r4)
     "simhash_neardup_pairs",
     "dedup_clusters",
+    "cdc_dup_chunks",        # content-defined chunk dedup (r5)
+    "winnow_overlap_pairs",  # MOSS winnowing fingerprints (r5)
     # similarity (D18)
     "knn_cosine_topk",
     "ann_lsh_topk",
     "embedding_neardup_pairs_blocked",
     "quantize_embeddings",   # int8 quantization (r4)
-    # text analysis (D19)
-    "token_stats",
+    # text analysis (D19; token_stats demoted r5 — quality_score and
+    # repetition_stats cover the same token-array machinery)
     "lang_id",
     "quality_score",
     "doc_fingerprint",
-    # multimodal (D20)
+    # multimodal (D20; frame_sample demoted r5 — png_resize proves
+    # the pixel-real decode+resample path end-to-end)
     "binary_meta",
     "media_features",
-    "frame_sample",
+    "png_resize",
     # streaming batch twins (D21)
     "tumbling_window",
     "event_enrichment",
