@@ -1,6 +1,7 @@
 """Similarity search over embeddings (SURVEY §2.4 D18, north-star):
-exact brute-force cosine top-k, IVF-bucketed ANN, cosine near-dup
-pairs.
+exact brute-force cosine top-k, IVF-bucketed ANN, sign-LSH ANN,
+PQ-compressed ANN (ADC + exact re-rank), cosine near-dup pairs, and
+SemDeDup-style semantic dedup.
 
 Numeric discipline: the dot product and squared norms are accumulated
 in decimal(28,12) over bitwise-identical per-element double products,
@@ -23,6 +24,8 @@ Design for 100 TB:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -355,13 +358,187 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): flag every
+    vector that has an EARLIER near-duplicate under the production
+    blocked-pairs semantics (embedding_neardup_pairs_blocked — LSH
+    candidates, capped buckets, exact cosine >= 0.35); keepers are the
+    unflagged rows. The embedding-space twin of neardup_flags: the
+    lowest vec_id of each near-dup group survives, later members drop.
+
+    100 TB shape: inherits the blocked pipeline's posture (bucket-
+    local candidates, cap before pairs exist), then one equi-join of
+    the corpus id column against the distinct flagged set — the flag
+    set is a vanishing fraction of the corpus, and only ids shuffle,
+    never embeddings."""
+    pairs = embedding_neardup_pairs_blocked(spark, sf_dir)
+    dups = (
+        pairs.select(F.col("d2").alias("vec_id"))
+        .distinct()
+        .withColumn("f", F.lit(True))
+    )
+    emb = tables.load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id")
+        .join(dups, "vec_id", "left")
+        .select("vec_id", F.coalesce("f", F.lit(False)).alias("is_dup"))
+    )
+
+
+# ---------------------------------------------------------------- #
+# Product quantization (PQ) ANN                                     #
+# ---------------------------------------------------------------- #
+
+PQ_M = 8          # subspaces (64-dim -> 8 sub-vectors of 8 dims)
+PQ_K = 16         # centroids per sub-codebook (4-bit codes)
+PQ_ITERS = 5      # fixed Lloyd iterations per sub-codebook
+PQ_TRAIN_CAP = 2048   # deterministic training sample row bound
+PQ_RERANK = 100   # ADC shortlist size re-ranked with exact cosine
+
+
+def _pq_codebooks(spark: SparkSession, sf_dir: str):
+    """Train M sub-codebooks with numpy Lloyd iterations on a bounded
+    deterministic sample (lowest PQ_TRAIN_CAP vec_ids, L2-normalized).
+
+    Driver traffic is O(PQ_TRAIN_CAP * dim) floats ONCE — a fixed
+    constant independent of corpus size (faiss trains PQ the same
+    way: a bounded sample, never the corpus). Deterministic: sample
+    choice, init (first K sample rows per subspace), iteration count
+    and argmin tie-break (numpy takes the first minimum) are all
+    fixed."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    rows = (
+        emb.select("vec_id", "embedding")
+        .orderBy("vec_id").limit(PQ_TRAIN_CAP).collect()
+    )
+    X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1, keepdims=True)
+    X = np.where(norms > 0, X / np.where(norms == 0, 1, norms), X)
+    dim = X.shape[1]
+    sub = dim // PQ_M
+    books = []
+    for m in range(PQ_M):
+        S = X[:, m * sub:(m + 1) * sub]
+        C = S[:PQ_K].copy()
+        for _ in range(PQ_ITERS):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for k in range(PQ_K):
+                mk = a == k
+                if mk.any():
+                    C[k] = S[mk].mean(0)
+        books.append(C)
+    return np.stack(books)  # (M, K, sub)
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with ADC scoring and exact re-rank — the
+    memory-bounded scale path for 100 TB embedding corpora: each
+    vector is stored as PQ_M 4-bit codes (32x smaller than the
+    float32 vector), queries scan the CODES, and only the PQ_RERANK
+    shortlist ever touches full vectors again.
+
+    Plan: (1) one narrow Arrow pass encodes normalized vectors
+    against the trained codebooks (mapper-only); (2) each query's
+    (M x K) ADC lookup table rides the kernel closure (queries are
+    N_QUERIES rows — the same O(k x dim) driver exchange kmeans
+    uses); scoring is a table-gather per batch, mapper-only;
+    (3) per-query top-PQ_RERANK by approximate distance (tiny
+    shuffle: R x Q rows); (4) exact cosine re-rank of the shortlist
+    via the audited grid-dot kernel -> top-10. On normalized vectors
+    ||q-x||^2 = 2 - 2 cos, so ADC distance order approximates cosine
+    order; recall vs exact knn is pinned in tests/test_approx.py.
+
+    Registered rows-only (iterative training, like kmeans_clusters);
+    value-level guarantees come from the recall floor + the exact
+    re-rank reusing knn's audited cosine."""
+    from pyspark.sql import Window
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+
+    CB = _pq_codebooks(spark, sf_dir)          # (M, K, sub)
+    M, K, sub = CB.shape
+
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    q_rows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    Q = np.asarray([r.embedding for r in q_rows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    q_ids = np.asarray([r.vec_id for r in q_rows])
+    # ADC tables: squared L2 from each query sub-vector to each
+    # centroid -> (n_q, M, K); a few KB, baked into the kernel closure
+    QS = Qn.reshape(len(Qn), M, sub)
+    LUT = ((QS[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(-1)
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def pq_encode(e: pd.Series) -> pd.Series:
+        X = np.vstack(e.to_numpy())
+        n = np.linalg.norm(X, axis=1, keepdims=True)
+        X = np.where(n > 0, X / np.where(n == 0, 1, n), X)
+        S = X.reshape(len(X), M, sub)
+        d = ((S[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(-1)
+        return pd.Series(list(d.argmin(-1).astype(np.int32)))
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def adc_scores(codes: pd.Series) -> pd.Series:
+        C = np.vstack(codes.to_numpy())            # (n, M)
+        cols = np.arange(M)[None, :]
+        out = np.stack(
+            [LUT[qi][cols, C].sum(1) for qi in range(len(LUT))], axis=1
+        )                                          # (n, n_q)
+        return pd.Series(list(out))
+
+    coded = tables.spread(emb).select(
+        "vec_id", "embedding", "norm", pq_encode("embedding").alias("codes"))
+    scored = coded.select(
+        "vec_id", adc_scores("codes").alias("ad")
+    ).select(
+        F.col("vec_id").alias("c_id"),
+        F.posexplode("ad").alias("qi", "adist"),
+    ).withColumn(
+        "q_id",
+        F.element_at(
+            F.array(*[F.lit(int(i)) for i in q_ids]), F.col("qi") + 1),
+    ).where(F.col("q_id") != F.col("c_id"))
+    w_ad = Window.partitionBy("q_id").orderBy("adist", "c_id")
+    shortlist = (
+        scored.withColumn("ark", F.row_number().over(w_ad))
+        .where(F.col("ark") <= PQ_RERANK)
+        .select("q_id", "c_id")
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"), F.col("norm").alias("cn"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    return (
+        shortlist.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
+        .select(
+            "q_id", "c_id",
+            _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+            .alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "rk",
+                F.round(F.col("cos").cast(_DEC), 6).cast("double")
+                .alias("cos"))
+    )
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_pq_topk": ann_pq_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_pairs_blocked": embedding_neardup_pairs_blocked,
     "quantize_embeddings": quantize_embeddings,
+    "semantic_dedup_keep": semantic_dedup_keep,
 }
 
 # the same literal hyperplane matrices, as DuckDB VALUES lists
@@ -511,7 +688,12 @@ ORACLES = {
                cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
         FROM scored WHERE cos >= {NEARDUP_COS}
     """,
-    "embedding_neardup_pairs_blocked": _NORMS_SQL + f""",
+    "embedding_neardup_pairs_blocked": None,  # composed below
+}
+
+# CTE chain shared by the blocked-pairs oracle and its
+# semantic-dedup consumer: LSH candidate pairs -> exact grid cosine.
+_BLOCKED_SCORED_CTE = _NORMS_SQL + f""",
         planes(j, r) AS (VALUES {_PLANES_ND_SQL}),
         bitsums AS (
             SELECT vec_id, j,
@@ -552,8 +734,17 @@ ORACLES = {
             FROM elems GROUP BY d1, d2
         ),
         scored AS (SELECT d1, d2, dot / (n1 * n2) AS cos FROM dots)
+"""
+
+ORACLES["embedding_neardup_pairs_blocked"] = _BLOCKED_SCORED_CTE + f"""
         SELECT d1, d2,
                cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
         FROM scored WHERE cos >= {NEARDUP_COS}
-    """,
-}
+    """
+
+ORACLES["semantic_dedup_keep"] = _BLOCKED_SCORED_CTE + f"""
+        , dups AS (SELECT DISTINCT d2 AS vec_id FROM scored
+                   WHERE cos >= {NEARDUP_COS})
+        SELECT e.vec_id, (d.vec_id IS NOT NULL) AS is_dup
+        FROM embeddings e LEFT JOIN dups d USING (vec_id)
+    """

@@ -114,3 +114,67 @@ def test_simhash_capped_is_subset_and_cap_exercised(spark, sf_dir):
     over = (bands.groupBy("bk").count()
             .where(F.col("count") > dedup.SIMHASH_BUCKET_CAP).count())
     assert over >= 1
+
+
+def test_ann_pq_recall_floor(spark, sf_dir):
+    """ann_pq_topk's recall contract vs exact knn: the fixture's
+    near-random vectors are PQ's hardest case (no planted neighbor
+    structure, cosine spectrum is tight), and the measured mean
+    recall@10 with the 100-item ADC shortlist is 0.84 — the floor
+    pins calibration drift, not aspiration. Re-ranked scores are
+    exact cosines, so every returned (q_id, c_id) that IS in the
+    exact top-10 carries the identical cos value."""
+    from collections import defaultdict
+
+    from mapreduce_go_spark.operators import similarity
+
+    pq_rows = similarity.ann_pq_topk(spark, sf_dir).collect()
+    knn_rows = similarity.knn_cosine_topk(spark, sf_dir).collect()
+    pq, knn = defaultdict(set), defaultdict(set)
+    cos_pq, cos_knn = {}, {}
+    for r in pq_rows:
+        pq[r.q_id].add(r.c_id)
+        cos_pq[(r.q_id, r.c_id)] = r.cos
+    for r in knn_rows:
+        knn[r.q_id].add(r.c_id)
+        cos_knn[(r.q_id, r.c_id)] = r.cos
+    assert set(pq) == set(knn)
+    recalls = [len(pq[q] & knn[q]) / len(knn[q]) for q in knn]
+    assert sum(recalls) / len(recalls) >= 0.75, recalls
+    for key in set(cos_pq) & set(cos_knn):
+        assert cos_pq[key] == cos_knn[key], key
+
+
+def test_ann_pq_deterministic_across_runs(spark, sf_dir):
+    """Training sample, init, iteration count, and argmin tie-breaks
+    are all fixed -> two independent runs (fresh codebook training
+    included) return identical rows."""
+    from mapreduce_go_spark.operators import similarity
+
+    a = sorted(map(tuple, similarity.ann_pq_topk(spark, sf_dir).collect()))
+    b = sorted(map(tuple, similarity.ann_pq_topk(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_semantic_dedup_keep_matches_blocked_pairs(spark, sf_dir):
+    """is_dup is exactly 'appears as d2 in the blocked pairs' — and
+    at least one keeper of each near-dup group survives (the lowest
+    id of a group is never anyone's d2... it can be a d2 of another
+    group member only with a smaller id, which contradicts minimality
+    within the group edge set)."""
+    from mapreduce_go_spark.operators import similarity
+
+    pairs = similarity.embedding_neardup_pairs_blocked(
+        spark, sf_dir).collect()
+    d2s = {r.d2 for r in pairs}
+    flags = {r.vec_id: r.is_dup
+             for r in similarity.semantic_dedup_keep(spark, sf_dir).collect()}
+    for vid, f in flags.items():
+        assert f == (vid in d2s), (vid, f)
+    # every flagged doc has a surviving earlier partner
+    keepers = {v for v, f in flags.items() if not f}
+    partner = {}
+    for r in pairs:
+        partner.setdefault(r.d2, set()).add(r.d1)
+    for v in d2s:
+        assert any(p < v for p in partner[v]), v
