@@ -67,6 +67,9 @@ HEADLINE = [
     "repetition_stats",
     "decontaminate",
     "bm25_top_terms",
+    # the capstone composition: clean + repetition + decontaminate +
+    # mixture + redact in one Catalyst plan
+    "pretrain_corpus",
 ]
 
 

@@ -166,8 +166,55 @@ def corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE capstone composition — the complete pre-training data prep
+    a 100 TB pipeline runs, as ONE declarative plan Catalyst can
+    globally optimize:
+
+      1. near-dup cluster keeper + quality score + length floor
+         (corpus_clean: verified-LSH cluster labels),
+      2. Gopher repetition filters (repetition_stats, Arrow kernel),
+      3. benchmark decontamination (drop the eval split AND any train
+         doc sharing a 5-gram with it — broadcast probe),
+      4. per-source mixture sampling (hash-bucket, zero shuffle),
+      5. PII redaction of the surviving text (md5 of the redacted
+         body rides the output as the content fingerprint).
+
+    Every stage is itself a registered, individually-oracled query;
+    the composite's oracle nests those same oracle queries as CTE
+    subqueries, so the composition semantics — not just the parts —
+    are cross-engine checked. All joins key on doc_id (one shuffle
+    family); the filters commute, so AQE is free to reorder."""
+    from mapreduce_go_spark.operators.quality import (
+        DECON_EVAL_MOD, REP_TOP_2GRAM_MAX, REP_TOP_TOKEN_MAX,
+        decontaminate, domain_mix_sample, pii_redact, repetition_stats,
+    )
+
+    base = corpus_clean(spark, sf_dir)
+    rep_ok = (
+        repetition_stats(spark, sf_dir)
+        .where((F.col("top_token_frac") < REP_TOP_TOKEN_MAX)
+               & (F.col("top_2gram_frac") < REP_TOP_2GRAM_MAX))
+        .select("doc_id")
+    )
+    cont = decontaminate(spark, sf_dir).select("doc_id")
+    mix = domain_mix_sample(spark, sf_dir).select("doc_id", "source")
+    red = pii_redact(spark, sf_dir).select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"))
+    return (
+        base.join(rep_ok, "doc_id")
+        .join(mix, "doc_id")
+        .where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+        .join(cont, "doc_id", "left_anti")
+        .join(red, "doc_id")
+        .select("doc_id", "source", "quality", "n_tokens",
+                "redacted_md5")
+    )
+
+
 QUERIES = {
     "corpus_clean": corpus_clean,
+    "pretrain_corpus": pretrain_corpus,
     "stratified_sample": stratified_sample,
     "train_test_split": train_test_split,
     "pack_sequences": pack_sequences,
@@ -208,8 +255,45 @@ def _corpus_clean_sql() -> str:
     """
 
 
+def _pretrain_sql() -> str:
+    """Composite oracle: each stage's own registered oracle query is
+    nested verbatim as a CTE subquery (DuckDB allows WITH inside a
+    parenthesized subquery), so this checks the COMPOSITION of the
+    exact semantics each stage already proves individually."""
+    from mapreduce_go_spark.operators import quality
+
+    return f"""
+        WITH clean AS ({_corpus_clean_sql()}),
+        rep AS (
+            SELECT doc_id FROM ({quality.ORACLES['repetition_stats']})
+            WHERE top_token_frac < {quality.REP_TOP_TOKEN_MAX}
+              AND top_2gram_frac < {quality.REP_TOP_2GRAM_MAX}
+        ),
+        cont AS (
+            SELECT doc_id FROM ({quality.ORACLES['decontaminate']})
+        ),
+        mix AS (
+            SELECT doc_id, source
+            FROM ({quality.ORACLES['domain_mix_sample']})
+        ),
+        red AS (
+            SELECT doc_id, md5(redacted) AS redacted_md5
+            FROM ({quality.ORACLES['pii_redact']})
+        )
+        SELECT c.doc_id, m.source, c.quality, c.n_tokens,
+               r.redacted_md5
+        FROM clean c
+        JOIN rep USING (doc_id)
+        JOIN mix m USING (doc_id)
+        JOIN red r USING (doc_id)
+        WHERE c.doc_id % {quality.DECON_EVAL_MOD} <> 0
+          AND c.doc_id NOT IN (SELECT doc_id FROM cont)
+    """
+
+
 ORACLES = {
     "corpus_clean": _corpus_clean_sql(),
+    "pretrain_corpus": _pretrain_sql(),
     "stratified_sample": f"""
         SELECT doc_id, lang,
                {_BUCKET_SQL.format(col='doc_id')} AS bucket

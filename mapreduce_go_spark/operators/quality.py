@@ -45,6 +45,13 @@ from mapreduce_go_spark.functions.text import NON_LETTER_RE
 # (tests/test_quality.py has a synthetic over-cap case).
 REP_TOKEN_CAP = 1024
 
+# Keep-thresholds for the composite pipeline (pretrain_corpus):
+# fixture-calibrated at the ~95th percentile of each signal so the
+# drop path is non-vacuous (sf0.01: p95 top_token_frac = 0.160,
+# p95 top_2gram_frac = 0.087).
+REP_TOP_TOKEN_MAX = 0.16
+REP_TOP_2GRAM_MAX = 0.09
+
 
 def _toks(col: Column) -> Column:
     """Non-empty letter-run tokens, capped at REP_TOKEN_CAP."""

@@ -86,8 +86,9 @@ _PRIORITY: list[str] = [
     "grouped_zscore",        # §2.3 applyInPandas surface
     # pipeline (north-star; stratified_sample demoted r5 —
     # domain_mix_sample exercises the same hash-bucket sampling plus
-    # per-source mixture rates)
-    "corpus_clean",
+    # per-source mixture rates; corpus_clean demoted r5 — it is a
+    # strict sub-plan of pretrain_corpus, the capstone composition)
+    "pretrain_corpus",
     "domain_mix_sample",     # per-source mixture sampling (r5)
     "pack_sequences",
     "dq_orphan_lineitems",
