@@ -196,3 +196,34 @@ def test_winnowing_coverage_guarantee(spark):
     f2 = {r.fp for r in fps if r.doc_id == 2}
     assert len(shared) >= dedup.WINNOW_W + dedup.WINNOW_K - 1
     assert f1 & f2, "no shared fingerprint despite a long shared span"
+
+
+@given(st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "ee", "f"]),
+             min_size=0, max_size=40),
+    min_size=1, max_size=12))
+@settings(max_examples=60, deadline=None)
+def test_rep_counts_matches_counter_reference(batch):
+    """simd.rep_counts' whole-batch factorization vs an obviously-
+    correct per-row Counter reference, over random multi-row batches
+    (the fixture differential can't vary batch shapes; this does —
+    including empty rows, single-token rows, and rows whose n-grams
+    would collide across row boundaries if the adjacency masks were
+    wrong)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from mapreduce_go_spark.functions import simd
+
+    out = simd.rep_counts.func(pd.Series(batch))
+    for i, toks in enumerate(batch):
+        g2 = [" ".join(toks[j:j + 2]) for j in range(len(toks) - 1)]
+        g3 = [" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)]
+        exp_top_tok = max(Counter(toks).values(), default=0)
+        exp_top_g2 = max(Counter(g2).values(), default=0)
+        row = out.iloc[i]
+        assert row.top_tok == exp_top_tok, (i, toks)
+        assert row.top_g2 == exp_top_g2, (i, toks)
+        assert row.n3 == len(g3), (i, toks)
+        assert row.d3 == len(set(g3)), (i, toks)
