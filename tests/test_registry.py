@@ -71,8 +71,9 @@ def test_driver_window_is_curated():
     assert names[:50] == registry._PRIORITY
     missing = [n for n in names[:50] if n not in _ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
-    families = ("dedup_", "ann_", "corpus_", "media_", "tumbling_",
-                "sessionize", "token_", "pack_", "wc")
+    families = ("dedup_", "ann_", "pretrain_", "media_", "tumbling_",
+                "sessionize", "repetition_", "pii_", "decontaminate",
+                "cdc_", "winnow_", "png_", "pack_", "wc")
     for fam in families:
         assert any(n.startswith(fam) for n in names[:50]), fam
 
