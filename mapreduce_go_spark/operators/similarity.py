@@ -409,7 +409,8 @@ def _pq_codebooks(spark: SparkSession, sf_dir: str):
     emb = tables.load(spark, sf_dir, "embeddings")
     rows = (
         emb.select("vec_id", "embedding")
-        .orderBy("vec_id").limit(PQ_TRAIN_CAP).collect()
+        .orderBy("vec_id").limit(PQ_TRAIN_CAP)
+        .collect()  # allow-bounded-collect: fixed-size training sample
     )
     X = np.asarray([r.embedding for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
@@ -462,7 +463,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     q_rows = (
         emb.where(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding").orderBy("vec_id").collect()
+        .select("vec_id", "embedding").orderBy("vec_id")
+        .collect()  # allow-bounded-collect: N_QUERIES rows (ADC tables)
     )
     Q = np.asarray([r.embedding for r in q_rows], dtype=np.float64)
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
