@@ -419,6 +419,11 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical values, differentially proven). Per-doc signatures are
     64 algebraic sums in one hash aggregate — no 64x row explosion;
     tests/test_plans.py asserts the plan is join-free."""
+    # no tables.spread here (unlike the shingle pipeline): measured
+    # both ways at sf0.1 — the map side is one cheap explode + md5,
+    # so the spread's round-robin shuffle costs more than the extra
+    # scan parallelism buys (1.76 s vs 1.24 s); on real multi-split
+    # layouts the scan parallelizes by itself
     docs = tables.load(spark, sf_dir, "documents")
     tf = (
         docs.select(
@@ -430,26 +435,28 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .withColumn("h", F.md5("tok"))
     )
-    nibs = tf.select(
+    # The 16 nibble columns, 64 bit-sums and 64 sign bits are built as
+    # SQL STRINGS parsed once on the JVM (F.expr / selectExpr): the
+    # earlier Column-tree construction issued one py4j round-trip per
+    # operator node (~hundreds for this plan) and dominated the query
+    # at ~3 s of pure driver latency per invocation; the string forms
+    # produce the IDENTICAL analyzed plan for ~0.1 s.
+    nibs = tf.selectExpr(
         "doc_id", "tf",
-        *[F.conv(F.substring("h", k + 1, 1), 16, 10).cast("int")
-          .alias(f"nib{k}") for k in range(16)],
+        *[f"cast(conv(substring(h, {k + 1}, 1), 16, 10) AS int)"
+          f" AS nib{k}" for k in range(16)],
     )
     sums = [
-        F.sum(
-            F.col("tf")
-            * (2 * F.shiftright(F.col(f"nib{j // 4}"), 3 - j % 4)
-               .bitwiseAND(F.lit(1)) - 1)
-        ).alias(f"s{j}")
+        F.expr(
+            f"sum(tf * (2 * (shiftright(nib{j // 4}, {3 - j % 4}) & 1)"
+            f" - 1)) AS s{j}")
         for j in range(64)
     ]
     wide = nibs.groupBy("doc_id").agg(*sums)
-    sig = F.concat(
-        *[
-            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
-            for j in range(64)
-        ]
-    )
+    sig = F.expr(
+        "concat(" + ", ".join(
+            f"CASE WHEN s{j} > 0 THEN '1' ELSE '0' END"
+            for j in range(64)) + ")")
     return wide.select("doc_id", sig.alias("simhash"))
 
 
