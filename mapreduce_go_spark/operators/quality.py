@@ -227,6 +227,30 @@ DECON_N = 5
 DECON_EVAL_MOD = 19
 
 
+def decon_shingles_df(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle): per-doc DISTINCT word-5-gram shingles —
+    the same no-shuffle in-row assembly as dedup._shingles_all, via
+    the local gram helper (dedup pins SHINGLE_N=3; decon needs 5).
+    Shared by the batch query and the streaming decon job."""
+    ts = _toks(F.col("text"))
+    return (
+        tables.spread(docs)
+        .select("doc_id", F.explode(F.array_distinct(_grams(ts, DECON_N)))
+                .alias("shingle"))
+    )
+
+
+def eval_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval split's distinct shingle set — the static (broadcast)
+    side of both the batch query and the streaming job."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return (
+        decon_shingles_df(docs.where(
+            F.col("doc_id") % DECON_EVAL_MOD == 0))
+        .select("shingle").distinct()
+    )
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-split documents sharing >=1 word-5-gram with the eval
     split, with overlap counts — the standard test-set-leakage check
@@ -239,19 +263,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vanishing fraction — reach the count shuffle. The corpus itself
     is never exchanged."""
     docs = tables.load(spark, sf_dir, "documents")
-    # same no-shuffle in-row shingle assembly as dedup._shingles_all,
-    # via the local gram helper (dedup pins SHINGLE_N=3; decon needs 5)
-    ts = _toks(F.col("text"))
-    sh = (
-        tables.spread(docs)
-        .select("doc_id", F.explode(F.array_distinct(_grams(ts, DECON_N)))
-                .alias("shingle"))
-    )
-    ev = (
-        sh.where(F.col("doc_id") % DECON_EVAL_MOD == 0)
-        .select("shingle").distinct()
-    )
-    train = sh.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    ev = eval_shingles_df(spark, sf_dir)
+    train = decon_shingles_df(
+        docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0))
     return (
         train.join(F.broadcast(ev), "shingle")
         .groupBy("doc_id")

@@ -520,6 +520,67 @@ def read_cdc_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def _decon_epoch(batch_df: DataFrame, epoch_id: int,
+                 ev_shingles: DataFrame, out_dir: str) -> None:
+    """One micro-batch of streaming benchmark decontamination (batch
+    anchor: operators.quality.decontaminate). STATELESS across epochs
+    — the eval-side shingle set is a static broadcast relation, so
+    unlike the near-dup/CDC jobs there is no persistent index to
+    version; idempotence is just overwrite-by-epoch + _SUCCESS skip.
+
+    Per epoch: the batch's distinct 5-gram shingles (the same in-row
+    assembly as the batch query) probe the broadcast eval set; every
+    train-split doc gets (doc_id, n_overlap, contaminated). Scale
+    shape: the stream never shuffles — only matching (doc_id,
+    shingle) rows reach the count aggregation."""
+    target = os.path.join(out_dir, f"epoch={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    from mapreduce_go_spark.operators.quality import (DECON_EVAL_MOD,
+                                                      decon_shingles_df)
+
+    train = batch_df.where(F.col("doc_id") % DECON_EVAL_MOD != 0)
+    hits = (
+        decon_shingles_df(train)
+        .join(F.broadcast(ev_shingles), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+    )
+    flags = (
+        train.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .fillna(0, subset=["n_overlap"])
+        .withColumn("contaminated", F.col("n_overlap") > 0)
+    )
+    flags.write.mode("overwrite").parquet(target)
+
+
+def run_streaming_decon(spark: SparkSession, stream: DataFrame,
+                        ev_shingles: DataFrame, out_dir: str,
+                        checkpoint_dir: str) -> None:
+    """Streaming decontamination: each document micro-batch is checked
+    for word-5-gram overlap against the static eval-split shingle set
+    (operators.quality.eval_shingles_df) and emits per-epoch
+    (doc_id, n_overlap, contaminated) rows for the train split.
+    Exactly-once via checkpointed offsets + epoch-keyed overwrite
+    partitions (the job is stateless, so replay is trivially clean)."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _decon_epoch(batch_df, epoch_id, ev_shingles, out_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_decon_flags(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All epochs' (doc_id, n_overlap, contaminated)."""
+    return spark.read.parquet(out_dir)
+
+
 def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
                   name: str, output_mode: str) -> DataFrame:
     """Execute a streaming plan to completion against the staged input

@@ -546,3 +546,69 @@ def test_streaming_neardup_epoch_replay_is_idempotent(spark, sf_dir,
     idx_twice = sorted(map(tuple, spark.read.parquet(
         jobs._neardup_index_dir(idx, 1)).collect()))
     assert idx_twice == idx_once
+
+
+def test_streaming_decon_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming decontamination over 3 doc_id-ordered micro-batches
+    must agree exactly with the batch quality.decontaminate relation:
+    the job is stateless (static broadcast eval set), so batching can
+    never change a verdict — the union of epoch outputs restricted to
+    contaminated docs IS the batch output."""
+    import os
+
+    from mapreduce_go_spark.operators import quality
+    from mapreduce_go_spark.streaming import jobs
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    ev = quality.eval_shingles_df(spark, sf_dir)
+    stream = jobs.documents_stream(spark, src + "/*", docs.schema)
+    out = str(tmp_path / "decon_out")
+    jobs.run_streaming_decon(spark, stream, ev, out,
+                             str(tmp_path / "ckpt"))
+
+    got = {(r.doc_id, r.n_overlap)
+           for r in jobs.read_decon_flags(spark, out)
+           .where("contaminated").collect()}
+    want = {(r.doc_id, r.n_overlap)
+            for r in quality.decontaminate(spark, sf_dir).collect()}
+    assert got == want
+    # clean train docs are present with zero overlap; eval docs absent
+    flags = jobs.read_decon_flags(spark, out).collect()
+    n_train = sum(1 for r in docs.collect()
+                  if r.doc_id % quality.DECON_EVAL_MOD != 0)
+    assert len(flags) == n_train
+    assert all(r.doc_id % quality.DECON_EVAL_MOD != 0 for r in flags)
+
+
+def test_streaming_decon_epoch_replay_is_idempotent(spark, sf_dir,
+                                                    tmp_path):
+    """Re-firing an already-committed epoch must be a no-op (the
+    _SUCCESS skip), and re-running a wiped epoch must reproduce the
+    identical rows (stateless job, pure function of the batch)."""
+    import os
+    import shutil
+
+    from mapreduce_go_spark.operators import quality
+    from mapreduce_go_spark.streaming import jobs
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    ev = quality.eval_shingles_df(spark, sf_dir)
+    stream = jobs.documents_stream(spark, src + "/*", docs.schema)
+    out = str(tmp_path / "decon_out")
+    jobs.run_streaming_decon(spark, stream, ev, out,
+                             str(tmp_path / "ckpt"))
+    before = sorted(map(tuple,
+                        jobs.read_decon_flags(spark, out).collect()))
+
+    batch0 = spark.read.parquet(os.path.join(src, "b0"))
+    jobs._decon_epoch(batch0, 0, ev, out)      # replay: skipped
+    wiped = os.path.join(out, "epoch=0")
+    shutil.rmtree(wiped)
+    jobs._decon_epoch(batch0, 0, ev, out)      # recompute from scratch
+    after = sorted(map(tuple,
+                       jobs.read_decon_flags(spark, out).collect()))
+    assert before == after
