@@ -227,3 +227,37 @@ def test_rep_counts_matches_counter_reference(batch):
         assert row.top_g2 == exp_top_g2, (i, toks)
         assert row.n3 == len(g3), (i, toks)
         assert row.d3 == len(set(g3)), (i, toks)
+
+
+@given(st.text(alphabet=st.characters(codec="ascii",
+                                      exclude_characters="\x00"),
+               max_size=200),
+       st.integers(min_value=0, max_value=4000))
+@settings(max_examples=80, deadline=None)
+def test_pii_redaction_is_idempotent_and_complete(body, doc_id):
+    """Redaction reference property, driver-side (regex semantics are
+    identical in Spark's Java engine for these ASCII-pinned patterns;
+    the engine-level parity is pinned by the pii_redact oracle):
+    applying the redaction pass twice equals once (the placeholders
+    contain no redactable material), and no pattern survives a pass —
+    even on adversarial random text AND text with grafted PII."""
+    import re as _re
+
+    from mapreduce_go_spark.operators import quality
+
+    grafted = (f"{body} user{doc_id}@example.com 555-"
+               f"{doc_id % 1000:03d}-{doc_id % 10000:04d} 10.1.2.3")
+    for text in (body, grafted):
+        once = text
+        for pat, rep in ((quality.EMAIL_RE, "<EMAIL>"),
+                         (quality.PHONE_RE, "<PHONE>"),
+                         (quality.IPV4_RE, "<IP>")):
+            once = _re.sub(pat, rep, once)
+        twice = once
+        for pat, rep in ((quality.EMAIL_RE, "<EMAIL>"),
+                         (quality.PHONE_RE, "<PHONE>"),
+                         (quality.IPV4_RE, "<IP>")):
+            twice = _re.sub(pat, rep, twice)
+        assert once == twice, (text, once, twice)
+        for pat in (quality.EMAIL_RE, quality.PHONE_RE):
+            assert not _re.search(pat, once), (text, once)
