@@ -119,9 +119,13 @@ def main() -> None:
     args = ap.parse_args()
 
     from mapreduce_go_spark.session import get_spark
-    from mapreduce_go_spark.operators.dedup import dedup_verified_pairs
+    from mapreduce_go_spark.operators.dedup import (
+        dedup_verified_pairs, simhash_neardup_pairs_capped)
+    from mapreduce_go_spark.operators.pipeline import pretrain_corpus
+    from mapreduce_go_spark.operators.quality import (decontaminate,
+                                                      repetition_stats)
     from mapreduce_go_spark.operators.similarity import (
-        embedding_neardup_pairs_blocked)
+        ann_pq_topk, embedding_neardup_pairs_blocked)
 
     spark = get_spark("scale_curve")
     x1, xn = build_corpora(spark, args.base, args.out, args.factor)
@@ -129,7 +133,13 @@ def main() -> None:
     result = {"factor": args.factor, "base": args.base, "queries": {}}
     for name, fn in [("dedup_verified_pairs", dedup_verified_pairs),
                      ("embedding_neardup_pairs_blocked",
-                      embedding_neardup_pairs_blocked)]:
+                      embedding_neardup_pairs_blocked),
+                     ("simhash_neardup_pairs_capped",
+                      simhash_neardup_pairs_capped),
+                     ("repetition_stats", repetition_stats),
+                     ("decontaminate", decontaminate),
+                     ("ann_pq_topk", ann_pq_topk),
+                     ("pretrain_corpus", pretrain_corpus)]:
         t1, r1 = time_query(fn, spark, x1)
         tn, rn = time_query(fn, spark, xn)
         result["queries"][name] = {
