@@ -70,6 +70,8 @@ HEADLINE = [
     # the capstone composition: clean + repetition + decontaminate +
     # mixture + redact in one Catalyst plan
     "pretrain_corpus",
+    # baseline-JPEG codec exercise (encode + decode per document)
+    "jpeg_pixel_roundtrip",
 ]
 
 

@@ -116,11 +116,12 @@ _PRIORITY: list[str] = [
     "lang_id",
     "quality_score",
     "doc_fingerprint",
-    # multimodal (D20; frame_sample demoted r5 — png_resize proves
-    # the pixel-real decode+resample path end-to-end)
-    "binary_meta",
+    # multimodal (D20; frame_sample + binary_meta demoted r5 —
+    # png_resize and the baseline-JPEG roundtrip prove the pixel-real
+    # codec paths end-to-end, media_features keeps the metadata path)
     "media_features",
     "png_resize",
+    "jpeg_pixel_roundtrip",
     # streaming batch twins (D21)
     "tumbling_window",
     "event_enrichment",

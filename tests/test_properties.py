@@ -261,3 +261,24 @@ def test_pii_redaction_is_idempotent_and_complete(body, doc_id):
         assert once == twice, (text, once, twice)
         for pat in (quality.EMAIL_RE, quality.PHONE_RE):
             assert not _re.search(pat, once), (text, once)
+
+
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_jpeg_codec_roundtrip_property(h, w, seed):
+    """For ANY image shape and content: the decoder reproduces the
+    encoder-side reconstruction bit-exactly, output geometry matches,
+    and the file is marker-well-formed (SOI..EOI)."""
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+
+    px = np.random.default_rng(seed).integers(
+        0, 256, (h, w), dtype=np.uint8)
+    data, recon = jpeg.encode_gray(px, return_recon=True)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    dec = jpeg.decode_gray(data)
+    assert dec.shape == (h, w)
+    assert np.array_equal(dec, recon)
