@@ -349,8 +349,77 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The retrieval query's literal terms (corpus-common words with
+# different document frequencies, so idf actually discriminates).
+SEARCH_TERMS = ("spark", "window", "hash")
+SEARCH_TOP_K = 20
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval for a literal term query: top-20 documents for
+    the disjunctive query {spark, window, hash} — the search twin of
+    bm25_top_terms.
+
+    Scale shape: the term filter is applied BEFORE the tf shuffle
+    (only tokens matching the query's handful of terms ever reach an
+    exchange — at 100 TB that's the difference between shuffling the
+    token stream and shuffling a sliver); document length comes from
+    the no-explode token_count (mapper-only), and df/avgdl/N are
+    broadcast scalars."""
+    from mapreduce_go_spark.functions.text import token_count
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok").isin(*SEARCH_TERMS))
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scalars = docs.agg(
+        F.count("*").cast("double").alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl")))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    tf_norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    # per-term conditional sums: each (doc, term) group holds exactly
+    # ONE row, so every "sum" is exact, and the final score adds the
+    # <=3 per-term doubles in FIXED left-to-right order — a raw
+    # sum(term_score) would be summation-order-dependent cross-engine
+    per_term = [
+        F.sum(F.when(F.col("tok") == t, F.col("term_score")))
+        .alias(f"s_{i}")
+        for i, t in enumerate(SEARCH_TERMS)
+    ]
+    score = F.coalesce(F.col("s_0"), F.lit(0.0))
+    for i in range(1, len(SEARCH_TERMS)):
+        score = score + F.coalesce(F.col(f"s_{i}"), F.lit(0.0))
+    # top-k via orderBy+limit (plans as TakeOrderedAndProject — the
+    # D8 discipline); the unpartitioned ranking window then touches
+    # only the surviving SEARCH_TOP_K rows, never the corpus
+    return (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(scalars))
+        .withColumn("term_score", idf * tf_norm)
+        .groupBy("doc_id")
+        .agg(*per_term)
+        .withColumn("score", score)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(SEARCH_TOP_K)
+        .withColumn("rk", F.row_number().over(w))
+        .select("doc_id", dround(F.col("score"), 6).alias("score"), "rk")
+    )
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
+    "bm25_search": bm25_search,
     "pii_stats": pii_stats,
     "pii_redact": pii_redact,
     "decontaminate": decontaminate,
@@ -481,6 +550,57 @@ ORACLES = {
         WHERE rk <= {BM25_TOP_K}
     """,
     "domain_mix_sample": None,  # filled in below (needs pipeline SQL)
+    "bm25_search": f"""
+        WITH tok AS (
+            SELECT doc_id,
+                   unnest(regexp_split_to_array(text, '{NON_LETTER_RE}'))
+                       AS tok
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok
+               WHERE tok IN ({", ".join(f"'{t}'" for t in SEARCH_TERMS)})
+               GROUP BY doc_id, tok),
+        dl AS (SELECT doc_id,
+                      len(list_filter(regexp_split_to_array(
+                          text, '{NON_LETTER_RE}'), x -> x <> '')) AS dl
+               FROM documents),
+        df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+        scalars AS (
+            SELECT (SELECT cast(count(*) AS double) FROM documents)
+                       AS n_docs,
+                   (SELECT avg(dl) FROM dl) AS avgdl
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.tok,
+                   ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * (tf * ({BM25_K1} + 1.0))
+                   / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                      + {BM25_B} * dl / avgdl)) AS term_score
+            FROM tf JOIN dl USING (doc_id) JOIN df USING (tok)
+                 CROSS JOIN scalars
+        ),
+        perdoc AS (
+            SELECT doc_id,
+                   {" , ".join(
+                       f"sum(CASE WHEN tok = '{t}' THEN term_score END)"
+                       f" AS s_{i}"
+                       for i, t in enumerate(SEARCH_TERMS))}
+            FROM scored GROUP BY doc_id
+        ),
+        totals AS (
+            SELECT doc_id,
+                   {" + ".join(f"coalesce(s_{i}, 0.0)"
+                               for i in range(len(SEARCH_TERMS)))}
+                       AS score
+            FROM perdoc
+        )
+        SELECT doc_id, {dround_sql('score', 6)} AS score, rk
+        FROM (SELECT doc_id, score,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                         AS rk
+              FROM totals)
+        WHERE rk <= {SEARCH_TOP_K}
+    """,
 }
 
 

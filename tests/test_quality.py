@@ -183,3 +183,18 @@ def test_domain_mix_rates_are_respected(spark, sf_dir):
         idx = int(re.search(r"[0-9]+", r.source).group())
         assert r.rate == 5 + 5 * (idx % 10)
         assert 0 <= r.bucket < r.rate
+
+
+def test_bm25_search_plan_and_semantics(spark, sf_dir):
+    df = quality.bm25_search(spark, sf_dir)
+    p = plan_of(df)
+    assert "CartesianProduct" not in p
+    rows = df.collect()
+    assert 0 < len(rows) <= quality.SEARCH_TOP_K
+    # ranked descending, ties by doc_id; every hit contains >=1 term
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    texts = {r.doc_id: r.text for r in
+             tables.load(spark, sf_dir, "documents").collect()}
+    for r in rows:
+        assert any(t in texts[r.doc_id] for t in quality.SEARCH_TERMS)
