@@ -417,9 +417,97 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- #
+# Count-min sketch                                                  #
+# ---------------------------------------------------------------- #
+
+# Sketch geometry: depth x width counters. Width 256 on the fixture
+# vocabulary (~40 distinct tokens) gives near-exact estimates while
+# still exercising collisions at corpus scale; production widths are
+# ~2^16+. The hash is md5-based, so the SKETCH CONTENT is a pure
+# function of the data — deterministic on any engine, any
+# partitioning, which is what makes the DuckDB oracle exact rather
+# than statistical.
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+# probe terms: mixed frequencies (corpus words + a token absent from
+# the corpus, whose estimate must come out 0 or pure-collision mass)
+CMS_PROBES = ("spark", "window", "hash", "the", "zzznotinthecorpus")
+
+
+def _cms_bucket(col: Column, r: int) -> Column:
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{r}:"), col)), 1, 8),
+               16, 10).cast("long") % CMS_WIDTH
+    )
+
+
+def _cms_bucket_sql(tok_expr: str, r_expr: str) -> str:
+    return (
+        "(list_reduce(list_prepend(cast(0 AS bigint),"
+        " list_transform(regexp_split_to_array(substring(md5("
+        f"cast({r_expr} AS varchar) || ':' || {tok_expr}), 1, 8), ''),"
+        " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
+        f" (acc, v) -> acc * 16 + v) % {CMS_WIDTH})"
+    )
+
+
+def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed for a
+    fixed term set — the mergeable-sketch pattern for distributed
+    frequency estimation (Cormode/Muthukrishnan 2005).
+
+    The DISTRIBUTED shape is the point: each task counts its local
+    (row, bucket) cells map-side (partial aggregation), the single
+    groupBy((r, bucket)) shuffle IS the sketch merge (counter-wise
+    addition — CMS's defining property), and the merged sketch is
+    DEPTH x WIDTH rows total regardless of corpus size. Probing joins
+    the DEPTH cells of each probe term and takes min. Unlike
+    approx_distinct's engine-specific HLL, the md5-based CMS is
+    bit-deterministic cross-engine, so the oracle checks exact cell
+    values — plus the no-underestimate guarantee vs exact counts."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    cells = tok.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("tok"), r)
+                      for r in range(CMS_DEPTH)])).alias("r", "bucket"))
+    sketch = cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in CMS_PROBES])).alias("tok"))
+    probe_cells = probes.select(
+        "tok",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("tok"), r)
+                      for r in range(CMS_DEPTH)])).alias("r", "bucket"))
+    est = (
+        probe_cells.join(sketch, ["r", "bucket"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy("tok")
+        .agg(F.min("cnt").alias("est"))
+    )
+    exact = (
+        tok.where(F.col("tok").isin(*CMS_PROBES))
+        .groupBy("tok").agg(F.count("*").alias("exact"))
+    )
+    return (
+        est.join(exact, "tok", "left")
+        .select(
+            "tok", "est",
+            F.coalesce("exact", F.lit(0)).alias("exact"),
+            (F.col("est") >= F.coalesce("exact", F.lit(0)))
+            .alias("no_underestimate"))
+    )
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "bm25_search": bm25_search,
+    "cms_token_counts": cms_token_counts,
     "pii_stats": pii_stats,
     "pii_redact": pii_redact,
     "decontaminate": decontaminate,
@@ -550,6 +638,40 @@ ORACLES = {
         WHERE rk <= {BM25_TOP_K}
     """,
     "domain_mix_sample": None,  # filled in below (needs pipeline SQL)
+    "cms_token_counts": f"""
+        WITH tok AS (
+            SELECT t AS tok FROM (
+                SELECT unnest(regexp_split_to_array(
+                    text, '{NON_LETTER_RE}')) AS t FROM documents)
+            WHERE t <> ''
+        ),
+        cells AS (
+            SELECT g.r AS r, {_cms_bucket_sql('tok', 'g.r')} AS bucket
+            FROM tok CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) g(r)
+        ),
+        sketch AS (
+            SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+        ),
+        probes(tok) AS (VALUES {", ".join(f"('{t}')" for t in CMS_PROBES)}),
+        pcells AS (
+            SELECT tok, g.r AS r, {_cms_bucket_sql('tok', 'g.r')} AS bucket
+            FROM probes CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) g(r)
+        ),
+        est AS (
+            SELECT tok, min(coalesce(cnt, 0)) AS est
+            FROM pcells LEFT JOIN sketch USING (r, bucket)
+            GROUP BY tok
+        ),
+        exact AS (
+            SELECT tok, count(*) AS exact FROM tok
+            WHERE tok IN ({", ".join(f"'{t}'" for t in CMS_PROBES)})
+            GROUP BY tok
+        )
+        SELECT e.tok, e.est,
+               coalesce(x.exact, 0) AS exact,
+               e.est >= coalesce(x.exact, 0) AS no_underestimate
+        FROM est e LEFT JOIN exact x USING (tok)
+    """,
     "bm25_search": f"""
         WITH tok AS (
             SELECT doc_id,

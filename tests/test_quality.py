@@ -198,3 +198,29 @@ def test_bm25_search_plan_and_semantics(spark, sf_dir):
              tables.load(spark, sf_dir, "documents").collect()}
     for r in rows:
         assert any(t in texts[r.doc_id] for t in quality.SEARCH_TERMS)
+
+
+def test_cms_sketch_mass_conservation(spark, sf_dir):
+    """Every sketch row r holds the FULL token mass (each token
+    increments exactly one counter per row), and the sketch is at
+    most DEPTH x WIDTH cells no matter the corpus size — the two
+    invariants that make CMS mergeable and bounded."""
+    from mapreduce_go_spark.functions.text import NON_LETTER_RE
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (docs.select(F.explode(F.split("text", NON_LETTER_RE))
+                       .alias("tok"))
+           .where(F.col("tok") != ""))
+    n_tokens = tok.count()
+    cells = tok.select(
+        F.posexplode(F.array(*[quality._cms_bucket(F.col("tok"), r)
+                               for r in range(quality.CMS_DEPTH)]))
+        .alias("r", "bucket"))
+    sketch = cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    rows = sketch.collect()
+    assert len(rows) <= quality.CMS_DEPTH * quality.CMS_WIDTH
+    per_row = {}
+    for r in rows:
+        per_row[r.r] = per_row.get(r.r, 0) + r.cnt
+        assert 0 <= r.bucket < quality.CMS_WIDTH
+    assert all(per_row[r] == n_tokens for r in range(quality.CMS_DEPTH))
