@@ -72,6 +72,8 @@ HEADLINE = [
     "pretrain_corpus",
     # baseline-JPEG codec exercise (encode + decode per document)
     "jpeg_pixel_roundtrip",
+    # PQ-compressed ANN (codebook train + encode + ADC + re-rank)
+    "ann_pq_topk",
 ]
 
 
