@@ -504,10 +504,62 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- #
+# Feature-hash document embeddings                                  #
+# ---------------------------------------------------------------- #
+
+FH_DIM = 64  # matches the embeddings table's dimensionality
+
+
+def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings (Weinberger et al. 2009 —
+    the no-vocabulary featurizer): each token adds +-1 (sign hash) to
+    one of FH_DIM buckets (index hash); the doc's vector is the
+    bucket-sum array. Bridges the text pipeline to the vector ops:
+    the output column has the same shape as the embeddings table, so
+    knn / quantize / LSH compose directly on it.
+
+    Scale shape: one token explode, one (doc_id, bucket) partial+final
+    integer aggregation, in-row array assembly from a map — no
+    per-dimension shuffle, no vocabulary state (THE point of the
+    hashing trick at 100 TB: a trillion-token corpus needs zero
+    driver-side dictionary). Integer sums -> bit-exact cross-engine."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("tok"))),
+                           1, 8), 16, 10).cast("long") % FH_DIM)
+    sign = (
+        1 - 2 * (F.conv(F.substring(
+            F.md5(F.concat(F.lit("s:"), F.col("tok"))), 1, 8), 16, 10)
+            .cast("long") % 2))
+    s = (
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("v"))
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("bucket", "v"))))
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
+        lambda d: F.coalesce(
+            F.element_at(F.col("m"), d.cast("long")),
+            F.lit(0).cast("long")))
+    return (
+        s.groupBy("doc_id").agg(m.alias("m"))
+        .select("doc_id", vec.alias("vec"))
+    )
+
+
 QUERIES = {
     "repetition_stats": repetition_stats,
     "bm25_search": bm25_search,
     "cms_token_counts": cms_token_counts,
+    "feature_hash_embed": feature_hash_embed,
     "pii_stats": pii_stats,
     "pii_redact": pii_redact,
     "decontaminate": decontaminate,
@@ -638,6 +690,38 @@ ORACLES = {
         WHERE rk <= {BM25_TOP_K}
     """,
     "domain_mix_sample": None,  # filled in below (needs pipeline SQL)
+    "feature_hash_embed": f"""
+        WITH tok AS (
+            SELECT doc_id, t AS tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    text, '{NON_LETTER_RE}')) AS t FROM documents)
+            WHERE t <> ''
+        ),
+        cells AS (
+            SELECT doc_id,
+                   {_cms_bucket_sql("tok", "'b'").replace(
+                       f"% {CMS_WIDTH}", f"% {FH_DIM}")} AS bucket,
+                   1 - 2 * ({_cms_bucket_sql("tok", "'s'").replace(
+                       f"% {CMS_WIDTH}", "% 2")}) AS sign
+            FROM tok
+        ),
+        s AS (
+            SELECT doc_id, bucket, cast(sum(sign) AS bigint) AS v
+            FROM cells GROUP BY 1, 2
+        ),
+        dims AS (
+            SELECT doc_id, g.d AS d
+            FROM (SELECT DISTINCT doc_id FROM s) x
+                 CROSS JOIN generate_series(0, {FH_DIM - 1}) g(d)
+        ),
+        vals AS (
+            SELECT dims.doc_id, d, coalesce(v, cast(0 AS bigint)) AS v
+            FROM dims LEFT JOIN s
+                 ON s.doc_id = dims.doc_id AND s.bucket = d
+        )
+        SELECT doc_id, list(v ORDER BY d) AS vec
+        FROM vals GROUP BY doc_id
+    """,
     "cms_token_counts": f"""
         WITH tok AS (
             SELECT t AS tok FROM (
