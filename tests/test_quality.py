@@ -224,3 +224,44 @@ def test_cms_sketch_mass_conservation(spark, sf_dir):
         per_row[r.r] = per_row.get(r.r, 0) + r.cnt
         assert 0 <= r.bucket < quality.CMS_WIDTH
     assert all(per_row[r] == n_tokens for r in range(quality.CMS_DEPTH))
+
+
+def test_feature_hash_embeds_compose_with_knn(spark, sf_dir):
+    """The 'composes with the vector ops' claim, executed: cosine
+    top-3 neighbors over the feature-hash vectors using the same
+    broadcast + window shape as similarity.knn_cosine_topk. Sanity:
+    the corpus's known exact-duplicate pairs (identical text -> an
+    identical hash vector) must appear as cosine-1.0 neighbors."""
+    from pyspark.sql import Window
+
+    from mapreduce_go_spark.operators import dedup
+
+    vecs = quality.feature_hash_embed(spark, sf_dir)
+    norm = F.sqrt(F.aggregate(
+        F.transform("vec", lambda x: (x * x).cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    emb = vecs.select("doc_id", "vec", norm.alias("n")).where(F.col("n") > 0)
+    q = emb.where(F.col("doc_id") < 8).select(
+        F.col("doc_id").alias("q_id"), F.col("vec").alias("qv"),
+        F.col("n").alias("qn"))
+    dot = F.aggregate(
+        F.zip_with("qv", "vec", lambda a, b: (a * b).cast("double")),
+        F.lit(0.0), lambda a, x: a + x)
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "doc_id")
+    top = (
+        F.broadcast(q).crossJoin(emb)
+        .where(F.col("q_id") != F.col("doc_id"))
+        .select("q_id", "doc_id", (dot / (F.col("qn") * F.col("n")))
+                .alias("cos"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+    )
+    got = {(r.q_id, r.doc_id): r.cos for r in top.collect()}
+    assert got
+    # exact text duplicates of the query docs must rank with cos ~ 1
+    dups = {(r.keeper, r.n_docs) for r in
+            dedup.dedup_exact(spark, sf_dir).collect() if r.n_docs > 1}
+    dup_keepers = {k for k, _ in dups if k < 8}
+    for k in dup_keepers:
+        best = max(v for (qid, _), v in got.items() if qid == k)
+        assert best > 0.999999, (k, best)
