@@ -50,4 +50,27 @@ def register_udfs(spark: SparkSession) -> list[str]:
         RETURNS STRING
         RETURN md5(lower(regexp_replace(trim(t), '\\s+', ' ')))
     """)
-    return ["mrgs_tokens", "mrgs_token_count", "mrgs_fingerprint"]
+    from mapreduce_go_spark.operators.quality import (EMAIL_RE, IPV4_RE,
+                                                      PHONE_RE)
+
+    spark.sql(f"""
+        CREATE OR REPLACE TEMPORARY FUNCTION mrgs_pii_redact(t STRING)
+        RETURNS STRING
+        RETURN regexp_replace(regexp_replace(regexp_replace(t,
+            '{EMAIL_RE.replace(chr(92), chr(92) * 2)}', '<EMAIL>'),
+            '{PHONE_RE.replace(chr(92), chr(92) * 2)}', '<PHONE>'),
+            '{IPV4_RE.replace(chr(92), chr(92) * 2)}', '<IP>')
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION mrgs_dup_3gram_frac(t STRING)
+        RETURNS DOUBLE
+        RETURN CASE WHEN size(mrgs_tokens(t)) >= 3 THEN
+            1.0 - size(array_distinct(transform(
+                sequence(1, size(mrgs_tokens(t)) - 2),
+                i -> concat_ws(' ', mrgs_tokens(t)[i - 1],
+                               mrgs_tokens(t)[i], mrgs_tokens(t)[i + 1]))))
+            / cast(size(mrgs_tokens(t)) - 2 AS double)
+        ELSE 0.0 END
+    """)
+    return ["mrgs_tokens", "mrgs_token_count", "mrgs_fingerprint",
+            "mrgs_pii_redact", "mrgs_dup_3gram_frac"]

@@ -27,7 +27,7 @@ def test_sql_udfs(spark, sf_dir):
     from mapreduce_go_spark.functions.text import fingerprint, token_count
 
     names = catalog.register_udfs(spark)
-    assert len(names) == 3
+    assert len(names) == 5
     catalog.register_tables(spark, sf_dir)
     via_sql = {
         r.doc_id: (r.n, r.fp)
@@ -67,3 +67,43 @@ def test_shuffle_hash_join_hint(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         j.explain("formatted")
     assert "ShuffledHashJoin" in buf.getvalue()
+
+
+def test_quality_sql_udfs_match_operators(spark, sf_dir):
+    """mrgs_pii_redact / mrgs_dup_3gram_frac (SQL-expression UDFs,
+    codegen-able) must agree with the operator-layer forms on the
+    grafted corpus."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import catalog
+    from mapreduce_go_spark.operators import quality
+
+    catalog.register_udfs(spark)
+    catalog.register_tables(spark, sf_dir)
+    via_sql = {
+        r.doc_id: r.red for r in spark.sql("""
+            SELECT doc_id, mrgs_pii_redact(text) AS red FROM documents
+        """).collect()
+    }
+    # operator path grafts PII first; apply the SQL UDF to the same
+    # grafted body via the operator's own synthesis expression
+    from mapreduce_go_spark import tables as t
+
+    docs = t.load(spark, sf_dir, "documents")
+    grafted = {r.doc_id: r.red for r in quality.pii_redact(
+        spark, sf_dir).withColumnRenamed("redacted", "red").collect()}
+    clean = {r.doc_id: r.red for r in docs.select(
+        "doc_id",
+        F.expr("mrgs_pii_redact(text)").alias("red")).collect()}
+    for did, red in via_sql.items():
+        assert red == clean[did]
+        if did % quality._PII_MOD != 0:
+            # ungrafted docs: operator output == SQL UDF output
+            assert grafted[did] == red
+    d3 = {r.doc_id: r.d3 for r in spark.sql("""
+        SELECT doc_id, mrgs_dup_3gram_frac(text) AS d3 FROM documents
+    """).collect()}
+    op = {r.doc_id: r.dup_3gram_frac
+          for r in quality.repetition_stats(spark, sf_dir).collect()}
+    for did, v in d3.items():
+        assert abs(v - op[did]) < 1e-6, (did, v, op[did])
