@@ -376,6 +376,19 @@ def neardup_flags_capped_df(docs: DataFrame,
     return _flags_from_dups(docs, dups)
 
 
+def neardup_flags_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup verdict: the min-per-bucket probe with
+    the per-bucket flag cap (LSH_BUCKET_CAP) — a degenerate
+    boilerplate bucket flags at most `cap` later docs and then goes
+    inert, so one multi-million-row bucket can never concentrate a
+    whole corpus partition into a single sort task at 100x scale.
+    `neardup_flags` (uncapped) stays registered as the recall anchor;
+    this capped form is what the default streaming job
+    (streaming/jobs.run_streaming_neardup) now mirrors."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return neardup_flags_capped_df(docs, LSH_BUCKET_CAP)
+
+
 def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch calibration: for every LSH candidate pair, the MinHash
     Jaccard estimate = (# agreeing permutations)/12. Downstream
@@ -872,6 +885,7 @@ QUERIES = {
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_capped": dedup_minhash_pairs_capped,
     "neardup_flags": neardup_flags,
+    "neardup_flags_capped": neardup_flags_capped,
     "dedup_verified_pairs": dedup_verified_pairs,
     "minhash_jaccard_estimate": minhash_jaccard_estimate,
     "simhash": simhash,
@@ -1107,6 +1121,26 @@ ORACLES = {
             SELECT DISTINCT y.doc_id
             FROM bands x JOIN bands y USING (band, band_key)
             WHERE x.doc_id < y.doc_id
+        )
+        SELECT d.doc_id, (l.doc_id IS NOT NULL) AS dup
+        FROM documents d LEFT JOIN later l ON l.doc_id = d.doc_id
+    """,
+    "neardup_flags_capped": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY band, band_key
+                                      ORDER BY doc_id) AS rn
+            FROM bands
+        ),
+        later AS (
+            SELECT DISTINCT doc_id FROM ranked
+            WHERE rn >= 2 AND rn <= {LSH_BUCKET_CAP} + 1
         )
         SELECT d.doc_id, (l.doc_id IS NOT NULL) AS dup
         FROM documents d LEFT JOIN later l ON l.doc_id = d.doc_id

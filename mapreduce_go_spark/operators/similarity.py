@@ -342,7 +342,11 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is bit-identical, and the per-element round rides the
     2^51 rounding-parity proof (functions/simd.py) since |product|
     <= 127. Zero vectors quantize to zeros (the division would be
-    NaN, which ANSI round rejects)."""
+    NaN, which ANSI round rejects).
+
+    qvec is emitted as a comma-joined string (the same discipline as
+    collect_sorted_lists): differential canonicalizers sort columns
+    with pandas, and raw array columns are unsortable there."""
     emb = tables.load(spark, sf_dir, "embeddings")
     x = F.col("embedding")
     maxabs = F.array_max(
@@ -350,11 +354,14 @@ def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = F.transform(
         x, lambda v: F.round(v.cast("double") * 127 / maxabs).cast("int"))
     zeros = F.transform(x, lambda v: F.lit(0))
+    qvec = F.when(maxabs == 0, zeros).otherwise(q)
     return emb.select(
         "vec_id",
         F.round((maxabs / 127).cast(_DEC), 6).cast("double")
         .alias("scale"),
-        F.when(maxabs == 0, zeros).otherwise(q).alias("qvec"),
+        F.array_join(
+            F.transform(qvec, lambda v: v.cast("string")), ","
+        ).alias("qvec"),
     )
 
 
@@ -599,13 +606,14 @@ ORACLES = {
         SELECT e.vec_id,
                cast(round(cast(m.maxabs / 127 AS decimal(28,12)), 6)
                     AS double) AS scale,
-               CASE WHEN m.maxabs = 0
-                    THEN list_transform(e.embedding, x -> 0)
-                    ELSE list_transform(
-                        e.embedding,
-                        x -> cast(round(cast(x AS double) * 127 / m.maxabs)
-                                  AS int))
-               END AS qvec
+               array_to_string(
+                   CASE WHEN m.maxabs = 0
+                        THEN list_transform(e.embedding, x -> 0)
+                        ELSE list_transform(
+                            e.embedding,
+                            x -> cast(round(cast(x AS double) * 127
+                                            / m.maxabs) AS int))
+                   END, ',') AS qvec
         FROM embeddings e JOIN m USING (vec_id)
     """,
     "knn_cosine_topk": _pair_cos_sql(

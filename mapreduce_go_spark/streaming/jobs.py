@@ -27,9 +27,17 @@ from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
 from mapreduce_go_spark.functions.num import dsum
+from mapreduce_go_spark.operators.dedup import LSH_BUCKET_CAP
 from mapreduce_go_spark.operators.streaming_batch import SESSION_GAP
 
 WATERMARK = "2 hours"
+
+# Committed snapshot versions kept per incremental index/rollup chain.
+# Replay safety needs only the latest committed version below the
+# replayed epoch, and Structured Streaming replays at most the last
+# uncommitted micro-batch after a restart — so latest + one prior is
+# sufficient; older versions are storage growth with no reader.
+SNAPSHOT_RETAIN = 2
 
 
 def _stage_events_dir(sf_dir: str) -> str:
@@ -240,6 +248,23 @@ def _latest_rollup_version(out_dir: str, below: int | None = None) -> int | None
     return max(vs) if vs else None
 
 
+def _prune_old_versions(out_dir: str, keep: int = SNAPSHOT_RETAIN) -> None:
+    """Garbage-collect committed snapshot versions beyond the newest
+    `keep` (uncommitted attempt dirs are left for their own retry to
+    overwrite). Called only AFTER a successful _SUCCESS commit, so the
+    chain always retains the snapshot the next epoch will read. The
+    parquet-only stand-in for Delta/Iceberg VACUUM."""
+    if not os.path.isdir(out_dir):
+        return
+    committed = sorted(
+        int(name[2:]) for name in os.listdir(out_dir)
+        if name.startswith("v=") and name[2:].isdigit()
+        and os.path.exists(os.path.join(out_dir, name, "_SUCCESS"))
+    )
+    for v in committed[:-keep] if keep else committed:
+        shutil.rmtree(os.path.join(out_dir, f"v={v}"), ignore_errors=True)
+
+
 def _merge_rollup_epoch(batch_df: DataFrame, epoch_id: int,
                         out_dir: str) -> None:
     """One epoch's merge, IDEMPOTENT under replay: the rollup is a
@@ -282,6 +307,7 @@ def _merge_rollup_epoch(batch_df: DataFrame, epoch_id: int,
             .agg(F.sum("n").alias("n"))
         )
     merged.write.mode("overwrite").parquet(target)
+    _prune_old_versions(out_dir)
 
 
 def read_continuous_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -412,18 +438,21 @@ def _neardup_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str,
     flags.write.mode("overwrite").parquet(
         os.path.join(flags_dir, f"epoch={epoch_id}"))
     index.write.mode("overwrite").parquet(target)
+    _prune_old_versions(out_dir)
 
 
 def run_streaming_neardup(spark: SparkSession, stream: DataFrame,
                           index_dir: str, flags_dir: str,
                           checkpoint_dir: str,
-                          bucket_cap: int | None = None) -> None:
+                          bucket_cap: int | None = LSH_BUCKET_CAP) -> None:
     """Streaming near-duplicate detection: the D17 minhash-LSH dedup
     as an incremental pipeline. Each micro-batch probes + extends a
     persistent band index; outputs a per-epoch (doc_id, dup) flag
     table. `bucket_cap` bounds how many docs a single (degenerate)
-    bucket may ever flag — see _neardup_epoch; production passes
-    dedup.LSH_BUCKET_CAP. Exactly-once: checkpointed offsets +
+    bucket may ever flag — see _neardup_epoch; the PRODUCTION DEFAULT
+    is dedup.LSH_BUCKET_CAP (batch twin:
+    dedup.neardup_flags_capped); pass None for the uncapped anchor
+    semantics (= dedup.neardup_flags). Exactly-once: checkpointed offsets +
     versioned index snapshots + epoch-keyed flag partitions (replay
     overwrites itself; tests re-fire an epoch to prove no drift)."""
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -494,6 +523,7 @@ def _cdc_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
     stats.write.mode("overwrite").parquet(
         os.path.join(out_dir, f"epoch={epoch_id}"))
     index.write.mode("overwrite").parquet(target)
+    _prune_old_versions(index_dir)
 
 
 def run_streaming_cdc(spark: SparkSession, stream: DataFrame,

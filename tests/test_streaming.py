@@ -303,7 +303,8 @@ def test_streaming_neardup_matches_batch_candidates(spark, sf_dir, tmp_path):
     idx = str(tmp_path / "nd_index")
     flags_dir = str(tmp_path / "nd_flags")
     jobs.run_streaming_neardup(spark, stream, idx, flags_dir,
-                               str(tmp_path / "nd_ck"))
+                               str(tmp_path / "nd_ck"),
+                               bucket_cap=None)  # uncapped anchor parity
 
     flags = jobs.read_neardup_flags(spark, flags_dir)
     got = sorted((r.doc_id, r.dup) for r in flags.collect())
@@ -404,7 +405,8 @@ def test_streaming_neardup_restart_from_checkpoint(spark, sf_dir, tmp_path):
     flags_dir = str(tmp_path / "nd_flags")
     ckpt = str(tmp_path / "nd_ck")
     stream = jobs.documents_stream(spark, live + "/*", docs.schema)
-    jobs.run_streaming_neardup(spark, stream, idx, flags_dir, ckpt)
+    jobs.run_streaming_neardup(spark, stream, idx, flags_dir, ckpt,
+                               bucket_cap=None)
     first = spark.read.parquet(flags_dir)
     n_b0 = spark.read.parquet(os.path.join(stage_all, "b0")).count()
     assert first.count() == n_b0  # only epoch 0 processed before the stop
@@ -413,7 +415,8 @@ def test_streaming_neardup_restart_from_checkpoint(spark, sf_dir, tmp_path):
     for b in ("b1", "b2"):
         shutil.copytree(os.path.join(stage_all, b), os.path.join(live, b))
     stream2 = jobs.documents_stream(spark, live + "/*", docs.schema)
-    jobs.run_streaming_neardup(spark, stream2, idx, flags_dir, ckpt)
+    jobs.run_streaming_neardup(spark, stream2, idx, flags_dir, ckpt,
+                               bucket_cap=None)
 
     flags = jobs.read_neardup_flags(spark, flags_dir)
     got = sorted((r.doc_id, r.dup) for r in flags.collect())
@@ -546,6 +549,79 @@ def test_streaming_neardup_epoch_replay_is_idempotent(spark, sf_dir,
     idx_twice = sorted(map(tuple, spark.read.parquet(
         jobs._neardup_index_dir(idx, 1)).collect()))
     assert idx_twice == idx_once
+
+
+def test_streaming_neardup_default_is_capped(spark, sf_dir, tmp_path):
+    """run_streaming_neardup with NO bucket_cap argument — the path a
+    production caller gets — must produce the CAPPED relation
+    (neardup_flags_capped_df at LSH_BUCKET_CAP), not the uncapped
+    anchor: r5's uncapped default is flipped."""
+    import os
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import dedup
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, src + "/*", docs.schema)
+    idx = str(tmp_path / "nd_index")
+    flags_dir = str(tmp_path / "nd_flags")
+    jobs.run_streaming_neardup(spark, stream, idx, flags_dir,
+                               str(tmp_path / "nd_ck"))  # defaults only
+    got = sorted((r.doc_id, r.dup) for r in
+                 jobs.read_neardup_flags(spark, flags_dir).collect())
+    want = sorted(
+        (r.doc_id, r.dup) for r in
+        dedup.neardup_flags_capped_df(
+            tables.load(spark, sf_dir, "documents"),
+            dedup.LSH_BUCKET_CAP).collect())
+    assert got == want
+
+
+def test_snapshot_retention_prunes_old_versions(spark, sf_dir, tmp_path):
+    """After >= 4 epochs, only the newest SNAPSHOT_RETAIN committed
+    index versions remain on disk; replay of the LAST epoch (the only
+    one Structured Streaming can re-fire after a restart) still
+    converges to the same flags + index — retention must not break
+    replay idempotence."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    idx = str(tmp_path / "nd_index")
+    flags_dir = str(tmp_path / "nd_flags")
+    docs = tables.load(spark, sf_dir, "documents")
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    step = (hi + 4) // 4
+    parts = [docs.where((F.col("doc_id") >= i * step)
+                        & (F.col("doc_id") < (i + 1) * step))
+             for i in range(4)]
+    for i, p in enumerate(parts):
+        jobs._neardup_epoch(p, i, idx, flags_dir)
+
+    vs = sorted(int(n[2:]) for n in os.listdir(idx) if n.startswith("v="))
+    assert vs == [4 - jobs.SNAPSHOT_RETAIN + i
+                  for i in range(jobs.SNAPSHOT_RETAIN)], \
+        f"expected only the newest {jobs.SNAPSHOT_RETAIN} versions, got {vs}"
+
+    once = sorted(map(tuple, jobs.read_neardup_flags(
+        spark, flags_dir).collect()))
+    idx_once = sorted(map(tuple, spark.read.parquet(
+        jobs._neardup_index_dir(idx, 3)).collect()))
+
+    # committed replay (marker present): skipped, nothing changes
+    jobs._neardup_epoch(parts[3], 3, idx, flags_dir)
+    # crash replay (marker stripped): recomputes from v=2, converges
+    os.remove(os.path.join(jobs._neardup_index_dir(idx, 3), "_SUCCESS"))
+    jobs._neardup_epoch(parts[3], 3, idx, flags_dir)
+
+    assert sorted(map(tuple, jobs.read_neardup_flags(
+        spark, flags_dir).collect())) == once
+    assert sorted(map(tuple, spark.read.parquet(
+        jobs._neardup_index_dir(idx, 3)).collect())) == idx_once
 
 
 def test_streaming_decon_matches_batch(spark, sf_dir, tmp_path):
