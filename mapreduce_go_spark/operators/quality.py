@@ -511,7 +511,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 FH_DIM = 64  # matches the embeddings table's dimensionality
 
 
-def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def feature_hash_embed_df(docs: DataFrame) -> DataFrame:
     """Hashing-trick document embeddings (Weinberger et al. 2009 —
     the no-vocabulary featurizer): each token adds +-1 (sign hash) to
     one of FH_DIM buckets (index hash); the doc's vector is the
@@ -523,8 +523,12 @@ def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer aggregation, in-row array assembly from a map — no
     per-dimension shuffle, no vocabulary state (THE point of the
     hashing trick at 100 TB: a trillion-token corpus needs zero
-    driver-side dictionary). Integer sums -> bit-exact cross-engine."""
-    docs = tables.load(spark, sf_dir, "documents")
+    driver-side dictionary). Integer sums -> bit-exact cross-engine.
+
+    The registered query (feature_hash_embed) emits the vector as a
+    comma-joined string for the driver canonicalizer; this df-level
+    form keeps the raw array so vector ops compose on it
+    (tests/test_quality.py runs it through the knn shape)."""
     tok = (
         docs.select(
             "doc_id", F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
@@ -552,6 +556,20 @@ def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         s.groupBy("doc_id").agg(m.alias("m"))
         .select("doc_id", vec.alias("vec"))
+    )
+
+
+def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing form of feature_hash_embed_df: the vector rides
+    as a comma-joined string (same discipline as quantize_embeddings /
+    collect_sorted_lists — differential canonicalizers sort with
+    pandas, where array columns are unsortable)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return feature_hash_embed_df(docs).select(
+        "doc_id",
+        F.array_join(
+            F.transform("vec", lambda v: v.cast("string")), ","
+        ).alias("vec"),
     )
 
 
@@ -719,7 +737,8 @@ ORACLES = {
             FROM dims LEFT JOIN s
                  ON s.doc_id = dims.doc_id AND s.bucket = d
         )
-        SELECT doc_id, list(v ORDER BY d) AS vec
+        SELECT doc_id,
+               string_agg(cast(v AS varchar), ',' ORDER BY d) AS vec
         FROM vals GROUP BY doc_id
     """,
     "cms_token_counts": f"""

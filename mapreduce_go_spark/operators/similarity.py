@@ -403,23 +403,32 @@ PQ_TRAIN_CAP = 2048   # deterministic training sample row bound
 PQ_RERANK = 100   # ADC shortlist size re-ranked with exact cosine
 
 
-def _pq_codebooks(spark: SparkSession, sf_dir: str):
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def _pq_codebooks(sf_dir: str):
     """Train M sub-codebooks with numpy Lloyd iterations on a bounded
     deterministic sample (lowest PQ_TRAIN_CAP vec_ids, L2-normalized).
 
-    Driver traffic is O(PQ_TRAIN_CAP * dim) floats ONCE — a fixed
-    constant independent of corpus size (faiss trains PQ the same
-    way: a bounded sample, never the corpus). Deterministic: sample
-    choice, init (first K sample rows per subspace), iteration count
-    and argmin tie-break (numpy takes the first minimum) are all
-    fixed."""
-    emb = tables.load(spark, sf_dir, "embeddings")
-    rows = (
-        emb.select("vec_id", "embedding")
-        .orderBy("vec_id").limit(PQ_TRAIN_CAP)
-        .collect()  # allow-bounded-collect: fixed-size training sample
-    )
-    X = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    Spark-free (pyarrow read of the sample): the SAME function builds
+    the codebook literals for the DuckDB oracle, so both engines score
+    against bitwise-identical centroids by construction. The sample is
+    O(PQ_TRAIN_CAP * dim) floats ONCE — a fixed constant independent
+    of corpus size (faiss trains PQ the same way: a bounded sample,
+    never the corpus). Deterministic: sample choice, init (first K
+    sample rows per subspace), iteration count and argmin tie-break
+    (numpy takes the first minimum) are all fixed."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids, kind="stable")[:PQ_TRAIN_CAP]
+    embs = t.column("embedding").to_pylist()
+    X = np.asarray([embs[i] for i in order], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = np.where(norms > 0, X / np.where(norms == 0, 1, norms), X)
     dim = X.shape[1]
@@ -457,15 +466,30 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ||q-x||^2 = 2 - 2 cos, so ADC distance order approximates cosine
     order; recall vs exact knn is pinned in tests/test_approx.py.
 
-    Registered rows-only (iterative training, like kmeans_clusters);
-    value-level guarantees come from the recall floor + the exact
-    re-rank reusing knn's audited cosine."""
+    Value-level oracle: every distance is computed on the 1e-12
+    integer grid (per-term half-away round of (s-c)^2 * 1e12, int64
+    sums — the same rounding-parity proof as functions/simd.py), the
+    vectors are normalized by the SAME grid norm both engines use
+    (_NORMS_SQL), and the codebooks are literal constants shared with
+    the DuckDB side (_pq_codebooks is Spark-free and builds both) —
+    so encode argmin, ADC totals and the shortlist are bit-identical
+    across engines and the whole query is differentially checked,
+    not just recall-floored."""
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, DoubleType, IntegerType
+    from pyspark.sql.types import ArrayType, IntegerType, LongType
 
-    CB = _pq_codebooks(spark, sf_dir)          # (M, K, sub)
+    from mapreduce_go_spark.functions.simd import _grid
+
+    CB = _pq_codebooks(sf_dir)                 # (M, K, sub)
     M, K, sub = CB.shape
+
+    def _grid_normalize(X: np.ndarray) -> np.ndarray:
+        """x / sqrt(grid_self_dot(x)) — the engine-portable norm
+        (zero vectors pass through unscaled, both engines)."""
+        n2 = _grid(X * X * 1e12).sum(1, keepdims=True)
+        n = np.sqrt(n2 / 1e12)
+        return np.where(n > 0, X / np.where(n == 0, 1, n), X)
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     q_rows = (
@@ -474,29 +498,30 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # allow-bounded-collect: N_QUERIES rows (ADC tables)
     )
     Q = np.asarray([r.embedding for r in q_rows], dtype=np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = _grid_normalize(Q)
     q_ids = np.asarray([r.vec_id for r in q_rows])
-    # ADC tables: squared L2 from each query sub-vector to each
-    # centroid -> (n_q, M, K); a few KB, baked into the kernel closure
+    # ADC tables: grid-exact squared L2 from each query sub-vector to
+    # each centroid -> (n_q, M, K) int64; a few KB, baked into the
+    # kernel closure
     QS = Qn.reshape(len(Qn), M, sub)
-    LUT = ((QS[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(-1)
+    LUT = _grid(((QS[:, :, None, :] - CB[None, :, :, :]) ** 2)
+                * 1e12).sum(-1)
 
     @pandas_udf(ArrayType(IntegerType()))
     def pq_encode(e: pd.Series) -> pd.Series:
-        X = np.vstack(e.to_numpy())
-        n = np.linalg.norm(X, axis=1, keepdims=True)
-        X = np.where(n > 0, X / np.where(n == 0, 1, n), X)
+        X = _grid_normalize(np.vstack(e.to_numpy()))
         S = X.reshape(len(X), M, sub)
-        d = ((S[:, :, None, :] - CB[None, :, :, :]) ** 2).sum(-1)
+        d = _grid(((S[:, :, None, :] - CB[None, :, :, :]) ** 2)
+                  * 1e12).sum(-1)
         return pd.Series(list(d.argmin(-1).astype(np.int32)))
 
-    @pandas_udf(ArrayType(DoubleType()))
+    @pandas_udf(ArrayType(LongType()))
     def adc_scores(codes: pd.Series) -> pd.Series:
         C = np.vstack(codes.to_numpy())            # (n, M)
         cols = np.arange(M)[None, :]
         out = np.stack(
             [LUT[qi][cols, C].sum(1) for qi in range(len(LUT))], axis=1
-        )                                          # (n, n_q)
+        )                                          # (n, n_q) int64
         return pd.Series(list(out))
 
     coded = tables.spread(emb).select(
@@ -509,7 +534,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn(
         "q_id",
         F.element_at(
-            F.array(*[F.lit(int(i)) for i in q_ids]), F.col("qi") + 1),
+            F.array(*[F.lit(int(i)).cast("long") for i in q_ids]),
+            F.col("qi") + 1),
     ).where(F.col("q_id") != F.col("c_id"))
     w_ad = Window.partitionBy("q_id").orderBy("adist", "c_id")
     shortlist = (
@@ -758,3 +784,97 @@ ORACLES["semantic_dedup_keep"] = _BLOCKED_SCORED_CTE + f"""
         SELECT e.vec_id, (d.vec_id IS NOT NULL) AS is_dup
         FROM embeddings e LEFT JOIN dups d USING (vec_id)
     """
+
+
+# The PQ oracle's codebooks are deterministic constants of the data
+# (fixed sample, init, iteration count, tie-break), trained by the
+# SAME Spark-free function the query uses — embedded here as a literal
+# table so DuckDB scores against bitwise-identical centroids. The
+# differential comparison runs at ONE fixture scale (driver + pytest:
+# sf0.01 / TEST_SF_DIR), so the literals are trained from that dir; if
+# its fixtures are absent at import, the entry is skipped and the
+# query degrades to the rows-only check.
+_ORACLE_SF_DIR = __import__("os").environ.get(
+    "TEST_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _pq_oracle_sql(sf_dir: str) -> str:
+    CB = _pq_codebooks(sf_dir)  # (M, K, sub)
+    M, K, sub = CB.shape
+    dim = M * sub
+    vals = ", ".join(
+        f"({m}, {k}, {j}, {CB[m, k, j]!r})"
+        for m in range(M) for k in range(K) for j in range(sub)
+    )
+    return f"""
+    WITH cb(m, k, j, c) AS (VALUES {vals}),
+    nrm AS (
+        SELECT vec_id, embedding,
+               sqrt((SELECT sum(cast(round(cast(x AS double)
+                                           * cast(x AS double) * 1e12)
+                                     AS bigint))
+                     FROM unnest(embedding) AS u(x)) / 1e12) AS nrm
+        FROM embeddings
+    ),
+    elems AS (
+        SELECT vec_id, cast(floor((g.j - 1) / {sub}) AS int) AS m,
+               (g.j - 1) % {sub} AS jj,
+               CASE WHEN nrm = 0 THEN cast(embedding[g.j] AS double)
+                    ELSE cast(embedding[g.j] AS double) / nrm END AS s
+        FROM nrm CROSS JOIN generate_series(1, {dim}) g(j)
+    ),
+    dists AS (
+        SELECT e.vec_id, e.m, cb.k,
+               sum(cast(round((e.s - cb.c) * (e.s - cb.c) * 1e12)
+                        AS bigint)) AS d
+        FROM elems e JOIN cb ON cb.m = e.m AND cb.j = e.jj
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, k) AS rn
+            FROM dists)
+        WHERE rn = 1
+    ),
+    adist AS (
+        SELECT d.vec_id AS q_id, c.vec_id AS c_id, sum(d.d) AS ad
+        FROM codes c JOIN dists d ON d.m = c.m AND d.k = c.k
+        WHERE d.vec_id < {N_QUERIES} AND d.vec_id <> c.vec_id
+        GROUP BY 1, 2
+    ),
+    shortlist AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY ad, c_id) AS ark
+            FROM adist)
+        WHERE ark <= {PQ_RERANK}
+    ),
+    rer AS (
+        SELECT s.q_id, s.c_id,
+               (sum(cast(round(cast(a.embedding[g.j] AS double)
+                               * cast(b.embedding[g.j] AS double)
+                               * 1e12) AS bigint)) / 1e12)
+               / (any_value(a.nrm) * any_value(b.nrm)) AS cos
+        FROM shortlist s
+        JOIN nrm a ON a.vec_id = s.q_id
+        JOIN nrm b ON b.vec_id = s.c_id
+        CROSS JOIN generate_series(1, {dim}) g(j)
+        GROUP BY s.q_id, s.c_id
+    )
+    SELECT q_id, c_id, rk,
+           cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
+    FROM (SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id) AS rk
+          FROM rer)
+    WHERE rk <= {TOP_K}
+    """
+
+
+try:
+    ORACLES["ann_pq_topk"] = _pq_oracle_sql(_ORACLE_SF_DIR)
+except (OSError, FileNotFoundError):
+    pass  # no fixtures at import time: ann_pq_topk stays rows-only

@@ -50,12 +50,12 @@ _MODULES: list[str] = [
 # tests/test_queries.py; only the driver's window is curated here.
 _PRIORITY: list[str] = [
     # reference apps (SURVEY §2.2) + F-row anchors (wc_unicode demoted
-    # r5 — same A1 mechanics as wc; multilingual parity stays pinned
-    # by the differential tests)
+    # r5 — same A1 mechanics as wc; formatted_sink demoted r6 — same
+    # F9 text-sink mechanics as wc, which stays; every demotion below
+    # keeps its oracle + the full differential in tests/test_queries.py)
     "wc",
     "indexer",
     "crash_payload",
-    "formatted_sink",
     # relational: one representative per §2.4 D-row
     "projection",            # D1
     "filter_pushdown",       # D2
@@ -92,35 +92,47 @@ _PRIORITY: list[str] = [
     "domain_mix_sample",     # per-source mixture sampling (r5)
     "pack_sequences",
     "dq_orphan_lineitems",
-    # quality (r5: the corpus-quality layer)
+    # quality (r5: the corpus-quality layer; r6 adds the BM25 /
+    # count-min / feature-hash rows the window had never checked)
     "repetition_stats",      # Gopher-style repetition filters (r5)
     "pii_redact",            # PII detect+redact parity (r5)
     "decontaminate",         # benchmark 5-gram leakage check (r5)
-    # dedup (D17; dedup_minhash_pairs demoted r5 — its capped sibling
-    # runs the identical signature pipeline plus the bucket cap)
+    "bm25_search",           # BM25 doc ranking, term-pushdown plan (r6)
+    "cms_token_counts",      # count-min sketch vs exact twin (r6)
+    "feature_hash_embed",    # hashing-trick embeddings (r6)
+    # dedup (D17; dedup_minhash_pairs demoted r5, its capped sibling
+    # demoted r6 — dedup_verified_pairs runs the identical capped
+    # candidate pipeline plus the exact-Jaccard verify; neardup_flags
+    # demoted r6 for its capped twin, the production default;
+    # simhash_neardup_pairs likewise for ITS capped twin;
+    # cdc_dup_chunks demoted r6 — cdc_dedup_ratio consumes the same
+    # chunk relation and adds the per-doc rollup)
     "dedup_exact",           # also D4 distinct
-    "dedup_minhash_pairs_capped",
     "dedup_verified_pairs",
-    "neardup_flags",         # streaming job's batch anchor (r4)
-    "simhash_neardup_pairs",
+    "neardup_flags_capped",  # production default; streaming twin (r6)
+    "simhash_neardup_pairs_capped",
     "dedup_clusters",
-    "cdc_dup_chunks",        # content-defined chunk dedup (r5)
+    "cdc_dedup_ratio",       # content-defined chunk dedup rollup (r6)
     "winnow_overlap_pairs",  # MOSS winnowing fingerprints (r5)
-    # similarity (D18)
-    "knn_cosine_topk",
+    # similarity (D18; knn_cosine_topk demoted r6 — ann_pq_topk's
+    # exact re-rank reuses knn's audited grid cosine, and PQ gained a
+    # full value-level oracle; embedding_neardup_pairs_blocked demoted
+    # r6 — semantic_dedup_keep is a strict superset of its pipeline)
     "ann_lsh_topk",
-    "embedding_neardup_pairs_blocked",
+    "ann_pq_topk",           # PQ ADC + exact re-rank, oracled (r6)
+    "semantic_dedup_keep",   # SemDeDup over blocked pairs (r6)
     "quantize_embeddings",   # int8 quantization (r4)
-    # text analysis (D19; token_stats demoted r5 — quality_score and
-    # repetition_stats cover the same token-array machinery)
+    # text analysis (D19; token_stats demoted r5, doc_fingerprint
+    # demoted r6 — lang_id + quality_score keep the family's seats,
+    # feature_hash_embed above exercises the token machinery too)
     "lang_id",
     "quality_score",
-    "doc_fingerprint",
-    # multimodal (D20; frame_sample + binary_meta demoted r5 —
-    # png_resize and the baseline-JPEG roundtrip prove the pixel-real
-    # codec paths end-to-end, media_features keeps the metadata path)
+    # multimodal (D20; frame_sample + binary_meta demoted r5,
+    # png_resize demoted r6 — the baseline-JPEG roundtrip anchors the
+    # pixel-real codec family, gif_resize adds the LZW decoder path,
+    # media_features keeps the metadata path)
     "media_features",
-    "png_resize",
+    "gif_resize",
     "jpeg_pixel_roundtrip",
     # streaming batch twins (D21)
     "tumbling_window",

@@ -236,7 +236,10 @@ def test_feature_hash_embeds_compose_with_knn(spark, sf_dir):
 
     from mapreduce_go_spark.operators import dedup
 
-    vecs = quality.feature_hash_embed(spark, sf_dir)
+    from mapreduce_go_spark import tables
+
+    vecs = quality.feature_hash_embed_df(
+        tables.load(spark, sf_dir, "documents"))
     norm = F.sqrt(F.aggregate(
         F.transform("vec", lambda x: (x * x).cast("double")),
         F.lit(0.0), lambda a, x: a + x))
