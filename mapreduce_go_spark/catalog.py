@@ -61,15 +61,28 @@ def register_udfs(spark: SparkSession) -> list[str]:
             '{PHONE_RE.replace(chr(92), chr(92) * 2)}', '<PHONE>'),
             '{IPV4_RE.replace(chr(92), chr(92) * 2)}', '<IP>')
     """)
-    spark.sql("""
+    from mapreduce_go_spark.operators.quality import REP_TOKEN_CAP
+
+    # Token cap matches quality._toks (REP_TOKEN_CAP): bounds the
+    # per-row lambda cost on pathological documents and keeps the SQL
+    # function's verdict identical to repetition_stats' dup_3gram_frac.
+    spark.sql(f"""
         CREATE OR REPLACE TEMPORARY FUNCTION mrgs_dup_3gram_frac(t STRING)
         RETURNS DOUBLE
-        RETURN CASE WHEN size(mrgs_tokens(t)) >= 3 THEN
+        RETURN CASE WHEN size(slice(mrgs_tokens(t), 1, {REP_TOKEN_CAP})) >= 3
+        THEN
             1.0 - size(array_distinct(transform(
-                sequence(1, size(mrgs_tokens(t)) - 2),
-                i -> concat_ws(' ', mrgs_tokens(t)[i - 1],
-                               mrgs_tokens(t)[i], mrgs_tokens(t)[i + 1]))))
-            / cast(size(mrgs_tokens(t)) - 2 AS double)
+                sequence(1, size(slice(mrgs_tokens(t), 1,
+                                       {REP_TOKEN_CAP})) - 2),
+                i -> concat_ws(' ',
+                               slice(mrgs_tokens(t), 1,
+                                     {REP_TOKEN_CAP})[i - 1],
+                               slice(mrgs_tokens(t), 1,
+                                     {REP_TOKEN_CAP})[i],
+                               slice(mrgs_tokens(t), 1,
+                                     {REP_TOKEN_CAP})[i + 1]))))
+            / cast(size(slice(mrgs_tokens(t), 1, {REP_TOKEN_CAP})) - 2
+                   AS double)
         ELSE 0.0 END
     """)
     return ["mrgs_tokens", "mrgs_token_count", "mrgs_fingerprint",

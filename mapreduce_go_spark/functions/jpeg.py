@@ -298,6 +298,10 @@ def decode_gray(data: bytes) -> np.ndarray:
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError("lost JPEG marker sync")
+        # B.1.1.2: markers may be preceded by any number of 0xFF fill
+        # bytes — skip them (a conforming encoder may pad with 0xFF)
+        while data[pos + 1] == 0xFF and pos + 4 <= len(data):
+            pos += 1
         marker = data[pos + 1]
         if marker == 0xD9:
             raise ValueError("JPEG ended before SOS")
@@ -332,8 +336,10 @@ def decode_gray(data: bytes) -> np.ndarray:
                 raise ValueError("only 1-component baseline supported")
             comp_tq = seg[8]
             dims = (h, w, comp_tq)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
+            # 0xC8 (JPG extension) included: it signals a non-baseline
+            # coding process, not a skippable metadata segment
             raise ValueError("non-baseline JPEG unsupported")
         elif marker == 0xDD:
             raise ValueError("restart intervals unsupported")

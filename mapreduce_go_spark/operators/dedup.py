@@ -809,12 +809,17 @@ def cluster_labels(spark: SparkSession, sf_dir: str,
     pipeline); pass `pairs` to cluster over any other (d1, d2) edge
     relation.
 
-    Iterative label propagation to a fixpoint: each round joins every
-    node's label against its neighbors' and takes the min — O(E) work
-    per round, diameter-many rounds (near-dup clusters are tiny, so
-    2-3). The loop is driver-side control flow only; all data work is
-    shuffled joins/aggregates, so it scales like any join. Singleton
-    docs keep their own id as cluster label.
+    Iterative label propagation to a fixpoint — but ONLY over nodes
+    that have at least one edge: a singleton doc's label can never
+    change, so it never enters the loop (at 100 TB, near-dup nodes
+    are a vanishing fraction of the corpus — iterating the label
+    relation over a trillion singleton rows per round would dominate
+    the whole job; here each round is O(edge-nodes + E), not
+    O(corpus)). Each round joins every edge-node's label against its
+    neighbors' and takes the min; diameter-many rounds (near-dup
+    clusters are tiny, so 2-3). The loop is driver-side control flow
+    only; all data work is shuffled joins/aggregates. Singletons are
+    stitched back at the end with one left join (label = own id).
     """
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
     if pairs is None:
@@ -824,7 +829,9 @@ def cluster_labels(spark: SparkSession, sf_dir: str,
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).cache()
-    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    # both directions are present, so d1 alone covers every endpoint
+    labels = edges.select("d1").distinct().select(
+        F.col("d1").alias("doc_id"), F.col("d1").alias("label"))
     for _ in range(20):  # diameter bound; fixpoint checked below
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.doc_id)
@@ -855,7 +862,9 @@ def cluster_labels(spark: SparkSession, sf_dir: str,
         if changed == 0:
             break
     edges.unpersist()
-    return labels
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).alias("label"))
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -503,6 +503,73 @@ def make_bmp(width: int, height: int, body: bytes = b"") -> bytes:
     return filehdr + info + arr
 
 
+def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse an uncompressed BMP (BITMAPINFOHEADER, 8/24/32 bpp) to
+    its raw samples in TOP-DOWN row order with the 4-byte row padding
+    stripped: (width, height, channels, sample bytes of length
+    w*h*ch). The exact inverse of make_bmp for the 24-bit case.
+    Raises ValueError on truncated or compressed/paletted layouts."""
+    import numpy as np
+
+    if len(payload) < 34 or payload[:2] != b"BM":
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
+    comp = struct.unpack("<I", payload[30:34])[0]
+    if comp != 0 or bpp not in (8, 24, 32) or h == 0 or w <= 0:
+        raise ValueError("unsupported BMP pixel layout")
+    channels = bpp // 8
+    ah = abs(h)
+    stride = (w * channels + 3) & ~3
+    if len(payload) < data_off + stride * ah:
+        raise ValueError("truncated BMP pixel array")
+    mat = np.frombuffer(
+        payload[data_off:data_off + stride * ah], dtype=np.uint8
+    ).reshape(ah, stride)[:, :w * channels]
+    if h > 0:
+        mat = mat[::-1]  # stored bottom-up -> top-down
+    return int(w), int(ah), int(channels), mat.tobytes()
+
+
+def encode_bmp(width: int, height: int, channels: int,
+               samples: bytes) -> bytes:
+    """Re-encode a top-down sample buffer as a real uncompressed BMP
+    (bottom-up rows, 4-byte row padding) — the inverse of
+    decode_bmp_pixels; 24-bit output matches make_bmp's layout, so
+    the container size stays closed-form: 54 + ((ch*w + 3) & ~3) * h."""
+    import numpy as np
+
+    stride_in = width * channels
+    if len(samples) != stride_in * height:
+        raise ValueError("sample buffer does not match dimensions")
+    if channels not in (1, 3, 4):
+        raise ValueError("BMP supports 1/3/4 channel samples")
+    px = np.frombuffer(samples, dtype=np.uint8).reshape(height, stride_in)
+    stride = (stride_in + 3) & ~3
+    rows = np.zeros((height, stride), dtype=np.uint8)
+    rows[:, :stride_in] = px
+    arr = rows[::-1].tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1,
+                       8 * channels, 0, len(arr), 0, 0, 0, 0)
+    filehdr = b"BM" + struct.pack("<IHHI", 54 + len(arr), 0, 0, 54)
+    return filehdr + info + arr
+
+
+def resample_bmp_half(payload: bytes) -> tuple[int, int, bytes, bytes]:
+    """TRUE nearest-neighbor 2:1 downsample of an uncompressed BMP:
+    decode to pixels, keep every other PIXEL (all its channels) in x
+    and y, re-encode a real BMP. Returns (out_w, out_h, resampled
+    sample bytes, BMP bytes) — same contract as resample_png_half."""
+    import numpy as np
+
+    w, h, ch, samples = decode_bmp_pixels(payload)
+    raster = np.frombuffer(samples, dtype=np.uint8).reshape(h, w, ch)
+    out = np.ascontiguousarray(raster[::2, ::2, :])
+    oh, ow = out.shape[0], out.shape[1]
+    buf = out.reshape(-1).tobytes()
+    return ow, oh, buf, encode_bmp(ow, oh, ch, buf)
+
+
 # JPEG markers whose segment carries the frame header (SOF0..SOF15
 # minus DHT/JPG/DAC which share the 0xC, JPEG spec table B.1)
 _JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
@@ -564,33 +631,16 @@ def decode_image(payload: bytes) -> dict:
                                    / samples.size)}
     elif payload[:2] == b"BM":
         # BMP pixel arrays are RAW (no entropy coding), so this format
-        # also decodes to true PIXELS: read the array at the file
-        # header's data offset, undo the bottom-up row order and the
-        # 4-byte row padding, and average the real samples.
-        if len(payload) < 34:
-            raise ValueError("truncated BMP header")
-        data_off = struct.unpack("<I", payload[10:14])[0]
-        _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
-        comp = struct.unpack("<I", payload[30:34])[0]
-        if comp != 0 or bpp not in (8, 24, 32) or h == 0 or w <= 0:
-            raise ValueError("unsupported BMP pixel layout")
+        # also decodes to true PIXELS (decode_bmp_pixels: data offset,
+        # bottom-up row order, 4-byte row padding all undone).
+        w, ah, channels, samples = decode_bmp_pixels(payload)
         import numpy as np
 
-        channels = bpp // 8
-        ah = abs(h)
-        stride = (w * channels + 3) & ~3
-        if len(payload) < data_off + stride * ah:
-            raise ValueError("truncated BMP pixel array")
-        mat = np.frombuffer(
-            payload[data_off:data_off + stride * ah], dtype=np.uint8
-        ).reshape(ah, stride)[:, :w * channels]
-        if h > 0:
-            mat = mat[::-1]  # stored bottom-up
-        samples = mat.reshape(-1)
+        arr = np.frombuffer(samples, dtype=np.uint8)
         return {"format": "bmp", "width": int(w), "height": int(ah),
                 "channels": int(channels),
-                "mean_luma": float(int(samples.sum(dtype="uint64"))
-                                   / samples.size)}
+                "mean_luma": float(int(arr.sum(dtype="uint64"))
+                                   / arr.size)}
     elif payload[:2] == b"\xff\xd8":
         # JPEG: the frame header is not at a fixed offset — walk the
         # segment chain (marker, big-endian length) until a SOF marker,
@@ -743,51 +793,10 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-RESIZE_SCHEMA = StructType([
-    StructField("doc_id", LongType()),
-    StructField("in_bytes", IntegerType()),
-    StructField("out_bytes", IntegerType()),
-    StructField("out_sha256", StringType()),
-])
-
-
-def resize_payload(payload: bytes) -> bytes:
-    """Format-agnostic 2:1 byte decimation — the deterministic
-    stand-in for payloads this repo cannot pixel-decode (JPEG's
-    huffman stream needs a codec library). The REAL pixel resamples
-    live in resample_png_half / resample_gif_half (png_resize /
-    gif_resize queries); same contract here: a binary in, a smaller
-    binary out, mapInPandas plumbing unchanged."""
-    if payload is None:
-        raise NotImplementedError("real resize needs PIL/opencv")
-    return payload[::2]
-
-
-def _resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    import hashlib
-
-    for pdf in batches:
-        out = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
-            b = bytes(payload) if payload is not None else b""
-            small = resize_payload(b)
-            out.append({
-                "doc_id": doc_id,
-                "in_bytes": len(b),
-                "out_bytes": len(small),
-                "out_sha256": hashlib.sha256(small).hexdigest(),
-            })
-        yield pd.DataFrame(out, columns=[f.name for f in RESIZE_SCHEMA])
-
-
-def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D20 resize: binary in -> smaller binary out via Arrow-batched
-    mapInPandas (stubbed decimation, real plumbing). Returns metadata
-    + content hash of the resized payload so the transform is fully
-    value-checked without shipping binaries into the compare."""
-    docs = tables.load(spark, sf_dir, "documents")
-    binary = docs.select("doc_id", F.col("text").cast("binary").alias("img"))
-    return _spread(binary).mapInPandas(_resize_batches, RESIZE_SCHEMA)
+# (r6: the format-agnostic byte-decimation stand-in `media_resize` /
+# `resize_payload` is retired — all four synthesized formats now have
+# REAL pixel paths: resample_png_half, resample_gif_half,
+# resample_bmp_half and the baseline-JPEG codec roundtrip/resize.)
 
 
 # --- real PNG pixel resize --------------------------------------------------
@@ -869,8 +878,9 @@ def png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     resized container's true byte size and the sha256 of the resampled
     PIXEL buffer, so both the geometry and the actual resample are
     value-checked (hashing the container would need CRC32 in SQL; the
-    pixel hash pins the content). media_resize remains the
-    format-agnostic byte-decimation stand-in for the codec formats."""
+    pixel hash pins the content). bmp_resize / gif_resize and the
+    baseline-JPEG codec queries cover the other three formats — the
+    whole synthesized corpus resizes at true pixel level."""
     docs = tables.load(spark, sf_dir, "documents")
     pngs = docs.where((F.col("doc_id") % 4 == 0)
                       & (F.col("doc_id") % CORRUPT_EVERY != 0))
@@ -895,6 +905,40 @@ def _gif_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
                 "pix_sha256": hashlib.sha256(buf).hexdigest(),
             })
         yield pd.DataFrame(out, columns=[f.name for f in PNG_RESIZE_SCHEMA])
+
+
+def _bmp_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import hashlib
+
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
+            b = make_media_payload(int(doc_id),
+                                   bytes(payload) if payload is not None
+                                   else b"")
+            in_w, in_h, _ch, _px = decode_bmp_pixels(b)
+            ow, oh, buf, bmp = resample_bmp_half(b)
+            out.append({
+                "doc_id": doc_id, "in_w": in_w, "in_h": in_h,
+                "out_w": ow, "out_h": oh, "out_bytes": len(bmp),
+                "pix_sha256": hashlib.sha256(buf).hexdigest(),
+            })
+        yield pd.DataFrame(out, columns=[f.name for f in PNG_RESIZE_SCHEMA])
+
+
+def bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 REAL pixel-level resize for the BMP quarter of the
+    synthesized media corpus (r6 — completes pixel-real across all
+    four formats): parse the uncompressed pixel array, nearest-
+    neighbor 2:1 PIXEL resample (3-byte pixels move together),
+    re-encode a real bottom-up padded BMP. The oracle value-checks
+    geometry, the closed-form padded-row container size, and the
+    sha256 of the exact resampled sample bytes."""
+    docs = tables.load(spark, sf_dir, "documents")
+    bmps = docs.where((F.col("doc_id") % 4 == 2)
+                      & (F.col("doc_id") % CORRUPT_EVERY != 0))
+    binary = bmps.select("doc_id", F.col("text").cast("binary").alias("img"))
+    return _spread(binary).mapInPandas(_bmp_resize_batches, PNG_RESIZE_SCHEMA)
 
 
 def gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1036,7 +1080,7 @@ QUERIES = {
     "binary_meta": binary_meta,
     "media_features": media_features,
     "frame_sample": frame_sample,
-    "media_resize": media_resize,
+    "bmp_resize": bmp_resize,
     "png_resize": png_resize,
     "gif_resize": gif_resize,
     "jpeg_pixel_roundtrip": jpeg_pixel_roundtrip,
@@ -1089,29 +1133,39 @@ ORACLES = {
                    AS frame_md5
         FROM framed
     """,
-    # fixture text is ASCII, so byte decimation == char decimation and
-    # the resized payload's sha256 is SQL-computable: every-2nd-char
-    # via a correlated generate_series rebuild.
-    "media_resize": """
-        WITH pos AS (
-            SELECT doc_id, length(text) AS n, text,
-                   unnest(generate_series(1, length(text), 2)) AS i
+    # bmp_resize: sample (yo, xo, c) <- cycled text byte at
+    # ((2*yo*w + 2*xo)*3 + c) mod n (make_bmp cycles body into the
+    # top-down 3-sample-per-pixel stream); container size is the
+    # closed-form padded-row layout over the OUTPUT dims.
+    "bmp_resize": f"""
+        WITH dims AS (
+            SELECT doc_id, text,
+                   octet_length(encode(text)) AS n,
+                   16 + (doc_id * 7) % 240 AS w,
+                   16 + (doc_id * 13) % 240 AS h,
+                   (16 + (doc_id * 7) % 240 + 1) // 2 AS ow,
+                   (16 + (doc_id * 13) % 240 + 1) // 2 AS oh
             FROM documents
+            WHERE doc_id % 4 = 2 AND doc_id % {CORRUPT_EVERY} <> 0
         ),
-        chars AS (
-            SELECT doc_id, n, i,
-                   substring(text, cast(i AS int), 1) AS c
-            FROM pos
+        px AS (
+            SELECT doc_id, text, n, w, ow,
+                   unnest(generate_series(0, 3 * ow * oh - 1)) AS i
+            FROM dims
         ),
-        resized AS (
-            SELECT doc_id, max(n) AS n,
-                   string_agg(c, '' ORDER BY i) AS small
-            FROM chars GROUP BY doc_id
+        buf AS (
+            SELECT doc_id,
+                   string_agg(substring(text,
+                       cast(((2 * (i // (3 * ow)) * w
+                              + 2 * ((i % (3 * ow)) // 3)) * 3 + i % 3)
+                            % n + 1 AS int), 1), '' ORDER BY i) AS pix
+            FROM px GROUP BY doc_id
         )
-        SELECT doc_id, cast(n AS int) AS in_bytes,
-               cast(length(small) AS int) AS out_bytes,
-               sha256(small) AS out_sha256
-        FROM resized
+        SELECT d.doc_id, cast(w AS int) AS in_w, cast(h AS int) AS in_h,
+               cast(ow AS int) AS out_w, cast(oh AS int) AS out_h,
+               cast(54 + ((3 * ow + 3) // 4) * 4 * oh AS int) AS out_bytes,
+               sha256(pix) AS pix_sha256
+        FROM dims d JOIN buf USING (doc_id)
     """,
     # Recomputes every field decode_image parses out of the container
     # bytes via doc_id/text arithmetic (payload synthesis is

@@ -164,8 +164,10 @@ def _pii_text(doc_id: Column, text: Column) -> Column:
         F.lpad((doc_id % 10000).cast("string"), 4, "0"),
         F.lit(" from 10."),
         (doc_id % 256).cast("string"), F.lit("."),
-        ((doc_id / 7).cast("long") % 256).cast("string"), F.lit("."),
-        ((doc_id / 11).cast("long") % 256).cast("string"),
+        # integer div (not double-divide-then-truncate): matches the
+        # oracle's // exactly for any doc_id, incl. beyond 2^53
+        (F.expr("doc_id div 7") % 256).cast("string"), F.lit("."),
+        (F.expr("doc_id div 11") % 256).cast("string"),
     )
     return F.when(doc_id % _PII_MOD == 0, contact).otherwise(text)
 

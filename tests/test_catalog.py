@@ -107,3 +107,44 @@ def test_quality_sql_udfs_match_operators(spark, sf_dir):
           for r in quality.repetition_stats(spark, sf_dir).collect()}
     for did, v in d3.items():
         assert abs(v - op[did]) < 1e-6, (did, v, op[did])
+
+
+def test_dup_3gram_udf_caps_like_operator(spark):
+    """The SQL catalog UDF applies the same REP_TOKEN_CAP slice as
+    quality._toks: on a doc LONGER than the cap whose repetition lives
+    entirely in the tail, both paths must agree (the uncapped form
+    would score the tail and diverge), and per-row cost stays bounded
+    on pathological documents."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import catalog
+    from mapreduce_go_spark.functions.num import dround
+    from mapreduce_go_spark.operators import quality
+
+    catalog.register_udfs(spark)
+    # unique head fills the cap; the over-cap tail is pure repetition.
+    # Tokens must be pure letters — digits split under the letters-only
+    # tokenizer (u0x -> u, x) and would fake repetition in the head.
+    def word(i):
+        s = ""
+        for _ in range(4):
+            s += chr(ord("a") + i % 26)
+            i //= 26
+        return s
+
+    head = " ".join(word(i) for i in range(quality.REP_TOKEN_CAP))
+    tail = " ".join(["spam ham jam"] * 200)
+    df = spark.createDataFrame(
+        [(1, head + " " + tail), (2, tail)], "doc_id long, text string")
+    got = {r.doc_id: r.d3 for r in df.select(
+        "doc_id", F.expr("mrgs_dup_3gram_frac(text)").alias("d3")
+    ).collect()}
+    want = {r.doc_id: r.d3 for r in df.select(
+        "doc_id",
+        dround(quality._dup_frac(
+            quality._grams(quality._toks(F.col("text")), 3)), 6).alias("d3")
+    ).collect()}
+    assert abs(got[1] - want[1]) < 1e-6
+    assert got[1] == 0.0          # capped: the repeated tail is unseen
+    assert abs(got[2] - want[2]) < 1e-6
+    assert got[2] > 0.9           # under-cap doc: repetition scored

@@ -268,11 +268,33 @@ def test_media_features_schema_and_determinism(spark, sf_dir):
                for r in a if r[2] == "corrupt")
 
 
-def test_resize_payload_decimates():
-    assert multimodal.resize_payload(b"abcdef") == b"ace"
-    assert multimodal.resize_payload(b"x") == b"x"
-    with pytest.raises(NotImplementedError):
-        multimodal.resize_payload(None)
+def test_bmp_resample_half():
+    """resample_bmp_half keeps every other PIXEL (3 samples move
+    together) in both axes and re-encodes a BMP that decodes back to
+    exactly those samples, with the closed-form padded container
+    size."""
+    import numpy as np
+
+    body = bytes((i * 29 + 3) % 256 for i in range(400))
+    bmp = multimodal.make_bmp(31, 17, body)
+    ow, oh, buf, out_bmp = multimodal.resample_bmp_half(bmp)
+    assert (ow, oh) == (16, 9)
+    n3 = 31 * 17 * 3
+    exp = np.frombuffer((body * (n3 // len(body) + 1))[:n3],
+                        dtype=np.uint8).reshape(17, 31, 3)
+    assert bytes(exp[::2, ::2, :].reshape(-1)) == buf
+    w2, h2, ch2, px2 = multimodal.decode_bmp_pixels(out_bmp)
+    assert (w2, h2, ch2) == (16, 9, 3) and bytes(px2) == buf
+    assert len(out_bmp) == 54 + ((3 * 16 + 3) & ~3) * 9
+
+
+def test_bmp_resample_odd_even_dims():
+    for (w, h) in [(16, 16), (17, 16), (1, 1), (2, 3)]:
+        bmp = multimodal.make_bmp(w, h, b"abcxyz")
+        ow, oh, buf, out = multimodal.resample_bmp_half(bmp)
+        assert (ow, oh) == ((w + 1) // 2, (h + 1) // 2)
+        assert len(buf) == ow * oh * 3
+        assert multimodal.decode_bmp_pixels(out)[3] == buf
 
 
 def test_frame_sample_covers_all_docs(spark, sf_dir):
@@ -346,6 +368,30 @@ def test_jpeg_decoder_rejects_non_baseline():
     data = jpeg.encode_gray(px)
     with pytest.raises(ValueError):
         jpeg.decode_gray(data[:len(data) - 8])
+
+
+def test_jpeg_decode_gray_fill_bytes_and_jpg_extension():
+    """decode_gray's segment walk on conforming-but-unusual input:
+    0xFF fill bytes before a marker (B.1.1.2) are consumed, not
+    misparsed as 'lost sync'; marker 0xC8 (JPG extension = a
+    non-baseline coding process) is rejected loudly instead of being
+    skipped as a generic segment."""
+    import numpy as np
+    import pytest
+
+    from mapreduce_go_spark.functions import jpeg
+
+    rng = np.random.RandomState(7)
+    px = rng.randint(0, 256, (16, 24), dtype=np.uint8).astype(np.uint8)
+    data = jpeg.encode_gray(px)
+    want = jpeg.decode_gray(data)
+    # inject fill bytes before the first post-SOI marker
+    padded = data[:2] + b"\xff\xff\xff" + data[2:]
+    assert np.array_equal(jpeg.decode_gray(padded), want)
+    # splice a bogus JPG-extension segment after SOI
+    c8 = data[:2] + b"\xff\xc8\x00\x04\x00\x00" + data[2:]
+    with pytest.raises(ValueError, match="non-baseline"):
+        jpeg.decode_gray(c8)
 
 
 def test_jpeg_segment_walker_parses_codec_output():

@@ -73,7 +73,9 @@ def test_driver_window_is_curated():
     assert not missing, f"window queries without oracle: {missing}"
     families = ("dedup_", "ann_", "pretrain_", "media_", "tumbling_",
                 "sessionize", "repetition_", "pii_", "decontaminate",
-                "cdc_", "winnow_", "png_", "pack_", "wc")
+                "cdc_", "winnow_", "jpeg_", "gif_", "pack_", "wc",
+                "bm25_", "cms_", "feature_hash_", "semantic_",
+                "neardup_flags_capped", "simhash_")
     for fam in families:
         assert any(n.startswith(fam) for n in names[:50]), fam
 
