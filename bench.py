@@ -74,6 +74,16 @@ HEADLINE = [
     "jpeg_pixel_roundtrip",
     # PQ-compressed ANN (codebook train + encode + ADC + re-rank)
     "ann_pq_topk",
+    # NEW in r6: the capped production near-dup default, the BMP
+    # pixel resample completing the media family, and the r6 driver
+    # window's quality/similarity additions
+    "neardup_flags_capped",
+    "bmp_resize",
+    "semantic_dedup_keep",
+    "bm25_search",
+    "cms_token_counts",
+    "feature_hash_embed",
+    "cdc_dedup_ratio",
 ]
 
 
