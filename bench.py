@@ -84,6 +84,9 @@ HEADLINE = [
     "cms_token_counts",
     "feature_hash_embed",
     "cdc_dedup_ratio",
+    # ExactSubstr-style span removal (r6): the full pipeline — window
+    # hashes -> global counts -> cover window -> reassembly
+    "strip_dup_spans",
 ]
 
 

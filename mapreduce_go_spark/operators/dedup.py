@@ -808,6 +808,150 @@ def cdc_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ExactSubstr-style duplicated-span removal (Lee et al. 2021,
+# "Deduplicating Training Data Makes Language Models Better"): unlike
+# whole-document dedup, the unit is the SPAN — any K-token window
+# whose content occurs >= 2 times anywhere in the corpus (across OR
+# within documents) is duplicated, and the tokens it covers are
+# stripped while the rest of the document survives. The paper finds
+# spans via a corpus-wide suffix array; the scalable Spark form is
+# rolling window hashes — every K-token window is hashed, a window is
+# duplicated iff its hash occurs twice (md5 collisions are negligible
+# at 2^-64 over corpus window counts), which is exactly the suffix-
+# array verdict for length-K matches. K is the span threshold (the
+# paper uses 50 BPE tokens at corpus scale; 8 words here so the
+# short-doc fixtures exercise the path — ~9% of fixture windows are
+# duplicated). Linear plan: one token explode, one map-side-combined
+# count per hash, one hash equi-join back, one bounded per-doc window
+# for span cover — no pair expansion anywhere.
+DUP_SPAN_K = 8
+
+
+def _span_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, tok, whash): 1-based token positions with, for
+    positions that start a full K-token window, the md5 of that
+    window (space-joined tokens; NULL for tail positions). The token
+    array stays inside the row until the explode — no shuffle."""
+    ts = F.array_remove(
+        F.split(
+            F.regexp_replace(F.col("text"), "^[^a-zA-Z]+|[^a-zA-Z]+$", ""),
+            NON_LETTER_RE,
+        ),
+        "",
+    )
+    base = tables.spread(docs).select("doc_id", ts.alias("ts"))
+    return (
+        base.select(
+            "doc_id", "ts",
+            F.posexplode("ts").alias("p0", "tok"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p0") + 1).cast("int").alias("p"),
+            "tok",
+            F.expr(
+                f"CASE WHEN p0 + {DUP_SPAN_K} <= size(ts) THEN"
+                f" md5(concat_ws(' ', slice(ts, p0 + 1, {DUP_SPAN_K})))"
+                f" END"
+            ).alias("whash"),
+        )
+    )
+
+
+def _dup_window_counts(tok: DataFrame) -> DataFrame:
+    """(whash, c): window hashes occurring >= 2 times corpus-wide —
+    the DUPLICATED set only. The count aggregate is map-side
+    combinable (~one row per token pre-combine), and filtering to
+    c >= 2 BEFORE the join-back means the relation re-entering the
+    pipeline holds only duplicated hashes — a small fraction of the
+    corpus on clean data (fixture: ~9%), which keeps it broadcast-
+    able far longer at scale; consumers read membership
+    (c IS NOT NULL after a left join) as the dup verdict."""
+    return (
+        tok.where(F.col("whash").isNotNull())
+        .groupBy("whash")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= 2)
+    )
+
+
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span exposure: how many of the doc's
+    K-token windows occur >= 2 times corpus-wide, and the fraction —
+    the thresholding metric for span-level dedup (a doc that is
+    mostly recycled spans gets dropped; a doc with a quoted paragraph
+    keeps everything outside it). Docs shorter than K tokens have
+    zero windows and report dup_frac 0."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = _span_tokens(docs)
+    flags = tok.join(_dup_window_counts(tok), "whash", "left").select(
+        "doc_id",
+        F.col("whash").isNotNull().cast("long").alias("w"),
+        F.col("c").isNotNull().cast("long").alias("dup"),
+    )
+    per = flags.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("w").alias("n_windows"),
+        F.sum("dup").alias("n_dup_windows"),
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_windows", F.lit(0)).alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        F.when(
+            F.coalesce(F.col("n_windows"), F.lit(0)) > 0,
+            dround(F.col("n_dup_windows") / F.col("n_windows"), 6),
+        ).otherwise(F.lit(0).cast("decimal(18,6)")).alias("dup_frac"),
+    )
+
+
+def strip_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr REMOVAL step: a token is covered iff any
+    duplicated window starts within the K-1 positions before it (or
+    at it); covered tokens are stripped and the survivors re-joined
+    in order. Cover detection is one bounded per-doc window max (K
+    rows wide) — never a self-join; reassembly is the
+    collect-sorted-list discipline (sort_array over (pos, tok)
+    structs). Output: per doc, token counts kept/removed + the
+    cleaned text."""
+    return strip_dup_spans_df(tables.load(spark, sf_dir, "documents"))
+
+
+def strip_dup_spans_df(docs: DataFrame) -> DataFrame:
+    """strip_dup_spans over an arbitrary (doc_id, text) DataFrame —
+    also the unit under the span-removal property test (a span
+    planted in two documents disappears from both; text with no
+    duplicated window survives verbatim)."""
+    tok = _span_tokens(docs)
+    flagged = tok.join(_dup_window_counts(tok), "whash", "left").select(
+        "doc_id", "p", "tok",
+        F.col("c").isNotNull().cast("int").alias("ds"),
+    )
+    cover = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        -(DUP_SPAN_K - 1), Window.currentRow)
+    covered = flagged.withColumn("cov", F.max("ds").over(cover))
+    return (
+        covered.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("cov").cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("cov") == 0,
+                                   F.struct("p", "tok"))
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            ).alias("clean_text"),
+        )
+    )
+
+
 def cluster_labels(spark: SparkSession, sf_dir: str,
                    pairs: DataFrame | None = None) -> DataFrame:
     """(doc_id, label): connected-component label (minimum reachable
@@ -913,6 +1057,8 @@ QUERIES = {
     "cdc_dedup_ratio": cdc_dedup_ratio,
     "winnow_fingerprints": winnow_fingerprints,
     "winnow_overlap_pairs": winnow_overlap_pairs,
+    "dup_span_stats": dup_span_stats,
+    "strip_dup_spans": strip_dup_spans,
 }
 
 # hex -> bigint by folding nibbles (DuckDB has no conv())
@@ -952,6 +1098,30 @@ _WINNOW_SQL = f"""
                cast({_POS_M} - 1 - (m % {_POS_M}) AS int) AS pos,
                cast(m // {_POS_M} AS bigint) AS fp
         FROM wins WHERE i <= g - {WINNOW_W - 1}
+    )
+"""
+
+# DuckDB twin of the duplicated-span pipeline (dup_span_stats /
+# strip_dup_spans): same token list, same 1-based window hashes.
+_DUPSPAN_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, cast(i AS int) AS p, ts[cast(i AS int)] AS tok,
+               CASE WHEN i + {DUP_SPAN_K - 1} <= len(ts) THEN
+                    md5(array_to_string(
+                        ts[cast(i AS int):cast(i + {DUP_SPAN_K - 1} AS int)],
+                        ' '))
+               END AS whash
+        FROM toks, unnest(generate_series(1, len(ts))) AS g(i)
+    ),
+    cnt AS (
+        SELECT whash, count(*) AS c FROM tok
+        WHERE whash IS NOT NULL GROUP BY whash
     )
 """
 
@@ -1302,6 +1472,46 @@ ORACLES = {
     """,
     "winnow_fingerprints": _WINNOW_SQL + """
         SELECT doc_id, pos, fp FROM sel
+    """,
+    "dup_span_stats": _DUPSPAN_SQL + f"""
+        SELECT d.doc_id,
+               cast(coalesce(per.n_tokens, 0) AS bigint) AS n_tokens,
+               cast(coalesce(per.n_windows, 0) AS bigint) AS n_windows,
+               cast(coalesce(per.n_dup_windows, 0) AS bigint)
+                   AS n_dup_windows,
+               CASE WHEN coalesce(per.n_windows, 0) > 0
+                    THEN {dround_sql(
+                        'per.n_dup_windows * 1.0 / per.n_windows', 6)}
+                    ELSE cast(0 AS decimal(18,6)) END AS dup_frac
+        FROM documents d
+        LEFT JOIN (
+            SELECT t.doc_id,
+                   count(*) AS n_tokens,
+                   count(t.whash) AS n_windows,
+                   count(CASE WHEN c.c >= 2 THEN 1 END) AS n_dup_windows
+            FROM tok t LEFT JOIN cnt c ON t.whash = c.whash
+            GROUP BY t.doc_id
+        ) per USING (doc_id)
+    """,
+    "strip_dup_spans": _DUPSPAN_SQL + f""",
+        flagged AS (
+            SELECT t.doc_id, t.p, t.tok,
+                   CASE WHEN c.c >= 2 THEN 1 ELSE 0 END AS ds
+            FROM tok t LEFT JOIN cnt c ON t.whash = c.whash
+        ),
+        covered AS (
+            SELECT doc_id, p, tok,
+                   max(ds) OVER (PARTITION BY doc_id ORDER BY p
+                                 ROWS BETWEEN {DUP_SPAN_K - 1} PRECEDING
+                                 AND CURRENT ROW) AS cov
+            FROM flagged
+        )
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               cast(sum(cov) AS bigint) AS n_removed,
+               coalesce(string_agg(tok, ' ' ORDER BY p)
+                        FILTER (cov = 0), '') AS clean_text
+        FROM covered GROUP BY doc_id
     """,
     "winnow_overlap_pairs": _WINNOW_SQL + f""",
         docfps AS (SELECT DISTINCT doc_id, fp FROM sel),

@@ -86,17 +86,18 @@ _PRIORITY: list[str] = [
     "grouped_zscore",        # §2.3 applyInPandas surface
     # pipeline (north-star; stratified_sample demoted r5 —
     # domain_mix_sample exercises the same hash-bucket sampling plus
-    # per-source mixture rates; corpus_clean demoted r5 — it is a
-    # strict sub-plan of pretrain_corpus, the capstone composition)
+    # per-source mixture rates; corpus_clean demoted r5 and
+    # domain_mix_sample + decontaminate demoted r6 — all three are
+    # strict components of pretrain_corpus, the driver-green capstone
+    # whose composite oracle nests their CTEs, so their logic stays
+    # value-checked through the capstone row)
     "pretrain_corpus",
-    "domain_mix_sample",     # per-source mixture sampling (r5)
     "pack_sequences",
     "dq_orphan_lineitems",
     # quality (r5: the corpus-quality layer; r6 adds the BM25 /
     # count-min / feature-hash rows the window had never checked)
     "repetition_stats",      # Gopher-style repetition filters (r5)
     "pii_redact",            # PII detect+redact parity (r5)
-    "decontaminate",         # benchmark 5-gram leakage check (r5)
     "bm25_search",           # BM25 doc ranking, term-pushdown plan (r6)
     "cms_token_counts",      # count-min sketch vs exact twin (r6)
     "feature_hash_embed",    # hashing-trick embeddings (r6)
@@ -114,6 +115,8 @@ _PRIORITY: list[str] = [
     "dedup_clusters",
     "cdc_dedup_ratio",       # content-defined chunk dedup rollup (r6)
     "winnow_overlap_pairs",  # MOSS winnowing fingerprints (r5)
+    "dup_span_stats",        # ExactSubstr span exposure metric (r6)
+    "strip_dup_spans",       # ExactSubstr span REMOVAL step (r6)
     # similarity (D18; knn_cosine_topk demoted r6 — ann_pq_topk's
     # exact re-rank reuses knn's audited grid cosine, and PQ gained a
     # full value-level oracle; embedding_neardup_pairs_blocked demoted

@@ -282,3 +282,33 @@ def test_jpeg_codec_roundtrip_property(h, w, seed):
     dec = jpeg.decode_gray(data)
     assert dec.shape == (h, w)
     assert np.array_equal(dec, recon)
+
+
+def test_strip_dup_spans_removes_planted_span(spark):
+    """ExactSubstr semantics (Lee et al. 2021): a K-token span planted
+    in two documents is removed from BOTH (span-level, not doc-level
+    dedup), while tokens outside the span's cover — and every token
+    of a document with no duplicated window — survive verbatim."""
+    from mapreduce_go_spark.operators import dedup
+
+    span_toks = ["zebra", "quartz", "fjord", "waltz", "nymph",
+                 "vexing", "jackdaw", "sphinx"]
+    assert len(span_toks) == dedup.DUP_SPAN_K
+    span = " ".join(span_toks)
+    a = "alpha beta gamma " + span + " delta epsilon"
+    b = "omicron " + span + " sigma tau upsilon phi"
+    c = "entirely unique words nothing here repeats anywhere at all"
+    docs = spark.createDataFrame([(1, a), (2, b), (3, c)],
+                                 "doc_id long, text string")
+    rows = {r.doc_id: r for r in dedup.strip_dup_spans_df(docs).collect()}
+    # the planted span is gone from both carriers
+    for d in (1, 2):
+        assert rows[d].n_removed == dedup.DUP_SPAN_K
+        for t in span_toks:
+            assert t not in rows[d].clean_text.split()
+    # surrounding tokens survive in order
+    assert rows[1].clean_text == "alpha beta gamma delta epsilon"
+    assert rows[2].clean_text == "omicron sigma tau upsilon phi"
+    # a doc with no duplicated window is untouched
+    assert rows[3].n_removed == 0
+    assert rows[3].clean_text == c

@@ -71,11 +71,15 @@ def test_driver_window_is_curated():
     assert names[:50] == registry._PRIORITY
     missing = [n for n in names[:50] if n not in _ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
+    # decontamination's seat moved inside pretrain_corpus in r6 (the
+    # capstone's composite oracle nests the decon CTEs), freeing two
+    # slots for the ExactSubstr span family
     families = ("dedup_", "ann_", "pretrain_", "media_", "tumbling_",
-                "sessionize", "repetition_", "pii_", "decontaminate",
+                "sessionize", "repetition_", "pii_",
                 "cdc_", "winnow_", "jpeg_", "gif_", "pack_", "wc",
                 "bm25_", "cms_", "feature_hash_", "semantic_",
-                "neardup_flags_capped", "simhash_")
+                "neardup_flags_capped", "simhash_",
+                "dup_span_", "strip_dup_")
     for fam in families:
         assert any(n.startswith(fam) for n in names[:50]), fam
 
