@@ -87,6 +87,10 @@ HEADLINE = [
     # ExactSubstr-style span removal (r6): the full pipeline — window
     # hashes -> global counts -> cover window -> reassembly
     "strip_dup_spans",
+    # audio + video modalities (r6): WAV chunk-walk + PCM features;
+    # AVI container walk + selective baseline-JPEG frame decode
+    "audio_features",
+    "mjpeg_frame_sample",
 ]
 
 

@@ -1,0 +1,306 @@
+"""Audio columns (SURVEY §2.4 D20, the audio modality): opaque WAV
+payloads decoded to real PCM samples, feature extraction, and a
+decimating resample — the audio twins of the image family in
+multimodal.py.
+
+The codec is REAL: `make_wav` emits a conforming RIFF/WAVE container
+(fmt + an interleaved LIST junk chunk + data, so the parser must walk
+chunks rather than assume a fixed 44-byte layout) and `decode_wav` is
+a genuine byte-level chunk walk that validates signatures, handles
+odd-size padding, and rejects truncated or non-PCM16 input. As with
+the image fixtures the corpus ships no media, so payloads are
+synthesized deterministically per doc (sample i = (text byte i mod n
+- 128) << 8, a real 16-bit PCM stream cycling the doc's bytes) — and
+the ORACLE recomputes every feature from doc_id/text arithmetic, so
+a mis-parsed header field or off-by-one in the sample walk fails the
+differential. Exactness note: all features reduce to integer sums
+divided once (IEEE double) and scalings by powers of two, which
+commute with rounding — so Spark (numpy over decoded samples) and
+DuckDB (list arithmetic over text bytes) agree bit-for-bit, no
+round() tolerance needed.
+
+Scale posture mirrors the image family: payloads never enter a
+shuffle — decode + features are a narrow Arrow-batched map
+(mapInPandas over tables.spread), aggregation happens downstream on
+the small feature columns only.
+
+Reference scope note: the reference engine (s09g/mapreduce-go) has no
+media surface at all; this file exists for the brief's multimodal
+mandate, patterned on the repo's own image operators.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (BooleanType, DoubleType, IntegerType,
+                               LongType, StructField, StructType)
+
+from mapreduce_go_spark import tables
+
+_spread = tables.spread
+
+# Deterministic per-doc synthesis parameters (the audio analogs of
+# multimodal._media_dims): rate rotates over four common telephony/
+# speech rates, sample count derives from doc_id, every 11th doc is
+# truncated to exercise the decoder's error path (the image family's
+# CORRUPT_EVERY discipline).
+AUDIO_CORRUPT_EVERY = 11
+_NS_BASE, _NS_MOD = 64, 448     # n_samples in [64, 511]
+_SR_BASE, _SR_STEP = 8000, 4000  # rate in {8000, 12000, 16000, 20000}
+
+
+def _audio_params(doc_id: int) -> tuple[int, int]:
+    return (_NS_BASE + (doc_id * 7) % _NS_MOD,
+            _SR_BASE + (doc_id % 4) * _SR_STEP)
+
+
+def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
+    """Minimal canonical PCM16 mono WAV: RIFF(12) + fmt(24) +
+    data(8 + 2n) = 44 + 2n bytes."""
+    data = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def make_wav(doc_id: int, body: bytes) -> bytes:
+    """Per-doc synthesized WAV with a LIST junk chunk between fmt and
+    data (total 56 + 2n bytes), so decode_wav must genuinely walk
+    chunks. Corrupt docs truncate below any parseable header."""
+    body = body or b"x"
+    ns, sr = _audio_params(doc_id)
+    if doc_id % AUDIO_CORRUPT_EVERY == 0:
+        return (b"RIFF" + struct.pack("<I", 4) + b"WA")[:6]
+    reps = (ns + len(body) - 1) // len(body)
+    b = np.frombuffer((body * reps)[:ns], dtype=np.uint8)
+    samples = (b.astype(np.int16) - 128) * 256
+    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
+    data = samples.astype("<i2").tobytes()
+    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+              + b"LIST" + struct.pack("<I", 4) + b"INFO"
+              + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Real RIFF/WAVE chunk walk -> PCM16 samples. Validates the RIFF
+    and WAVE signatures, walks (id, size) chunks with odd-size
+    padding, requires a PCM (format 1) 16-bit fmt chunk before data,
+    and rejects truncation at every read."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    off, fmt_info, samples = 12, None, None
+    while off + 8 <= len(payload):
+        cid = payload[off:off + 4]
+        (size,) = struct.unpack_from("<I", payload, off + 4)
+        start = off + 8
+        if start + size > len(payload):
+            raise ValueError("truncated chunk")
+        if cid == b"fmt ":
+            if size < 16:
+                raise ValueError("short fmt chunk")
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", payload, start)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("not PCM16")
+            fmt_info = (channels, rate)
+        elif cid == b"data":
+            if fmt_info is None:
+                raise ValueError("data before fmt")
+            if size % 2:
+                raise ValueError("odd PCM16 data size")
+            samples = np.frombuffer(payload, dtype="<i2", count=size // 2,
+                                    offset=start)
+        off = start + size + (size & 1)
+    if fmt_info is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    channels, rate = fmt_info
+    return {"channels": channels, "sample_rate": rate, "samples": samples}
+
+
+AUDIO_FEATURE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", IntegerType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("duration_ms", DoubleType()),
+    StructField("peak", IntegerType()),
+    StructField("mean_amp", DoubleType()),
+    StructField("rms", DoubleType()),
+])
+
+_NULL_FEAT = {"sample_rate": None, "n_samples": None, "duration_ms": None,
+              "peak": None, "mean_amp": None, "rms": None}
+
+
+def _audio_feature_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+            b = make_wav(int(doc_id),
+                         bytes(payload) if payload is not None else b"")
+            try:
+                dec = decode_wav(b)
+                s = dec["samples"].astype(np.int64)
+                ns = len(s)
+                feat = {
+                    "sample_rate": dec["sample_rate"],
+                    "n_samples": ns,
+                    "duration_ms": ns * 1000.0 / dec["sample_rate"],
+                    "peak": int(np.abs(s).max()) if ns else 0,
+                    "mean_amp": float(s.sum()) / ns if ns else 0.0,
+                    "rms": float(np.sqrt(float((s * s).sum()) / ns))
+                    if ns else 0.0,
+                }
+            except ValueError:
+                feat = dict(_NULL_FEAT)
+            out.append({"doc_id": doc_id, "n_bytes": len(b), **feat})
+        yield pd.DataFrame(out, columns=[f.name for f in
+                                         AUDIO_FEATURE_SCHEMA])
+
+
+def audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 audio: binary WAV column -> Arrow-batched chunk-walk
+    decode -> real PCM features (duration, peak, mean, RMS), with a
+    NULL-featured corrupt path. Every field is value-checked against
+    the DuckDB oracle's byte arithmetic — bit-identical doubles, see
+    module docstring."""
+    docs = tables.load(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.col("text").cast("binary").alias("wav"))
+    return _spread(binary).mapInPandas(_audio_feature_batches,
+                                       AUDIO_FEATURE_SCHEMA)
+
+
+AUDIO_RESAMPLE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("in_rate", IntegerType()),
+    StructField("out_rate", IntegerType()),
+    StructField("in_samples", IntegerType()),
+    StructField("out_samples", IntegerType()),
+    StructField("out_bytes", IntegerType()),
+    StructField("out_ok", BooleanType()),
+])
+
+
+def _audio_resample_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in AUDIO_RESAMPLE_SCHEMA]
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["wav"]):
+            b = make_wav(int(doc_id),
+                         bytes(payload) if payload is not None else b"")
+            row = {"doc_id": doc_id, "in_rate": None, "out_rate": None,
+                   "in_samples": None, "out_samples": None,
+                   "out_bytes": None, "out_ok": None}
+            try:
+                dec = decode_wav(b)
+            except ValueError:
+                out.append(row)
+                continue
+            small = dec["samples"][::2]
+            out_rate = dec["sample_rate"] // 2
+            enc = encode_wav(out_rate, small)
+            rt = decode_wav(enc)
+            row.update({
+                "in_rate": dec["sample_rate"], "out_rate": out_rate,
+                "in_samples": len(dec["samples"]),
+                "out_samples": len(small), "out_bytes": len(enc),
+                "out_ok": rt["sample_rate"] == out_rate
+                and bool(np.array_equal(rt["samples"], small)),
+            })
+            out.append(row)
+        yield pd.DataFrame(out, columns=cols)
+
+
+def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 audio resample: decode -> 2:1 decimation (every other
+    sample, half the rate) -> re-encode a canonical WAV -> re-decode
+    and verify the lossless roundtrip sample-for-sample. The oracle
+    predicts the full geometry (rates, counts, container size
+    44 + 2*ceil(n/2)) and the out_ok determinism verdict — the same
+    contract as the image family's resize queries."""
+    docs = tables.load(spark, sf_dir, "documents")
+    binary = docs.select("doc_id", F.col("text").cast("binary").alias("wav"))
+    return _spread(binary).mapInPandas(_audio_resample_batches,
+                                       AUDIO_RESAMPLE_SCHEMA)
+
+
+QUERIES = {
+    "audio_features": audio_features,
+    "audio_resample": audio_resample,
+}
+
+# Shared oracle CTEs: per-doc synthesis parameters + exact byte sums
+# over the cycled sample stream (whole cycles * text total + prefix).
+_AUDIO_SQL = f"""
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n,
+               cast({_NS_BASE} + (doc_id * 7) % {_NS_MOD} AS int) AS ns,
+               cast({_SR_BASE} + (doc_id % 4) * {_SR_STEP} AS int) AS sr,
+               (doc_id % {AUDIO_CORRUPT_EVERY} = 0) AS corrupt
+        FROM documents
+    ),
+    bs AS (
+        SELECT *,
+               list_transform(regexp_split_to_array(text, ''),
+                              c -> ascii(c) - 128) AS ds
+        FROM base
+    ),
+    sums AS (
+        SELECT doc_id, n, ns, sr, corrupt,
+               ns // n AS cyc, cast(ns % n AS int) AS rem,
+               list_sum(ds) AS dtot,
+               list_sum(list_transform(ds, x -> x * x)) AS sqtot,
+               coalesce(list_sum(ds[1:cast(ns % n AS int)]), 0) AS dpre,
+               coalesce(list_sum(list_transform(
+                   ds[1:cast(ns % n AS int)], x -> x * x)), 0) AS sqpre,
+               list_max(list_transform(
+                   CASE WHEN ns >= n THEN ds
+                        ELSE ds[1:cast(ns AS int)] END,
+                   x -> abs(x))) AS dpeak
+        FROM bs
+    )
+"""
+
+ORACLES = {
+    "audio_features": _AUDIO_SQL + """
+        SELECT doc_id,
+               cast(CASE WHEN corrupt THEN 6 ELSE 56 + 2 * ns END AS int)
+                   AS n_bytes,
+               CASE WHEN NOT corrupt THEN sr END AS sample_rate,
+               CASE WHEN NOT corrupt THEN ns END AS n_samples,
+               CASE WHEN NOT corrupt
+                    THEN ns * 1000.0 / sr END AS duration_ms,
+               cast(CASE WHEN NOT corrupt THEN 256 * dpeak END AS int)
+                   AS peak,
+               CASE WHEN NOT corrupt
+                    THEN 256.0 * (cyc * dtot + dpre) / ns END AS mean_amp,
+               CASE WHEN NOT corrupt
+                    THEN 256.0 * sqrt((cyc * sqtot + sqpre) * 1.0 / ns)
+               END AS rms
+        FROM sums
+    """,
+    "audio_resample": _AUDIO_SQL + """
+        SELECT doc_id,
+               CASE WHEN NOT corrupt THEN sr END AS in_rate,
+               cast(CASE WHEN NOT corrupt THEN sr // 2 END AS int)
+                   AS out_rate,
+               CASE WHEN NOT corrupt THEN ns END AS in_samples,
+               cast(CASE WHEN NOT corrupt THEN (ns + 1) // 2 END AS int)
+                   AS out_samples,
+               cast(CASE WHEN NOT corrupt THEN 44 + 2 * ((ns + 1) // 2)
+                    END AS int) AS out_bytes,
+               CASE WHEN NOT corrupt THEN true END AS out_ok
+        FROM sums
+    """,
+}

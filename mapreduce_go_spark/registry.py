@@ -36,6 +36,8 @@ _MODULES: list[str] = [
     "mapreduce_go_spark.operators.textstats",
     "mapreduce_go_spark.operators.quality",
     "mapreduce_go_spark.operators.multimodal",
+    "mapreduce_go_spark.operators.audio",
+    "mapreduce_go_spark.operators.video",
     "mapreduce_go_spark.operators.streaming_batch",
 ]
 
@@ -108,14 +110,16 @@ _PRIORITY: list[str] = [
     # simhash_neardup_pairs likewise for ITS capped twin;
     # cdc_dup_chunks demoted r6 — cdc_dedup_ratio consumes the same
     # chunk relation and adds the per-doc rollup)
+    # (dedup_clusters demoted r6 after its r5 driver-green — the
+    # family was 9 seats; dup_span_stats demoted r6 at birth — it is
+    # a strict sub-pipeline of strip_dup_spans, which value-checks
+    # the shared dup-set via n_removed)
     "dedup_exact",           # also D4 distinct
     "dedup_verified_pairs",
     "neardup_flags_capped",  # production default; streaming twin (r6)
     "simhash_neardup_pairs_capped",
-    "dedup_clusters",
     "cdc_dedup_ratio",       # content-defined chunk dedup rollup (r6)
     "winnow_overlap_pairs",  # MOSS winnowing fingerprints (r5)
-    "dup_span_stats",        # ExactSubstr span exposure metric (r6)
     "strip_dup_spans",       # ExactSubstr span REMOVAL step (r6)
     # similarity (D18; knn_cosine_topk demoted r6 — ann_pq_topk's
     # exact re-rank reuses knn's audited grid cosine, and PQ gained a
@@ -137,6 +141,8 @@ _PRIORITY: list[str] = [
     "media_features",
     "gif_resize",
     "jpeg_pixel_roundtrip",
+    "audio_features",        # WAV chunk-walk decode + PCM features (r6)
+    "mjpeg_frame_sample",    # AVI walk + selective JPEG decode (r6)
     # streaming batch twins (D21)
     "tumbling_window",
     "event_enrichment",

@@ -1,0 +1,103 @@
+"""Unit + property tests for the audio (WAV) and video (AVI/MJPEG)
+codecs behind audio_features / audio_resample / mjpeg_frame_sample —
+the byte-level parsers, independent of Spark. The Spark-side
+differentials run in tests/test_queries.py like every registry query.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from mapreduce_go_spark.operators import audio, video
+
+
+def test_wav_roundtrip_exact():
+    rng = np.random.default_rng(7)
+    samples = rng.integers(-32768, 32768, size=333).astype(np.int16)
+    payload = audio.encode_wav(16000, samples)
+    assert len(payload) == 44 + 2 * len(samples)
+    dec = audio.decode_wav(payload)
+    assert dec["sample_rate"] == 16000
+    assert dec["channels"] == 1
+    assert np.array_equal(dec["samples"], samples)
+
+
+def test_wav_chunk_walk_skips_junk():
+    """make_wav interleaves a LIST chunk between fmt and data — a
+    fixed-offset 44-byte reader would misread it; the walker must
+    not."""
+    payload = audio.make_wav(3, b"hello world this is a body")
+    ns, sr = audio._audio_params(3)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    assert b"LIST" in payload
+    dec = audio.decode_wav(payload)
+    assert dec["sample_rate"] == sr
+    assert len(dec["samples"]) == ns
+    # sample law: (byte - 128) << 8, cycled
+    body = b"hello world this is a body"
+    expect = [(body[i % len(body)] - 128) * 256 for i in range(ns)]
+    assert dec["samples"].tolist() == expect
+
+
+@pytest.mark.parametrize("mutate", [
+    lambda p: p[:6],                                    # truncated
+    lambda p: b"RIFX" + p[4:],                          # bad magic
+    lambda p: p[:8] + b"XXXX" + p[12:],                 # not WAVE
+    lambda p: p.replace(b"fmt ", b"fmtX", 1),           # no fmt chunk
+    lambda p: p[:20] + struct.pack("<H", 2) + p[22:],   # non-PCM
+])
+def test_wav_rejects_malformed(mutate):
+    good = audio.encode_wav(8000, np.zeros(4, dtype=np.int16))
+    with pytest.raises(ValueError):
+        audio.decode_wav(mutate(good))
+
+
+def test_wav_corrupt_doc_path():
+    with pytest.raises(ValueError):
+        audio.decode_wav(audio.make_wav(audio.AUDIO_CORRUPT_EVERY * 3,
+                                        b"body"))
+
+
+def test_avi_container_roundtrip():
+    body = b"deterministic pixel source bytes for the mjpeg frames"
+    for doc_id in (1, 2, 5, 9, 13):
+        meta = video.parse_avi(video.make_avi(doc_id, body))
+        nf, w, h = video._video_params(doc_id)
+        assert meta["n_frames"] == nf == len(meta["frames"])
+        assert (meta["width"], meta["height"]) == (w, h)
+
+
+def test_avi_frames_decode_to_source_geometry():
+    from mapreduce_go_spark.functions import jpeg
+
+    body = b"abcdefghijklmnopqrstuvwxyz" * 4
+    doc_id = 7
+    meta = video.parse_avi(video.make_avi(doc_id, body))
+    _, w, h = video._video_params(doc_id)
+    for fno, frame in enumerate(meta["frames"]):
+        dec = jpeg.decode_gray(frame)
+        assert dec.shape == (h, w)
+        src = video._frame_pixels(doc_id, fno, body)
+        err = np.abs(dec.astype(np.int64) - src.astype(np.int64)).max()
+        assert err <= 128  # multimodal.JPEG_ERR_TOL
+    # frames genuinely differ (per-frame phase shift)
+    assert meta["frames"][0] != meta["frames"][1]
+
+
+def test_avi_rejects_malformed():
+    good = video.make_avi(1, b"body bytes")
+    for bad in (good[:6], b"RIFF" + good[4:8] + b"WAVE" + good[12:],
+                good[:40]):
+        with pytest.raises(ValueError):
+            video.parse_avi(bad)
+
+
+def test_avi_frame_count_mismatch_rejected():
+    """idx1/avih say nf frames; dropping a movi chunk must fail the
+    parse, not silently yield fewer frames."""
+    payload = bytearray(video.make_avi(2, b"body"))
+    i = payload.find(b"00dc")
+    payload[i:i + 4] = b"00xx"   # first frame chunk now unrecognized
+    with pytest.raises(ValueError):
+        video.parse_avi(bytes(payload))

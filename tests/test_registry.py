@@ -79,7 +79,7 @@ def test_driver_window_is_curated():
                 "cdc_", "winnow_", "jpeg_", "gif_", "pack_", "wc",
                 "bm25_", "cms_", "feature_hash_", "semantic_",
                 "neardup_flags_capped", "simhash_",
-                "dup_span_", "strip_dup_")
+                "strip_dup_", "audio_", "mjpeg_")
     for fam in families:
         assert any(n.startswith(fam) for n in names[:50]), fam
 
