@@ -550,6 +550,100 @@ def read_cdc_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def _dupspan_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
+                   out_dir: str) -> None:
+    """One micro-batch of incremental ExactSubstr span-dedup (batch
+    family: operators.dedup.dup_span_stats / strip_dup_spans),
+    idempotent under epoch replay via the versioned-snapshot
+    discipline shared with the near-dup/CDC jobs.
+
+    The persistent index is the distinct K-token window-hash set of
+    all PRIOR epochs — one row per hash, no per-doc state, so a
+    boilerplate span colliding a million times stays ONE index row
+    (the job needs no degenerate-bucket cap by construction). A
+    window occurrence is dup iff its hash is in the index or an
+    earlier occurrence exists in the same batch (row_number over
+    (doc_id, p)) — the arrival-order restriction of the batch rule:
+    the FIRST carrier of a span is never flagged, later copies are
+    (what an incremental ingest filter wants: keep one occurrence,
+    drop recycled arrivals — exactly the paper's keep-one removal),
+    while the batch dup_span_stats marks every carrier of a
+    corpus-duplicated span (the exposure metric). Under doc_id-
+    ordered arrival the flagged-occurrence set equals the batch
+    row_number>1-or-seen rule on the whole corpus (proven in
+    tests/test_streaming.py)."""
+    from pyspark.sql import Window
+
+    from mapreduce_go_spark.functions.num import dround
+    from mapreduce_go_spark.operators.dedup import _span_tokens
+
+    target = os.path.join(index_dir, f"v={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    wnd = _span_tokens(batch_df).where(F.col("whash").isNotNull()) \
+        .select("doc_id", "p", "whash")
+    w = Window.partitionBy("whash").orderBy("doc_id", "p")
+    ranked = wnd.withColumn("rn", F.row_number().over(w))
+    prev = _latest_rollup_version(index_dir, below=epoch_id)
+    if prev is None:
+        joined = ranked.withColumn("seen", F.lit(False))
+        index = wnd.select("whash").distinct()
+    else:
+        hist = spark.read.parquet(os.path.join(index_dir, f"v={prev}"))
+        joined = ranked.join(
+            hist.withColumn("seen", F.lit(True)), "whash", "left",
+        ).fillna(False, subset=["seen"])
+        index = (hist.select("whash")
+                 .unionByName(wnd.select("whash")).distinct())
+    dup_occ = (F.col("seen") | (F.col("rn") > 1)).cast("long")
+    per_win = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(dup_occ).alias("n_dup_windows"))
+    stats = (
+        batch_df.select("doc_id")
+        .join(per_win, "doc_id", "left")
+        .fillna(0, subset=["n_windows", "n_dup_windows"])
+        .withColumn(
+            "dup_frac",
+            F.when(F.col("n_windows") > 0,
+                   dround(F.col("n_dup_windows") / F.col("n_windows"), 6))
+            .otherwise(F.lit(0).cast("decimal(18,6)")))
+    )
+    # stats first: a crash before the index commit replays wholesale
+    stats.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"epoch={epoch_id}"))
+    index.write.mode("overwrite").parquet(target)
+    _prune_old_versions(index_dir)
+
+
+def run_streaming_dupspan(spark: SparkSession, stream: DataFrame,
+                          index_dir: str, out_dir: str,
+                          checkpoint_dir: str) -> None:
+    """Streaming ExactSubstr span dedup: each document micro-batch's
+    K-token window hashes probe + extend a persistent seen-hash
+    index; emits per-epoch (doc_id, n_windows, n_dup_windows,
+    dup_frac) under the arrival-order keep-first rule. Exactly-once
+    via checkpointed offsets + versioned index snapshots + epoch-keyed
+    stat partitions (replay overwrites itself)."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _dupspan_epoch(batch_df, epoch_id, index_dir, out_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_dupspan_stats(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All epochs' (doc_id, n_windows, n_dup_windows, dup_frac)."""
+    return spark.read.parquet(out_dir)
+
+
 def _decon_epoch(batch_df: DataFrame, epoch_id: int,
                  ev_shingles: DataFrame, out_dir: str) -> None:
     """One micro-batch of streaming benchmark decontamination (batch

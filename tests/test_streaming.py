@@ -688,3 +688,90 @@ def test_streaming_decon_epoch_replay_is_idempotent(spark, sf_dir,
     after = sorted(map(tuple,
                        jobs.read_decon_flags(spark, out).collect()))
     assert before == after
+
+
+def test_streaming_dupspan_matches_batch_rule(spark, sf_dir, tmp_path):
+    """Streaming span dedup over 3 doc_id-ordered micro-batches
+    equals the batch arrival-order rule (an occurrence is dup iff an
+    earlier occurrence of its window hash exists in (doc_id, p)
+    order) applied to the whole corpus — batching must not change any
+    verdict because the index-or-in-batch rule reproduces global
+    order."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark.functions.num import dround
+    from mapreduce_go_spark.operators import dedup
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, src + "/*", docs.schema)
+    idx = str(tmp_path / "span_index")
+    out = str(tmp_path / "span_stats")
+    jobs.run_streaming_dupspan(spark, stream, idx, out,
+                               str(tmp_path / "span_ck"))
+    got = sorted((r.doc_id, r.n_windows, r.n_dup_windows, r.dup_frac)
+                 for r in jobs.read_dupspan_stats(spark, out).collect())
+
+    wnd = dedup._span_tokens(docs).where(
+        F.col("whash").isNotNull()).select("doc_id", "p", "whash")
+    w = Window.partitionBy("whash").orderBy("doc_id", "p")
+    per = (wnd.withColumn("rn", F.row_number().over(w))
+           .groupBy("doc_id")
+           .agg(F.count("*").alias("n_windows"),
+                F.sum((F.col("rn") > 1).cast("long"))
+                .alias("n_dup_windows")))
+    want_df = (docs.select("doc_id").join(per, "doc_id", "left")
+               .fillna(0, subset=["n_windows", "n_dup_windows"])
+               .withColumn(
+                   "dup_frac",
+                   F.when(F.col("n_windows") > 0,
+                          dround(F.col("n_dup_windows")
+                                 / F.col("n_windows"), 6))
+                   .otherwise(F.lit(0).cast("decimal(18,6)"))))
+    want = sorted(map(tuple, want_df.collect()))
+    assert got == want
+    assert any(r[2] > 0 for r in want), \
+        "fixture must contain duplicated spans"
+
+
+def test_streaming_dupspan_epoch_replay_is_idempotent(spark, sf_dir,
+                                                      tmp_path):
+    """Re-firing an already-committed span epoch must change neither
+    the hash index nor the stats, and old index versions must be
+    pruned to SNAPSHOT_RETAIN."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    idx = str(tmp_path / "span_index")
+    out = str(tmp_path / "span_stats")
+    docs = tables.load(spark, sf_dir, "documents")
+    qs = docs.agg(F.expr("percentile(doc_id, array(0.25, 0.5, 0.75))")
+                  ).collect()[0][0]
+    parts = [docs.where(F.col("doc_id") <= qs[0]),
+             docs.where((F.col("doc_id") > qs[0])
+                        & (F.col("doc_id") <= qs[1])),
+             docs.where((F.col("doc_id") > qs[1])
+                        & (F.col("doc_id") <= qs[2])),
+             docs.where(F.col("doc_id") > qs[2])]
+    for e, p in enumerate(parts):
+        jobs._dupspan_epoch(p, e, idx, out)
+    once = sorted(map(tuple, jobs.read_dupspan_stats(spark, out).collect()))
+    idx_once = sorted(map(tuple, spark.read.parquet(
+        os.path.join(idx, "v=3")).collect()))
+
+    jobs._dupspan_epoch(parts[3], 3, idx, out)  # crash replay
+    assert sorted(map(tuple,
+                      jobs.read_dupspan_stats(spark, out).collect())) == once
+    assert sorted(map(tuple, spark.read.parquet(
+        os.path.join(idx, "v=3")).collect())) == idx_once
+    # retention: only the last SNAPSHOT_RETAIN committed versions stay
+    vs = sorted(d for d in os.listdir(idx) if d.startswith("v="))
+    assert vs == [f"v={i}" for i in
+                  range(4 - jobs.SNAPSHOT_RETAIN, 4)]
