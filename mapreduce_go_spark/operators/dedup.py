@@ -980,36 +980,40 @@ def cluster_labels(spark: SparkSession, sf_dir: str,
     edges = pairs.union(
         pairs.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
     ).cache()
-    # both directions are present, so d1 alone covers every endpoint
-    labels = edges.select("d1").distinct().select(
-        F.col("d1").alias("doc_id"), F.col("d1").alias("label"))
-    for _ in range(20):  # diameter bound; fixpoint checked below
+    # Round 1 folded into a single aggregate: with identity initial
+    # labels, the generic round's join degenerates to min over direct
+    # neighbors — one exchange instead of join+agg+join. Both edge
+    # directions are present, so d1 alone covers every endpoint and
+    # every edge-node has >= 1 neighbor (inner joins below are safe).
+    labels = (
+        edges.groupBy("d1")
+        .agg(F.least(F.col("d1"), F.min("d2")).alias("label"))
+        .select(F.col("d1").alias("doc_id"), "label")
+        .cache()
+    )
+    for _ in range(19):  # diameter bound; fixpoint checked below
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.doc_id)
             .groupBy(F.col("d1").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # labels only ever decrease, so "did this round change
+        # anything" is a flag computed DURING the update — no
+        # old-vs-new join per round.
         new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
+            labels.join(neighbor_min, "doc_id")
             .select(
                 "doc_id",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("nbr_label"), F.col("label")),
-                ).alias("label"),
+                F.least(F.col("label"), F.col("nbr_label")).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("chg"),
             )
+            .cache()
         )
-        new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )  # materializes new_labels, so the old cache can go
+        changed = new_labels.where("chg").limit(1).count()
+        # ^ materializes new_labels, so the old cache can go
         if hasattr(labels, "unpersist"):
             labels.unpersist()
-        labels = new_labels
+        labels = new_labels.select("doc_id", "label")
         if changed == 0:
             break
     edges.unpersist()

@@ -119,13 +119,16 @@ def main() -> None:
     args = ap.parse_args()
 
     from mapreduce_go_spark.session import get_spark
+    from mapreduce_go_spark.operators.audio import audio_features
     from mapreduce_go_spark.operators.dedup import (
-        dedup_verified_pairs, simhash_neardup_pairs_capped)
+        dedup_verified_pairs, simhash_neardup_pairs_capped,
+        strip_dup_spans)
     from mapreduce_go_spark.operators.pipeline import pretrain_corpus
     from mapreduce_go_spark.operators.quality import (decontaminate,
                                                       repetition_stats)
     from mapreduce_go_spark.operators.similarity import (
         ann_pq_topk, embedding_neardup_pairs_blocked)
+    from mapreduce_go_spark.operators.video import mjpeg_frame_sample
 
     spark = get_spark("scale_curve")
     x1, xn = build_corpora(spark, args.base, args.out, args.factor)
@@ -139,6 +142,9 @@ def main() -> None:
                      ("repetition_stats", repetition_stats),
                      ("decontaminate", decontaminate),
                      ("ann_pq_topk", ann_pq_topk),
+                     ("strip_dup_spans", strip_dup_spans),
+                     ("audio_features", audio_features),
+                     ("mjpeg_frame_sample", mjpeg_frame_sample),
                      ("pretrain_corpus", pretrain_corpus)]:
         t1, r1 = time_query(fn, spark, x1)
         tn, rn = time_query(fn, spark, xn)
