@@ -91,6 +91,9 @@ HEADLINE = [
     # AVI container walk + selective baseline-JPEG frame decode
     "audio_features",
     "mjpeg_frame_sample",
+    # real BPE (r6): bounded-vocab train + broadcast ranked-merge
+    # encode per distinct word
+    "bpe_subword_tokens",
 ]
 
 

@@ -15,6 +15,8 @@ ratios — no transcendental functions whose libm rounding could differ.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -87,6 +89,73 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(bpe_toks).alias("n_bpe_tokens"),
         dround(F.size(bpe_toks).cast("double") / F.size(ws), 6)
         .alias("fertility"),
+    )
+
+
+# Real BPE (functions/bpe.py — Sennrich et al. 2016): the trainer
+# sees only the aggregated top-BPE_VOCAB_CAP word-frequency table
+# (bounded collect, PQ-codebook discipline), never the corpus; the
+# encoder is a broadcast ranked-merge loop applied per DISTINCT word
+# per Arrow batch. Fixture calibration: 200 merges over a <=4096-word
+# vocab; production values only change the constants (the trainer is
+# O(vocab * merges) on the driver, the encode stage is embarrassingly
+# parallel). Non-SQL-expressible (iterative training), so the query
+# is registered rows-only — correctness is pinned by the
+# differential-vs-reference and roundtrip property tests in
+# tests/test_bpe.py.
+BPE_N_MERGES = 200
+BPE_VOCAB_CAP = 4096
+
+
+def _bpe_merge_ranks(spark: SparkSession,
+                     sf_dir: str) -> dict[tuple[str, str], int]:
+    from mapreduce_go_spark.functions.bpe import train_bpe
+
+    docs = tables.load(spark, sf_dir, "documents")
+    wc = (
+        docs.select(F.explode(_toks(F.col("text"))).alias("w"))
+        .groupBy("w").agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w").limit(BPE_VOCAB_CAP)
+        .collect()  # allow-bounded-collect: <= BPE_VOCAB_CAP rows
+    )
+    merges = train_bpe({r.w: r.c for r in wc}, BPE_N_MERGES)
+    return {p: i for i, p in enumerate(merges)}
+
+
+def bpe_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc REAL BPE tokenization: train merges on the corpus'
+    bounded word-frequency table, encode every word with the greedy
+    ranked-merge loop, report word/subword counts + fertility. The
+    tokenize/explode stays JVM-side (the same _toks the exact
+    oracles use); Python sees only (word) -> n_subtokens, computed
+    once per distinct word per Arrow batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    from mapreduce_go_spark.functions.bpe import encode_word
+
+    ranks = _bpe_merge_ranks(spark, sf_dir)
+
+    @pandas_udf("int")
+    def n_subtokens(words: pd.Series) -> pd.Series:
+        cache = {w: len(encode_word(w, ranks))
+                 for w in pd.unique(words)}
+        return words.map(cache).astype("int32")
+
+    docs = tables.load(spark, sf_dir, "documents")
+    per_word = docs.select(
+        "doc_id", F.explode(_toks(F.col("text"))).alias("w"))
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum(n_subtokens(F.col("w"))).alias("n_subword_tokens"),
+    )
+    return (
+        docs.select("doc_id").join(per_doc, "doc_id", "left")
+        .fillna(0, subset=["n_words", "n_subword_tokens"])
+        .withColumn(
+            "fertility",
+            F.when(F.col("n_words") > 0,
+                   dround(F.col("n_subword_tokens") / F.col("n_words"), 6))
+            .otherwise(F.lit(0).cast("decimal(18,6)")))
     )
 
 
@@ -183,6 +252,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
+    "bpe_subword_tokens": bpe_subword_tokens,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
