@@ -94,6 +94,9 @@ HEADLINE = [
     # real BPE (r6): bounded-vocab train + broadcast ranked-merge
     # encode per distinct word
     "bpe_subword_tokens",
+    # retrieval capstone (r6): CDC chunk -> hashing-trick embed ->
+    # salted two-phase cosine top-k
+    "chunk_retrieval_topk",
 ]
 
 

@@ -717,11 +717,13 @@ def cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables.spread(tables.load(spark, sf_dir, "documents")))
 
 
-def cdc_chunks_df(docs: DataFrame) -> DataFrame:
+def cdc_chunks_df(docs: DataFrame, with_text: bool = False) -> DataFrame:
     """cdc_chunks over an arbitrary (doc_id, text) DataFrame — also
     the unit under tests/test_properties.py's content-locality
     property (a prefix edit must not move chunk boundaries in the
-    distant suffix — the CDC guarantee fixed-size chunking lacks)."""
+    distant suffix — the CDC guarantee fixed-size chunking lacks).
+    `with_text=True` adds the chunk_text column (the span itself) for
+    consumers that featurize chunks, e.g. chunk_retrieval_topk."""
     n = F.length("text")
     hi = n - (CDC_K - 1)
     pos = (
@@ -760,13 +762,18 @@ def cdc_chunks_df(docs: DataFrame) -> DataFrame:
         )
     )
     ln = F.col("span.e") - F.col("span.s") + 1
-    return spans.select(
-        "doc_id",
+    cols = [
+        F.col("doc_id"),
         F.col("chunk_no").cast("int").alias("chunk_no"),
         ln.cast("int").alias("chunk_len"),
         F.md5(F.expr("substring(text, span.s, span.e - span.s + 1)"))
         .alias("chunk_md5"),
-    )
+    ]
+    if with_text:
+        cols.append(
+            F.expr("substring(text, span.s, span.e - span.s + 1)")
+            .alias("chunk_text"))
+    return spans.select(*cols)
 
 
 def cdc_dup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1164,7 +1171,8 @@ _CDC_CHUNKS_SQL = f"""
     ),
     chunks AS (
         SELECT doc_id, chunk_no, cast(e - s + 1 AS int) AS chunk_len,
-               md5(substring(text, s, e - s + 1)) AS chunk_md5
+               md5(substring(text, s, e - s + 1)) AS chunk_md5,
+               substring(text, s, e - s + 1) AS chunk_text
         FROM bounds
     )
 """

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
-from mapreduce_go_spark.functions.text import token_count
+from mapreduce_go_spark.functions.text import NON_LETTER_RE, token_count
 
 SAMPLE_PCT = 20
 TRAIN_PCT = 90
@@ -212,9 +212,128 @@ def pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- #
+# Retrieval capstone: chunk -> embed -> top-k search                 #
+# ---------------------------------------------------------------- #
+
+# Fixed literal queries over the corpus vocabulary (fixture top
+# tokens, so scores are non-vacuous); qid is the driver-facing key.
+RETRIEVAL_QUERIES = (
+    (0, "hash join merge"),
+    (1, "stream window batch"),
+    (2, "vector column scan"),
+)
+RETRIEVAL_K = 5
+_RETR_SALTS = 32  # two-phase top-k fan: bounds the per-qid partition
+# local pin of quality.FH_DIM (module-level import would cycle through
+# quality's bottom-of-file pipeline import); equality is asserted in
+# tests/test_pipeline_retrieval.py
+_FH_DIM = 64
+
+
+def _fh_qvec(text: str) -> list[int]:
+    """Driver-side twin of the feature-hash embedding for a literal
+    query string — byte-identical to quality.fh_bucket/fh_sign (md5
+    prefix arithmetic), pinned by the retrieval tests."""
+    import hashlib
+    import re
+
+    vec = [0] * _FH_DIM
+    for tok in re.split(NON_LETTER_RE, text):
+        if not tok:
+            continue
+        b = int(hashlib.md5(f"b:{tok}".encode()).hexdigest()[:8],
+                16) % _FH_DIM
+        s = 1 - 2 * (int(hashlib.md5(f"s:{tok}".encode()).hexdigest()[:8],
+                         16) % 2)
+        vec[b] += s
+    return vec
+
+
+def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RETRIEVAL capstone — three operator families composed into
+    the index-build + search shape of a RAG data pipeline: CDC chunk
+    the corpus (sub-document retrieval units, dedup.cdc_chunks_df),
+    featurize every chunk with the hashing-trick embedding
+    (quality.fh_bucket/fh_sign — no vocabulary state), and return the
+    cosine top-RETRIEVAL_K chunks per fixed query.
+
+    Scale shape: chunking + featurizing are one explode and ONE
+    shuffle (the same fixed-width conditional-sum aggregation as
+    feature_hash_embed); scoring is mapper-side expression math
+    (query vectors are plan-time literals — the dot product touches
+    only the query's nonzero dims); and the top-k is TWO-PHASE — a
+    local row_number per (qid, salt) keeps at most K * _RETR_SALTS
+    rows per query before the global rank, so no single task ever
+    sorts the whole corpus (the classic distributed top-k shape;
+    a bare Window.partitionBy(qid) would put every chunk in one
+    task). Every stage is exact integer/IEEE arithmetic, so the
+    DuckDB oracle checks values bit-for-bit."""
+    import math
+
+    from mapreduce_go_spark.functions.num import dround
+    from mapreduce_go_spark.operators.dedup import cdc_chunks_df
+    from mapreduce_go_spark.operators.quality import (FH_DIM, fh_bucket,
+                                                      fh_sign)
+
+    docs = tables.spread(tables.load(spark, sf_dir, "documents"))
+    ch = cdc_chunks_df(docs, with_text=True).select(
+        "doc_id", "chunk_no", "chunk_text")
+    tok = (
+        ch.select(
+            "doc_id", "chunk_no",
+            F.explode(F.split("chunk_text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    cells = tok.select(
+        "doc_id", "chunk_no",
+        fh_bucket(F.col("tok")).alias("bucket"),
+        fh_sign(F.col("tok")).alias("sign"))
+    sums = cells.groupBy("doc_id", "chunk_no").agg(
+        *[F.expr(f"sum(if(bucket = {d}, sign, 0L))").alias(f"v{d}")
+          for d in range(FH_DIM)])
+    n2_expr = " + ".join(f"v{d} * v{d}" for d in range(FH_DIM))
+
+    per_query = []
+    for qid, qtext in RETRIEVAL_QUERIES:
+        q = _fh_qvec(qtext)
+        qn = math.sqrt(sum(x * x for x in q))
+        dot = " + ".join(f"v{d} * ({q[d]}L)"
+                         for d in range(FH_DIM) if q[d] != 0) or "0L"
+        # score expression shape (dot / (sqrt(n2) * qn)) is pinned
+        # IDENTICALLY in the DuckDB oracle — x/a/b and x/(a*b) differ
+        # in IEEE, so the grouping must match across engines
+        per_query.append(sums.selectExpr(
+            f"{qid} AS qid", "doc_id", "chunk_no",
+            f"({n2_expr}) AS n2",
+            f"cast(({dot}) AS double)"
+            f" / (sqrt(cast(({n2_expr}) AS double))"
+            f" * cast({qn!r} AS double)) AS score"))
+    allq = per_query[0]
+    for part in per_query[1:]:
+        allq = allq.unionByName(part)
+    scored = allq.where(F.col("n2") > 0)
+    w_local = Window.partitionBy("qid", "salt").orderBy(
+        F.desc("score"), "doc_id", "chunk_no")
+    w_final = Window.partitionBy("qid").orderBy(
+        F.desc("score"), "doc_id", "chunk_no")
+    return (
+        scored
+        .withColumn("salt", F.pmod(F.hash("doc_id", "chunk_no"),
+                                   F.lit(_RETR_SALTS)))
+        .withColumn("lr", F.row_number().over(w_local))
+        .where(F.col("lr") <= RETRIEVAL_K)
+        .withColumn("rank", F.row_number().over(w_final))
+        .where(F.col("rank") <= RETRIEVAL_K)
+        .select("qid", "rank", "doc_id", "chunk_no",
+                dround(F.col("score"), 6).alias("score"))
+    )
+
+
 QUERIES = {
     "corpus_clean": corpus_clean,
     "pretrain_corpus": pretrain_corpus,
+    "chunk_retrieval_topk": chunk_retrieval_topk,
     "stratified_sample": stratified_sample,
     "train_test_split": train_test_split,
     "pack_sequences": pack_sequences,
@@ -291,9 +410,85 @@ def _pretrain_sql() -> str:
     """
 
 
+# DuckDB twin of the FH bucket/sign md5-prefix arithmetic (the same
+# hex fold quality's oracles use), over a chunk-token expression.
+_FH_FOLD = ("(list_reduce(list_prepend(cast(0 AS bigint),"
+            " list_transform(regexp_split_to_array(substring(md5("
+            "{prefix} || tok), 1, 8), ''),"
+            " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
+            " (acc, v) -> acc * 16 + v) % {mod})")
+
+
+def _retrieval_sql() -> str:
+    import math
+
+    from mapreduce_go_spark.functions.num import dround_sql
+    from mapreduce_go_spark.operators.dedup import _CDC_CHUNKS_SQL
+
+    qv_rows, qn_rows = [], []
+    for qid, qtext in RETRIEVAL_QUERIES:
+        q = _fh_qvec(qtext)
+        qn = math.sqrt(sum(x * x for x in q))
+        qn_rows.append(f"({qid}, cast({qn!r} AS double))")
+        qv_rows.extend(f"({qid}, {d}, cast({q[d]} AS bigint))"
+                       for d in range(_FH_DIM) if q[d] != 0)
+    return _CDC_CHUNKS_SQL + f""",
+    ctok AS (
+        SELECT doc_id, chunk_no, t AS tok FROM (
+            SELECT doc_id, chunk_no,
+                   unnest(regexp_split_to_array(chunk_text,
+                                                '[^a-zA-Z]+')) AS t
+            FROM chunks)
+        WHERE t <> ''
+    ),
+    ccells AS (
+        SELECT doc_id, chunk_no,
+               {_FH_FOLD.format(prefix="'b:'", mod=_FH_DIM)} AS bucket,
+               1 - 2 * ({_FH_FOLD.format(prefix="'s:'", mod=2)}) AS sign
+        FROM ctok
+    ),
+    cs AS (
+        SELECT doc_id, chunk_no, bucket, cast(sum(sign) AS bigint) AS v
+        FROM ccells GROUP BY 1, 2, 3
+    ),
+    cn2 AS (
+        SELECT doc_id, chunk_no, sum(v * v) AS n2
+        FROM cs GROUP BY 1, 2
+    ),
+    qv(qid, bucket, qval) AS (VALUES {", ".join(qv_rows)}),
+    qn(qid, qnorm) AS (VALUES {", ".join(qn_rows)}),
+    dots AS (
+        SELECT cs.doc_id, cs.chunk_no, qv.qid,
+               sum(cs.v * qv.qval) AS dot
+        FROM cs JOIN qv USING (bucket) GROUP BY 1, 2, 3
+    ),
+    scoredq AS (
+        SELECT cn2.doc_id, cn2.chunk_no, qn.qid,
+               cast(coalesce(d.dot, 0) AS double)
+               / (sqrt(cast(cn2.n2 AS double)) * qn.qnorm) AS score
+        FROM cn2 CROSS JOIN qn
+        LEFT JOIN dots d ON d.doc_id = cn2.doc_id
+                        AND d.chunk_no = cn2.chunk_no
+                        AND d.qid = qn.qid
+        WHERE cn2.n2 > 0
+    ),
+    rankedq AS (
+        SELECT qid, doc_id, chunk_no, score,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY score DESC, doc_id,
+                                           chunk_no) AS rank
+        FROM scoredq
+    )
+    SELECT qid, cast(rank AS int) AS rank, doc_id, chunk_no,
+           {dround_sql('score', 6)} AS score
+    FROM rankedq WHERE rank <= {RETRIEVAL_K}
+    """
+
+
 ORACLES = {
     "corpus_clean": _corpus_clean_sql(),
     "pretrain_corpus": _pretrain_sql(),
+    "chunk_retrieval_topk": _retrieval_sql(),
     "stratified_sample": f"""
         SELECT doc_id, lang,
                {_BUCKET_SQL.format(col='doc_id')} AS bucket

@@ -513,6 +513,21 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 FH_DIM = 64  # matches the embeddings table's dimensionality
 
 
+def fh_bucket(col: Column) -> Column:
+    """Feature-hash index: md5('b:'+token) first 8 hex % FH_DIM."""
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit("b:"), col)),
+                           1, 8), 16, 10).cast("long") % FH_DIM)
+
+
+def fh_sign(col: Column) -> Column:
+    """Feature-hash sign: +-1 from md5('s:'+token) parity."""
+    return (
+        1 - 2 * (F.conv(F.substring(
+            F.md5(F.concat(F.lit("s:"), col)), 1, 8), 16, 10)
+            .cast("long") % 2))
+
+
 def feature_hash_embed_df(docs: DataFrame) -> DataFrame:
     """Hashing-trick document embeddings (Weinberger et al. 2009 —
     the no-vocabulary featurizer): each token adds +-1 (sign hash) to
@@ -536,13 +551,8 @@ def feature_hash_embed_df(docs: DataFrame) -> DataFrame:
             "doc_id", F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.concat(F.lit("b:"), F.col("tok"))),
-                           1, 8), 16, 10).cast("long") % FH_DIM)
-    sign = (
-        1 - 2 * (F.conv(F.substring(
-            F.md5(F.concat(F.lit("s:"), F.col("tok"))), 1, 8), 16, 10)
-            .cast("long") % 2))
+    bucket = fh_bucket(F.col("tok"))
+    sign = fh_sign(F.col("tok"))
     # ONE shuffle, all codegen: FH_DIM conditional sums per doc (the
     # map side partially aggregates each partition down to <= FH_DIM
     # values per doc, so network volume equals the old two-stage

@@ -124,8 +124,11 @@ _PRIORITY: list[str] = [
     # similarity (D18; knn_cosine_topk demoted r6 — ann_pq_topk's
     # exact re-rank reuses knn's audited grid cosine, and PQ gained a
     # full value-level oracle; embedding_neardup_pairs_blocked demoted
-    # r6 — semantic_dedup_keep is a strict superset of its pipeline)
-    "ann_lsh_topk",
+    # r6 — semantic_dedup_keep is a strict superset of its pipeline;
+    # ann_lsh_topk demoted late-r6 after its r5+r6 greens to seat the
+    # retrieval capstone, which exercises the same cosine-top-k shape
+    # over chunk embeddings)
+    "chunk_retrieval_topk",  # chunk -> embed -> top-k capstone (r6)
     "ann_pq_topk",           # PQ ADC + exact re-rank, oracled (r6)
     "semantic_dedup_keep",   # SemDeDup over blocked pairs (r6)
     "quantize_embeddings",   # int8 quantization (r4)

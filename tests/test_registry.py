@@ -79,7 +79,7 @@ def test_driver_window_is_curated():
                 "cdc_", "winnow_", "jpeg_", "gif_", "pack_", "wc",
                 "bm25_", "cms_", "feature_hash_", "semantic_",
                 "neardup_flags_capped", "simhash_",
-                "strip_dup_", "audio_", "mjpeg_")
+                "strip_dup_", "audio_", "mjpeg_", "chunk_retrieval_")
     for fam in families:
         assert any(n.startswith(fam) for n in names[:50]), fam
 
