@@ -294,25 +294,31 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           for d in range(FH_DIM)])
     n2_expr = " + ".join(f"v{d} * v{d}" for d in range(FH_DIM))
 
-    per_query = []
+    # all query scores in ONE projection + stack (a per-query union
+    # would re-derive the whole chunk+aggregate lineage per branch —
+    # measured 2.4 s -> ~1 s at sf0.01); score expression shape
+    # (dot / (sqrt(n2) * qn)) is pinned IDENTICALLY in the DuckDB
+    # oracle — x/a/b and x/(a*b) differ in IEEE, so the grouping must
+    # match across engines
+    score_cols = []
     for qid, qtext in RETRIEVAL_QUERIES:
         q = _fh_qvec(qtext)
         qn = math.sqrt(sum(x * x for x in q))
         dot = " + ".join(f"v{d} * ({q[d]}L)"
                          for d in range(FH_DIM) if q[d] != 0) or "0L"
-        # score expression shape (dot / (sqrt(n2) * qn)) is pinned
-        # IDENTICALLY in the DuckDB oracle — x/a/b and x/(a*b) differ
-        # in IEEE, so the grouping must match across engines
-        per_query.append(sums.selectExpr(
-            f"{qid} AS qid", "doc_id", "chunk_no",
-            f"({n2_expr}) AS n2",
+        score_cols.append(
             f"cast(({dot}) AS double)"
             f" / (sqrt(cast(({n2_expr}) AS double))"
-            f" * cast({qn!r} AS double)) AS score"))
-    allq = per_query[0]
-    for part in per_query[1:]:
-        allq = allq.unionByName(part)
-    scored = allq.where(F.col("n2") > 0)
+            f" * cast({qn!r} AS double)) AS s{qid}")
+    stack = ", ".join(f"{qid}, s{qid}" for qid, _ in RETRIEVAL_QUERIES)
+    scored = (
+        sums.selectExpr("doc_id", "chunk_no", f"({n2_expr}) AS n2",
+                        *score_cols)
+        .where(F.col("n2") > 0)
+        .selectExpr(
+            "doc_id", "chunk_no",
+            f"stack({len(RETRIEVAL_QUERIES)}, {stack}) AS (qid, score)")
+    )
     w_local = Window.partitionBy("qid", "salt").orderBy(
         F.desc("score"), "doc_id", "chunk_no")
     w_final = Window.partitionBy("qid").orderBy(
