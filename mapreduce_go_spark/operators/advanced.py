@@ -306,8 +306,52 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Z-order (Morton) multi-dimensional clustering key — the layout
+# technique behind Delta/Iceberg OPTIMIZE ZORDER: interleaving the
+# bits of two (or more) columns makes ONE sort order serve range
+# predicates on EITHER column, so parquet min/max file stats prune
+# for 2-D predicates where a linear sort only prunes its leading
+# column. 12 bits per dimension covers the fixture domains
+# (o_custkey < 1500, day offset < 2500); at production scale the
+# inputs are first rank-normalized into the bit budget. The bit
+# spread is plain integer arithmetic ((x div 2^b) mod 2) * 4^b —
+# codegen on Spark, identical text in the DuckDB oracle.
+ZORDER_BITS = 12
+
+
+def _zspread_sql(col: str) -> str:
+    """Sum_b bit_b(col) * 4^b — the column's bits moved to even
+    positions (the y dimension is the same spread doubled). The bit
+    test is (col % 2^(b+1)) >= 2^b: pure %/compare arithmetic, the
+    same text valid in Spark SQL and DuckDB (no div/// divergence)."""
+    return " + ".join(
+        f"(CASE WHEN ({col} % {1 << (b + 1)}) >= {1 << b}"
+        f" THEN {1 << (2 * b)} ELSE 0 END)"
+        for b in range(ZORDER_BITS))
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order Morton key over (o_custkey, order-date day offset).
+    Sorting/writing the table by zkey is the layout step (measured in
+    tools/zorder_prune.py + SCALE.md: file-stat pruning for 2-D
+    predicates vs a linear sort); this query pins the key arithmetic
+    itself against the oracle."""
+    o = tables.load(spark, sf_dir, "orders")
+    day = F.datediff("o_orderdate", F.lit("1995-01-01").cast("date"))
+    zx = F.expr(_zspread_sql("o_custkey"))
+    zy = F.expr(_zspread_sql("day"))
+    return (
+        o.select("o_orderkey", "o_custkey", day.alias("day"))
+        .select(
+            "o_orderkey", "o_custkey", "day",
+            (zx + 2 * zy).cast("long").alias("zkey"),
+        )
+    )
+
+
 QUERIES = {
     "salted_skew_agg": salted_skew_agg,
+    "zorder_layout": zorder_layout,
     "event_funnel": event_funnel,
     "cohort_retention": cohort_retention,
     "multi_resolution_rollup": multi_resolution_rollup,
@@ -323,6 +367,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "zorder_layout": f"""
+        WITH base AS (
+            SELECT o_orderkey, o_custkey,
+                   cast(date_diff('day', TIMESTAMP '1995-01-01',
+                                  o_orderdate) AS int) AS day
+            FROM orders
+        )
+        SELECT o_orderkey, o_custkey, day,
+               cast(({_zspread_sql('o_custkey')})
+                    + 2 * ({_zspread_sql('day')}) AS bigint) AS zkey
+        FROM base
+    """,
     "salted_skew_agg": """
         SELECT l_returnflag,
                count(l_orderkey) AS n_rows,

@@ -312,3 +312,18 @@ def test_strip_dup_spans_removes_planted_span(spark):
     # a doc with no duplicated window is untouched
     assert rows[3].n_removed == 0
     assert rows[3].clean_text == c
+
+
+def test_zorder_key_decodes_back(spark, sf_dir):
+    """The Morton key is a bijection on (custkey, day): de-interleaving
+    the produced zkey must recover both inputs exactly for every
+    order — any bit placed at the wrong position breaks some row."""
+    from mapreduce_go_spark.operators import advanced
+
+    rows = advanced.zorder_layout(spark, sf_dir).collect()
+    assert rows
+    nb = advanced.ZORDER_BITS
+    for r in rows:
+        x = sum(((r.zkey >> (2 * b)) & 1) << b for b in range(nb))
+        y = sum(((r.zkey >> (2 * b + 1)) & 1) << b for b in range(nb))
+        assert (x, y) == (r.o_custkey, r.day), r
