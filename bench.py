@@ -97,6 +97,8 @@ HEADLINE = [
     # retrieval capstone (r6): CDC chunk -> hashing-trick embed ->
     # salted two-phase cosine top-k
     "chunk_retrieval_topk",
+    # iterative graph (r6): fixed-point PageRank, 5 exact iterations
+    "pagerank_fixed",
 ]
 
 

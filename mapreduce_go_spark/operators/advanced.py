@@ -349,9 +349,114 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PageRank — the canonical iterative MapReduce application (the
+# repertoire SURVEY §2.4 derives D1-D16 from; Page et al. 1999,
+# Dean/Ghemawat 2004 use it as the worked example). The twist that
+# makes it fully value-oracle-able: FIXED-POINT integer arithmetic.
+# Ranks are scaled by PR_SCALE and every per-edge contribution is
+# floor((85 * rank) / (100 * outdeg)) — an exact integer, so the
+# per-node sum is order-free and bit-identical on any engine (float
+# PageRank is order-dependent in the 17th digit and cannot be
+# differentially tested). Fixed PR_ITERS iterations; the oracle
+# UNROLLS them as chained CTEs (standard SQL forbids aggregation in a
+# recursive term).
+PR_ITERS = 5
+PR_SCALE = 1_000_000
+PR_D_NUM, PR_D_DEN = 85, 100  # damping 0.85 as a ratio
+
+
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed edge list over the part/supplier bipartite graph:
+    each distinct (l_partkey, l_suppkey) sourcing relation yields
+    both directions; node ids are disambiguated arithmetically
+    (part -> 2k, supplier -> 2k+1), so every node has outdeg >= 1
+    (no dangling-mass correction needed)."""
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") * 2).alias("p"),
+        (F.col("l_suppkey") * 2 + 1).alias("s"),
+    ).distinct()
+    return li.select(F.col("p").alias("src"), F.col("s").alias("dst")) \
+        .union(li.select(F.col("s").alias("src"), F.col("p").alias("dst")))
+
+
+def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact fixed-point PageRank over the part/supplier graph:
+    PR_ITERS synchronous iterations of
+    rank'(v) = base + sum_{u->v} (85 * rank(u)) div (100 * outdeg(u)),
+    base = (15 * PR_SCALE) div (100 * N), rank0 = PR_SCALE div N.
+    Plan: one edges relation, one outdeg aggregate, then per
+    iteration one equi-join + one map-side-combinable sum — O(E) per
+    round, the driver loop is plan construction only (no action; at
+    production scale each iteration's ranks would persist like
+    cluster_labels' fixpoint loop). Every quantity is an exact int:
+    the oracle value-checks all PR_ITERS iterations bit-for-bit."""
+    edges = _pagerank_edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    # graph size as a broadcast singleton (the quality.py scalars
+    # pattern) — no driver-side action, the query stays one lazy plan
+    nscal = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    ranks = nodes.crossJoin(nscal).selectExpr(
+        "node", f"{PR_SCALE} div n AS r")
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"({PR_D_NUM} * r) div ({PR_D_DEN} * deg)")
+                .alias("c"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("node").agg(F.sum("c").alias("csum"))
+            .crossJoin(nscal)
+            .selectExpr(
+                "node",
+                f"(15 * {PR_SCALE}) div ({PR_D_DEN} * n) + csum AS r")
+        )
+    return ranks.select("node", F.col("r").cast("long").alias("rank_fp"))
+
+
+def _pagerank_sql() -> str:
+    head = f"""
+        WITH li AS (
+            SELECT DISTINCT l_partkey * 2 AS p, l_suppkey * 2 + 1 AS s
+            FROM lineitem
+        ),
+        edges AS (
+            SELECT p AS src, s AS dst FROM li
+            UNION ALL
+            SELECT s AS src, p AS dst FROM li
+        ),
+        outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+        nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+        r0 AS (
+            SELECT DISTINCT src AS node,
+                   (SELECT {PR_SCALE} // n FROM nn) AS r
+            FROM edges
+        )"""
+    steps = []
+    for i in range(PR_ITERS):
+        steps.append(f""",
+        r{i + 1} AS (
+            SELECT e.dst AS node,
+                   (SELECT (15 * {PR_SCALE}) // ({PR_D_DEN} * n) FROM nn)
+                   + sum(({PR_D_NUM} * r.r) // ({PR_D_DEN} * d.deg)) AS r
+            FROM edges e
+            JOIN outdeg d ON d.src = e.src
+            JOIN r{i} r ON r.node = e.src
+            GROUP BY e.dst
+        )""")
+    return (head + "".join(steps)
+            + f" SELECT node, cast(r AS bigint) AS rank_fp"
+              f" FROM r{PR_ITERS}")
+
+
 QUERIES = {
     "salted_skew_agg": salted_skew_agg,
     "zorder_layout": zorder_layout,
+    "pagerank_fixed": pagerank_fixed,
     "event_funnel": event_funnel,
     "cohort_retention": cohort_retention,
     "multi_resolution_rollup": multi_resolution_rollup,
@@ -379,6 +484,7 @@ ORACLES = {
                     + 2 * ({_zspread_sql('day')}) AS bigint) AS zkey
         FROM base
     """,
+    "pagerank_fixed": _pagerank_sql(),
     "salted_skew_agg": """
         SELECT l_returnflag,
                count(l_orderkey) AS n_rows,

@@ -327,3 +327,26 @@ def test_zorder_key_decodes_back(spark, sf_dir):
         x = sum(((r.zkey >> (2 * b)) & 1) << b for b in range(nb))
         y = sum(((r.zkey >> (2 * b + 1)) & 1) << b for b in range(nb))
         assert (x, y) == (r.o_custkey, r.day), r
+
+
+def test_pagerank_fixed_invariants(spark, sf_dir):
+    """Fixed-point PageRank sanity beyond the bit-exact oracle: total
+    mass stays within floor-loss of PR_SCALE (each of N nodes loses
+    < 1 unit per floor, PR_ITERS+2 floors deep), every rank is
+    positive, and the 100 supplier hubs out-rank the 2000 parts on
+    average (each supplier aggregates many parts' contributions)."""
+    from mapreduce_go_spark.operators import advanced
+
+    rows = advanced.pagerank_fixed(spark, sf_dir).collect()
+    total = sum(r.rank_fp for r in rows)
+    n = len(rows)
+    n_edges = advanced._pagerank_edges(spark, sf_dir).count()
+    assert all(r.rank_fp > 0 for r in rows)
+    # each directed-edge contribution floors away < 1 unit and each
+    # node's base term floors < 1, per iteration
+    loss_bound = (advanced.PR_ITERS + 1) * (n_edges + n)
+    assert advanced.PR_SCALE - loss_bound <= total <= advanced.PR_SCALE
+    sup = [r.rank_fp for r in rows if r.node % 2 == 1]
+    part = [r.rank_fp for r in rows if r.node % 2 == 0]
+    assert sup and part
+    assert sum(sup) / len(sup) > 5 * sum(part) / len(part)
