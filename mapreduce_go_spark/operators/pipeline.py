@@ -269,14 +269,21 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     a bare Window.partitionBy(qid) would put every chunk in one
     task). Every stage is exact integer/IEEE arithmetic, so the
     DuckDB oracle checks values bit-for-bit."""
-    import math
+    return chunk_topk_from_sums(chunk_vec_sums(
+        tables.spread(tables.load(spark, sf_dir, "documents"))))
 
-    from mapreduce_go_spark.functions.num import dround
+
+def chunk_vec_sums(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk_no, v0..v63): hashing-trick vector of every CDC
+    chunk as fixed-width conditional sums — the index-build half of
+    the retrieval capstone, also maintained incrementally by
+    streaming/jobs.run_streaming_retrieval (exact ints, so appending
+    a batch's rows to a persistent index reproduces the batch
+    computation exactly)."""
     from mapreduce_go_spark.operators.dedup import cdc_chunks_df
     from mapreduce_go_spark.operators.quality import (FH_DIM, fh_bucket,
                                                       fh_sign)
 
-    docs = tables.spread(tables.load(spark, sf_dir, "documents"))
     ch = cdc_chunks_df(docs, with_text=True).select(
         "doc_id", "chunk_no", "chunk_text")
     tok = (
@@ -289,9 +296,20 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "chunk_no",
         fh_bucket(F.col("tok")).alias("bucket"),
         fh_sign(F.col("tok")).alias("sign"))
-    sums = cells.groupBy("doc_id", "chunk_no").agg(
+    return cells.groupBy("doc_id", "chunk_no").agg(
         *[F.expr(f"sum(if(bucket = {d}, sign, 0L))").alias(f"v{d}")
           for d in range(FH_DIM)])
+
+
+def chunk_topk_from_sums(sums: DataFrame) -> DataFrame:
+    """The search half: score every chunk-vector row against the
+    fixed queries and return the salted two-phase top-K — shared by
+    the batch capstone and the streaming index's per-epoch answers."""
+    import math
+
+    from mapreduce_go_spark.functions.num import dround
+    from mapreduce_go_spark.operators.quality import FH_DIM
+
     n2_expr = " + ".join(f"v{d} * v{d}" for d in range(FH_DIM))
 
     # all query scores in ONE projection + stack (a per-query union

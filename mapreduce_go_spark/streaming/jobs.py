@@ -644,6 +644,70 @@ def read_dupspan_stats(spark: SparkSession, out_dir: str) -> DataFrame:
     return spark.read.parquet(out_dir)
 
 
+def _retrieval_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
+                     out_dir: str) -> None:
+    """One micro-batch of incremental retrieval-index maintenance
+    (batch anchor: operators.pipeline.chunk_retrieval_topk). The
+    persistent index is the chunk-vector relation itself — one row of
+    exact integer sums per (doc_id, chunk_no), so appending a batch's
+    rows reproduces the batch computation EXACTLY (no approximation
+    drift between the incremental and batch indexes, the property the
+    parity test pins). Each epoch also re-answers the fixed queries
+    against the updated index and writes the epoch-keyed top-k —
+    the freshness contract of an incrementally-maintained search
+    index. Versioned snapshots + _SUCCESS skip: replay-idempotent."""
+    from mapreduce_go_spark.operators.pipeline import (chunk_topk_from_sums,
+                                                       chunk_vec_sums)
+
+    target = os.path.join(index_dir, f"v={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    batch_vecs = chunk_vec_sums(batch_df)
+    prev = _latest_rollup_version(index_dir, below=epoch_id)
+    if prev is None:
+        index = batch_vecs
+    else:
+        hist = spark.read.parquet(os.path.join(index_dir, f"v={prev}"))
+        index = hist.unionByName(batch_vecs)
+    answers = chunk_topk_from_sums(index)
+    # answers first: a crash before the index commit replays wholesale
+    answers.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"epoch={epoch_id}"))
+    index.write.mode("overwrite").parquet(target)
+    _prune_old_versions(index_dir)
+
+
+def run_streaming_retrieval(spark: SparkSession, stream: DataFrame,
+                            index_dir: str, out_dir: str,
+                            checkpoint_dir: str) -> None:
+    """Streaming retrieval index: each document micro-batch is CDC-
+    chunked and featurized (pipeline.chunk_vec_sums), appended to a
+    versioned chunk-vector index, and the fixed queries re-answered
+    against the updated index per epoch. After the last batch the
+    latest answers equal the batch capstone exactly (integer vectors
+    append losslessly). Exactly-once via checkpointed offsets +
+    versioned snapshots + epoch-keyed answer partitions."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _retrieval_epoch(batch_df, epoch_id, index_dir, out_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_retrieval_answers(spark: SparkSession, out_dir: str,
+                           epoch: int | None = None) -> DataFrame:
+    """Top-k answers; pass `epoch` for one epoch's view, else all."""
+    df = spark.read.parquet(out_dir)
+    return df.where(F.col("epoch") == epoch) if epoch is not None else df
+
+
 def _decon_epoch(batch_df: DataFrame, epoch_id: int,
                  ev_shingles: DataFrame, out_dir: str) -> None:
     """One micro-batch of streaming benchmark decontamination (batch

@@ -775,3 +775,70 @@ def test_streaming_dupspan_epoch_replay_is_idempotent(spark, sf_dir,
     vs = sorted(d for d in os.listdir(idx) if d.startswith("v="))
     assert vs == [f"v={i}" for i in
                   range(4 - jobs.SNAPSHOT_RETAIN, 4)]
+
+
+def test_streaming_retrieval_matches_batch(spark, sf_dir, tmp_path):
+    """After the last micro-batch, the streaming retrieval index's
+    answers equal the batch capstone exactly — integer chunk vectors
+    append losslessly, so incremental maintenance introduces zero
+    drift."""
+    import os
+
+    from mapreduce_go_spark.operators import pipeline
+
+    src = str(tmp_path / "docs_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, src + "/*", docs.schema)
+    idx = str(tmp_path / "retr_index")
+    out = str(tmp_path / "retr_answers")
+    jobs.run_streaming_retrieval(spark, stream, idx, out,
+                                 str(tmp_path / "retr_ck"))
+    last = max(int(d.split("=")[1]) for d in os.listdir(out)
+               if d.startswith("epoch="))
+    got = sorted(
+        (r.qid, r.rank, r.doc_id, r.chunk_no, r.score)
+        for r in jobs.read_retrieval_answers(spark, out, last).collect())
+    want = sorted(map(tuple,
+                      pipeline.chunk_retrieval_topk(spark, sf_dir)
+                      .collect()))
+    assert got == want
+    # earlier epochs answered over a PREFIX of the corpus: still k
+    # ranked rows per query
+    first = sorted(
+        (r.qid, r.rank) for r in
+        jobs.read_retrieval_answers(spark, out, 0).collect())
+    assert first == sorted(
+        (qid, rk) for qid, _ in pipeline.RETRIEVAL_QUERIES
+        for rk in range(1, pipeline.RETRIEVAL_K + 1))
+
+
+def test_streaming_retrieval_epoch_replay_is_idempotent(spark, sf_dir,
+                                                        tmp_path):
+    """Re-firing a committed retrieval epoch changes neither the
+    vector index nor the answers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    idx = str(tmp_path / "retr_index")
+    out = str(tmp_path / "retr_answers")
+    docs = tables.load(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    h1 = docs.where(F.col("doc_id") <= med)
+    h2 = docs.where(F.col("doc_id") > med)
+
+    jobs._retrieval_epoch(h1, 0, idx, out)
+    jobs._retrieval_epoch(h2, 1, idx, out)
+    once = sorted(map(tuple,
+                      jobs.read_retrieval_answers(spark, out).collect()))
+    idx_once = sorted(map(tuple, spark.read.parquet(
+        os.path.join(idx, "v=1")).collect()))
+
+    jobs._retrieval_epoch(h2, 1, idx, out)  # crash replay
+    assert sorted(map(tuple, jobs.read_retrieval_answers(
+        spark, out).collect())) == once
+    assert sorted(map(tuple, spark.read.parquet(
+        os.path.join(idx, "v=1")).collect())) == idx_once
