@@ -99,6 +99,9 @@ HEADLINE = [
     "chunk_retrieval_topk",
     # iterative graph (r6): fixed-point PageRank, 5 exact iterations
     "pagerank_fixed",
+    # WARC ingestion (r6): multi-record stream assembly + strict
+    # Content-Length walk + HTTP payload extraction
+    "warc_extract",
 ]
 
 

@@ -38,6 +38,7 @@ _MODULES: list[str] = [
     "mapreduce_go_spark.operators.multimodal",
     "mapreduce_go_spark.operators.audio",
     "mapreduce_go_spark.operators.video",
+    "mapreduce_go_spark.operators.warc",
     "mapreduce_go_spark.operators.streaming_batch",
 ]
 
