@@ -159,6 +159,51 @@ def bpe_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# §2.3 UDTF surface, modern form: the reference's mapf contract is a
+# flat-map UDTF (one record in, 0..N out — mr/worker.go:109); besides
+# the explode/mapInPandas formulations the repo uses elsewhere, this
+# is the REAL Spark 4 Python UDTF API — a registered table function
+# reachable from SQL via LATERAL, the closest one-to-one analog of
+# handing the engine a user map function.
+_STRIP = " \t\n\r"
+
+
+class SplitSentences:
+    """Python UDTF: document text -> (sent_no, sentence) rows, split
+    on '.', whitespace-trimmed, empties dropped. The charset trimmed
+    is pinned (_STRIP) so the DuckDB oracle trims identically."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        n = 0
+        for part in text.split("."):
+            s = part.strip(_STRIP)
+            if s:
+                yield n, s
+                n += 1
+
+
+def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flat-map via the genuine Spark 4 Python UDTF API: register
+    SplitSentences as a SQL table function and LATERAL-join it over
+    the documents view — the reference mapf shape (F2) as a
+    first-class engine extension rather than an explode composition.
+    Scale: UDTFs run per-partition over Arrow batches like any Python
+    map; no shuffle until a downstream aggregate."""
+    from pyspark.sql.functions import udtf
+
+    tables.load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "mrgs_udtf_docs")
+    spark.udtf.register(
+        "mrgs_split_sentences",
+        udtf(SplitSentences, returnType="sent_no: int, sentence: string"))
+    return spark.sql("""
+        SELECT d.doc_id, t.sent_no, t.sentence
+        FROM mrgs_udtf_docs d, LATERAL mrgs_split_sentences(d.text) t
+    """)
+
+
 def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
@@ -253,6 +298,7 @@ QUERIES = {
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
     "bpe_subword_tokens": bpe_subword_tokens,
+    "sentence_split_udtf": sentence_split_udtf,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
@@ -273,6 +319,25 @@ _GUESS_SQL = "CASE WHEN " + " WHEN ".join(
 ) + " END"
 
 ORACLES = {
+    "sentence_split_udtf": """
+        WITH parts AS (
+            SELECT doc_id, i, sents[cast(i AS int)] AS raw
+            FROM (SELECT doc_id,
+                         regexp_split_to_array(text, '\\.') AS sents
+                  FROM documents),
+                 unnest(generate_series(1, len(sents))) AS g(i)
+        ),
+        cleaned AS (
+            SELECT doc_id, i,
+                   trim(raw, ' ' || chr(9) || chr(10) || chr(13)) AS s
+            FROM parts
+        )
+        SELECT doc_id,
+               cast(row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY i) - 1 AS int) AS sent_no,
+               s AS sentence
+        FROM cleaned WHERE s <> ''
+    """,
     "token_stats": f"""
         SELECT doc_id,
                length(text) AS n_chars,
