@@ -153,6 +153,16 @@ _PRIORITY: list[str] = [
     "sessionize",
 ]
 
+# r7 rotation queue — registered operators the driver window has not
+# yet verified (they pass the identical differential in
+# tests/test_queries.py; the window's 50 slots force a rotation
+# schedule). Swap these in next round for driver-green siblings:
+#   warc_extract, zorder_layout, pagerank_fixed, sentence_split_udtf,
+#   audio_resample, jpeg_resize, dup_span_stats, bm25_top_terms,
+#   pii_stats, cdc_dup_chunks
+# (bpe_subword_tokens is rows-only by design — iterative training —
+# and stays outside the oracle-backed window.)
+
 
 def _load_modules():
     import importlib
