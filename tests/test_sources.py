@@ -77,3 +77,29 @@ def test_compact_parquet_shrinks_file_count(spark, sf_dir, tmp_path):
     n_after = len(glob.glob(dst + "/part-*"))
     assert n_after == 1
     assert spark.read.parquet(dst).count() == li.count()
+
+
+def test_capstone_partitioned_sink_roundtrip(spark, sf_dir, tmp_path):
+    """The write side of the pretrain_corpus capstone: the cleaned
+    corpus lands as source-partitioned parquet (the layout a training
+    job reads shard-by-shard), survives the round-trip value-exact,
+    and a single-source read prunes to that partition's files."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark.operators.pipeline import pretrain_corpus
+
+    out = str(tmp_path / "corpus")
+    df = pretrain_corpus(spark, sf_dir)
+    df.write.partitionBy("source").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    want_cols, want = _rows(df)
+    got_cols, got = _rows(back.select(*df.columns))
+    assert got_cols == want_cols and got == want
+
+    one = df.select("source").first().source
+    pruned = spark.read.parquet(out).where(F.col("source") == one)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition pruning: the scan's partition filter names the column
+    assert pruned.count() == df.where(F.col("source") == one).count()
+    assert "source" in plan
