@@ -82,11 +82,15 @@ _PRIORITY: list[str] = [
     # keeps window_rank; every demoted query below keeps its oracle
     # and the full differential in tests/test_queries.py)
     "window_rank",
-    # advanced / custom operators
-    "exact_median",          # F8 holistic reduce
+    # advanced / custom operators (exact_median demoted late-r6 after
+    # five straight greens — F8's holistic-reduce evidence remains
+    # runner.py's pytest golden diff plus the windowed
+    # collect_sorted_lists ObjectHashAggregate; its seat goes to the
+    # never-verified Spark 4 UDTF surface)
     "asof_join",             # (range_join_count demoted r5 — asof
                              # keeps the custom-join family's seat)
     "grouped_zscore",        # §2.3 applyInPandas surface
+    "sentence_split_udtf",   # §2.3 Spark 4 Python UDTF + LATERAL (r6)
     # pipeline (north-star; stratified_sample demoted r5 —
     # domain_mix_sample exercises the same hash-bucket sampling plus
     # per-source mixture rates; corpus_clean demoted r5 and
@@ -94,9 +98,13 @@ _PRIORITY: list[str] = [
     # strict components of pretrain_corpus, the driver-green capstone
     # whose composite oracle nests their CTEs, so their logic stays
     # value-checked through the capstone row)
+    # (pack_sequences demoted late-r6 after r4+r5 greens — its seat
+    # goes to zorder_layout, never yet driver-verified)
     "pretrain_corpus",
-    "pack_sequences",
     "dq_orphan_lineitems",
+    "zorder_layout",         # Morton clustering key, exact oracle (r6)
+    "pagerank_fixed",        # fixed-point PageRank, bit-exact (r6)
+    "warc_extract",          # WARC crawl-ingestion round-trip (r6)
     # quality (r5: the corpus-quality layer; r6 adds the BM25 /
     # count-min / feature-hash rows the window had never checked)
     "repetition_stats",      # Gopher-style repetition filters (r5)
@@ -136,8 +144,9 @@ _PRIORITY: list[str] = [
     # text analysis (D19; token_stats demoted r5, doc_fingerprint
     # demoted r6 — lang_id + quality_score keep the family's seats,
     # feature_hash_embed above exercises the token machinery too)
+    # (quality_score demoted late-r6 after greens since r2 — lang_id
+    # keeps D19's seat alongside bm25_search/feature_hash_embed)
     "lang_id",
-    "quality_score",
     # multimodal (D20; frame_sample + binary_meta demoted r5,
     # png_resize demoted r6 — the baseline-JPEG roundtrip anchors the
     # pixel-real codec family, gif_resize adds the LZW decoder path,
@@ -147,9 +156,9 @@ _PRIORITY: list[str] = [
     "jpeg_pixel_roundtrip",
     "audio_features",        # WAV chunk-walk decode + PCM features (r6)
     "mjpeg_frame_sample",    # AVI walk + selective JPEG decode (r6)
-    # streaming batch twins (D21)
+    # streaming batch twins (D21; event_enrichment demoted late-r6
+    # after greens since r2 — tumbling + sessionize keep the family)
     "tumbling_window",
-    "event_enrichment",
     "sessionize",
 ]
 
@@ -157,10 +166,11 @@ _PRIORITY: list[str] = [
 # yet verified (they pass the identical differential in
 # tests/test_queries.py; the window's 50 slots force a rotation
 # schedule). Swap these in next round for driver-green siblings:
-#   warc_extract, zorder_layout, pagerank_fixed, sentence_split_udtf,
 #   audio_resample, jpeg_resize, dup_span_stats, bm25_top_terms,
-#   pii_stats, cdc_dup_chunks
-# (bpe_subword_tokens is rows-only by design — iterative training —
+#   pii_stats, cdc_dup_chunks, ann_ivf_topk
+# (warc_extract / zorder_layout / pagerank_fixed /
+# sentence_split_udtf were rotated in late-r6 already;
+# bpe_subword_tokens is rows-only by design — iterative training —
 # and stays outside the oracle-backed window.)
 
 

@@ -76,10 +76,11 @@ def test_driver_window_is_curated():
     # slots for the ExactSubstr span family
     families = ("dedup_", "ann_", "pretrain_", "media_", "tumbling_",
                 "sessionize", "repetition_", "pii_",
-                "cdc_", "winnow_", "jpeg_", "gif_", "pack_", "wc",
+                "cdc_", "winnow_", "jpeg_", "gif_", "wc",
                 "bm25_", "cms_", "feature_hash_", "semantic_",
                 "neardup_flags_capped", "simhash_",
-                "strip_dup_", "audio_", "mjpeg_", "chunk_retrieval_")
+                "strip_dup_", "audio_", "mjpeg_", "chunk_retrieval_",
+                "warc_", "zorder_", "pagerank_", "sentence_split_")
     for fam in families:
         assert any(n.startswith(fam) for n in names[:50]), fam
 
