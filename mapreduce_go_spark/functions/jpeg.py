@@ -308,6 +308,12 @@ def decode_gray(data: bytes) -> np.ndarray:
         if marker == 0x01 or 0xD0 <= marker <= 0xD8:
             pos += 2
             continue
+        # the fill-byte skip above can exit on its bounds condition
+        # with marker still 0xFF and fewer than 2 length bytes left —
+        # keep that inside the ValueError contract (corrupt payload),
+        # not a struct.error escaping to the caller
+        if marker == 0xFF or pos + 4 > len(data):
+            raise ValueError("truncated JPEG (0xFF run at end of data)")
         seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         seg = data[pos + 4:pos + 2 + seglen]
         if marker == 0xDB:

@@ -413,22 +413,31 @@ def _pq_codebooks(sf_dir: str):
 
     Spark-free (pyarrow read of the sample): the SAME function builds
     the codebook literals for the DuckDB oracle, so both engines score
-    against bitwise-identical centroids by construction. The sample is
-    O(PQ_TRAIN_CAP * dim) floats ONCE — a fixed constant independent
-    of corpus size (faiss trains PQ the same way: a bounded sample,
-    never the corpus). Deterministic: sample choice, init (first K
-    sample rows per subspace), iteration count and argmin tie-break
-    (numpy takes the first minimum) are all fixed."""
+    against bitwise-identical centroids by construction. Bounded
+    driver traffic in two passes: pass 1 reads ONLY the vec_id column
+    (8 bytes/row) to find the PQ_TRAIN_CAP-th smallest id, pass 2
+    reads embeddings with a vec_id <= threshold predicate pushed into
+    the parquet scan — so only ~PQ_TRAIN_CAP embedding rows are ever
+    materialized, O(PQ_TRAIN_CAP * dim) floats, a fixed constant
+    independent of corpus size (faiss trains PQ the same way: a
+    bounded sample, never the corpus). Deterministic: sample choice,
+    init (first K sample rows per subspace), iteration count and
+    argmin tie-break (numpy takes the first minimum) are all fixed."""
     import os
 
     import pyarrow.parquet as pq
 
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                      columns=["vec_id", "embedding"])
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    all_ids = pq.read_table(path, columns=["vec_id"]).column(
+        "vec_id").to_numpy()
+    thr = int(np.sort(all_ids, kind="stable")[
+        min(PQ_TRAIN_CAP, len(all_ids)) - 1])
+    t = pq.read_table(path, columns=["vec_id", "embedding"],
+                      filters=[("vec_id", "<=", thr)])
     ids = t.column("vec_id").to_numpy()
     order = np.argsort(ids, kind="stable")[:PQ_TRAIN_CAP]
-    embs = t.column("embedding").to_pylist()
-    X = np.asarray([embs[i] for i in order], dtype=np.float64)
+    X = np.asarray(t.take(order).column("embedding").to_pylist(),
+                   dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = np.where(norms > 0, X / np.where(norms == 0, 1, norms), X)
     dim = X.shape[1]
@@ -786,18 +795,6 @@ ORACLES["semantic_dedup_keep"] = _BLOCKED_SCORED_CTE + f"""
     """
 
 
-# The PQ oracle's codebooks are deterministic constants of the data
-# (fixed sample, init, iteration count, tie-break), trained by the
-# SAME Spark-free function the query uses — embedded here as a literal
-# table so DuckDB scores against bitwise-identical centroids. The
-# differential comparison runs at ONE fixture scale (driver + pytest:
-# sf0.01 / TEST_SF_DIR), so the literals are trained from that dir; if
-# its fixtures are absent at import, the entry is skipped and the
-# query degrades to the rows-only check.
-_ORACLE_SF_DIR = __import__("os").environ.get(
-    "TEST_SF_DIR", "/root/testdata/sf0.01")
-
-
 def _pq_oracle_sql(sf_dir: str) -> str:
     CB = _pq_codebooks(sf_dir)  # (M, K, sub)
     M, K, sub = CB.shape
@@ -874,7 +871,26 @@ def _pq_oracle_sql(sf_dir: str) -> str:
     """
 
 
-try:
-    ORACLES["ann_pq_topk"] = _pq_oracle_sql(_ORACLE_SF_DIR)
-except (OSError, FileNotFoundError):
-    pass  # no fixtures at import time: ann_pq_topk stays rows-only
+def _pq_oracle_lazy() -> str | None:
+    """LAZY oracle for ann_pq_topk (built when registry.all_oracles()
+    runs, never at import). The codebooks are deterministic constants
+    of the data (fixed sample, init, iteration count, tie-break),
+    trained by the SAME Spark-free function the query uses — embedded
+    as a literal table so DuckDB scores against bitwise-identical
+    centroids. The differential comparison runs at ONE fixture scale
+    (driver + pytest: TEST_SF_DIR, default sf0.01), so the literals
+    train from the env var read HERE, at oracle-collection time — a
+    caller that points TEST_SF_DIR elsewhere before collecting
+    oracles gets matching centroids; absent or unreadable fixtures
+    (any exception, not just missing files) degrade the entry to the
+    rows-only check instead of breaking registry import."""
+    import os
+
+    sf_dir = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        return _pq_oracle_sql(sf_dir)
+    except Exception:
+        return None  # no/corrupt fixtures: ann_pq_topk stays rows-only
+
+
+LAZY_ORACLES = {"ann_pq_topk": _pq_oracle_lazy}

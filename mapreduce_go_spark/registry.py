@@ -209,7 +209,19 @@ def all_oracles() -> dict[str, str]:
     queries = all_queries()
     out: dict[str, str] = {}
     for mod in _load_modules():
-        for name, sql in getattr(mod, "ORACLES", {}).items():
+        merged = dict(getattr(mod, "ORACLES", {}))
+        # LAZY_ORACLES: name -> thunk evaluated HERE (collection time,
+        # not module import) for oracles whose SQL embeds literals
+        # derived from the fixture data (PQ codebooks, k-means
+        # centroids). A thunk returning None degrades that query to
+        # the rows-only check; a thunk must not raise.
+        for name, thunk in getattr(mod, "LAZY_ORACLES", {}).items():
+            if name in merged:
+                raise ValueError(
+                    f"{name!r} in both ORACLES and LAZY_ORACLES "
+                    f"of {mod.__name__}")
+            merged[name] = thunk()
+        for name, sql in merged.items():
             if sql is None:
                 continue
             if name not in queries:

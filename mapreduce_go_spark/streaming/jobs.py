@@ -452,7 +452,18 @@ def run_streaming_neardup(spark: SparkSession, stream: DataFrame,
     bucket may ever flag — see _neardup_epoch; the PRODUCTION DEFAULT
     is dedup.LSH_BUCKET_CAP (batch twin:
     dedup.neardup_flags_capped); pass None for the uncapped anchor
-    semantics (= dedup.neardup_flags). Exactly-once: checkpointed offsets +
+    semantics (= dedup.neardup_flags).
+
+    .. versionchanged:: r6
+       The default flipped from None (uncapped) to LSH_BUCKET_CAP —
+       a SEMANTIC change for callers relying on the old default:
+       docs in a band bucket past the cap are no longer flagged.
+       This is the intended production default (degenerate buckets
+       must not explode candidate pairs at scale); callers needing
+       the uncapped anchor semantics must now pass bucket_cap=None
+       explicitly.
+
+    Exactly-once: checkpointed offsets +
     versioned index snapshots + epoch-keyed flag partitions (replay
     overwrites itself; tests re-fire an epoch to prove no drift)."""
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:

@@ -100,6 +100,13 @@ def test_capstone_partitioned_sink_roundtrip(spark, sf_dir, tmp_path):
     one = df.select("source").first().source
     pruned = spark.read.parquet(out).where(F.col("source") == one)
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    # partition pruning: the scan's partition filter names the column
     assert pruned.count() == df.where(F.col("source") == one).count()
-    assert "source" in plan
+    # partition pruning: the scan must carry a NON-EMPTY
+    # PartitionFilters clause naming the partition column (a bare
+    # substring check on the column name is vacuous — it appears in
+    # any scan's output schema)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m is not None, plan
+    assert "source" in m.group(1) and m.group(1).strip(), m.group(1)
