@@ -63,6 +63,19 @@ def _workspace_dir() -> str:
     )
 
 
+# Canonical bucketed layouts — ONE bucketed copy per fact table,
+# carrying the union of columns every co-located join needs (scans
+# still prune to each query's subset). At 100 TB the bucketed layout
+# is a curated asset amortized across queries; two queries requesting
+# different column subsets must NOT silently materialize (or worse,
+# silently share) divergent copies — the layout name is keyed by
+# (table, key, cols), so a mismatched request is a distinct table.
+LINEITEM_BUCKET_COLS = [
+    "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+ORDERS_BUCKET_COLS = [
+    "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+
+
 def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
                     key: str, cols: list[str]) -> DataFrame:
     """Lazily materialize a bucketed+sorted copy of `table` on `key`
@@ -84,7 +97,8 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
     import os
     import shutil
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    tag = hashlib.md5(
+        "|".join([sf_dir, key, *cols]).encode()).hexdigest()[:8]
     name = f"{table}_bucketed_{tag}"
     base = os.path.join(_workspace_dir(), spark.sparkContext.applicationId)
     path = os.path.join(base, name)
@@ -110,9 +124,9 @@ def join_inner_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_plans.py). This is the repeated-fact-fact-join layout
     at 100 TB: one bucketed write amortized over every downstream join."""
     li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey",
-                         ["l_orderkey", "l_extendedprice", "l_discount"])
+                         LINEITEM_BUCKET_COLS)
     od = _bucketed_table(spark, sf_dir, "orders", "o_orderkey",
-                         ["o_orderkey", "o_totalprice"])
+                         ORDERS_BUCKET_COLS)
     return (
         li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey")
@@ -232,9 +246,47 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def local_supplier_volume_bucketed(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """local_supplier_volume on the co-located layout: the fact-fact
+    lineitem x orders join reads the shared bucketed+sorted copies
+    (LINEITEM/ORDERS_BUCKET_COLS), so at ANY scale that join runs
+    with zero Exchange on either side — only the later supplier/
+    customer joins shuffle (asserted: tests/test_plans.py shows
+    exactly two fewer shuffle exchanges than the unbucketed Q5).
+    Same result as local_supplier_volume (same oracle SQL modulo
+    alias): the layout is a physical choice, not a semantic one."""
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey",
+                         LINEITEM_BUCKET_COLS)
+    od = _bucketed_table(spark, sf_dir, "orders", "o_orderkey",
+                         ORDERS_BUCKET_COLS)
+    c = tables.load(spark, sf_dir, "customer")
+    s = tables.load(spark, sf_dir, "supplier")
+    n = tables.load(spark, sf_dir, "nation")
+    r = tables.load(spark, sf_dir, "region")
+    return (
+        li.join(od.where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")),
+            F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(c, (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), (F.col("n_regionkey") == F.col("r_regionkey"))
+              & (F.col("r_name") == "ASIA"))
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
     "join_inner_bucketed": join_inner_bucketed,
+    "local_supplier_volume_bucketed": local_supplier_volume_bucketed,
     "join_left_outer": join_left_outer,
     "join_full_outer": join_full_outer,
     "join_semi": join_semi,
@@ -298,6 +350,19 @@ ORACLES = {
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
+    """,
+    "local_supplier_volume_bucketed": f"""
+        SELECT n_name,
+               {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+        WHERE o_orderdate >= timestamp '1996-01-01'
+          AND o_orderdate < timestamp '1997-01-01'
+        GROUP BY n_name
     """,
     "local_supplier_volume": f"""
         SELECT n_name,

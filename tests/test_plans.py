@@ -76,6 +76,30 @@ def test_bucketed_join_zero_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_q5_bucketed_twin_saves_fact_join_exchanges(spark, sf_dir):
+    """local_supplier_volume_bucketed reads the shared bucketed fact
+    layouts: its lineitem x orders join must shuffle NEITHER side, so
+    with broadcast disabled the plan carries exactly two fewer shuffle
+    exchanges than the unbucketed Q5 (the later supplier/customer
+    joins still shuffle — that's expected; the dims stay hinted
+    broadcasts in both plans and cancel out)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # formatted explain prints one "(n) Exchange" detail block per
+        # shuffle (BroadcastExchange blocks say "BroadcastExchange")
+        shuffles = re.compile(r"^\(\d+\) Exchange\b", re.MULTILINE)
+        plain = len(shuffles.findall(
+            plan_of(joins.local_supplier_volume(spark, sf_dir))))
+        bucketed_plan = plan_of(
+            joins.local_supplier_volume_bucketed(spark, sf_dir))
+        bucketed = len(shuffles.findall(bucketed_plan))
+        assert bucketed == plain - 2, (plain, bucketed, bucketed_plan)
+        assert "SortMergeJoin" in bucketed_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_pack_sequences_no_global_window(spark, sf_dir):
     """The packing cumsum must never run as one un-partitioned window
     (the whole corpus through a single task). windowspecdefinition's
