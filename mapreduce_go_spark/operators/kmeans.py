@@ -1,14 +1,21 @@
-"""Distributed k-means over the embeddings table (iterative algorithm
-demo — the category the driver contract marks non-SQL-expressible;
-verified against an independent NumPy implementation instead,
-tests/test_kmeans.py).
+"""Distributed k-means over the embeddings table — iterative Lloyd's,
+now FULLY differentially checked (it used to be the rows-only
+category): every engine-visible quantity is computed on the 1e-12
+integer grid (the functions/simd.py rounding-parity discipline), so
+assignment argmins are exact int64 comparisons and the driver-side
+centroid updates are bit-identical to a Spark-free NumPy twin
+(`_kmeans_twin`). The lazy DuckDB oracle embeds the twin's final
+centroids as literals and recomputes the assignment + sizes in SQL —
+a full value-level differential, not a hash pin.
 
 Deterministic by construction: centroids initialize from the k lowest
 vec_ids, iterations are fixed-count, distances break ties by centroid
-index. Each iteration is one broadcast (k x dim centroid matrix, tiny)
-+ one narrow assignment pass + one partial-aggregated groupBy — the
-canonical scalable k-means shape (no driver-side data, only k*dim
-floats cross the driver per iteration).
+index (array_min struct order / ORDER BY d, i / numpy first-argmin).
+Each iteration is one assignment pass + one partial-aggregated groupBy;
+only k*dim grid-sum longs cross the driver per iteration — the
+canonical scalable k-means shape (the per-iteration driver round-trip
+is inherent to synchronous Lloyd's: at production scale the loop cost
+is ITERATIONS small jobs, each all-to-driver traffic O(k * dim)).
 
 The reference could express one iteration as a map (assign, needs the
 centroids in every mapper — its analog of a broadcast) + reduce
@@ -18,6 +25,7 @@ D14). Spark collapses each iteration to one stage pair.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -25,66 +33,174 @@ from mapreduce_go_spark import tables
 
 K = 4
 ITERATIONS = 3
+_SCALE = 1e12  # |x*1e12| and |(x-c)^2*1e12| stay far under 2^51 here
 
 
 def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Add a `cluster` column: index of the nearest centroid (squared
-    L2, ties -> lowest index). Centroids are inlined literals — the
-    broadcast analog for a k x dim constant."""
-    dist_cols = []
+    """Add a `cluster` column: index of the nearest centroid by the
+    GRID distance sum(round((x-c)^2 * 1e12)) — an int64, so the argmin
+    is exact and engine-portable (ties -> lowest index via the struct
+    order of array_min). Centroids are inlined literals — the
+    broadcast analog for a k x dim constant. Built as ONE selectExpr
+    string: a py4j round-trip per operator node would cost seconds at
+    k*dim nodes (the simhash lesson, .claude/skills/verify)."""
+    dist_structs = []
     for ci, c in enumerate(centroids):
-        arr = F.array(*[F.lit(float(v)) for v in c])
-        d = F.aggregate(
-            F.zip_with(F.col("embedding"), arr,
-                       lambda x, y: (x.cast("double") - y) ** 2),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        arr = "array(" + ",".join(
+            f"cast('{float(v)!r}' as double)" for v in c) + ")"
+        d = (
+            f"aggregate(zip_with(embedding, {arr}, (x, y) -> "
+            f"cast(round((cast(x as double) - y) * "
+            f"(cast(x as double) - y) * 1e12) as bigint)), "
+            f"cast(0 as bigint), (acc, v) -> acc + v)"
         )
-        dist_cols.append(F.struct(d.alias("d"), F.lit(ci).alias("i")))
-    best = F.array_min(F.array(*dist_cols))
-    return emb.withColumn("cluster", best["i"])
+        dist_structs.append(f"struct({d} as d, {ci} as i)")
+    best = f"array_min(array({', '.join(dist_structs)})).i"
+    return emb.selectExpr("*", f"{best} as cluster")
+
+
+def _update(centroids: list[list[float]], sums_rows: dict,
+            k: int, dim: int) -> list[list[float]]:
+    """Centroid update from per-cluster grid sums: (gs/1e12)/n in
+    plain float64 — the identical IEEE sequence the NumPy twin runs,
+    so both sides hold bit-identical centroids every round. Empty
+    clusters keep their previous centroid."""
+    return [
+        [sums_rows[ci][f"s{i}"] / _SCALE / sums_rows[ci]["n"]
+         for i in range(dim)]
+        if ci in sums_rows else centroids[ci]
+        for ci in range(k)
+    ]
 
 
 def kmeans_fit(spark: SparkSession, sf_dir: str,
                k: int = K, iterations: int = ITERATIONS) -> DataFrame:
-    """Run fixed-iteration Lloyd's algorithm; returns (cluster, size,
-    centroid_norm) — norm rounded for stable comparison."""
+    """Run fixed-iteration Lloyd's; returns (cluster, size,
+    centroid_norm) — norm rounded to 6dp for stable comparison."""
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
-    init = (emb.orderBy("vec_id").limit(k).collect())
+    init = emb.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r.embedding] for r in init]
 
     dim = len(centroids[0])
+    grid_sums = [
+        f"sum(cast(round(cast(element_at(embedding, {i + 1}) as double)"
+        f" * 1e12) as bigint)) as s{i}"
+        for i in range(dim)
+    ]
     for _ in range(iterations):
         assigned = _assign(emb, centroids)
         sums = assigned.groupBy("cluster").agg(
             F.count("*").alias("n"),
-            *[
-                F.sum(F.element_at("embedding", i + 1).cast("double"))
-                .alias(f"s{i}")
-                for i in range(dim)
-            ],
+            *[F.expr(e) for e in grid_sums],
         )
         rows = {r["cluster"]: r for r in sums.collect()}
-        centroids = [
-            [rows[ci][f"s{i}"] / rows[ci]["n"] for i in range(dim)]
-            if ci in rows else centroids[ci]
-            for ci in range(k)
-        ]
+        # ^ k rows of longs — the bounded per-iteration driver traffic
+        centroids = _update(centroids, rows, k, dim)
 
     final = _assign(emb, centroids)
     norms = [
-        (ci, float(sum(v * v for v in c) ** 0.5))
+        (ci, round(float(sum(v * v for v in c) ** 0.5), 6))
         for ci, c in enumerate(centroids)
     ]
     norm_map = F.create_map(
-        *[F.lit(x) for pair in norms for x in
-          (pair[0], round(pair[1], 6))]
-    )
+        *[F.lit(x) for pair in norms for x in pair])
     return final.groupBy("cluster").agg(
         F.count("*").alias("size"),
     ).withColumn("centroid_norm", F.element_at(norm_map, F.col("cluster")))
 
 
+def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS):
+    """Spark-free NumPy twin of kmeans_fit: same init, same grid
+    distances (simd._grid — bit-identical rounding to Spark round()
+    and DuckDB round()), same int64 sums (associative, so partial vs
+    single-level totals agree), same float64 centroid updates.
+    Returns (centroids, sizes) after `iterations` rounds + final
+    assignment. Reads the whole embeddings table — appropriate here:
+    this builds the ORACLE (DuckDB reads every row too), it is not a
+    production path."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from mapreduce_go_spark.functions.simd import _grid
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"])
+    ids = t.column("vec_id").to_numpy()
+    order = np.argsort(ids, kind="stable")
+    X = np.asarray(t.take(order).column("embedding").to_pylist(),
+                   dtype=np.float64)
+    C = X[:k].copy()
+    XG = _grid(X * _SCALE)  # per-element grid image, summed per cluster
+
+    def assign(C):
+        d = _grid(((X[:, None, :] - C[None, :, :]) ** 2) * _SCALE).sum(-1)
+        return d.argmin(1)  # first-min tie-break == struct/ORDER BY d,i
+
+    for _ in range(iterations):
+        a = assign(C)
+        for ci in range(k):
+            m = a == ci
+            if m.any():
+                C[ci] = XG[m].sum(0) / _SCALE / int(m.sum())
+    a = assign(C)
+    sizes = {ci: int((a == ci).sum()) for ci in range(k)
+             if (a == ci).any()}
+    return C, sizes
+
+
+def _kmeans_oracle_lazy() -> str | None:
+    """LAZY oracle (registry.LAZY_ORACLES contract): the twin's final
+    centroids become SQL literals; DuckDB re-derives the assignment
+    with the same grid distance and aggregates sizes. Built at
+    oracle-collection time from TEST_SF_DIR; any failure degrades
+    kmeans_clusters back to the rows-only check."""
+    import os
+
+    sf_dir = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        C, sizes = _kmeans_twin(sf_dir)
+    except Exception:
+        return None
+    k, dim = C.shape
+    cb = ", ".join(
+        f"({ci}, {j + 1}, {C[ci, j]!r})"
+        for ci in range(k) for j in range(dim)
+    )
+    norms = ", ".join(
+        f"({ci}, {round(float((C[ci] ** 2).sum() ** 0.5), 6)!r})"
+        for ci in range(k)
+    )
+    return f"""
+    WITH cb(i, j, c) AS (VALUES {cb}),
+    norms(i, centroid_norm) AS (VALUES {norms}),
+    elems AS (
+        SELECT vec_id, g.j AS j, cast(embedding[g.j] AS double) AS x
+        FROM embeddings CROSS JOIN generate_series(1, {dim}) g(j)
+    ),
+    dists AS (
+        SELECT e.vec_id, cb.i,
+               sum(cast(round((e.x - cb.c) * (e.x - cb.c) * 1e12)
+                        AS bigint)) AS d
+        FROM elems e JOIN cb ON cb.j = e.j
+        GROUP BY 1, 2
+    ),
+    assign AS (
+        SELECT vec_id, i FROM (
+            SELECT vec_id, i,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY d, i) AS rn
+            FROM dists)
+        WHERE rn = 1
+    )
+    SELECT a.i AS cluster, count(*) AS size,
+           any_value(cast(n.centroid_norm AS double)) AS centroid_norm
+    FROM assign a JOIN norms n ON n.i = a.i
+    GROUP BY a.i
+    """
+
+
 QUERIES = {"kmeans_clusters": kmeans_fit}
-ORACLES: dict[str, str] = {}  # verified vs NumPy in tests/test_kmeans.py
+ORACLES: dict[str, str] = {}
+LAZY_ORACLES = {"kmeans_clusters": _kmeans_oracle_lazy}
