@@ -102,6 +102,33 @@ HEADLINE = [
     # WARC ingestion (r6): multi-record stream assembly + strict
     # Content-Length walk + HTTP payload extraction
     "warc_extract",
+    # NEW in r7 (totals are not comparable to r6 without subtracting
+    # this block): the TPC-H window backlog joining the driver window
+    # this round (q6/q10 were already headline), the r6-queued
+    # rotation names, and the bucketed Q5 twin reading the shared
+    # co-located fact layouts
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_shipmode_priority",
+    "q13_order_count_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "q19_discounted_revenue",
+    "q20_top_suppliers",
+    "q21_waiting_orders",
+    "q22_global_sales_opportunity",
+    "ann_ivf_topk",
+    "audio_resample",
+    "jpeg_resize",
+    "dup_span_stats",
+    "pii_stats",
+    "cdc_dup_chunks",
+    "local_supplier_volume_bucketed",
 ]
 
 

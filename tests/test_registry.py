@@ -71,16 +71,20 @@ def test_driver_window_is_curated():
     assert names[:50] == registry._PRIORITY
     missing = [n for n in names[:50] if n not in _ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
-    # decontamination's seat moved inside pretrain_corpus in r6 (the
-    # capstone's composite oracle nests the decon CTEs), freeing two
-    # slots for the ExactSubstr span family
-    families = ("dedup_", "ann_", "pretrain_", "media_", "tumbling_",
-                "sessionize", "repetition_", "pii_",
-                "cdc_", "winnow_", "jpeg_", "gif_", "wc",
-                "bm25_", "cms_", "feature_hash_", "semantic_",
-                "neardup_flags_capped", "simhash_",
-                "strip_dup_", "audio_", "mjpeg_", "chunk_retrieval_",
-                "warc_", "zorder_", "pagerank_", "sentence_split_")
+    # r7 rotation (tools/rotation.py policy): dedup_exact /
+    # media_features / tumbling_window / repetition_stats et al.
+    # released their seats after >=2 cumulative greens; their
+    # families stay represented by the prefixes below (near-dup by
+    # the capped/simhash/cdc/span rows, streaming by sessionize,
+    # multimodal by jpeg/gif/audio/mjpeg, TPC-H by the q* backlog)
+    families = ("neardup_flags_capped", "simhash_", "cdc_", "winnow_",
+                "strip_dup_", "dup_span_", "ann_", "chunk_retrieval_",
+                "semantic_", "quantize_", "pretrain_", "sessionize",
+                "pii_", "bm25_", "cms_", "feature_hash_",
+                "jpeg_", "gif_", "audio_", "mjpeg_", "wc",
+                "warc_", "zorder_", "pagerank_", "sentence_split_",
+                "q4_", "q18_", "q22_",
+                "join_inner_bucketed", "local_supplier_volume_bucketed")
     for fam in families:
         assert any(n.startswith(fam) for n in names[:50]), fam
 

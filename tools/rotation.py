@@ -1,0 +1,153 @@
+"""Driver-window rotation policy — generates registry._PRIORITY.
+
+The driver's per-round differential check covers only the FIRST 50
+entries of registry.all_queries(); with 148+ registered queries the
+50 seats are a scarce verification resource. This tool reads the
+CORRECTNESS_r*.json history and applies the written policy below, so
+the window is generated, not hand-curated (VERDICT r6 item 8).
+
+POLICY (applied in order; deterministic):
+  P1. PERMANENT seats: the reference's own apps (wc, indexer,
+      crash_payload) — they are the reference test suite's analog
+      (/root/reference/main/test-mr.sh) and never rotate out.
+  P2. HOLD seats: any query whose driver-green streak is exactly 1
+      keeps its seat — a first green must be confirmed by a second
+      consecutive green before the seat is releasable (guards
+      against flaky first greens).
+  P3. ANCHOR seats: named exceptions that stay regardless of streak
+      because they pin a scale property no sibling covers
+      (zero-Exchange bucketed join, the pipeline capstone, one
+      streaming twin, one fingerprinting family).
+  P4. DEMOTE: every other seat with >= 2 cumulative greens is
+      releasable. Demoted queries keep their oracles and the full
+      differential in tests/test_queries.py — only the driver
+      window rotates.
+  P5. FILL: open seats go to registered-but-never-driver-verified
+      queries, priority order: (a) any SURVEY §2 family with zero
+      cumulative greens (none since r6), (b) the TPC-H backlog in
+      query-number order, (c) the builder's queued rotation names,
+      (d) newest registrations. Never-verified count is the debt
+      metric; it only shrinks via FILL.
+
+Run:  python tools/rotation.py        (prints the proposed window)
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+PERMANENT = ["wc", "indexer", "crash_payload"]
+
+# P3 anchors, each with the property it pins:
+ANCHORS = [
+    "join_inner_bucketed",    # zero-Exchange co-located join+agg plan
+    "pretrain_corpus",        # the five-stage pipeline capstone
+    "sessionize",             # stateful-session batch twin (D21)
+    "winnow_overlap_pairs",   # MOSS winnowing — no sibling covers it
+]
+
+# P5(b)+(c) fill order for round 7: TPC-H backlog then the r6-queued
+# rotation names then the newly registered bucketed Q5 twin.
+FILL_QUEUE = [
+    "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
+    "q9_product_type_profit", "q10_returned_items",
+    "q11_important_stock", "q12_shipmode_priority",
+    "q13_order_count_distribution", "q14_promo_effect",
+    "q15_top_supplier", "q16_part_supplier_counts",
+    "q17_small_quantity", "q18_large_orders", "q19_discounted_revenue",
+    "q20_top_suppliers", "q21_waiting_orders",
+    "q22_global_sales_opportunity",
+    "ann_ivf_topk", "audio_resample", "jpeg_resize", "dup_span_stats",
+    "bm25_top_terms", "pii_stats", "cdc_dup_chunks",
+    "local_supplier_volume_bucketed",
+]
+
+WINDOW = 50
+
+
+def history() -> tuple[dict[str, int], dict[str, int], int]:
+    """(cumulative greens, greens-in-latest-round-streak, n_rounds)."""
+    greens: dict[str, int] = {}
+    rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    per_round: list[set[str]] = []
+    for f in rounds:
+        d = json.load(open(f))
+        ok = {k for k, v in d.items()
+              if v.get("rows_match") and v.get("schema_match")
+              and v.get("hash_match") in (True, None)}
+        per_round.append(ok)
+        for k in ok:
+            greens[k] = greens.get(k, 0) + 1
+    streak: dict[str, int] = {}
+    for name in greens:
+        s = 0
+        for ok in reversed(per_round):
+            if name in ok:
+                s += 1
+            else:
+                break
+        streak[name] = s
+    return greens, streak, len(rounds)
+
+
+def propose(current_window: list[str]) -> tuple[list[str], list[str]]:
+    from mapreduce_go_spark import registry
+
+    all_names = list(registry.all_queries())
+    oracled = set(registry.all_oracles())
+    greens, streak, _ = history()
+
+    keep = list(PERMANENT)
+    keep += [n for n in current_window
+             if n not in keep and n in ANCHORS]
+    keep += [n for n in current_window
+             if n not in keep and streak.get(n, 0) == 1]  # P2 holds
+    demoted = [n for n in current_window if n not in keep]
+
+    fills: list[str] = []
+    seats = WINDOW - len(keep)
+    pool = [n for n in FILL_QUEUE if n in all_names and n in oracled
+            and greens.get(n, 0) == 0 and n not in keep]
+    # cdc_dup_chunks has a prior green but was queued by r6 — allow
+    # queued names with greens as the tail of the pool
+    pool += [n for n in FILL_QUEUE if n in all_names and n in oracled
+             and greens.get(n, 0) > 0 and n not in keep
+             and n not in pool]
+    pool += [n for n in all_names  # P5(d): newest registrations
+             if n in oracled and greens.get(n, 0) == 0
+             and n not in keep and n not in pool]
+    fills = pool[:seats]
+    return keep + fills, demoted
+
+
+def main() -> None:
+    from mapreduce_go_spark import registry
+
+    current = list(registry.all_queries())[:WINDOW]
+    window, demoted = propose(current)
+    greens, streak, n_rounds = history()
+    never = [n for n in registry.all_queries()
+             if greens.get(n, 0) == 0]
+    print(f"# rounds seen: {n_rounds}; never-verified now: {len(never)}")
+    print(f"# proposed window ({len(window)} seats):")
+    for n in window:
+        tag = ("PERM" if n in PERMANENT else
+               "ANCH" if n in ANCHORS else
+               "HOLD" if streak.get(n, 0) == 1 else "FILL")
+        print(f"    \"{n}\",  # {tag} greens={greens.get(n, 0)}")
+    print(f"# demoted ({len(demoted)}):")
+    for n in demoted:
+        print(f"#   {n} (greens={greens.get(n, 0)})")
+    after = [n for n in never if n not in window]
+    print(f"# never-verified after this round if 50/50: {len(after)}")
+
+
+if __name__ == "__main__":
+    main()
