@@ -4,11 +4,13 @@ normalization, twice.
 - `grouped_zscore` — the JVM expression plan with exact decimal
   moments: this is the engine's production path AND the DuckDB-
   checkable anchor.
-- `zscore_pandas` (no oracle) — the same semantics via applyInPandas:
-  the grouped-map UDF escape hatch for logic that genuinely needs
-  pandas (model scoring, scipy transforms). tests/test_grouped_map.py
-  asserts it agrees with the JVM plan to float tolerance, pinning the
-  UDF plumbing without pretending pandas float sums are bit-portable.
+- `zscore_pandas` — the same semantics via applyInPandas: the
+  grouped-map UDF escape hatch for logic that genuinely needs pandas
+  (model scoring, scipy transforms). Oracle-checked since r7: the
+  kernel computes moments from int64 grid sums (bit-portable where
+  pandas float reductions are not), so the whole query differentials
+  against DuckDB. tests/test_grouped_map.py additionally pins it
+  against the JVM plan to float tolerance.
 
 The reference's analog is the holistic reducer seeing a whole group
 (/root/reference/mr/worker.go:90); applyInPandas is that contract with
@@ -57,19 +59,37 @@ def grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Same semantics through applyInPandas (grouped-map UDF). Not
-    oracle-checked (pandas float reductions aren't bit-portable);
-    pinned against grouped_zscore in tests."""
+    """Same semantics through applyInPandas (grouped-map UDF) — and
+    since r7 ALSO oracle-checked: the kernel's moments come from
+    int64 grid sums (simd._grid, the repo-wide rounding-parity
+    discipline), which ARE bit-portable where pandas float
+    reductions are not — the float64 mu/sigma/z sequence that
+    follows is then IEEE-identical to the DuckDB oracle computing
+    from the same integers. The final 6dp round is the half-away
+    grid at 1e6, matching DuckDB round(z, 6). Still pinned against
+    grouped_zscore to float tolerance in tests (different exact-sum
+    tier, same statistics)."""
+    import numpy as np
+
+    from mapreduce_go_spark.functions.simd import _grid
+
     ev = tables.load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        mu = pdf["value"].mean()
-        sigma = pdf["value"].std(ddof=0)
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        # grid scales sized to the 2^51 parity bound: |value| < ~500
+        # so value*1e12 < 5e14 fits, but value^2*1e12 would not —
+        # squares use the 1e9 grid (value^2*1e9 < 2.5e14)
+        mu = _grid(x * 1e12).sum() / 1e12 / n
+        s2 = _grid(x * x * 1e9).sum() / 1e9 / n
+        sigma = np.sqrt(s2 - mu * mu)
+        z = (x - mu) / sigma
         return pd.DataFrame({
             "event_id": pdf["event_id"],
             "event_type": pdf["event_type"],
-            "z": (pdf["value"] - mu) / sigma,
+            "z": _grid(z * 1e6) / 1e6,
         })
 
     return ev.groupBy("event_type").applyInPandas(
@@ -99,6 +119,29 @@ ORACLES = {
         )
         SELECT event_id, e.event_type,
                {dround_sql('(value - mu) / sigma', 6)} AS z
+        FROM events e JOIN stats USING (event_type)
+    """,
+    # zscore_pandas' oracle mirrors the kernel's grid-sum moments:
+    # int64 sums of round(x*1e12) are engine-portable (associative
+    # integers), the float64 mu/sigma/z sequence is then IEEE-
+    # identical, and round(z, 6) matches the kernel's 1e6 half-away
+    # grid (rounding-parity proof in functions/simd.py)
+    "zscore_pandas": """
+        WITH m AS (
+            SELECT event_type, count(*) AS n,
+                   sum(cast(round(value * 1e12) AS bigint)) AS g1,
+                   sum(cast(round(value * value * 1e9) AS bigint)) AS g2
+            FROM events GROUP BY event_type
+        ),
+        stats AS (
+            SELECT event_type,
+                   g1 / 1e12 / n AS mu,
+                   sqrt(g2 / 1e9 / n
+                        - (g1 / 1e12 / n) * (g1 / 1e12 / n)) AS sigma
+            FROM m
+        )
+        SELECT event_id, e.event_type,
+               round((value - mu) / sigma, 6) AS z
         FROM events e JOIN stats USING (event_type)
     """,
 }
