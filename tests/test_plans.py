@@ -100,6 +100,43 @@ def test_q5_bucketed_twin_saves_fact_join_exchanges(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
+    """Spark's runtime Bloom-filter join pruning (AQE runtime
+    filtering) must inject a might_contain predicate on the FACT scan
+    when the other side carries a selective filter — at 100 TB this
+    fires automatically (probe side over the 10 GB
+    applicationSideScanSizeThreshold); at fixture scale the threshold
+    is lowered to pin that the session config keeps the feature
+    armed. The filter means the lineitem scan drops non-matching
+    orderkeys BEFORE the shuffle — a major exchange-volume saver for
+    selective fact-fact joins."""
+    from mapreduce_go_spark import tables
+    from pyspark.sql import functions as F
+
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    prev_scan = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold", "10GB")
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold",
+                             "10485760")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                   "applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        li = tables.load(spark, sf_dir, "lineitem")
+        od = tables.load(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT")
+        j = (li.join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderpriority").count())
+        p = plan_of(j)
+        assert "might_contain" in p, p
+    finally:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter."
+                       "applicationSideScanSizeThreshold", prev_scan)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+
+
 def test_pack_sequences_no_global_window(spark, sf_dir):
     """The packing cumsum must never run as one un-partitioned window
     (the whole corpus through a single task). windowspecdefinition's
