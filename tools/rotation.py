@@ -13,7 +13,10 @@ POLICY (applied in order; deterministic):
   P2. HOLD seats: any query whose driver-green streak is exactly 1
       keeps its seat — a first green must be confirmed by a second
       consecutive green before the seat is releasable (guards
-      against flaky first greens).
+      against flaky first greens). A seat that was RED in the latest
+      round also holds: it must be fixed and re-proven green before
+      it may rotate out (a red row never silently disappears from
+      the window).
   P3. ANCHOR seats: named exceptions that stay regardless of streak
       because they pin a scale property no sibling covers
       (zero-Exchange bucketed join, the pipeline capstone, one
@@ -72,17 +75,20 @@ FILL_QUEUE = [
 WINDOW = 50
 
 
-def history() -> tuple[dict[str, int], dict[str, int], int]:
-    """(cumulative greens, greens-in-latest-round-streak, n_rounds)."""
+def history() -> tuple[dict[str, int], dict[str, int], set[str], int]:
+    """(cumulative greens, consecutive-green streak, names red in the
+    latest round, n_rounds)."""
     greens: dict[str, int] = {}
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     per_round: list[set[str]] = []
+    latest_red: set[str] = set()
     for f in rounds:
         d = json.load(open(f))
         ok = {k for k, v in d.items()
               if v.get("rows_match") and v.get("schema_match")
               and v.get("hash_match") in (True, None)}
         per_round.append(ok)
+        latest_red = set(d) - ok
         for k in ok:
             greens[k] = greens.get(k, 0) + 1
     streak: dict[str, int] = {}
@@ -94,7 +100,7 @@ def history() -> tuple[dict[str, int], dict[str, int], int]:
             else:
                 break
         streak[name] = s
-    return greens, streak, len(rounds)
+    return greens, streak, latest_red, len(rounds)
 
 
 def propose(current_window: list[str]) -> tuple[list[str], list[str]]:
@@ -102,11 +108,13 @@ def propose(current_window: list[str]) -> tuple[list[str], list[str]]:
 
     all_names = list(registry.all_queries())
     oracled = set(registry.all_oracles())
-    greens, streak, _ = history()
+    greens, streak, latest_red, _ = history()
 
     keep = list(PERMANENT)
     keep += [n for n in current_window
              if n not in keep and n in ANCHORS]
+    keep += [n for n in current_window  # P2: red rows never rotate out
+             if n not in keep and n in latest_red]
     keep += [n for n in current_window
              if n not in keep and streak.get(n, 0) == 1]  # P2 holds
     demoted = [n for n in current_window if n not in keep]
@@ -132,7 +140,7 @@ def main() -> None:
 
     current = list(registry.all_queries())[:WINDOW]
     window, demoted = propose(current)
-    greens, streak, n_rounds = history()
+    greens, streak, _red, n_rounds = history()
     never = [n for n in registry.all_queries()
              if greens.get(n, 0) == 0]
     print(f"# rounds seen: {n_rounds}; never-verified now: {len(never)}")
