@@ -129,6 +129,9 @@ HEADLINE = [
     "pii_stats",
     "cdc_dup_chunks",
     "local_supplier_volume_bucketed",
+    # perceptual-hash image near-dup (r7): PNG round-trip -> integer
+    # aHash -> banded buckets (capped) -> exact hamming verify
+    "image_phash_pairs",
 ]
 
 

@@ -1075,8 +1075,225 @@ def jpeg_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        JPEG_RESIZE_SCHEMA)
 
 
+# ---------------------------------------------------------------- #
+# Perceptual-hash image near-dup (D20 x D17)                        #
+# ---------------------------------------------------------------- #
+
+PHASH_W = 32              # fixed raster: oracle unnests 1024 rows/doc
+PHASH_FAMILY = 3          # docs per perceptual family (doc_id // 3)
+PHASH_CORRUPT_EVERY = 13  # truncated payloads exercise the error path
+PHASH_BAND_CAP = 4        # degenerate band-bucket cap (LSH discipline;
+                          # family buckets are <=3, two colliding
+                          # families exceed the cap and drop — the
+                          # drop path is exercised at sf0.01)
+PHASH_HAM_MAX = 10        # max hamming distance for a near-dup pair
+                          # (measured: intra-family <=4, inter >=16)
+
+PHASH_BANDS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("band_no", IntegerType()),
+    StructField("band_val", IntegerType()),
+    StructField("b0", IntegerType()),
+    StructField("b1", IntegerType()),
+    StructField("b2", IntegerType()),
+    StructField("b3", IntegerType()),
+])
+
+
+def _phash_pixels(doc_id: int) -> "object":
+    """Deterministic 32x32 grayscale raster with CONTROLLED
+    perceptual-near-dup structure (the PII-grafting discipline: the
+    fixtures ship no media, so the ground truth is synthesized).
+    Docs share a family (doc_id // PHASH_FAMILY) whose base texture
+    is a multiplicatively-scrambled integer field — structurally
+    different across families (measured pairwise hamming >= 16) —
+    and members k=1,2 get a sparse clamped brightening (every
+    (6+k)-th pixel, +0..8), the image analog of a re-encode/touch-up
+    (measured hamming <= 4 from the clean member). All int64, every
+    term reproducible in SQL."""
+    import numpy as np
+
+    base = doc_id // PHASH_FAMILY
+    k = doc_id % PHASH_FAMILY
+    i = np.arange(PHASH_W * PHASH_W, dtype=np.int64)
+    g = i * i * 31 + i * 7919 + 12345
+    p = (((2 * base + 1) * g) % 65521) % 256
+    if k:
+        mask = (i + doc_id) % (6 + k) == 0
+        delta = (doc_id * 31 + i) % 9
+        p = np.minimum(p + np.where(mask, delta, 0), 255)
+    return p
+
+
+def _phash_band_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per doc: synthesize the family raster, REALLY round-trip it
+    through the PNG codec (make_png -> decode_png_pixels — the image
+    plumbing under test), compute the 8x8 integer average-hash over
+    the DECODED raster, and emit four 16-bit band values (band k =
+    bit cells k*16..k*16+15, cell index row-major cr*8+cc, weight 2^i
+    within the band). All-integer: the bit test is the
+    cross-multiplied comparison cell_sum * total_count > total_sum *
+    cell_count — exact in any engine, no float mean anywhere. Every
+    PHASH_CORRUPT_EVERY-th payload is truncated and must fall out via
+    ValueError."""
+    import numpy as np
+
+    cols = [f.name for f in PHASH_BANDS_SCHEMA]
+    w = h = PHASH_W
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            png = make_png(w, h, _phash_pixels(d).astype(
+                np.uint8).tobytes())
+            if d % PHASH_CORRUPT_EVERY == 0:
+                png = png[:20]
+            try:
+                _w, _h, _c, arr = decode_png_pixels(png)
+            except ValueError:
+                continue  # corrupt image: contributes no hash
+            pix = np.asarray(arr, dtype=np.int64)
+            cr = (np.arange(h) * 8) // h
+            cc = (np.arange(w) * 8) // w
+            sums = np.zeros((8, 8), dtype=np.int64)
+            np.add.at(sums, (np.repeat(cr, w), np.tile(cc, h)), pix)
+            cnts = (np.bincount(cr, minlength=8)[:, None]
+                    * np.bincount(cc, minlength=8)[None, :])
+            ts, tn = int(sums.sum()), int(h * w)
+            bits = (sums * tn > ts * cnts).reshape(-1)  # index cr*8+cc
+            vals = [
+                int((bits[k * 16:(k + 1) * 16]
+                     * (1 << np.arange(16))).sum())
+                for k in range(4)
+            ]
+            for bno in range(4):
+                out.append({"doc_id": doc_id, "band_no": bno,
+                            "band_val": vals[bno],
+                            "b0": vals[0], "b1": vals[1],
+                            "b2": vals[2], "b3": vals[3]})
+        yield pd.DataFrame(out, columns=cols)
+
+
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 x D17: perceptual near-duplicate IMAGE pairs — the visual
+    analog of minhash text dedup, the dedup a multimodal training
+    corpus needs (re-encoded/renamed images hash apart byte-wise but
+    together perceptually). Pipeline: real PNG round-trip -> 8x8
+    integer average-hash -> 4x16-bit LSH bands -> bucket-local pair
+    expansion with the degenerate-bucket cap applied BEFORE any pair
+    exists (the dedup.py _bucket_pairs discipline: no self-join, the
+    hash pipeline runs ONCE) -> exact hamming verify via bit_count.
+    At 100 TB this is the linear-shuffle shape: |docs| x 4 band rows
+    exchange, pairs only materialize inside under-cap buckets.
+    Output: (d1, d2, hamming <= PHASH_HAM_MAX)."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    bands = _spread(docs).mapInPandas(_phash_band_batches,
+                                      PHASH_BANDS_SCHEMA)
+    buckets = (
+        bands.groupBy("band_no", "band_val")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("doc_id", "b0", "b1", "b2", "b3"))
+        ).alias("ds"))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= PHASH_BAND_CAP))
+    )
+    cand = (
+        buckets
+        .select(F.posexplode("ds").alias("i", "x"), "ds")
+        .select("x", F.explode(
+            F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("y"))
+        .select(F.col("x.doc_id").alias("d1"),
+                F.col("y.doc_id").alias("d2"),
+                *[F.col(f"x.b{i}").alias(f"a{i}") for i in range(4)],
+                *[F.col(f"y.b{i}").alias(f"c{i}") for i in range(4)])
+        .distinct()
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"a{i} ^ c{i}")) for i in range(4)
+    ).alias("hamming")
+    return (cand.select("d1", "d2", hamming)
+            .where(F.col("hamming") <= PHASH_HAM_MAX))
+
+
+def _phash_oracle_sql() -> str:
+    """Full value-level DuckDB twin: re-derives every pixel from the
+    integer family formula (_phash_pixels), recomputes the integer
+    average-hash, bands, cap, pairs and hamming entirely in SQL."""
+    W = PHASH_W
+    base_px = (f"(((2 * (doc_id // {PHASH_FAMILY}) + 1)"
+               f" * (i * i * 31 + i * 7919 + 12345)) % 65521) % 256")
+    k = f"(doc_id % {PHASH_FAMILY})"
+    return f"""
+    WITH d AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % {PHASH_CORRUPT_EVERY} <> 0
+    ),
+    px AS (
+        SELECT doc_id, (g.i - 1) AS i,
+               ((g.i - 1) % {W}) AS x, ((g.i - 1) // {W}) AS y
+        FROM d, unnest(generate_series(1, {W * W})) g(i)
+    ),
+    pv AS (
+        SELECT doc_id, x, y,
+               CASE WHEN {k} <> 0 AND (i + doc_id) % (6 + {k}) = 0
+                    THEN least({base_px} + (doc_id * 31 + i) % 9, 255)
+                    ELSE {base_px}
+               END AS v
+        FROM px
+    ),
+    cells AS (
+        SELECT doc_id, (y * 8) // {W} AS cr, (x * 8) // {W} AS cc,
+               sum(v) AS s, count(*) AS c
+        FROM pv GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tn
+            FROM cells GROUP BY 1),
+    bits AS (
+        SELECT c.doc_id, cr * 8 + cc AS idx,
+               CASE WHEN c.s * t.tn > t.ts * c.c THEN 1 ELSE 0 END AS b
+        FROM cells c JOIN tot t USING (doc_id)
+    ),
+    bands AS (
+        SELECT doc_id, cast(idx // 16 AS int) AS band_no,
+               cast(sum(b * (1 << (idx % 16))) AS int) AS band_val
+        FROM bits GROUP BY 1, 2
+    ),
+    hashes AS (
+        SELECT doc_id,
+               max(CASE WHEN band_no = 0 THEN band_val END) AS b0,
+               max(CASE WHEN band_no = 1 THEN band_val END) AS b1,
+               max(CASE WHEN band_no = 2 THEN band_val END) AS b2,
+               max(CASE WHEN band_no = 3 THEN band_val END) AS b3
+        FROM bands GROUP BY 1
+    ),
+    ok_buckets AS (
+        SELECT band_no, band_val FROM bands
+        GROUP BY 1, 2
+        HAVING count(*) BETWEEN 2 AND {PHASH_BAND_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a
+        JOIN ok_buckets USING (band_no, band_val)
+        JOIN bands b USING (band_no, band_val)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           cast(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS int) AS hamming
+    FROM cand
+    JOIN hashes x ON x.doc_id = d1
+    JOIN hashes y ON y.doc_id = d2
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        <= {PHASH_HAM_MAX}
+    """
+
+
 QUERIES = {
     "multimodal_pack": multimodal_pack,
+    "image_phash_pairs": image_phash_pairs,
     "binary_meta": binary_meta,
     "media_features": media_features,
     "frame_sample": frame_sample,
@@ -1300,6 +1517,8 @@ ORACLES = {
     """,
 }
 
+
+ORACLES["image_phash_pairs"] = _phash_oracle_sql()
 
 ORACLES["jpeg_pixel_roundtrip"] = f"""
     SELECT doc_id,

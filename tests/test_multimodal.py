@@ -425,3 +425,41 @@ def test_jpeg_byte_stuffing_roundtrip():
             found = True
         assert np.array_equal(jpeg.decode_gray(data), recon)
     assert found, "no stuffed byte in 20 random images (implausible)"
+
+
+def test_phash_ground_truth_recovery(spark, sf_dir):
+    """image_phash_pairs must recover EXACTLY the synthesized
+    perceptual families: every same-family pair of non-corrupt docs
+    appears (hamming <= 4 by construction), and no cross-family pair
+    sneaks under the threshold (inter-family hamming measured >= 16).
+    This is the ground-truth check the DuckDB differential cannot
+    express (the oracle recomputes the same pipeline; this test pins
+    the pipeline against the INTENDED dup structure)."""
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    rows = mm.image_phash_pairs(spark, sf_dir).collect()
+    got = {(r.d1, r.d2) for r in rows}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ok = [d for d in range(n_docs) if d % mm.PHASH_CORRUPT_EVERY != 0]
+    want = {(a, b)
+            for i, a in enumerate(ok) for b in ok[i + 1:]
+            if a // mm.PHASH_FAMILY == b // mm.PHASH_FAMILY}
+    assert got == want, (len(got), len(want),
+                         sorted(got - want)[:5], sorted(want - got)[:5])
+    assert all(r.hamming <= 4 for r in rows)
+
+
+def test_phash_hash_comes_from_decoded_png(spark, sf_dir):
+    """The kernel must hash the DECODED raster — pin that the PNG
+    round-trip is lossless for the family pixels (decode(make_png(p))
+    == p), so the codec genuinely sits inside the measured path."""
+    import numpy as np
+
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    for d in (1, 14, 27):
+        p = mm._phash_pixels(d).astype(np.uint8)
+        png = mm.make_png(mm.PHASH_W, mm.PHASH_W, p.tobytes())
+        _w, _h, _c, arr = mm.decode_png_pixels(png)
+        assert (_w, _h, _c) == (mm.PHASH_W, mm.PHASH_W, 1)
+        assert np.array_equal(np.asarray(arr, dtype=np.uint8), p)
