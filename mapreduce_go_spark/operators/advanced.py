@@ -402,7 +402,11 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str,
     shallow (linear here, unlike cluster_labels' doubling), so lazy
     stays the default; persist before raising iters past ~20, where
     per-action re-analysis of the stack and O(iters) recomputation
-    of the edge relation overtake the per-round materialization."""
+    of the edge relation overtake the per-round materialization.
+    (Also measured: .cache() on edges/outdeg inside the LAZY plan is
+    ~2x WORSE at sf0.1 — 3.8 -> 8.3 s warm — the single plan already
+    reuses the edge exchange, and InMemoryRelation scans cost more
+    than the re-run. Don't add it back.)"""
     edges = _pagerank_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
