@@ -129,9 +129,12 @@ HEADLINE = [
     "pii_stats",
     "cdc_dup_chunks",
     "local_supplier_volume_bucketed",
-    # perceptual-hash image near-dup (r7): PNG round-trip -> integer
-    # aHash -> banded buckets (capped) -> exact hamming verify
+    # perceptual near-dup for the non-text modalities (r7): PNG
+    # round-trip -> integer aHash, and WAV round-trip -> window-energy
+    # delta fingerprint — both through banded capped buckets + exact
+    # hamming verify
     "image_phash_pairs",
+    "audio_fingerprint_pairs",
 ]
 
 

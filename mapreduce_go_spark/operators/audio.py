@@ -235,9 +235,180 @@ def audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        AUDIO_RESAMPLE_SCHEMA)
 
 
+# ---------------------------------------------------------------- #
+# Audio fingerprint near-dup (D20 x D17, audio twin of              #
+# multimodal.image_phash_pairs)                                     #
+# ---------------------------------------------------------------- #
+
+AFP_N = 2048          # samples per synthesized clip
+AFP_WIN = 32          # window size -> 64 energy windows
+AFP_FAMILY = 3        # docs per perceptual family (doc_id // 3)
+AFP_BAND_CAP = 4      # degenerate band-bucket cap (LSH discipline)
+AFP_HAM_MAX = 10      # measured: intra-family <= 2, inter >= 14
+
+
+def _afp_samples(doc_id: int) -> "np.ndarray":
+    """Deterministic PCM16 clip with controlled perceptual families
+    (the image_phash_pairs discipline, audio edition): a
+    multiplicatively-scrambled integer sample field per family
+    (structurally different across families), members k=1,2 get a
+    sparse clamped gain bump — the audio analog of re-encoding /
+    light edits. All int64, every term reproducible in SQL."""
+    base = doc_id // AFP_FAMILY
+    k = doc_id % AFP_FAMILY
+    j = np.arange(AFP_N, dtype=np.int64)
+    s = (((2 * base + 1) * (j * j * 13 + j * 337 + 9973))
+         % 65521) % 4096 - 2048
+    if k:
+        mask = (j + doc_id) % (6 + k) == 0
+        delta = (doc_id * 17 + j) % 33
+        s = np.minimum(s + np.where(mask, delta, 0), 2047)
+    return s
+
+
+def _afp_band_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per doc: synthesize the family clip, REALLY round-trip it
+    through the WAV codec (encode_wav -> decode_wav — the audio
+    plumbing under test), fingerprint the DECODED samples: 64 window
+    energies (int64 sums of |s|), bit w = E[w] > E[w+1] for w<63
+    (delta coding — gain-offset robust, the chromaprint idea) and
+    bit 63 = E[63]*64 > total (cross-multiplied, no float mean),
+    packed into four 16-bit band values. Every AUDIO_CORRUPT_EVERY-th
+    payload is truncated and falls out via ValueError."""
+    from mapreduce_go_spark.operators.multimodal import PHASH_BANDS_SCHEMA
+
+    cols = [f.name for f in PHASH_BANDS_SCHEMA]
+    nw = AFP_N // AFP_WIN
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            wav = encode_wav(8000, _afp_samples(d).astype("<i2"))
+            if d % AUDIO_CORRUPT_EVERY == 0:
+                wav = wav[:6]
+            try:
+                s = decode_wav(wav)["samples"].astype(np.int64)
+            except ValueError:
+                continue  # corrupt clip: contributes no fingerprint
+            E = np.abs(s).reshape(nw, AFP_WIN).sum(1)
+            bits = np.empty(64, dtype=bool)
+            bits[:63] = E[:63] > E[1:]
+            bits[63] = E[63] * nw > E.sum()
+            vals = [
+                int((bits[k * 16:(k + 1) * 16]
+                     * (1 << np.arange(16))).sum())
+                for k in range(4)
+            ]
+            for bno in range(4):
+                out.append({"doc_id": doc_id, "band_no": bno,
+                            "band_val": vals[bno],
+                            "b0": vals[0], "b1": vals[1],
+                            "b2": vals[2], "b3": vals[3]})
+        yield pd.DataFrame(out, columns=cols)
+
+
+def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 x D17: perceptual near-duplicate AUDIO pairs — window-
+    energy delta fingerprints over real WAV round-trips, banded into
+    capped LSH buckets, exact hamming verify (shared machinery:
+    multimodal.banded_hamming_pairs). Completes the multimodal dedup
+    story: text (minhash/simhash/CDC), images (pHash), audio (this).
+    Linear-shuffle shape at any scale: |docs| x 4 band rows exchange;
+    pairs only materialize inside under-cap buckets."""
+    from mapreduce_go_spark.operators.multimodal import (
+        PHASH_BANDS_SCHEMA, banded_hamming_pairs)
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    bands = _spread(docs).mapInPandas(_afp_band_batches,
+                                      PHASH_BANDS_SCHEMA)
+    return banded_hamming_pairs(bands, AFP_BAND_CAP, AFP_HAM_MAX)
+
+
+def _afp_oracle_sql() -> str:
+    """Full value-level DuckDB twin: every sample re-derived from the
+    integer family formula, window energies / delta bits / bands /
+    cap / pairs / hamming entirely in SQL."""
+    base_s = (f"((((2 * (doc_id // {AFP_FAMILY}) + 1)"
+              f" * (j * j * 13 + j * 337 + 9973))"
+              f" % 65521) % 4096 - 2048)")
+    k = f"(doc_id % {AFP_FAMILY})"
+    nw = AFP_N // AFP_WIN
+    return f"""
+    WITH d AS (
+        SELECT doc_id FROM documents
+        WHERE doc_id % {AUDIO_CORRUPT_EVERY} <> 0
+    ),
+    sv AS (
+        SELECT doc_id, (g.i - 1) AS j,
+               CASE WHEN {k} <> 0
+                         AND ((g.i - 1) + doc_id) % (6 + {k}) = 0
+                    THEN least({base_s.replace('j', '(g.i - 1)')}
+                               + (doc_id * 17 + (g.i - 1)) % 33, 2047)
+                    ELSE {base_s.replace('j', '(g.i - 1)')}
+               END AS s
+        FROM d, unnest(generate_series(1, {AFP_N})) g(i)
+    ),
+    wins AS (
+        SELECT doc_id, j // {AFP_WIN} AS w, sum(abs(s)) AS e
+        FROM sv GROUP BY 1, 2
+    ),
+    wb AS (
+        SELECT doc_id, w, e,
+               lead(e) OVER (PARTITION BY doc_id ORDER BY w) AS en,
+               sum(e) OVER (PARTITION BY doc_id) AS te
+        FROM wins
+    ),
+    bits AS (
+        SELECT doc_id, w AS idx,
+               CASE WHEN w < {nw - 1}
+                    THEN CASE WHEN e > en THEN 1 ELSE 0 END
+                    ELSE CASE WHEN e * {nw} > te THEN 1 ELSE 0 END
+               END AS b
+        FROM wb
+    ),
+    bands AS (
+        SELECT doc_id, cast(idx // 16 AS int) AS band_no,
+               cast(sum(b * (1 << (idx % 16))) AS int) AS band_val
+        FROM bits GROUP BY 1, 2
+    ),
+    hashes AS (
+        SELECT doc_id,
+               max(CASE WHEN band_no = 0 THEN band_val END) AS b0,
+               max(CASE WHEN band_no = 1 THEN band_val END) AS b1,
+               max(CASE WHEN band_no = 2 THEN band_val END) AS b2,
+               max(CASE WHEN band_no = 3 THEN band_val END) AS b3
+        FROM bands GROUP BY 1
+    ),
+    ok_buckets AS (
+        SELECT band_no, band_val FROM bands
+        GROUP BY 1, 2
+        HAVING count(*) BETWEEN 2 AND {AFP_BAND_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a
+        JOIN ok_buckets USING (band_no, band_val)
+        JOIN bands b USING (band_no, band_val)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           cast(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS int) AS hamming
+    FROM cand
+    JOIN hashes x ON x.doc_id = d1
+    JOIN hashes y ON y.doc_id = d2
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        <= {AFP_HAM_MAX}
+    """
+
+
 QUERIES = {
     "audio_features": audio_features,
     "audio_resample": audio_resample,
+    "audio_fingerprint_pairs": audio_fingerprint_pairs,
 }
 
 # Shared oracle CTEs: per-doc synthesis parameters + exact byte sums
@@ -304,3 +475,5 @@ ORACLES = {
         FROM sums
     """,
 }
+
+ORACLES["audio_fingerprint_pairs"] = _afp_oracle_sql()

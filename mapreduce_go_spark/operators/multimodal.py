@@ -1175,27 +1175,21 @@ def _phash_band_batches(
         yield pd.DataFrame(out, columns=cols)
 
 
-def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D20 x D17: perceptual near-duplicate IMAGE pairs — the visual
-    analog of minhash text dedup, the dedup a multimodal training
-    corpus needs (re-encoded/renamed images hash apart byte-wise but
-    together perceptually). Pipeline: real PNG round-trip -> 8x8
-    integer average-hash -> 4x16-bit LSH bands -> bucket-local pair
-    expansion with the degenerate-bucket cap applied BEFORE any pair
-    exists (the dedup.py _bucket_pairs discipline: no self-join, the
-    hash pipeline runs ONCE) -> exact hamming verify via bit_count.
-    At 100 TB this is the linear-shuffle shape: |docs| x 4 band rows
-    exchange, pairs only materialize inside under-cap buckets.
-    Output: (d1, d2, hamming <= PHASH_HAM_MAX)."""
-    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
-    bands = _spread(docs).mapInPandas(_phash_band_batches,
-                                      PHASH_BANDS_SCHEMA)
+def banded_hamming_pairs(bands: DataFrame, cap: int,
+                         ham_max: int) -> DataFrame:
+    """Shared fingerprint-pair machinery (image pHash, audio
+    fingerprint): (doc_id, band_no, band_val, b0..b3) rows ->
+    bucket-local pair expansion with the degenerate-bucket cap
+    applied BEFORE any pair exists (dedup.py _bucket_pairs
+    discipline: no self-join, the fingerprint pipeline runs ONCE)
+    -> exact hamming via bit_count over the four 16-bit words ->
+    (d1, d2, hamming <= ham_max)."""
     buckets = (
         bands.groupBy("band_no", "band_val")
         .agg(F.sort_array(
             F.collect_list(F.struct("doc_id", "b0", "b1", "b2", "b3"))
         ).alias("ds"))
-        .where((F.size("ds") >= 2) & (F.size("ds") <= PHASH_BAND_CAP))
+        .where((F.size("ds") >= 2) & (F.size("ds") <= cap))
     )
     cand = (
         buckets
@@ -1212,7 +1206,25 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.expr(f"a{i} ^ c{i}")) for i in range(4)
     ).alias("hamming")
     return (cand.select("d1", "d2", hamming)
-            .where(F.col("hamming") <= PHASH_HAM_MAX))
+            .where(F.col("hamming") <= ham_max))
+
+
+def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 x D17: perceptual near-duplicate IMAGE pairs — the visual
+    analog of minhash text dedup, the dedup a multimodal training
+    corpus needs (re-encoded/renamed images hash apart byte-wise but
+    together perceptually). Pipeline: real PNG round-trip -> 8x8
+    integer average-hash -> 4x16-bit LSH bands -> bucket-local pair
+    expansion with the degenerate-bucket cap applied BEFORE any pair
+    exists (the dedup.py _bucket_pairs discipline: no self-join, the
+    hash pipeline runs ONCE) -> exact hamming verify via bit_count.
+    At 100 TB this is the linear-shuffle shape: |docs| x 4 band rows
+    exchange, pairs only materialize inside under-cap buckets.
+    Output: (d1, d2, hamming <= PHASH_HAM_MAX)."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    bands = _spread(docs).mapInPandas(_phash_band_batches,
+                                      PHASH_BANDS_SCHEMA)
+    return banded_hamming_pairs(bands, PHASH_BAND_CAP, PHASH_HAM_MAX)
 
 
 def _phash_oracle_sql() -> str:

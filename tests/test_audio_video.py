@@ -101,3 +101,35 @@ def test_avi_frame_count_mismatch_rejected():
     payload[i:i + 4] = b"00xx"   # first frame chunk now unrecognized
     with pytest.raises(ValueError):
         video.parse_avi(bytes(payload))
+
+
+def test_audio_fingerprint_ground_truth_recovery(spark, sf_dir):
+    """audio_fingerprint_pairs must recover EXACTLY the synthesized
+    perceptual families (intra hamming <= 2 by construction, inter
+    >= 14 measured) — the ground-truth check the DuckDB differential
+    cannot express."""
+    from mapreduce_go_spark.operators import audio as au
+
+    rows = au.audio_fingerprint_pairs(spark, sf_dir).collect()
+    got = {(r.d1, r.d2) for r in rows}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ok = [d for d in range(n_docs) if d % au.AUDIO_CORRUPT_EVERY != 0]
+    want = {(a, b)
+            for i, a in enumerate(ok) for b in ok[i + 1:]
+            if a // au.AFP_FAMILY == b // au.AFP_FAMILY}
+    assert got == want, (len(got), len(want))
+    assert all(r.hamming <= 2 for r in rows)
+
+
+def test_audio_fingerprint_comes_from_decoded_wav():
+    """The WAV round-trip must be lossless for the family samples, so
+    the codec genuinely sits inside the fingerprint path."""
+    import numpy as np
+
+    from mapreduce_go_spark.operators import audio as au
+
+    for d in (1, 14, 27):
+        s = au._afp_samples(d).astype("<i2")
+        wav = au.encode_wav(8000, s)
+        back = au.decode_wav(wav)["samples"]
+        assert np.array_equal(back, s)
