@@ -1227,10 +1227,48 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return banded_hamming_pairs(bands, PHASH_BAND_CAP, PHASH_HAM_MAX)
 
 
-def _phash_oracle_sql() -> str:
-    """Full value-level DuckDB twin: re-derives every pixel from the
-    integer family formula (_phash_pixels), recomputes the integer
-    average-hash, bands, cap, pairs and hamming entirely in SQL."""
+def phash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc perceptual-dup verdict with ARRIVAL-ORDER semantics —
+    the batch anchor of streaming.jobs.run_streaming_phash: a doc is
+    dup iff some EARLIER doc (lower doc_id) sits in a shared band
+    bucket among that bucket's first PHASH_BAND_CAP holders (the
+    lifetime cap — a degenerate bucket stores its first CAP holders
+    then goes INERT for new holders, the run_streaming_neardup
+    discipline) and the exact hamming is <= PHASH_HAM_MAX. One pass:
+    bucket-local expansion, no self-join. Corrupt docs carry no hash
+    and are never dup. Batch-parity + replay-idempotence of the
+    streaming twin are proven in tests/test_streaming.py."""
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    bands = _spread(docs).mapInPandas(_phash_band_batches,
+                                      PHASH_BANDS_SCHEMA)
+    buckets = (
+        bands.groupBy("band_no", "band_val")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("doc_id", "b0", "b1", "b2", "b3"))
+        ).alias("ds"))
+        .where(F.size("ds") >= 2)
+    )
+    hamming = sum(
+        F.bit_count(F.expr(f"x.b{i} ^ y.b{i}")) for i in range(4))
+    flagged = (
+        buckets
+        .select(F.posexplode("ds").alias("i", "x"), "ds")
+        .where(F.col("i") < PHASH_BAND_CAP)  # holder in first CAP
+        .select("x", F.explode(
+            F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("y"))
+        .where(hamming <= PHASH_HAM_MAX)
+        .select(F.col("y.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (docs.join(flagged.withColumn("dup", F.lit(True)),
+                      "doc_id", "left")
+            .fillna(False, subset=["dup"]))
+
+
+def _phash_common_cte() -> str:
+    """Shared DuckDB CTE chain: every pixel re-derived from the
+    integer family formula (_phash_pixels) -> cells -> bits -> bands
+    -> per-doc hash words. Consumed by both phash oracles."""
     W = PHASH_W
     base_px = (f"(((2 * (doc_id // {PHASH_FAMILY}) + 1)"
                f" * (i * i * 31 + i * 7919 + 12345)) % 65521) % 256")
@@ -1277,8 +1315,14 @@ def _phash_oracle_sql() -> str:
                max(CASE WHEN band_no = 2 THEN band_val END) AS b2,
                max(CASE WHEN band_no = 3 THEN band_val END) AS b3
         FROM bands GROUP BY 1
-    ),
-    ok_buckets AS (
+    )
+    """
+
+
+def _phash_oracle_sql() -> str:
+    """Pairs oracle: capped buckets -> candidate pairs -> hamming."""
+    return _phash_common_cte() + f"""
+    , ok_buckets AS (
         SELECT band_no, band_val FROM bands
         GROUP BY 1, 2
         HAVING count(*) BETWEEN 2 AND {PHASH_BAND_CAP}
@@ -1303,9 +1347,37 @@ def _phash_oracle_sql() -> str:
     """
 
 
+def _phash_flags_oracle_sql() -> str:
+    """Flags oracle (arrival-order semantics): holder rank per bucket
+    by doc_id, holders with rank <= CAP probe-able, a later doc is
+    dup iff some probe-able earlier holder is within hamming."""
+    return _phash_common_cte() + f"""
+    , ranked AS (
+        SELECT doc_id, band_no, band_val,
+               row_number() OVER (PARTITION BY band_no, band_val
+                                  ORDER BY doc_id) AS rk
+        FROM bands
+    ),
+    flagged AS (
+        SELECT DISTINCT l.doc_id
+        FROM ranked l
+        JOIN ranked h USING (band_no, band_val)
+        JOIN hashes x ON x.doc_id = l.doc_id
+        JOIN hashes y ON y.doc_id = h.doc_id
+        WHERE h.doc_id < l.doc_id AND h.rk <= {PHASH_BAND_CAP}
+          AND bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+            + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+            <= {PHASH_HAM_MAX}
+    )
+    SELECT doc.doc_id, (f.doc_id IS NOT NULL) AS dup
+    FROM documents doc LEFT JOIN flagged f USING (doc_id)
+    """
+
+
 QUERIES = {
     "multimodal_pack": multimodal_pack,
     "image_phash_pairs": image_phash_pairs,
+    "phash_dup_flags": phash_dup_flags,
     "binary_meta": binary_meta,
     "media_features": media_features,
     "frame_sample": frame_sample,
@@ -1531,6 +1603,7 @@ ORACLES = {
 
 
 ORACLES["image_phash_pairs"] = _phash_oracle_sql()
+ORACLES["phash_dup_flags"] = _phash_flags_oracle_sql()
 
 ORACLES["jpeg_pixel_roundtrip"] = f"""
     SELECT doc_id,

@@ -791,3 +791,136 @@ def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+# ------------------------------------------------------------------ #
+# Streaming perceptual image dedup (batch anchor:                    #
+# operators.multimodal.phash_dup_flags)                              #
+# ------------------------------------------------------------------ #
+
+def _phash_index_dir(out_dir: str, epoch_id: int) -> str:
+    return os.path.join(out_dir, f"v={epoch_id}")
+
+
+def _phash_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
+                 flags_dir: str) -> None:
+    """One micro-batch of streaming perceptual image dedup,
+    idempotent under epoch replay (versioned-snapshot discipline).
+
+    The batch's docs get pHash band rows (the SAME kernel as the
+    batch family); a doc is flagged dup iff some PRIOR doc — a
+    stored index holder, or an earlier doc of the same batch — sits
+    in a shared band bucket within the bucket's first
+    PHASH_BAND_CAP lifetime holders AND its exact hamming distance
+    is <= PHASH_HAM_MAX. The index stores AT MOST CAP holder rows
+    per bucket (holder = (doc_id, b0..b3, lifetime rank)); a full
+    bucket goes INERT for storage but its stored holders keep
+    flagging future matches — same degenerate-bucket posture as
+    run_streaming_neardup, except here the holder's full hash must
+    ride the index because the verdict needs the hamming verify,
+    not just bucket membership. Index size is O(buckets * CAP), not
+    O(docs)."""
+    from mapreduce_go_spark.operators.multimodal import (
+        PHASH_BAND_CAP, PHASH_BANDS_SCHEMA, PHASH_HAM_MAX,
+        _phash_band_batches)
+
+    target = _phash_index_dir(index_dir, epoch_id)
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    bands = batch_df.select("doc_id").mapInPandas(
+        _phash_band_batches, PHASH_BANDS_SCHEMA)
+    grouped = (
+        bands.groupBy("band_no", "band_val")
+        .agg(F.sort_array(
+            F.collect_list(F.struct("doc_id", "b0", "b1", "b2", "b3"))
+        ).alias("ds"))
+    )
+    prev = _latest_rollup_version(index_dir, below=epoch_id)
+    if prev is None:
+        hist = None
+        g = grouped.withColumn("n_hist", F.lit(0).cast("long"))
+    else:
+        hist = spark.read.parquet(_phash_index_dir(index_dir, prev))
+        counts = hist.groupBy("band_no", "band_val").agg(
+            F.max("rk").alias("n_hist"))  # rk is dense 1..n
+        g = (grouped.join(counts, ["band_no", "band_val"], "left")
+             .fillna(0, subset=["n_hist"]))
+
+    ham_xy = sum(
+        F.bit_count(F.expr(f"x.b{i} ^ y.b{i}")) for i in range(4))
+    # in-batch priors: holder position within the bucket's LIFETIME
+    # order is n_hist + i + 1; only positions <= CAP may flag
+    in_batch = (
+        g.select("n_hist", F.posexplode("ds").alias("i", "x"), "ds")
+        .where(F.col("n_hist") + F.col("i") < PHASH_BAND_CAP)
+        .select("x", F.explode(
+            F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("y"))
+        .where(ham_xy <= PHASH_HAM_MAX)
+        .select(F.col("y.doc_id").alias("doc_id"))
+    )
+    if hist is not None:
+        ham_hist = sum(
+            F.bit_count(F.col(f"b{i}").bitwiseXOR(F.col(f"h{i}")))
+            for i in range(4))
+        hist_probe = (
+            bands.join(
+                hist.select("band_no", "band_val",
+                            *[F.col(f"b{i}").alias(f"h{i}")
+                              for i in range(4)]),
+                ["band_no", "band_val"])
+            .where(ham_hist <= PHASH_HAM_MAX)
+            .select("doc_id")
+        )
+        dups = in_batch.union(hist_probe).distinct()
+    else:
+        dups = in_batch.distinct()
+
+    flags = (
+        batch_df.select("doc_id")
+        .join(dups.withColumn("dup", F.lit(True)), "doc_id", "left")
+        .fillna(False, subset=["dup"])
+    )
+    new_holders = (
+        g.select("band_no", "band_val", "n_hist",
+                 F.posexplode("ds").alias("i", "x"))
+        .where(F.col("n_hist") + F.col("i") < PHASH_BAND_CAP)
+        .select("band_no", "band_val",
+                F.col("x.doc_id").alias("doc_id"),
+                *[F.col(f"x.b{i}").alias(f"b{i}") for i in range(4)],
+                (F.col("n_hist") + F.col("i") + 1).cast("long")
+                .alias("rk"))
+    )
+    index = (hist.unionByName(new_holders) if hist is not None
+             else new_holders)
+    # flags first: a crash between the writes leaves no _SUCCESS on
+    # the index snapshot, so the epoch replays wholesale
+    flags.write.mode("overwrite").parquet(
+        os.path.join(flags_dir, f"epoch={epoch_id}"))
+    index.write.mode("overwrite").parquet(target)
+    _prune_old_versions(index_dir)
+
+
+def run_streaming_phash(spark: SparkSession, stream: DataFrame,
+                        index_dir: str, flags_dir: str,
+                        checkpoint_dir: str) -> None:
+    """Streaming perceptual image dedup: incremental twin of
+    phash_dup_flags (exact batch parity under doc_id-ordered
+    arrival + replay idempotence proven in tests/test_streaming.py).
+    Exactly-once: checkpointed offsets + versioned index snapshots +
+    epoch-keyed flag partitions."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _phash_epoch(batch_df, epoch_id, index_dir, flags_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_phash_flags(spark: SparkSession, flags_dir: str) -> DataFrame:
+    return spark.read.parquet(flags_dir).select("doc_id", "dup")

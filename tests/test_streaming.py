@@ -842,3 +842,62 @@ def test_streaming_retrieval_epoch_replay_is_idempotent(spark, sf_dir,
         spark, out).collect())) == once
     assert sorted(map(tuple, spark.read.parquet(
         os.path.join(idx, "v=1")).collect())) == idx_once
+
+
+def test_streaming_phash_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming perceptual image dedup over 3 doc_id-ordered
+    micro-batches must reproduce the batch anchor
+    (multimodal.phash_dup_flags) exactly — the fingerprint is
+    per-doc and the lifetime bucket cap follows arrival order, so
+    batching must not change any verdict."""
+    import os
+
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    src = str(tmp_path / "ph_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+
+    stream = jobs.documents_stream(spark, str(tmp_path / "ph_src/*"),
+                                   docs.schema)
+    jobs.run_streaming_phash(spark, stream,
+                             str(tmp_path / "ph_index"),
+                             str(tmp_path / "ph_flags"),
+                             str(tmp_path / "ph_ck"))
+    got = sorted((r.doc_id, r.dup) for r in jobs.read_phash_flags(
+        spark, str(tmp_path / "ph_flags")).collect())
+    want = sorted((r.doc_id, r.dup)
+                  for r in mm.phash_dup_flags(spark, sf_dir).collect())
+    assert got == want
+    assert any(d for _, d in want), \
+        "fixture must contain at least one perceptual dup"
+
+
+def test_streaming_phash_epoch_replay_is_idempotent(spark, sf_dir,
+                                                    tmp_path):
+    """Re-firing an already-committed phash epoch must change neither
+    the holder index nor the flags."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    idx = str(tmp_path / "ph_index")
+    flags = str(tmp_path / "ph_flags")
+    docs = tables.load(spark, sf_dir, "documents")
+    med = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    h1 = docs.where(F.col("doc_id") <= med)
+    h2 = docs.where(F.col("doc_id") > med)
+
+    jobs._phash_epoch(h1, 0, idx, flags)
+    jobs._phash_epoch(h2, 1, idx, flags)
+    once = sorted(map(tuple, jobs.read_phash_flags(spark, flags).collect()))
+    idx_once = sorted(map(tuple, spark.read.parquet(
+        os.path.join(idx, "v=1")).collect()))
+
+    jobs._phash_epoch(h2, 1, idx, flags)  # crash replay
+    assert sorted(map(tuple,
+                      jobs.read_phash_flags(spark, flags).collect())) == once
+    assert sorted(map(tuple, spark.read.parquet(
+        os.path.join(idx, "v=1")).collect())) == idx_once
