@@ -135,6 +135,9 @@ HEADLINE = [
     # hamming verify
     "image_phash_pairs",
     "audio_fingerprint_pairs",
+    # from-scratch mergeable HLL cardinality sketch (r7): register-
+    # exact cross-engine, the oracle-checkable twin of approx_distinct
+    "hll_distinct_tokens",
 ]
 
 

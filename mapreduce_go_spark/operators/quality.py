@@ -586,7 +586,145 @@ def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- #
+# HyperLogLog distinct-count sketch (from scratch, register-exact)  #
+# ---------------------------------------------------------------- #
+
+HLL_M = 64          # registers (p=6); typical error 1.04/sqrt(64) ~ 13%
+HLL_WBITS = 42      # 48-bit md5 prefix minus the 6 bucket bits
+HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, m >= 64)
+
+
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """From-scratch HyperLogLog over the corpus token stream — the
+    mergeable-sketch pattern for distributed CARDINALITY (the
+    cardinality sibling of cms_token_counts' frequency sketch, and
+    the oracle-checkable twin of the engine-specific approx_distinct).
+
+    The DISTRIBUTED shape is the point: each task computes local
+    per-register maxima map-side (partial max — duplicates never
+    survive a partition), the single groupBy(bucket) shuffle IS the
+    sketch merge (register-wise max, HLL's defining property), and
+    the merged sketch is HLL_M rows regardless of corpus size — no
+    distinct, no shuffle of the token stream.
+
+    Everything engine-visible is exact: the hash is the md5 hex-fold
+    (the CMS discipline), rho comes from the all-integer identity
+    rho = bit_count((w & -w) - 1) + 1 (trailing zeros + 1 — no
+    float log2 at any register), the indicator sum Z = sum(2^-M_j)
+    adds 64 exact powers of two (order-independent in IEEE: 6+43
+    significand bits needed < 53), and the small-range correction
+    m*ln(m/V) runs on identical doubles in both engines. Output is
+    ONE row carrying the full register vector as a joined string
+    (register-level cross-engine parity), the raw and corrected
+    estimates, the exact distinct count, and the error-bound verdict."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10) \
+        .cast("long")
+    w = (h / HLL_M).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
+    regs = (
+        tok.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("r"))
+    )
+    full = (
+        spark.range(HLL_M).select(F.col("id").alias("bucket"))
+        .join(regs, "bucket", "left").fillna(0, subset=["r"])
+    )
+    # exact twin as a 1-row relation crossed in — no driver action,
+    # the whole query stays one lazy plan
+    ex = tok.agg(F.countDistinct("tok").alias("n_exact"))
+    summary = full.agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("bucket", "r"))),
+                lambda s: s["r"].cast("string")),
+            ",").alias("registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"),
+        F.sum((F.col("r") == 0).cast("int")).alias("v_zero"),
+    ).crossJoin(F.broadcast(ex))
+    m = float(HLL_M)
+    est_raw = F.lit(HLL_ALPHA) * F.lit(m * m) / F.col("z")
+    est = F.when(
+        (est_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(m) * F.log(F.lit(m) / F.col("v_zero")),
+    ).otherwise(est_raw)
+    return summary.select(
+        "registers", "v_zero",
+        F.round(est_raw, 4).alias("est_raw"),
+        F.round(est, 4).alias("est_hll"),
+        "n_exact",
+        (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.3)
+        .alias("within_bounds"),
+    )
+
+
+def _hll_oracle_sql() -> str:
+    h = ("list_reduce(list_prepend(cast(0 AS bigint),"
+         " list_transform(regexp_split_to_array(substring(md5(tok),"
+         " 1, 12), ''),"
+         " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
+         " (acc, v) -> acc * 16 + v)")
+    m = float(HLL_M)
+    return f"""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(text,
+                      '{NON_LETTER_RE}')) AS tok
+        FROM documents
+    ),
+    toks AS (SELECT tok FROM tok WHERE tok <> ''),
+    hashed AS (
+        SELECT {h} AS h FROM toks
+    ),
+    rhos AS (
+        SELECT h % {HLL_M} AS bucket,
+               CASE WHEN h // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+                    ELSE bit_count(((h // {HLL_M})
+                                    & -(h // {HLL_M})) - 1) + 1
+               END AS rho
+        FROM hashed
+    ),
+    regs AS (
+        SELECT g.b AS bucket, coalesce(max(rho), 0) AS r
+        FROM (SELECT unnest(generate_series(0, {HLL_M - 1})) AS b) g
+        LEFT JOIN rhos ON rhos.bucket = g.b
+        GROUP BY g.b
+    ),
+    summary AS (
+        SELECT string_agg(cast(r AS varchar), ',' ORDER BY bucket)
+                   AS registers,
+               sum(power(2.0, -r)) AS z,
+               sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v_zero
+        FROM regs
+    ),
+    ex AS (SELECT count(DISTINCT tok) AS n_exact FROM toks),
+    est AS (
+        SELECT registers, v_zero, n_exact,
+               {HLL_ALPHA} * {m * m} / z AS est_raw,
+               CASE WHEN {HLL_ALPHA} * {m * m} / z <= {2.5 * m}
+                         AND v_zero > 0
+                    THEN {m} * ln({m} / v_zero)
+                    ELSE {HLL_ALPHA} * {m * m} / z
+               END AS est
+        FROM summary, ex
+    )
+    SELECT registers, cast(v_zero AS bigint) AS v_zero,
+           round(est_raw, 4) AS est_raw,
+           round(est, 4) AS est_hll,
+           cast(n_exact AS bigint) AS n_exact,
+           (abs(est - n_exact) / n_exact <= 0.3) AS within_bounds
+    FROM est
+    """
+
+
 QUERIES = {
+    "hll_distinct_tokens": hll_distinct_tokens,
     "repetition_stats": repetition_stats,
     "bm25_search": bm25_search,
     "cms_token_counts": cms_token_counts,
@@ -859,3 +997,4 @@ def _domain_mix_sql() -> str:
 
 
 ORACLES["domain_mix_sample"] = _domain_mix_sql()
+ORACLES["hll_distinct_tokens"] = _hll_oracle_sql()

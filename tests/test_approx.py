@@ -178,3 +178,30 @@ def test_semantic_dedup_keep_matches_blocked_pairs(spark, sf_dir):
         partner.setdefault(r.d2, set()).add(r.d1)
     for v in d2s:
         assert any(p < v for p in partner[v]), v
+
+
+def test_hll_rho_integer_identity():
+    """The engine-portable rho (trailing zeros + 1 via
+    bit_count((w & -w) - 1) + 1) must equal the textbook definition
+    for every bit position and assorted composites."""
+    def rho(w):
+        return bin((w & -w) - 1).count("1") + 1 if w else None
+
+    for k in range(42):
+        assert rho(1 << k) == k + 1
+        assert rho((1 << k) | (1 << 41)) == k + 1
+    assert rho(0b1011000) == 4
+    assert rho(3 << 20) == 21
+
+
+def test_hll_matches_spark_approx(spark, sf_dir):
+    """Our from-scratch HLL and Spark's native approx_count_distinct
+    must land in the same neighborhood of the exact count — two
+    independent sketches agreeing brackets both implementations."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark.operators.quality import hll_distinct_tokens
+
+    row = hll_distinct_tokens(spark, sf_dir).collect()[0]
+    assert row.within_bounds
+    assert len(row.registers.split(",")) == 64
