@@ -119,12 +119,15 @@ def main() -> None:
     args = ap.parse_args()
 
     from mapreduce_go_spark.session import get_spark
-    from mapreduce_go_spark.operators.audio import audio_features
+    from mapreduce_go_spark.operators.audio import (audio_features,
+                                                    audio_fingerprint_pairs)
     from mapreduce_go_spark.operators.dedup import (
         dedup_verified_pairs, simhash_neardup_pairs_capped,
         strip_dup_spans)
+    from mapreduce_go_spark.operators.multimodal import image_phash_pairs
     from mapreduce_go_spark.operators.pipeline import pretrain_corpus
     from mapreduce_go_spark.operators.quality import (decontaminate,
+                                                      hll_distinct_tokens,
                                                       repetition_stats)
     from mapreduce_go_spark.operators.similarity import (
         ann_pq_topk, embedding_neardup_pairs_blocked)
@@ -145,6 +148,9 @@ def main() -> None:
                      ("strip_dup_spans", strip_dup_spans),
                      ("audio_features", audio_features),
                      ("mjpeg_frame_sample", mjpeg_frame_sample),
+                     ("image_phash_pairs", image_phash_pairs),
+                     ("audio_fingerprint_pairs", audio_fingerprint_pairs),
+                     ("hll_distinct_tokens", hll_distinct_tokens),
                      ("pretrain_corpus", pretrain_corpus)]:
         t1, r1 = time_query(fn, spark, x1)
         tn, rn = time_query(fn, spark, xn)
