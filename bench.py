@@ -135,9 +135,11 @@ HEADLINE = [
     # hamming verify
     "image_phash_pairs",
     "audio_fingerprint_pairs",
-    # from-scratch mergeable HLL cardinality sketch (r7): register-
-    # exact cross-engine, the oracle-checkable twin of approx_distinct
+    # from-scratch mergeable sketches (r7): register-exact HLL
+    # cardinality and fixed-grid histogram quantiles — the
+    # oracle-checkable twins of approx_distinct / approx_quantile
     "hll_distinct_tokens",
+    "hist_quantiles",
 ]
 
 

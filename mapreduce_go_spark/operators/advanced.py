@@ -90,6 +90,73 @@ def approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BIN_W = 64.0        # fixed-width histogram bin (price domain)
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid histogram quantiles — the third
+    from-scratch sketch beside cms_token_counts (frequency) and
+    hll_distinct_tokens (cardinality), and the oracle-checkable twin
+    of the engine-specific approx_quantile: unlike the GK sketch,
+    every engine-visible value here is deterministic.
+
+    The DISTRIBUTED shape: per-task partial (group, bin) counts
+    (map-side combine), one groupBy shuffle whose merge is counter
+    addition (the mergeable-histogram property), |groups| x |bins|
+    rows total regardless of row count. The q-quantile estimate is
+    the upper edge of the first bin whose cumulative count reaches
+    ceil(q*n) — all integer/grid arithmetic, bit-identical in DuckDB.
+    The exact interpolated percentile rides along (the exact_median
+    discipline) with the guarantee |est - exact| <= one bin width,
+    asserted per row in the output."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    b = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") / HIST_BIN_W)
+        .cast("long").alias("bin"))
+    sketch = b.groupBy("l_returnflag", "bin").agg(
+        F.count("*").alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_returnflag").orderBy("bin")
+    cum = (
+        sketch.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n", F.sum("cnt").over(
+            Window.partitionBy("l_returnflag")))
+    )
+    qq = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(q) for q in HIST_QS])))
+    est = (
+        qq.where(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+        .groupBy("l_returnflag", "q")
+        .agg(F.min("bin").alias("qbin"))
+        .select("l_returnflag", "q",
+                ((F.col("qbin") + 1) * HIST_BIN_W).alias("est_hist"))
+    )
+    qs_sql = ",".join(str(q) for q in HIST_QS)
+    exact = (
+        tables.load(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr(f"percentile(l_extendedprice, array({qs_sql}))")
+             .alias("ex"))
+        .select("l_returnflag", F.posexplode("ex").alias("i", "exact_raw"))
+        .select("l_returnflag",
+                F.element_at(F.array(*[F.lit(q) for q in HIST_QS]),
+                             F.col("i") + 1).alias("q"),
+                "exact_raw")
+    )
+    return (
+        est.join(exact, ["l_returnflag", "q"])
+        .select(
+            "l_returnflag", "q", "est_hist",
+            dround(F.col("exact_raw"), 4).alias("exact_q"),
+            (F.abs(F.col("est_hist") - F.col("exact_raw"))
+             <= HIST_BIN_W).alias("err_ok"),
+        )
+    )
+
+
 def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (Spark has no native one): each event matched to the
     latest order of the same key at-or-before the event time.
@@ -491,6 +558,7 @@ QUERIES = {
     "exact_median": exact_median,
     "approx_distinct": approx_distinct,
     "approx_quantile": approx_quantile,
+    "hist_quantiles": hist_quantiles,
     "asof_join": asof_join,
     "range_join_count": range_join_count,
 }
@@ -612,6 +680,44 @@ ORACLES = {
         UNION ALL
         SELECT o_orderkey, 'custkey', {dround_sql('cast(o_custkey AS double)')}
         FROM orders
+    """,
+    "hist_quantiles": f"""
+        WITH b AS (
+            SELECT l_returnflag,
+                   cast(floor(l_extendedprice / {HIST_BIN_W}) AS bigint)
+                       AS bin
+            FROM lineitem
+        ),
+        sk AS (SELECT l_returnflag, bin, count(*) AS cnt
+               FROM b GROUP BY 1, 2),
+        cum AS (
+            SELECT l_returnflag, bin, cnt,
+                   sum(cnt) OVER (PARTITION BY l_returnflag
+                                  ORDER BY bin) AS cum,
+                   sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+            FROM sk
+        ),
+        qs(q) AS (VALUES {", ".join(f"(cast({q} AS double))" for q in HIST_QS)}),
+        hit AS (
+            SELECT l_returnflag, q, min(bin) AS qbin
+            FROM cum CROSS JOIN qs
+            WHERE cum >= ceil(q * n)
+            GROUP BY 1, 2
+        ),
+        ex AS (
+            SELECT l_returnflag,
+                   unnest([{", ".join(f"cast({q} AS double)" for q in HIST_QS)}]) AS q,
+                   unnest(quantile_cont(l_extendedprice,
+                          [{", ".join(str(q) for q in HIST_QS)}])) AS exact_raw
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT h.l_returnflag, h.q,
+               (h.qbin + 1) * {HIST_BIN_W} AS est_hist,
+               {dround_sql('ex.exact_raw', 4)} AS exact_q,
+               (abs((h.qbin + 1) * {HIST_BIN_W} - ex.exact_raw)
+                <= {HIST_BIN_W}) AS err_ok
+        FROM hit h JOIN ex ON ex.l_returnflag = h.l_returnflag
+                          AND ex.q = h.q
     """,
     "exact_median": f"""
         SELECT l_returnflag,
