@@ -56,8 +56,11 @@ ANCHORS = [
     "winnow_overlap_pairs",   # MOSS winnowing — no sibling covers it
 ]
 
-# P5(b)+(c) fill order for round 7: TPC-H backlog then the r6-queued
-# rotation names then the newly registered bucketed Q5 twin.
+# P5(b)+(c) fill order: the r7 window drew the TPC-H backlog, the
+# r6-queued rotation names and the bucketed Q5 twin from the head of
+# this list; the tail queues the operators REGISTERED during r7 (all
+# oracle-backed, all green in tests/test_queries.py) for the r8
+# window — P5(d) would find them anyway, this pins the order.
 FILL_QUEUE = [
     "q4_order_priority", "q6_forecast_revenue", "q7_volume_shipping",
     "q9_product_type_profit", "q10_returned_items",
@@ -70,6 +73,10 @@ FILL_QUEUE = [
     "ann_ivf_topk", "audio_resample", "jpeg_resize", "dup_span_stats",
     "bm25_top_terms", "pii_stats", "cdc_dup_chunks",
     "local_supplier_volume_bucketed",
+    # registered in r7 (r8 candidates):
+    "image_phash_pairs", "audio_fingerprint_pairs", "phash_dup_flags",
+    "hll_distinct_tokens", "hist_quantiles",
+    "kmeans_clusters", "zscore_pandas",
 ]
 
 WINDOW = 50
