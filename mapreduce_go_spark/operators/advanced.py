@@ -8,10 +8,14 @@ job (tag streams, shuffle on key, sorted scan carrying the last seen
 dimension row: exactly F3+F6+F8, SURVEY §2.4 D15's idiom); Spark runs
 the same shape as one shuffle + one window pass, with no join blowup.
 
-Approximate aggregates (HLL, KLL/GK quantiles) are engine-specific by
-construction, so they carry no value oracle — tests/test_approx.py
-bounds their error against exact answers instead (the driver records
-a rows-only check; SURVEY §7.4 risk 3).
+Approximate aggregates built into Spark (HLL++, KLL/GK quantiles) are
+engine-specific by construction, so approx_distinct/approx_quantile
+carry no value oracle — tests/test_approx.py bounds their error
+against exact answers instead (the driver records a rows-only check;
+SURVEY §7.4 risk 3). Since r7 each has an oracle-CHECKABLE
+from-scratch twin built on deterministic arithmetic:
+quality.hll_distinct_tokens (register-exact HyperLogLog) and
+hist_quantiles below (mergeable fixed-grid histogram).
 """
 
 from __future__ import annotations
