@@ -135,6 +135,7 @@ HEADLINE = [
     # hamming verify
     "image_phash_pairs",
     "audio_fingerprint_pairs",
+    "video_phash_pairs",
     # from-scratch mergeable sketches (r7): register-exact HLL
     # cardinality and fixed-grid histogram quantiles — the
     # oracle-checkable twins of approx_distinct / approx_quantile

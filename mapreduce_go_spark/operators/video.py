@@ -86,6 +86,13 @@ def make_avi(doc_id: int, body: bytes) -> bytes:
     nf, w, h = _video_params(doc_id)
     frames = [jpeg.encode_gray(_frame_pixels(doc_id, f, body))
               for f in range(nf)]
+    return build_avi(nf, w, h, frames)
+
+
+def build_avi(nf: int, w: int, h: int, frames: list[bytes]) -> bytes:
+    """Assemble a conforming RIFF/AVI MJPG container around
+    already-encoded JPEG frames (shared by make_avi and the
+    perceptual-dedup clip synthesis)."""
     # avih: usec/frame (25 fps), maxbytes, padding, flags(HASINDEX),
     # totalframes, initial, streams, bufsize, w, h, reserved[4]
     avih = struct.pack("<14I", 40000, 0, 0, 0x10, nf, 0, 1, 0, w, h,
@@ -199,9 +206,180 @@ def mjpeg_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        FRAME_SAMPLE_SCHEMA)
 
 
+# ---------------------------------------------------------------- #
+# Video perceptual near-dup (D20 x D17): the fourth and last        #
+# modality — text (minhash/simhash/CDC), image (pHash), audio       #
+# (energy fingerprint), video (this)                                #
+# ---------------------------------------------------------------- #
+
+VPH_W = 32           # frame raster (multiple of the 8x8 JPEG MCU)
+VPH_NF = 4           # frames per synthesized clip (stride-2 -> 2 decode)
+VPH_MOTION = 97      # per-frame texture translation (pixels)
+VPH_FAMILY = 3       # docs per perceptual family (doc_id // 3)
+VPH_CORRUPT_EVERY = 13
+VPH_BAND_CAP = 4
+VPH_HAM_MAX = 10     # measured WITH the lossy codec: intra <= 5,
+                     # inter >= 16 — the codec's quantization noise
+                     # is inside the margin by construction
+
+
+def _vphash_frame(doc_id: int, f: int) -> np.ndarray:
+    """Frame f of the doc's synthesized clip: the image_phash_pairs
+    family texture (multiplicatively scrambled per family, sparse
+    clamped brightening per member) TRANSLATED by f*VPH_MOTION pixels
+    — frames differ (motion), families persist across frames."""
+    base = doc_id // VPH_FAMILY
+    k = doc_id % VPH_FAMILY
+    i = np.arange(VPH_W * VPH_W, dtype=np.int64)
+    j = (i + f * VPH_MOTION) % (VPH_W * VPH_W)
+    g = j * j * 31 + j * 7919 + 12345
+    p = (((2 * base + 1) * g) % 65521) % 256
+    if k:
+        mask = (i + doc_id) % (6 + k) == 0
+        delta = (doc_id * 31 + i) % 9
+        p = np.minimum(p + np.where(mask, delta, 0), 255)
+    return p.reshape(VPH_W, VPH_W).astype(np.uint8)
+
+
+def _vphash_clip_bands(doc_id: int) -> list[int] | None:
+    """Per-clip fingerprint, Spark-free (shared verbatim by the
+    mapInPandas kernel and the lazy-oracle twin): build the REAL AVI
+    (JPEG-encode every frame, full container), walk it, selectively
+    decode every FRAME_SAMPLE_STRIDE-th frame — the LOSSY codec is
+    genuinely inside the measured path — temporal-mean the decoded
+    frames, then the 8x8 integer average-hash as four 16-bit band
+    values. None for corrupt clips."""
+    from mapreduce_go_spark.functions import jpeg
+
+    avi = build_avi(VPH_NF, VPH_W, VPH_W,
+                    [jpeg.encode_gray(_vphash_frame(doc_id, f))
+                     for f in range(VPH_NF)])
+    if doc_id % VPH_CORRUPT_EVERY == 0:
+        avi = avi[:6]
+    try:
+        meta = parse_avi(avi)
+    except ValueError:
+        return None
+    acc = np.zeros(VPH_W * VPH_W, dtype=np.int64)
+    for f in range(0, meta["n_frames"], FRAME_SAMPLE_STRIDE):
+        acc += jpeg.decode_gray(meta["frames"][f]).astype(
+            np.int64).reshape(-1)
+    cr = (np.arange(VPH_W) * 8) // VPH_W
+    sums = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(sums, (np.repeat(cr, VPH_W), np.tile(cr, VPH_W)), acc)
+    cnts = (np.bincount(cr, minlength=8)[:, None]
+            * np.bincount(cr, minlength=8)[None, :])
+    bits = (sums * (VPH_W * VPH_W) > sums.sum() * cnts).reshape(-1)
+    return [int((bits[k * 16:(k + 1) * 16]
+                 * (1 << np.arange(16))).sum()) for k in range(4)]
+
+
+def _vphash_band_batches(batches):
+    from mapreduce_go_spark.operators.multimodal import PHASH_BANDS_SCHEMA
+
+    cols = [f.name for f in PHASH_BANDS_SCHEMA]
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            vals = _vphash_clip_bands(int(doc_id))
+            if vals is None:
+                continue
+            for bno in range(4):
+                out.append({"doc_id": doc_id, "band_no": bno,
+                            "band_val": vals[bno],
+                            "b0": vals[0], "b1": vals[1],
+                            "b2": vals[2], "b3": vals[3]})
+        yield pd.DataFrame(out, columns=cols)
+
+
+def video_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20 x D17: perceptual near-duplicate VIDEO pairs — temporal-
+    mean pHash over REAL lossy MJPEG round-trips (container walk +
+    selective baseline-JPEG decode of sampled frames), banded into
+    capped LSH buckets, exact hamming verify (shared machinery:
+    multimodal.banded_hamming_pairs). Completes perceptual dedup
+    across all four modalities.
+
+    Oracle note (the BPE/PQ discipline for non-SQL-expressible
+    kernels): the lossy DCT/Huffman codec cannot be re-derived in
+    SQL, so the lazy oracle embeds the Spark-free twin's per-clip
+    hash literals and re-checks banding, cap, pair expansion and
+    hamming in SQL; the hash derivation itself is pinned by
+    tests/test_audio_video.py (ground-truth family recovery +
+    twin/kernel equality + codec-in-path check)."""
+    from mapreduce_go_spark.operators.multimodal import (
+        PHASH_BANDS_SCHEMA, banded_hamming_pairs)
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    bands = _spread(docs).mapInPandas(_vphash_band_batches,
+                                      PHASH_BANDS_SCHEMA)
+    return banded_hamming_pairs(bands, VPH_BAND_CAP, VPH_HAM_MAX)
+
+
+def _vphash_oracle_lazy() -> str | None:
+    """LAZY oracle: per-clip hash literals from the Spark-free twin
+    (same function the kernel runs), banding/cap/pairs/hamming
+    recomputed in SQL from those literals."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    sf_dir = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        ids = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"]).column("doc_id").to_pylist()
+        rows = []
+        for d in sorted(ids):
+            vals = _vphash_clip_bands(int(d))
+            if vals is not None:
+                rows.append((d, *vals))
+    except Exception:
+        return None
+    if not rows:
+        return None
+    lits = ", ".join(f"({d}, {b0}, {b1}, {b2}, {b3})"
+                     for d, b0, b1, b2, b3 in rows)
+    return f"""
+    WITH hashes(doc_id, b0, b1, b2, b3) AS (VALUES {lits}),
+    bands AS (
+        SELECT doc_id, b.band_no,
+               CASE b.band_no WHEN 0 THEN b0 WHEN 1 THEN b1
+                    WHEN 2 THEN b2 ELSE b3 END AS band_val
+        FROM hashes
+        CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band_no) b
+    ),
+    ok_buckets AS (
+        SELECT band_no, band_val FROM bands
+        GROUP BY 1, 2
+        HAVING count(*) BETWEEN 2 AND {VPH_BAND_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bands a
+        JOIN ok_buckets USING (band_no, band_val)
+        JOIN bands b USING (band_no, band_val)
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT d1, d2,
+           cast(bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+              + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+              AS int) AS hamming
+    FROM cand
+    JOIN hashes x ON x.doc_id = d1
+    JOIN hashes y ON y.doc_id = d2
+    WHERE bit_count(xor(x.b0, y.b0)) + bit_count(xor(x.b1, y.b1))
+        + bit_count(xor(x.b2, y.b2)) + bit_count(xor(x.b3, y.b3))
+        <= {VPH_HAM_MAX}
+    """
+
+
 QUERIES = {
     "mjpeg_frame_sample": mjpeg_frame_sample,
+    "video_phash_pairs": video_phash_pairs,
 }
+
+LAZY_ORACLES = {"video_phash_pairs": _vphash_oracle_lazy}
 
 ORACLES = {
     "mjpeg_frame_sample": f"""

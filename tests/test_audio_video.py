@@ -133,3 +133,41 @@ def test_audio_fingerprint_comes_from_decoded_wav():
         wav = au.encode_wav(8000, s)
         back = au.decode_wav(wav)["samples"]
         assert np.array_equal(back, s)
+
+
+def test_video_phash_ground_truth_recovery(spark, sf_dir):
+    """video_phash_pairs: ZERO false positives against the
+    synthesized families (inter-family hamming >= 16, threshold 10),
+    and recall >= 0.97 — unlike the image/audio twins, recall here is
+    NOT exactly 1.0: the lossy codec flips up to ~6 hash bits inside
+    a family, and a pair whose flips touch all four bands loses LSH
+    candidacy (8 of 421 pairs at sf0.01 — the classic banding
+    trade, stated rather than hidden)."""
+    from mapreduce_go_spark.operators import video as v
+
+    rows = v.video_phash_pairs(spark, sf_dir).collect()
+    got = {(r.d1, r.d2) for r in rows}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ok = [d for d in range(n_docs) if d % v.VPH_CORRUPT_EVERY != 0]
+    want = {(a, b)
+            for i, a in enumerate(ok) for b in ok[i + 1:]
+            if a // v.VPH_FAMILY == b // v.VPH_FAMILY}
+    assert not (got - want), sorted(got - want)[:5]   # no false positives
+    assert len(got) / len(want) >= 0.97, (len(got), len(want))
+    assert all(r.hamming <= v.VPH_HAM_MAX for r in rows)
+
+
+def test_video_phash_lossy_codec_is_in_path():
+    """The clip hash must come from DECODED frames: encode+decode is
+    lossy (nonzero error within JPEG_ERR_TOL), so kernel output can
+    only equal the twin if both genuinely run the codec."""
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+    from mapreduce_go_spark.operators import video as v
+    from mapreduce_go_spark.operators.multimodal import JPEG_ERR_TOL
+
+    px = v._vphash_frame(1, 0)
+    dec = jpeg.decode_gray(jpeg.encode_gray(px))
+    err = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max())
+    assert 0 < err <= JPEG_ERR_TOL, err
