@@ -74,8 +74,8 @@ FILL_QUEUE = [
     "bm25_top_terms", "pii_stats", "cdc_dup_chunks",
     "local_supplier_volume_bucketed",
     # registered in r7 (r8 candidates):
-    "image_phash_pairs", "audio_fingerprint_pairs", "phash_dup_flags",
-    "hll_distinct_tokens", "hist_quantiles",
+    "image_phash_pairs", "audio_fingerprint_pairs", "video_phash_pairs",
+    "phash_dup_flags", "hll_distinct_tokens", "hist_quantiles",
     "kmeans_clusters", "zscore_pandas",
 ]
 

@@ -131,7 +131,8 @@ def main() -> None:
                                                       repetition_stats)
     from mapreduce_go_spark.operators.similarity import (
         ann_pq_topk, embedding_neardup_pairs_blocked)
-    from mapreduce_go_spark.operators.video import mjpeg_frame_sample
+    from mapreduce_go_spark.operators.video import (mjpeg_frame_sample,
+                                                    video_phash_pairs)
 
     spark = get_spark("scale_curve")
     x1, xn = build_corpora(spark, args.base, args.out, args.factor)
@@ -150,6 +151,7 @@ def main() -> None:
                      ("mjpeg_frame_sample", mjpeg_frame_sample),
                      ("image_phash_pairs", image_phash_pairs),
                      ("audio_fingerprint_pairs", audio_fingerprint_pairs),
+                     ("video_phash_pairs", video_phash_pairs),
                      ("hll_distinct_tokens", hll_distinct_tokens),
                      ("pretrain_corpus", pretrain_corpus)]:
         t1, r1 = time_query(fn, spark, x1)
