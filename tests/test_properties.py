@@ -350,3 +350,31 @@ def test_pagerank_fixed_invariants(spark, sf_dir):
     part = [r.rank_fp for r in rows if r.node % 2 == 0]
     assert sup and part
     assert sum(sup) / len(sup) > 5 * sum(part) / len(part)
+
+
+def test_fingerprint_pairs_partition_invariant(spark, sf_dir):
+    """The perceptual-fingerprint pipelines (pHash image, energy
+    audio) must produce identical band rows and identical verified
+    pairs under ANY input partitioning — the same distributed-
+    correctness property test_minhash_pipeline_partition_invariant
+    pins for text dedup (deterministic per-doc kernels + set
+    semantics make layout a pure performance choice)."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import audio as au
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+
+    def pairs(df, kernel, cap, ham):
+        bands = df.mapInPandas(kernel, mm.PHASH_BANDS_SCHEMA)
+        return sorted(map(tuple, mm.banded_hamming_pairs(
+            bands, cap, ham).collect()))
+
+    for kernel, cap, ham in (
+            (mm._phash_band_batches, mm.PHASH_BAND_CAP, mm.PHASH_HAM_MAX),
+            (au._afp_band_batches, au.AFP_BAND_CAP, au.AFP_HAM_MAX)):
+        base = pairs(docs, kernel, cap, ham)
+        assert base  # non-vacuous
+        for n in (1, 7):
+            alt = pairs(docs.repartition(n), kernel, cap, ham)
+            assert alt == base, f"pairs changed under repartition({n})"
