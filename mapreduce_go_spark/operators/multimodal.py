@@ -1178,18 +1178,34 @@ def _phash_band_batches(
 def banded_hamming_pairs(bands: DataFrame, cap: int,
                          ham_max: int) -> DataFrame:
     """Shared fingerprint-pair machinery (image pHash, audio
-    fingerprint): (doc_id, band_no, band_val, b0..b3) rows ->
-    bucket-local pair expansion with the degenerate-bucket cap
-    applied BEFORE any pair exists (dedup.py _bucket_pairs
+    fingerprint, video pHash): (doc_id, band_no, band_val, b0..b3)
+    rows -> bucket-local pair expansion with the degenerate-bucket
+    cap applied BEFORE any pair exists (dedup.py _bucket_pairs
     discipline: no self-join, the fingerprint pipeline runs ONCE)
     -> exact hamming via bit_count over the four 16-bit words ->
-    (d1, d2, hamming <= ham_max)."""
+    (d1, d2, hamming <= ham_max).
+
+    The cap is enforced by a WINDOW COUNT on the bucket key BEFORE
+    collect_list — over-cap rows never enter the array, so the
+    per-bucket state is bounded by `cap` even for a degenerate
+    bucket (all-black images, silence clips) holding millions of
+    docs; a post-hoc size filter on the collected array would have
+    materialized the whole bucket in one reducer first. The window
+    and the groupBy hash-partition on the same key, so the guard
+    costs no extra exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band_no", "band_val")
+    capped = (
+        bands.withColumn("_bn", F.count("*").over(w))
+        .where((F.col("_bn") >= 2) & (F.col("_bn") <= cap))
+        .drop("_bn")
+    )
     buckets = (
-        bands.groupBy("band_no", "band_val")
+        capped.groupBy("band_no", "band_val")
         .agg(F.sort_array(
             F.collect_list(F.struct("doc_id", "b0", "b1", "b2", "b3"))
         ).alias("ds"))
-        .where((F.size("ds") >= 2) & (F.size("ds") <= cap))
     )
     cand = (
         buckets
@@ -1237,7 +1253,17 @@ def phash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline) and the exact hamming is <= PHASH_HAM_MAX. One pass:
     bucket-local expansion, no self-join. Corrupt docs carry no hash
     and are never dup. Batch-parity + replay-idempotence of the
-    streaming twin are proven in tests/test_streaming.py."""
+    streaming twin are proven in tests/test_streaming.py.
+
+    Scale note: unlike banded_hamming_pairs, the collected bucket
+    array here is NOT cap-bounded — every member past the cap is
+    still a flag TARGET (only holders are capped), so a degenerate
+    bucket's array is bucket-sized. At 100 TB the right formulation
+    is the streaming twin's: rank holders with a window, store only
+    rk <= CAP, and equi-join targets against that bounded holder
+    relation (the incremental index does exactly this; a batch run
+    at that scale should localCheckpoint the band relation and use
+    the same join)."""
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
     bands = _spread(docs).mapInPandas(_phash_band_batches,
                                       PHASH_BANDS_SCHEMA)
