@@ -137,6 +137,23 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
 
 
+def test_banded_hamming_pairs_two_exchanges(spark, sf_dir):
+    """The shared fingerprint-pair machinery must shuffle exactly
+    twice: once on the bucket key (the window cap guard and the
+    bucket groupBy SHARE that partitioning — the cap costs no extra
+    exchange) and once for the final pair-level distinct. A third
+    exchange would mean the cap guard broke partitioning reuse."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    bands = docs.mapInPandas(mm._phash_band_batches,
+                             mm.PHASH_BANDS_SCHEMA)
+    p = plan_of(mm.banded_hamming_pairs(bands, 4, 10))
+    n = len(re.findall(r"^\(\d+\) Exchange\b", p, re.M))
+    assert n == 2, p
+
+
 def test_pack_sequences_no_global_window(spark, sf_dir):
     """The packing cumsum must never run as one un-partitioned window
     (the whole corpus through a single task). windowspecdefinition's
