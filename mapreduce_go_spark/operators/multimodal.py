@@ -1250,40 +1250,47 @@ def phash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket among that bucket's first PHASH_BAND_CAP holders (the
     lifetime cap — a degenerate bucket stores its first CAP holders
     then goes INERT for new holders, the run_streaming_neardup
-    discipline) and the exact hamming is <= PHASH_HAM_MAX. One pass:
-    bucket-local expansion, no self-join. Corrupt docs carry no hash
-    and are never dup. Batch-parity + replay-idempotence of the
-    streaming twin are proven in tests/test_streaming.py.
+    discipline) and the exact hamming is <= PHASH_HAM_MAX. Corrupt
+    docs carry no hash and are never dup. Batch-parity +
+    replay-idempotence of the streaming twin are proven in
+    tests/test_streaming.py.
 
-    Scale note: unlike banded_hamming_pairs, the collected bucket
-    array here is NOT cap-bounded — every member past the cap is
-    still a flag TARGET (only holders are capped), so a degenerate
-    bucket's array is bucket-sized. At 100 TB the right formulation
-    is the streaming twin's: rank holders with a window, store only
-    rk <= CAP, and equi-join targets against that bounded holder
-    relation (the incremental index does exactly this; a batch run
-    at that scale should localCheckpoint the band relation and use
-    the same join)."""
+    Scale shape (the bounded-holder join, same formulation the
+    streaming index uses at streaming/jobs.py:798+): rank band rows
+    per bucket with a window, keep only rk <= PHASH_BAND_CAP as the
+    HOLDER relation — at most CAP rows per bucket, so the holder
+    side is O(buckets * CAP) regardless of skew — then equi-join
+    every band row (the flag targets) against it on the bucket key.
+    A degenerate bucket of N members costs N * CAP join rows,
+    linear in N; no node ever materializes a bucket-sized array
+    (there is NO collect_list anywhere in this plan — pinned by
+    tests/test_plans.py). The band relation is persisted so the
+    decode+hash kernel runs ONCE and both join sides read the
+    cached rows (InMemoryTableScan x2 in the plan) — band rows are
+    |docs| x 4 small fixed-width rows, MEMORY_AND_DISK spills
+    cleanly at corpus scale; a petabyte run would write them to a
+    temp parquet instead, same shape."""
     docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    from pyspark.sql import Window
+
     bands = _spread(docs).mapInPandas(_phash_band_batches,
-                                      PHASH_BANDS_SCHEMA)
-    buckets = (
-        bands.groupBy("band_no", "band_val")
-        .agg(F.sort_array(
-            F.collect_list(F.struct("doc_id", "b0", "b1", "b2", "b3"))
-        ).alias("ds"))
-        .where(F.size("ds") >= 2)
+                                      PHASH_BANDS_SCHEMA).persist()
+    w = Window.partitionBy("band_no", "band_val").orderBy("doc_id")
+    holders = (
+        bands.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= PHASH_BAND_CAP)
+        .select("band_no", "band_val",
+                F.col("doc_id").alias("h_doc"),
+                *[F.col(f"b{i}").alias(f"h{i}") for i in range(4)])
     )
     hamming = sum(
-        F.bit_count(F.expr(f"x.b{i} ^ y.b{i}")) for i in range(4))
+        F.bit_count(F.col(f"b{i}").bitwiseXOR(F.col(f"h{i}")))
+        for i in range(4))
     flagged = (
-        buckets
-        .select(F.posexplode("ds").alias("i", "x"), "ds")
-        .where(F.col("i") < PHASH_BAND_CAP)  # holder in first CAP
-        .select("x", F.explode(
-            F.slice(F.col("ds"), F.col("i") + 2, F.size("ds"))).alias("y"))
-        .where(hamming <= PHASH_HAM_MAX)
-        .select(F.col("y.doc_id").alias("doc_id"))
+        bands.join(holders, ["band_no", "band_val"])
+        .where((F.col("h_doc") < F.col("doc_id"))
+               & (hamming <= PHASH_HAM_MAX))
+        .select("doc_id")
         .distinct()
     )
     return (docs.join(flagged.withColumn("dup", F.lit(True)),

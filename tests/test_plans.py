@@ -154,6 +154,29 @@ def test_banded_hamming_pairs_two_exchanges(spark, sf_dir):
     assert n == 2, p
 
 
+def test_phash_dup_flags_bounded_holder_join(spark, sf_dir):
+    """The batch dup-flag anchor must use the bounded-holder join
+    (the streaming index formulation), never a bucket-sized array:
+    no collect_list on the bucket key anywhere in the plan — a
+    degenerate bucket of N members must cost N * CAP join rows, not
+    one N-sized array in a single reducer. The band relation is
+    persisted so the decode+hash kernel runs once and both join
+    sides scan the cache (two InMemoryTableScans, one MapInPandas
+    kernel in the plan)."""
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    df = mm.phash_dup_flags(spark, sf_dir)
+    p = plan_of(df)
+    try:
+        assert "collect_list" not in p, p
+        assert "Window" in p, p
+        assert p.count("InMemoryTableScan") >= 2, p
+        # one distinct kernel node, referenced by both cache scans
+        assert len(re.findall(r"^\(\d+\) MapInPandas", p, re.M)) == 1, p
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_pack_sequences_no_global_window(spark, sf_dir):
     """The packing cumsum must never run as one un-partitioned window
     (the whole corpus through a single task). windowspecdefinition's
