@@ -68,6 +68,27 @@ def _grid(p: np.ndarray) -> np.ndarray:
     return np.copysign(np.floor(np.abs(p) + 0.5), p).astype(np.int64)
 
 
+def _grid_sum(p: np.ndarray, axis=None):
+    """_grid followed by an int64 sum with a GROUP-SUM overflow
+    guard: numpy int64 .sum() wraps silently, so _grid's per-element
+    2^51 bound alone does not protect the total — n elements of
+    magnitude up to 2^51 overflow a 2^63 accumulator at n ~ 4096.
+    Require n_summed * max|grid| < 2^63 (conservative, exact) and
+    raise with a rescale hint otherwise, keeping the kernels honest
+    at group sizes the fixtures never reach (the DuckDB oracles sum
+    in hugeint and would silently diverge)."""
+    g = _grid(p)
+    if g.size:
+        n = g.size if axis is None else g.shape[axis]
+        m = int(np.max(np.abs(g)))
+        if m and n > np.iinfo(np.int64).max // m:
+            raise ValueError(
+                "int64 group sum may overflow "
+                f"(n={n}, max|grid|={m}): rescale the grid or split "
+                "the group; the parity proof requires exact sums")
+    return g.sum(axis=axis)
+
+
 def _stack(s: pd.Series) -> np.ndarray:
     """(n, dim) float64 matrix from a Series of list<float> values.
     float32 -> float64 widening is exact, matching x.cast('double').

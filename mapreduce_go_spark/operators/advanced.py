@@ -111,9 +111,16 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows total regardless of row count. The q-quantile estimate is
     the upper edge of the first bin whose cumulative count reaches
     ceil(q*n) — all integer/grid arithmetic, bit-identical in DuckDB.
-    The exact interpolated percentile rides along (the exact_median
-    discipline) with the guarantee |est - exact| <= one bin width,
-    asserted per row in the output."""
+    The exact DISCRETE quantile — the order statistic at the SAME
+    rank ceil(q*n) — rides along, which makes the error bound a
+    theorem, not a heuristic: est is by construction the upper edge
+    of the bin containing that order statistic, so 0 < est - exact
+    <= one bin width always (bin width 64 is a power of two, so the
+    floor/edge arithmetic is float-exact). err_ok asserts it per row
+    and tests/test_advanced.py asserts every err_ok is true. (An
+    INTERPOLATED percentile would not admit this bound: the
+    interpolation partner v_(r+1) can sit any number of bins higher
+    in sparse data.)"""
     li = tables.load(spark, sf_dir, "lineitem")
     b = li.select(
         "l_returnflag",
@@ -138,17 +145,21 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "q",
                 ((F.col("qbin") + 1) * HIST_BIN_W).alias("est_hist"))
     )
-    qs_sql = ",".join(str(q) for q in HIST_QS)
-    exact = (
+    ranked = (
         tables.load(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.expr(f"percentile(l_extendedprice, array({qs_sql}))")
-             .alias("ex"))
-        .select("l_returnflag", F.posexplode("ex").alias("i", "exact_raw"))
-        .select("l_returnflag",
-                F.element_at(F.array(*[F.lit(q) for q in HIST_QS]),
-                             F.col("i") + 1).alias("q"),
-                "exact_raw")
+        .select("l_returnflag", "l_extendedprice")
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("l_returnflag")
+            .orderBy("l_extendedprice")))
+        .withColumn("n", F.count("*").over(
+            Window.partitionBy("l_returnflag")))
+    )
+    exact = (
+        ranked
+        .withColumn("q", F.explode(F.array(*[F.lit(q) for q in HIST_QS])))
+        .where(F.col("rn") == F.ceil(F.col("q") * F.col("n")))
+        .select("l_returnflag", "q",
+                F.col("l_extendedprice").alias("exact_raw"))
     )
     return (
         est.join(exact, ["l_returnflag", "q"])
@@ -708,12 +719,17 @@ ORACLES = {
             WHERE cum >= ceil(q * n)
             GROUP BY 1, 2
         ),
+        rk AS (
+            SELECT l_returnflag, l_extendedprice,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY l_extendedprice) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ),
         ex AS (
-            SELECT l_returnflag,
-                   unnest([{", ".join(f"cast({q} AS double)" for q in HIST_QS)}]) AS q,
-                   unnest(quantile_cont(l_extendedprice,
-                          [{", ".join(str(q) for q in HIST_QS)}])) AS exact_raw
-            FROM lineitem GROUP BY l_returnflag
+            SELECT l_returnflag, q, l_extendedprice AS exact_raw
+            FROM rk CROSS JOIN qs
+            WHERE rn = ceil(q * n)
         )
         SELECT h.l_returnflag, h.q,
                (h.qbin + 1) * {HIST_BIN_W} AS est_hist,

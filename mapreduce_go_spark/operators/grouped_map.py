@@ -71,7 +71,7 @@ def zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     tier, same statistics)."""
     import numpy as np
 
-    from mapreduce_go_spark.functions.simd import _grid
+    from mapreduce_go_spark.functions.simd import _grid, _grid_sum
 
     ev = tables.load(spark, sf_dir, "events").select(
         "event_id", "event_type", "value")
@@ -81,9 +81,12 @@ def zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(x)
         # grid scales sized to the 2^51 parity bound: |value| < ~500
         # so value*1e12 < 5e14 fits, but value^2*1e12 would not —
-        # squares use the 1e9 grid (value^2*1e9 < 2.5e14)
-        mu = _grid(x * 1e12).sum() / 1e12 / n
-        s2 = _grid(x * x * 1e9).sum() / 1e9 / n
+        # squares use the 1e9 grid (value^2*1e9 < 2.5e14).
+        # _grid_sum additionally guards the GROUP sum: n * 5e14
+        # approaches 2^63 around n ~ 18k per group, so silent int64
+        # wrap is a real risk one fixture-scale-up away
+        mu = _grid_sum(x * 1e12) / 1e12 / n
+        s2 = _grid_sum(x * x * 1e9) / 1e9 / n
         sigma = np.sqrt(s2 - mu * mu)
         z = (x - mu) / sigma
         return pd.DataFrame({

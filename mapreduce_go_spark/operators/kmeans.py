@@ -123,7 +123,7 @@ def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS):
 
     import pyarrow.parquet as pq
 
-    from mapreduce_go_spark.functions.simd import _grid
+    from mapreduce_go_spark.functions.simd import _grid, _grid_sum
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
@@ -133,9 +133,19 @@ def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS):
                    dtype=np.float64)
     C = X[:k].copy()
     XG = _grid(X * _SCALE)  # per-element grid image, summed per cluster
+    # group-sum overflow guard (the _grid_sum bound, checked once for
+    # the worst case — every row in one cluster): int64 .sum() wraps
+    # silently past 2^63 while the Spark side (ANSI sum(bigint)) and
+    # the DuckDB side (hugeint) would not
+    _mx = int(np.max(np.abs(XG))) if XG.size else 0
+    if _mx and XG.shape[0] > np.iinfo(np.int64).max // _mx:
+        raise ValueError(
+            f"kmeans grid sums may overflow int64 (n={XG.shape[0]}, "
+            f"max|grid|={_mx}): rescale _SCALE")
 
     def assign(C):
-        d = _grid(((X[:, None, :] - C[None, :, :]) ** 2) * _SCALE).sum(-1)
+        d = _grid_sum(((X[:, None, :] - C[None, :, :]) ** 2) * _SCALE,
+                      axis=-1)
         return d.argmin(1)  # first-min tie-break == struct/ORDER BY d,i
 
     for _ in range(iterations):
@@ -165,7 +175,7 @@ def _kmeans_oracle_lazy() -> str | None:
         return None
     k, dim = C.shape
     cb = ", ".join(
-        f"({ci}, {j + 1}, {C[ci, j]!r})"
+        f"({ci}, {j + 1}, {float(C[ci, j])!r})"
         for ci in range(k) for j in range(dim)
     )
     norms = ", ".join(

@@ -800,7 +800,7 @@ def _pq_oracle_sql(sf_dir: str) -> str:
     M, K, sub = CB.shape
     dim = M * sub
     vals = ", ".join(
-        f"({m}, {k}, {j}, {CB[m, k, j]!r})"
+        f"({m}, {k}, {j}, {float(CB[m, k, j])!r})"
         for m in range(M) for k in range(K) for j in range(sub)
     )
     return f"""

@@ -32,6 +32,22 @@ def test_approx_quantile_within_range(spark, sf_dir):
         assert abs(a90 - e90) / e90 < 0.05, (k, a90, e90)
 
 
+def test_hist_quantiles_error_bound_holds(spark, sf_dir):
+    """The mergeable-histogram guarantee must actually hold, not just
+    ride along as an output column: every err_ok is true, and the
+    signed error sits in the theorem's interval 0 < est - exact <=
+    one bin width (est is the upper edge of the bin containing the
+    rank-ceil(q*n) order statistic). A silent violation would pass
+    the differential — both engines compute err_ok identically — so
+    this asserts the VALUES."""
+    rows = advanced.hist_quantiles(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.err_ok, r
+        err = r.est_hist - r.exact_q
+        assert 0 < err <= advanced.HIST_BIN_W, r
+
+
 def test_embedding_neardup_blocked_recall(spark, sf_dir):
     """embedding_neardup_pairs_blocked's recall contract vs its exact
     all-pairs oracle (embedding_neardup_pairs): blocked results are a
