@@ -71,22 +71,49 @@ def test_driver_window_is_curated():
     assert names[:50] == registry._PRIORITY
     missing = [n for n in names[:50] if n not in _ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
-    # r7 rotation (tools/rotation.py policy): dedup_exact /
-    # media_features / tumbling_window / repetition_stats et al.
-    # released their seats after >=2 cumulative greens; their
+    # r8 rotation (tools/rotation.py policy): the r6 first greens
+    # confirmed their second green in r7 and released their seats;
     # families stay represented by the prefixes below (near-dup by
-    # the capped/simhash/cdc/span rows, streaming by sessionize,
-    # multimodal by jpeg/gif/audio/mjpeg, TPC-H by the q* backlog)
-    families = ("neardup_flags_capped", "simhash_", "cdc_", "winnow_",
-                "strip_dup_", "dup_span_", "ann_", "chunk_retrieval_",
-                "semantic_", "quantize_", "pretrain_", "sessionize",
-                "pii_", "bm25_", "cms_", "feature_hash_",
-                "jpeg_", "gif_", "audio_", "mjpeg_", "wc",
-                "warc_", "zorder_", "pagerank_", "sentence_split_",
-                "q4_", "q18_", "q22_",
-                "join_inner_bucketed", "local_supplier_volume_bucketed")
+    # minhash/simhash/ngram/cdc/winnow/span rows, perceptual dedup
+    # by the phash trio, sketches by hll/hist, streaming by
+    # sessionize, multimodal by jpeg/audio, TPC-H by the held q*)
+    families = ("wc", "q4_", "q18_", "q22_",
+                "join_inner_bucketed", "local_supplier_volume_bucketed",
+                "ann_", "dup_span_", "bm25_", "pii_", "cdc_",
+                "winnow_", "sessionize", "pretrain_",
+                "jpeg_", "audio_", "image_phash_", "video_phash_",
+                "phash_dup_", "hll_", "hist_", "kmeans_", "zscore_",
+                "minhash_", "simhash", "ngram_", "salted_",
+                "train_test_", "dq_", "topk_")
     for fam in families:
         assert any(n.startswith(fam) for n in names[:50]), fam
+
+
+def test_driver_window_matches_rotation_tool():
+    """The shipped _PRIORITY must be a FIXPOINT of the written
+    rotation policy: running tools/rotation.propose() on the current
+    window proposes the same 50-seat SET (order within the window is
+    presentation only — the driver checks all 50 regardless), and
+    the permanent + anchor seats sit at its head. Keeps the
+    window-vs-tool sync mechanical instead of manual (r7 verdict
+    item 7)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "rotation.py"))
+    rotation = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rotation)
+
+    current = list(_QUERIES)[:rotation.WINDOW]
+    window, _demoted = rotation.propose(current)
+    assert set(window) == set(current), (
+        sorted(set(window) ^ set(current)))
+    head = registry._PRIORITY[:len(rotation.PERMANENT)
+                              + len(rotation.ANCHORS)]
+    assert head == rotation.PERMANENT + rotation.ANCHORS
 
 
 def test_no_eager_actions_in_operators():

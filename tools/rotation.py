@@ -77,7 +77,34 @@ FILL_QUEUE = [
     "image_phash_pairs", "audio_fingerprint_pairs", "video_phash_pairs",
     "phash_dup_flags", "hll_distinct_tokens", "hist_quantiles",
     "kmeans_clusters", "zscore_pandas",
+    # adjudicated r8 tail -> seated r8 via P5(d) order, pinned here:
+    "salted_skew_agg", "train_test_split", "dq_profile",
+    "topk_per_group", "ngram_jaccard_pairs", "minhash_signatures",
+    "minhash_jaccard_estimate", "simhash", "cdc_chunks",
+    "winnow_fingerprints",
+    # r9 candidates (the rest of the adjudicated tail; every one
+    # oracle-backed and green in tests/test_queries.py):
+    "bpe_token_stats", "multimodal_pack", "bmp_resize",
+    "sliding_window", "dedup_first_event",
 ]
+
+# Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
+# written exemption — the query is registered, runs in pytest, but a
+# driver seat would add no verification signal. These do NOT count
+# toward the never-verified debt metric.
+EXEMPT = {
+    "approx_distinct": "engine-internal HLL++ sketch, rows-only by "
+        "design; its register-exact oracle-checked twin is "
+        "hll_distinct_tokens (seated r8)",
+    "approx_quantile": "engine-internal GK sketch, rows-only by "
+        "design; its deterministic oracle-checked twin is "
+        "hist_quantiles (seated r8); accuracy pinned vs exact_median "
+        "in tests/test_approx.py",
+    "bpe_subword_tokens": "iterative BPE training is not SQL-"
+        "expressible (merge order is stateful); pinned by Sennrich "
+        "worked-example unit tests; its countable surface "
+        "bpe_token_stats is oracle-backed and queued r9",
+}
 
 WINDOW = 50
 
@@ -149,8 +176,9 @@ def main() -> None:
     window, demoted = propose(current)
     greens, streak, _red, n_rounds = history()
     never = [n for n in registry.all_queries()
-             if greens.get(n, 0) == 0]
-    print(f"# rounds seen: {n_rounds}; never-verified now: {len(never)}")
+             if greens.get(n, 0) == 0 and n not in EXEMPT]
+    print(f"# rounds seen: {n_rounds}; never-verified now: "
+          f"{len(never)} (+ {len(EXEMPT)} written exemptions)")
     print(f"# proposed window ({len(window)} seats):")
     for n in window:
         tag = ("PERM" if n in PERMANENT else
