@@ -143,6 +143,27 @@ HEADLINE = [
     "hist_quantiles",
 ]
 
+# FROZEN cross-round comparable subset: the exact 37-query set
+# BENCH_r05.json measured (SCALE.md "bench drift" discipline — the
+# headline total grows with the suite, so round-over-round comparison
+# needs a fixed basis; this list NEVER changes). Emitted per run as
+# r5_subset_total alongside the full-set total.
+FROZEN_R5 = [
+    "wc", "indexer", "pricing_summary", "join_inner",
+    "local_supplier_volume", "join_left_outer", "window_rank",
+    "topk_per_group", "global_sort", "top_k", "crash_payload",
+    "scalar_pack", "q6_forecast_revenue", "q10_returned_items",
+    "dedup_exact", "dedup_minhash_pairs", "knn_cosine_topk",
+    "lang_id", "quality_score", "tumbling_window", "sessionize",
+    "dedup_minhash_pairs_capped", "dedup_verified_pairs",
+    "ann_lsh_topk", "embedding_neardup_pairs_blocked",
+    "join_inner_bucketed", "neardup_flags",
+    "simhash_neardup_pairs_capped", "media_features", "png_resize",
+    "gif_resize", "repetition_stats", "decontaminate",
+    "bm25_top_terms", "pretrain_corpus", "jpeg_pixel_roundtrip",
+    "ann_pq_topk",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -179,10 +200,13 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    r5_subset = round(
+        sum(timings[n] for n in FROZEN_R5 if n in timings), 3)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        "r5_subset_total": r5_subset,
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

@@ -160,3 +160,9 @@ def test_bench_headline_names_are_registered():
     names = set(registry.all_queries())
     missing = [n for n in bench.HEADLINE if n not in names]
     assert not missing, missing
+    # the frozen r5 comparable subset must stay runnable forever —
+    # it is the cross-round basis (bench.py FROZEN_R5 never changes)
+    missing = [n for n in bench.FROZEN_R5 if n not in names]
+    assert not missing, missing
+    assert len(bench.FROZEN_R5) == 37
+    assert set(bench.FROZEN_R5) <= set(bench.HEADLINE)
