@@ -71,9 +71,11 @@ def _workspace_dir() -> str:
 # silently share) divergent copies — the layout name is keyed by
 # (table, key, cols), so a mismatched request is a distinct table.
 LINEITEM_BUCKET_COLS = [
-    "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+    "l_quantity", "l_returnflag"]  # widened r8 for the q18/q21 twins
 ORDERS_BUCKET_COLS = [
-    "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
+    "o_orderstatus"]               # widened r8 for the q21 twin
 
 
 def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,

@@ -153,6 +153,43 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q18_large_orders_bucketed(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """q18_large_orders on the co-located layout (the
+    local_supplier_volume_bucketed discipline): lineitem and orders
+    read the shared canonical bucketed+sorted copies, so BOTH the
+    per-order quantity aggregate (groupBy on the bucket key) and the
+    orders join run with zero Exchange at any scale — only the final
+    customer join shuffles. Same result as q18_large_orders (same
+    oracle): the layout is a physical choice, not a semantic one.
+    Plan-asserted in tests/test_plans.py."""
+    from mapreduce_go_spark.operators.joins import (
+        LINEITEM_BUCKET_COLS, ORDERS_BUCKET_COLS, _bucketed_table)
+
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey",
+                         LINEITEM_BUCKET_COLS)
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey",
+                        ORDERS_BUCKET_COLS)
+    c = tables.load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
+        .where(F.col("_q") > 150)
+        .select("l_orderkey",
+                F.round(F.col("_q"), 2).cast("double").alias("total_qty"))
+    )
+    return (
+        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.to_date("o_orderdate").alias("o_date"),
+            dround(F.col("o_totalprice"), 2).alias("total"),
+            "total_qty",
+        )
+    )
+
+
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q19: disjunctive join predicates (brand x quantity bands) —
     Catalyst extracts the common equi-key; the OR bands stay residual."""
@@ -382,6 +419,50 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q21_waiting_orders_bucketed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """q21_waiting_orders on the co-located layout: all three
+    lineitem legs (base, EXISTS probe, NOT-EXISTS probe) and the
+    orders join read the shared bucketed+sorted copies keyed on the
+    orderkey, so every orderkey-equi join (the semi, the anti, and
+    orders) runs without shuffling either side — only the final
+    supplier join + groupBy exchange. The self-semi/anti against the
+    same physical table is the layout's best case: one bucketed
+    write amortized over three co-located probes. Plan-asserted in
+    tests/test_plans.py; same oracle as q21_waiting_orders."""
+    from mapreduce_go_spark.operators.joins import (
+        LINEITEM_BUCKET_COLS, ORDERS_BUCKET_COLS, _bucketed_table)
+
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey",
+                         LINEITEM_BUCKET_COLS)
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey",
+                        ORDERS_BUCKET_COLS)
+    s = tables.load(spark, sf_dir, "supplier")
+    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag")
+    others = li.select(F.col("l_orderkey").alias("o2"),
+                       F.col("l_suppkey").alias("s2"))
+    others_ret = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    base = (
+        l1.where(F.col("l_returnflag") == "R")
+        .join(o.where(F.col("o_orderstatus") == "F"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(others,
+              (F.col("o2") == F.col("l_orderkey"))
+              & (F.col("s2") != F.col("l_suppkey")),
+              "left_semi")
+        .join(others_ret,
+              (F.col("o3") == F.col("l_orderkey"))
+              & (F.col("s3") != F.col("l_suppkey")),
+              "left_anti")
+    )
+    return (
+        base.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2-shaped: cheapest EUROPE supplier per ECONOMY part — the
     fixture has no partsupp table, so per-(part, supplier) unit cost
@@ -512,6 +593,8 @@ QUERIES = {
     "q11_important_stock": q11_important_stock,
     "q15_top_supplier": q15_top_supplier,
     "q21_waiting_orders": q21_waiting_orders,
+    "q18_large_orders_bucketed": q18_large_orders_bucketed,
+    "q21_waiting_orders_bucketed": q21_waiting_orders_bucketed,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
@@ -644,6 +727,24 @@ ORACLES = {
         FROM rev JOIN supplier ON l_suppkey = s_suppkey
         WHERE total_rev = (SELECT max(total_rev) FROM rev)
     """,
+    # the bucketed twins share their plain siblings' oracles verbatim
+    # (the layout is physical, not semantic)
+    "q21_waiting_orders_bucketed": """
+        SELECT s_suppkey, s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_returnflag = 'R'
+          AND o_orderstatus = 'F'
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_suppkey, s_name
+    """,
     "q21_waiting_orders": """
         SELECT s_suppkey, s_name, count(*) AS numwait
         FROM lineitem l1
@@ -772,6 +873,20 @@ ORACLES = {
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= timestamp '1996-01-01'
           AND l_shipdate < timestamp '1996-04-01'
+    """,
+    "q18_large_orders_bucketed": f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   sum(cast(l_quantity AS decimal(18,6))) AS q
+            FROM lineitem GROUP BY l_orderkey
+            HAVING sum(cast(l_quantity AS decimal(18,6))) > 150
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               cast(o_orderdate AS date) AS o_date,
+               {dround_sql('o_totalprice')} AS total,
+               cast(round(q, 2) AS double) AS total_qty
+        FROM orders JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
     """,
     "q18_large_orders": f"""
         WITH big AS (

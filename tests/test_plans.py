@@ -100,6 +100,31 @@ def test_q5_bucketed_twin_saves_fact_join_exchanges(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_q18_q21_bucketed_twins_save_orderkey_exchanges(spark, sf_dir):
+    """The r8 bucketed twins must actually remove the orderkey-side
+    shuffles their docstrings claim (the Q5-twin discipline): with
+    broadcast disabled, q18's bucketed plan drops the lineitem-agg
+    and orders exchanges (2 fewer), and q21's drops the exchanges on
+    all three lineitem legs plus orders (4 fewer)."""
+    from mapreduce_go_spark.operators import tpch
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffles = re.compile(r"^\(\d+\) Exchange\b", re.MULTILINE)
+        for plain_fn, twin_fn, saved in (
+                (tpch.q18_large_orders, tpch.q18_large_orders_bucketed, 2),
+                (tpch.q21_waiting_orders,
+                 tpch.q21_waiting_orders_bucketed, 4)):
+            plain = len(shuffles.findall(plan_of(plain_fn(spark, sf_dir))))
+            twin_plan = plan_of(twin_fn(spark, sf_dir))
+            twin = len(shuffles.findall(twin_plan))
+            assert twin == plain - saved, (
+                plain_fn.__name__, plain, twin, twin_plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
     """Spark's runtime Bloom-filter join pruning (AQE runtime
     filtering) must inject a might_contain predicate on the FACT scan
