@@ -124,7 +124,8 @@ def main() -> None:
     from mapreduce_go_spark.operators.dedup import (
         dedup_verified_pairs, simhash_neardup_pairs_capped,
         strip_dup_spans)
-    from mapreduce_go_spark.operators.multimodal import image_phash_pairs
+    from mapreduce_go_spark.operators.multimodal import (image_phash_pairs,
+                                                         phash_dup_flags)
     from mapreduce_go_spark.operators.pipeline import pretrain_corpus
     from mapreduce_go_spark.operators.quality import (decontaminate,
                                                       hll_distinct_tokens,
@@ -150,6 +151,7 @@ def main() -> None:
                      ("audio_features", audio_features),
                      ("mjpeg_frame_sample", mjpeg_frame_sample),
                      ("image_phash_pairs", image_phash_pairs),
+                     ("phash_dup_flags", phash_dup_flags),
                      ("audio_fingerprint_pairs", audio_fingerprint_pairs),
                      ("video_phash_pairs", video_phash_pairs),
                      ("hll_distinct_tokens", hll_distinct_tokens),
