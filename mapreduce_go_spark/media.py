@@ -71,10 +71,39 @@ def _vph_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA])
 
 
+def _png_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """kind='png': the perceptual-family rasters as real PNG bytes
+    (multimodal._phash_png) — the image_phash_pairs /
+    phash_dup_flags corpus."""
+    from mapreduce_go_spark.operators.multimodal import _phash_png
+
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            out.append({"doc_id": doc_id, "src": b"",
+                        "payload": _phash_png(int(doc_id))})
+        yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA])
+
+
+def _afp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """kind='afp': the perceptual audio clip family as real WAV bytes
+    (audio._afp_wav) — the audio_fingerprint_pairs corpus."""
+    from mapreduce_go_spark.operators.audio import _afp_wav
+
+    for pdf in batches:
+        out = []
+        for doc_id in pdf["doc_id"]:
+            out.append({"doc_id": doc_id, "src": b"",
+                        "payload": _afp_wav(int(doc_id))})
+        yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA])
+
+
 #: kind -> (synthesis kernel, input columns)
 _KINDS = {
     "avi": (_avi_batches, ("doc_id", "text")),
     "vph": (_vph_batches, ("doc_id",)),
+    "png": (_png_batches, ("doc_id",)),
+    "afp": (_afp_batches, ("doc_id",)),
 }
 
 _CLEANUP_REGISTERED: set[str] = set()

@@ -266,45 +266,68 @@ def _afp_samples(doc_id: int) -> "np.ndarray":
     return s
 
 
+def _afp_wav(doc_id: int) -> bytes:
+    """The doc's family clip as REAL WAV bytes (truncated for corrupt
+    docs) — fixture manufacture, materialized once per session by
+    media.media_table('afp')."""
+    wav = encode_wav(8000, _afp_samples(doc_id).astype("<i2"))
+    if doc_id % AUDIO_CORRUPT_EVERY == 0:
+        wav = wav[:6]
+    return wav
+
+
+def _afp_bands_from_wav(wav: bytes) -> list[int] | None:
+    """Fingerprint ENCODED clip bytes: REAL WAV chunk-walk decode
+    (the audio plumbing under test), then 64 window energies (int64
+    sums of |s|), bit w = E[w] > E[w+1] for w<63 (delta coding —
+    gain-offset robust, the chromaprint idea) and bit 63 = E[63]*64
+    > total (cross-multiplied, no float mean), packed into four
+    16-bit band values. Corrupt payloads return None."""
+    nw = AFP_N // AFP_WIN
+    try:
+        s = decode_wav(wav)["samples"].astype(np.int64)
+    except ValueError:
+        return None  # corrupt clip: contributes no fingerprint
+    E = np.abs(s).reshape(nw, AFP_WIN).sum(1)
+    bits = np.empty(64, dtype=bool)
+    bits[:63] = E[:63] > E[1:]
+    bits[63] = E[63] * nw > E.sum()
+    return [
+        int((bits[k * 16:(k + 1) * 16] * (1 << np.arange(16))).sum())
+        for k in range(4)
+    ]
+
+
 def _afp_band_batches(
         batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per doc: synthesize the family clip, REALLY round-trip it
-    through the WAV codec (encode_wav -> decode_wav — the audio
-    plumbing under test), fingerprint the DECODED samples: 64 window
-    energies (int64 sums of |s|), bit w = E[w] > E[w+1] for w<63
-    (delta coding — gain-offset robust, the chromaprint idea) and
-    bit 63 = E[63]*64 > total (cross-multiplied, no float mean),
-    packed into four 16-bit band values. Every AUDIO_CORRUPT_EVERY-th
-    payload is truncated and falls out via ValueError."""
-    from mapreduce_go_spark.operators.multimodal import PHASH_BANDS_SCHEMA
+    """doc_id-driven kernel (synthesize + decode) — property tests
+    use this; the batch operator reads the pre-encoded corpus via
+    _afp_band_batches_wav."""
+    from mapreduce_go_spark.operators.multimodal import (
+        PHASH_BANDS_SCHEMA, _phash_rows)
 
     cols = [f.name for f in PHASH_BANDS_SCHEMA]
-    nw = AFP_N // AFP_WIN
     for pdf in batches:
         out = []
         for doc_id in pdf["doc_id"]:
-            d = int(doc_id)
-            wav = encode_wav(8000, _afp_samples(d).astype("<i2"))
-            if d % AUDIO_CORRUPT_EVERY == 0:
-                wav = wav[:6]
-            try:
-                s = decode_wav(wav)["samples"].astype(np.int64)
-            except ValueError:
-                continue  # corrupt clip: contributes no fingerprint
-            E = np.abs(s).reshape(nw, AFP_WIN).sum(1)
-            bits = np.empty(64, dtype=bool)
-            bits[:63] = E[:63] > E[1:]
-            bits[63] = E[63] * nw > E.sum()
-            vals = [
-                int((bits[k * 16:(k + 1) * 16]
-                     * (1 << np.arange(16))).sum())
-                for k in range(4)
-            ]
-            for bno in range(4):
-                out.append({"doc_id": doc_id, "band_no": bno,
-                            "band_val": vals[bno],
-                            "b0": vals[0], "b1": vals[1],
-                            "b2": vals[2], "b3": vals[3]})
+            _phash_rows(doc_id,
+                        _afp_bands_from_wav(_afp_wav(int(doc_id))), out)
+        yield pd.DataFrame(out, columns=cols)
+
+
+def _afp_band_batches_wav(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode-only kernel over the pre-encoded WAV corpus
+    (media_table('afp') payload column)."""
+    from mapreduce_go_spark.operators.multimodal import (
+        PHASH_BANDS_SCHEMA, _phash_rows)
+
+    cols = [f.name for f in PHASH_BANDS_SCHEMA]
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _phash_rows(doc_id, _afp_bands_from_wav(
+                bytes(payload) if payload is not None else b""), out)
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -315,13 +338,16 @@ def audio_fingerprint_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     multimodal.banded_hamming_pairs). Completes the multimodal dedup
     story: text (minhash/simhash/CDC), images (pHash), audio (this).
     Linear-shuffle shape at any scale: |docs| x 4 band rows exchange;
-    pairs only materialize inside under-cap buckets."""
+    pairs only materialize inside under-cap buckets. Reads the
+    pre-encoded WAV corpus (media.media_table ingest boundary;
+    decode+fingerprint-only kernel)."""
+    from mapreduce_go_spark import media
     from mapreduce_go_spark.operators.multimodal import (
         PHASH_BANDS_SCHEMA, banded_hamming_pairs)
 
-    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
-    bands = _spread(docs).mapInPandas(_afp_band_batches,
-                                      PHASH_BANDS_SCHEMA)
+    clips = media.media_table(spark, sf_dir, "afp").select(
+        "doc_id", "payload")
+    bands = clips.mapInPandas(_afp_band_batches_wav, PHASH_BANDS_SCHEMA)
     return banded_hamming_pairs(bands, AFP_BAND_CAP, AFP_HAM_MAX)
 
 

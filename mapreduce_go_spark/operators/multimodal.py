@@ -1125,53 +1125,85 @@ def _phash_pixels(doc_id: int) -> "object":
     return p
 
 
-def _phash_band_batches(
-        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per doc: synthesize the family raster, REALLY round-trip it
-    through the PNG codec (make_png -> decode_png_pixels — the image
-    plumbing under test), compute the 8x8 integer average-hash over
-    the DECODED raster, and emit four 16-bit band values (band k =
-    bit cells k*16..k*16+15, cell index row-major cr*8+cc, weight 2^i
-    within the band). All-integer: the bit test is the
-    cross-multiplied comparison cell_sum * total_count > total_sum *
-    cell_count — exact in any engine, no float mean anywhere. Every
-    PHASH_CORRUPT_EVERY-th payload is truncated and must fall out via
-    ValueError."""
+def _phash_png(doc_id: int) -> bytes:
+    """The doc's family raster as REAL PNG bytes (truncated for
+    corrupt docs) — the fixture-manufacture step, materialized once
+    per session by media.media_table('png')."""
     import numpy as np
 
-    cols = [f.name for f in PHASH_BANDS_SCHEMA]
+    png = make_png(PHASH_W, PHASH_W,
+                   _phash_pixels(doc_id).astype(np.uint8).tobytes())
+    if doc_id % PHASH_CORRUPT_EVERY == 0:
+        png = png[:20]
+    return png
+
+
+def _phash_bands_from_png(png: bytes) -> list[int] | None:
+    """Decode ENCODED image bytes (decode_png_pixels — the image
+    plumbing under test), compute the 8x8 integer average-hash over
+    the DECODED raster as four 16-bit band values (band k = bit
+    cells k*16..k*16+15, cell index row-major cr*8+cc, weight 2^i
+    within the band). All-integer: the bit test is the
+    cross-multiplied comparison cell_sum * total_count > total_sum *
+    cell_count — exact in any engine, no float mean anywhere.
+    Corrupt payloads return None via ValueError."""
+    import numpy as np
+
     w = h = PHASH_W
+    try:
+        _w, _h, _c, arr = decode_png_pixels(png)
+    except ValueError:
+        return None  # corrupt image: contributes no hash
+    pix = np.asarray(arr, dtype=np.int64)
+    cr = (np.arange(h) * 8) // h
+    cc = (np.arange(w) * 8) // w
+    sums = np.zeros((8, 8), dtype=np.int64)
+    np.add.at(sums, (np.repeat(cr, w), np.tile(cc, h)), pix)
+    cnts = (np.bincount(cr, minlength=8)[:, None]
+            * np.bincount(cc, minlength=8)[None, :])
+    ts, tn = int(sums.sum()), int(h * w)
+    bits = (sums * tn > ts * cnts).reshape(-1)  # index cr*8+cc
+    return [
+        int((bits[k * 16:(k + 1) * 16] * (1 << np.arange(16))).sum())
+        for k in range(4)
+    ]
+
+
+def _phash_rows(doc_id, vals, out) -> None:
+    if vals is None:
+        return
+    for bno in range(4):
+        out.append({"doc_id": doc_id, "band_no": bno,
+                    "band_val": vals[bno],
+                    "b0": vals[0], "b1": vals[1],
+                    "b2": vals[2], "b3": vals[3]})
+
+
+def _phash_band_batches(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id-driven kernel (synthesize + decode) — the streaming
+    twin and the plan/property tests use this; the batch operators
+    read the pre-encoded corpus via _phash_band_batches_png."""
+    cols = [f.name for f in PHASH_BANDS_SCHEMA]
     for pdf in batches:
         out = []
         for doc_id in pdf["doc_id"]:
-            d = int(doc_id)
-            png = make_png(w, h, _phash_pixels(d).astype(
-                np.uint8).tobytes())
-            if d % PHASH_CORRUPT_EVERY == 0:
-                png = png[:20]
-            try:
-                _w, _h, _c, arr = decode_png_pixels(png)
-            except ValueError:
-                continue  # corrupt image: contributes no hash
-            pix = np.asarray(arr, dtype=np.int64)
-            cr = (np.arange(h) * 8) // h
-            cc = (np.arange(w) * 8) // w
-            sums = np.zeros((8, 8), dtype=np.int64)
-            np.add.at(sums, (np.repeat(cr, w), np.tile(cc, h)), pix)
-            cnts = (np.bincount(cr, minlength=8)[:, None]
-                    * np.bincount(cc, minlength=8)[None, :])
-            ts, tn = int(sums.sum()), int(h * w)
-            bits = (sums * tn > ts * cnts).reshape(-1)  # index cr*8+cc
-            vals = [
-                int((bits[k * 16:(k + 1) * 16]
-                     * (1 << np.arange(16))).sum())
-                for k in range(4)
-            ]
-            for bno in range(4):
-                out.append({"doc_id": doc_id, "band_no": bno,
-                            "band_val": vals[bno],
-                            "b0": vals[0], "b1": vals[1],
-                            "b2": vals[2], "b3": vals[3]})
+            _phash_rows(doc_id,
+                        _phash_bands_from_png(_phash_png(int(doc_id))),
+                        out)
+        yield pd.DataFrame(out, columns=cols)
+
+
+def _phash_band_batches_png(
+        batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode-only kernel over the pre-encoded PNG corpus
+    (media_table('png') payload column)."""
+    cols = [f.name for f in PHASH_BANDS_SCHEMA]
+    for pdf in batches:
+        out = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            _phash_rows(doc_id, _phash_bands_from_png(
+                bytes(payload) if payload is not None else b""), out)
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -1236,10 +1268,14 @@ def image_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash pipeline runs ONCE) -> exact hamming verify via bit_count.
     At 100 TB this is the linear-shuffle shape: |docs| x 4 band rows
     exchange, pairs only materialize inside under-cap buckets.
+    Reads the pre-encoded PNG corpus (media.media_table — the
+    ingest boundary; the kernel is decode+hash only).
     Output: (d1, d2, hamming <= PHASH_HAM_MAX)."""
-    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
-    bands = _spread(docs).mapInPandas(_phash_band_batches,
-                                      PHASH_BANDS_SCHEMA)
+    from mapreduce_go_spark import media
+
+    imgs = media.media_table(spark, sf_dir, "png").select(
+        "doc_id", "payload")
+    bands = imgs.mapInPandas(_phash_band_batches_png, PHASH_BANDS_SCHEMA)
     return banded_hamming_pairs(bands, PHASH_BAND_CAP, PHASH_HAM_MAX)
 
 
@@ -1269,12 +1305,17 @@ def phash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached rows (InMemoryTableScan x2 in the plan) — band rows are
     |docs| x 4 small fixed-width rows, MEMORY_AND_DISK spills
     cleanly at corpus scale; a petabyte run would write them to a
-    temp parquet instead, same shape."""
-    docs = tables.load(spark, sf_dir, "documents").select("doc_id")
+    temp parquet instead, same shape. Reads the pre-encoded PNG
+    corpus (media.media_table ingest boundary; decode+hash-only
+    kernel)."""
     from pyspark.sql import Window
 
-    bands = _spread(docs).mapInPandas(_phash_band_batches,
-                                      PHASH_BANDS_SCHEMA).persist()
+    from mapreduce_go_spark import media
+
+    imgs = media.media_table(spark, sf_dir, "png").select(
+        "doc_id", "payload")
+    bands = imgs.mapInPandas(_phash_band_batches_png,
+                             PHASH_BANDS_SCHEMA).persist()
     w = Window.partitionBy("band_no", "band_val").orderBy("doc_id")
     holders = (
         bands.withColumn("rk", F.row_number().over(w))
@@ -1293,8 +1334,9 @@ def phash_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    return (docs.join(flagged.withColumn("dup", F.lit(True)),
-                      "doc_id", "left")
+    return (imgs.select("doc_id")
+            .join(flagged.withColumn("dup", F.lit(True)),
+                  "doc_id", "left")
             .fillna(False, subset=["dup"]))
 
 
