@@ -141,6 +141,12 @@ HEADLINE = [
     # oracle-checkable twins of approx_distinct / approx_quantile
     "hll_distinct_tokens",
     "hist_quantiles",
+    # NEW in r8: SymSpell edit-distance-1 vocabulary pairing
+    # (symmetric-deletion blocking + capped keys + exact verify) and
+    # the bucketed q18/q21 twins on the shared co-located layouts
+    "symspell_typo_pairs",
+    "q18_large_orders_bucketed",
+    "q21_waiting_orders_bucketed",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

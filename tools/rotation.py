@@ -86,6 +86,8 @@ FILL_QUEUE = [
     # oracle-backed and green in tests/test_queries.py):
     "bpe_token_stats", "multimodal_pack", "bmp_resize",
     "sliding_window", "dedup_first_event",
+    "symspell_typo_pairs", "q18_large_orders_bucketed",
+    "q21_waiting_orders_bucketed",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
