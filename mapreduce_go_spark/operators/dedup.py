@@ -202,15 +202,24 @@ def _bucket_pairs(bands: DataFrame, cap: int | None = None) -> DataFrame:
     computes the whole signature pipeline twice (Spark can't reuse
     the exchange once one side broadcasts — measured 4 parquet scans);
     this shape computes it once and adds a single shuffle on the
-    bucket key. With `cap`, over-cap buckets are dropped by array
-    length before any pair exists."""
-    b = bands.groupBy("band", "band_key").agg(
-        F.sort_array(F.collect_list("doc_id")).alias("ds"))
-    cond = F.size("ds") >= 2
+    bucket key. With `cap`, over-cap buckets are dropped with a
+    window count BEFORE collect_list (the banded_hamming_pairs r7
+    discipline): a degenerate bucket's rows never enter an array, so
+    no reducer ever materializes a bucket-sized list — the window
+    and the groupBy share the bucket-key exchange, so the guard
+    costs no extra shuffle."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    cond = F.col("_bn") >= 2
     if cap is not None:
-        cond = cond & (F.size("ds") <= cap)
+        cond = cond & (F.col("_bn") <= cap)
+    pre = (bands.withColumn("_bn", F.count("*").over(w))
+           .where(cond).drop("_bn"))
+    b = pre.groupBy("band", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ds"))
     return (
-        b.where(cond)
+        b
         .select(F.posexplode("ds").alias("i", "d1"), "ds")
         .select(
             "d1",
@@ -494,7 +503,12 @@ def _simhash_pairs(sig: DataFrame, cap: int | None = None) -> DataFrame:
     (measured 4.1 s vs 3.1 s at sf0.1); this shape computes it once.
     sort_array on the (doc_id, simhash) structs orders by doc_id, so
     d1 < d2 falls out of the triangle. With `cap`, over-cap buckets
-    are dropped by array length before any pair exists."""
+    are dropped with a window count BEFORE collect_list (the
+    banded_hamming_pairs discipline — no reducer materializes a
+    degenerate bucket's array; window and groupBy share the
+    band_key exchange)."""
+    from pyspark.sql import Window
+
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -509,14 +523,17 @@ def _simhash_pairs(sig: DataFrame, cap: int | None = None) -> DataFrame:
             ])
         ).alias("band_key"),
     )
-    buckets = bands.groupBy("band_key").agg(
+    wb = Window.partitionBy("band_key")
+    cond = F.col("_bn") >= 2
+    if cap is not None:
+        cond = cond & (F.col("_bn") <= cap)
+    pre = (bands.withColumn("_bn", F.count("*").over(wb))
+           .where(cond).drop("_bn"))
+    buckets = pre.groupBy("band_key").agg(
         F.sort_array(
             F.collect_list(F.struct("doc_id", "simhash"))).alias("ds"))
-    cond = F.size("ds") >= 2
-    if cap is not None:
-        cond = cond & (F.size("ds") <= cap)
     cands = (
-        buckets.where(cond)
+        buckets
         .select(F.posexplode("ds").alias("i", "x"), "ds")
         .select(
             "x",
@@ -666,13 +683,22 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document pairs sharing >= WINNOW_MIN_SHARED distinct winnowed
     fingerprints — the MOSS overlap report. Fingerprints held by more
     than WINNOW_FP_CAP docs are dropped as boilerplate BEFORE any pair
-    exists (bucket-local expansion, never quadratic in corpus size)."""
+    exists — enforced with a window count BEFORE collect_list (the
+    banded_hamming_pairs discipline: a boilerplate fingerprint's rows
+    never enter an array; window and groupBy share the fp
+    exchange)."""
+    from pyspark.sql import Window
+
     fps = winnow_fingerprints(spark, sf_dir).select(
         "doc_id", "fp").distinct()
-    buckets = fps.groupBy("fp").agg(
+    wf = Window.partitionBy("fp")
+    pre = (fps.withColumn("_bn", F.count("*").over(wf))
+           .where((F.col("_bn") >= 2) & (F.col("_bn") <= WINNOW_FP_CAP))
+           .drop("_bn"))
+    buckets = pre.groupBy("fp").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ds"))
     pairs = (
-        buckets.where((F.size("ds") >= 2) & (F.size("ds") <= WINNOW_FP_CAP))
+        buckets
         .select(F.posexplode("ds").alias("i", "d1"), "ds")
         .select(
             "d1",

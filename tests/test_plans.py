@@ -179,6 +179,24 @@ def test_banded_hamming_pairs_two_exchanges(spark, sf_dir):
     assert n == 2, p
 
 
+def test_dedup_bucket_caps_precede_collect(spark, sf_dir):
+    """r8: every capped bucket-pair pipeline (minhash, simhash,
+    winnowing) enforces its cap with a window count BEFORE
+    collect_list — a degenerate bucket's rows never enter an array —
+    and the guard shares the bucket-key exchange: the plans carry a
+    Window node and exactly the same 4 shuffle exchanges the
+    unguarded r7 plans had (measured before/after)."""
+    from mapreduce_go_spark.operators import dedup
+
+    for fn in (dedup.dedup_minhash_pairs_capped,
+               dedup.simhash_neardup_pairs_capped,
+               dedup.winnow_overlap_pairs):
+        p = plan_of(fn(spark, sf_dir))
+        n = len(re.findall(r"^\(\d+\) Exchange\b", p, re.M))
+        assert n == 4, (fn.__name__, n, p)
+        assert "Window" in p, (fn.__name__, p)
+
+
 def test_phash_dup_flags_bounded_holder_join(spark, sf_dir):
     """The batch dup-flag anchor must use the bounded-holder join
     (the streaming index formulation), never a bucket-sized array:
