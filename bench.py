@@ -204,6 +204,11 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # drop persisted relations between queries: accumulated cache
+        # blocks from persist()-using operators (phash_dup_flags) are
+        # pure heap/GC pressure for every LATER query's timing — the
+        # measured source of the suite-size drift (SCALE.md r8 read)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     r5_subset = round(

@@ -378,3 +378,31 @@ def test_fingerprint_pairs_partition_invariant(spark, sf_dir):
         for n in (1, 7):
             alt = pairs(docs.repartition(n), kernel, cap, ham)
             assert alt == base, f"pairs changed under repartition({n})"
+
+
+def test_symspell_pairs_partition_invariant(spark, sf_dir):
+    """Fuzzy-pair output must be independent of input layout — the
+    deletion-key join, the window cap and the exact verify are all
+    set-semantics, so repartitioning the documents scan cannot change
+    the result (the fingerprint-family discipline applied to the r8
+    SymSpell operator)."""
+    from mapreduce_go_spark.operators import fuzzy
+
+    base = sorted(map(tuple,
+                      fuzzy.symspell_typo_pairs(spark, sf_dir).collect()))
+    assert base  # non-vacuous
+    # same pipeline over a repartitioned scan: rebuild with the
+    # loader patched to a different layout
+    from mapreduce_go_spark import tables
+
+    orig = tables.load
+    try:
+        def shuffled(s, d, name):
+            df = orig(s, d, name)
+            return df.repartition(7) if name == "documents" else df
+        tables.load = shuffled
+        alt = sorted(map(tuple,
+                         fuzzy.symspell_typo_pairs(spark, sf_dir).collect()))
+    finally:
+        tables.load = orig
+    assert alt == base
