@@ -595,6 +595,29 @@ HLL_WBITS = 42      # 48-bit md5 prefix minus the 6 bucket bits
 HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, m >= 64)
 
 
+def hll_token_registers(docs: DataFrame) -> DataFrame:
+    """Sparse HLL register maxima (bucket, r) for a documents slice —
+    the mergeable partial: register-wise max over any union of
+    slices equals the registers of the union (HLL's defining
+    property), so the streaming twin's epoch merge and the batch
+    query share this exact computation. Only occupied buckets are
+    emitted; consumers left-join against range(HLL_M) and zero-fill."""
+    tok = (
+        docs.select(
+            F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10) \
+        .cast("long")
+    w = (h / HLL_M).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
+    return (
+        tok.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket").agg(F.max("rho").alias("r"))
+    )
+
+
 def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """From-scratch HyperLogLog over the corpus token stream — the
     mergeable-sketch pattern for distributed CARDINALITY (the
@@ -624,15 +647,7 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10) \
-        .cast("long")
-    w = (h / HLL_M).cast("long")
-    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
-        F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
-    regs = (
-        tok.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket").agg(F.max("rho").alias("r"))
-    )
+    regs = hll_token_registers(docs)
     full = (
         spark.range(HLL_M).select(F.col("id").alias("bucket"))
         .join(regs, "bucket", "left").fillna(0, subset=["r"])

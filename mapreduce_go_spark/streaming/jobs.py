@@ -924,3 +924,85 @@ def run_streaming_phash(spark: SparkSession, stream: DataFrame,
 
 def read_phash_flags(spark: SparkSession, flags_dir: str) -> DataFrame:
     return spark.read.parquet(flags_dir).select("doc_id", "dup")
+
+
+# ------------------------------------------------------------------ #
+# Incremental HyperLogLog maintenance (D21 x the sketch family;       #
+# batch anchor: operators.quality.hll_distinct_tokens)                #
+# ------------------------------------------------------------------ #
+
+def _hll_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """One micro-batch of incremental token-cardinality sketching,
+    idempotent under epoch replay (versioned-snapshot discipline).
+
+    The snapshot IS the sketch: at most HLL_M sparse (bucket, r)
+    rows. The epoch merge is register-wise max — HLL's defining
+    mergeability — so the maintained sketch equals the batch
+    sketch over the union of all epochs' documents REGARDLESS of
+    batching (exact parity proven in tests/test_streaming.py, not
+    just approximately). This is the streaming face of the
+    mergeable-sketch scale story: state is O(HLL_M) forever, the
+    merge is a 64-row shuffle, and no token is ever stored."""
+    from mapreduce_go_spark.operators.quality import hll_token_registers
+
+    target = os.path.join(out_dir, f"v={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    partial = hll_token_registers(batch_df.select("doc_id", "text"))
+    prev = _latest_rollup_version(out_dir, below=epoch_id)
+    if prev is not None:
+        hist = spark.read.parquet(os.path.join(out_dir, f"v={prev}"))
+        partial = (hist.unionByName(partial)
+                   .groupBy("bucket").agg(F.max("r").alias("r")))
+    partial.write.mode("overwrite").parquet(target)
+    _prune_old_versions(out_dir)
+
+
+def run_streaming_hll(spark: SparkSession, stream: DataFrame,
+                      out_dir: str, checkpoint_dir: str) -> None:
+    """Incremental distinct-token cardinality: per micro-batch HLL
+    register partials max-merged into a persistent O(HLL_M) sketch
+    snapshot. Exactly-once via checkpointed offsets + versioned
+    sketch snapshots."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _hll_epoch(batch_df, epoch_id, out_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_hll_registers(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The maintained sketch, dense: (bucket, r) for all HLL_M
+    registers, zero-filled."""
+    from mapreduce_go_spark.operators.quality import HLL_M
+
+    v = _latest_rollup_version(out_dir)
+    regs = spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+    return (spark.range(HLL_M).select(F.col("id").alias("bucket"))
+            .join(regs, "bucket", "left").fillna(0, subset=["r"]))
+
+
+def read_hll_estimate(spark: SparkSession, out_dir: str) -> float:
+    """Corrected cardinality estimate from the maintained sketch —
+    the same estimator arithmetic as the batch query (alpha_m * m^2
+    / Z with the small-range linear-counting correction), computed
+    from O(HLL_M) driver-side rows."""
+    import math
+
+    from mapreduce_go_spark.operators.quality import HLL_ALPHA, HLL_M
+
+    rows = read_hll_registers(spark, out_dir).collect()  # 64 rows
+    z = sum(2.0 ** -r.r for r in rows)
+    v_zero = sum(1 for r in rows if r.r == 0)
+    m = float(HLL_M)
+    est = HLL_ALPHA * m * m / z
+    if est <= 2.5 * m and v_zero > 0:
+        est = m * math.log(m / v_zero)
+    return est

@@ -901,3 +901,71 @@ def test_streaming_phash_epoch_replay_is_idempotent(spark, sf_dir,
                       jobs.read_phash_flags(spark, flags).collect())) == once
     assert sorted(map(tuple, spark.read.parquet(
         os.path.join(idx, "v=1")).collect())) == idx_once
+
+
+def test_streaming_hll_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """The maintained HLL sketch over 3 micro-batches must equal the
+    batch sketch over the whole corpus REGISTER FOR REGISTER —
+    max-merge is associative and commutative, so batching cannot
+    change any register — and the derived estimate must match the
+    batch query's corrected estimate."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators.quality import (
+        HLL_M, hll_token_registers)
+
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+
+    stream = jobs.documents_stream(spark, str(tmp_path / "hll_src/*"),
+                                   docs.schema)
+    jobs.run_streaming_hll(spark, stream, str(tmp_path / "hll_out"),
+                           str(tmp_path / "hll_ck"))
+    got = sorted((r.bucket, r.r) for r in jobs.read_hll_registers(
+        spark, str(tmp_path / "hll_out")).collect())
+
+    batch_regs = hll_token_registers(
+        tables.load(spark, sf_dir, "documents"))
+    dense = (spark.range(HLL_M).select(F.col("id").alias("bucket"))
+             .join(batch_regs, "bucket", "left").fillna(0, subset=["r"]))
+    want = sorted((r.bucket, r.r) for r in dense.collect())
+    assert got == want
+    assert len(got) == HLL_M
+    assert any(r > 0 for _, r in got)
+
+    est = jobs.read_hll_estimate(spark, str(tmp_path / "hll_out"))
+    from mapreduce_go_spark.operators.quality import hll_distinct_tokens
+    batch_row = hll_distinct_tokens(spark, sf_dir).collect()[0]
+    assert round(est, 4) == batch_row.est_hll
+
+
+def test_streaming_hll_epoch_replay_is_idempotent(spark, sf_dir,
+                                                  tmp_path):
+    """Re-firing an already-committed HLL epoch must leave the sketch
+    snapshot chain unchanged (the versioned-snapshot discipline)."""
+    import os
+
+    src = str(tmp_path / "hll_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, str(tmp_path / "hll_src/*"),
+                                   docs.schema)
+    out = str(tmp_path / "hll_out")
+    jobs.run_streaming_hll(spark, stream, out, str(tmp_path / "hll_ck"))
+
+    before = sorted((r.bucket, r.r) for r in jobs.read_hll_registers(
+        spark, out).collect())
+    # replay the LAST committed epoch wholesale
+    import glob
+
+    last = max(int(os.path.basename(p).split("=")[1])
+               for p in glob.glob(os.path.join(out, "v=*")))
+    batch = docs.sparkSession.read.parquet(src + "/b2")
+    jobs._hll_epoch(batch, last, out)
+    after = sorted((r.bucket, r.r) for r in jobs.read_hll_registers(
+        spark, out).collect())
+    assert after == before
