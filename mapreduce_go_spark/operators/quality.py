@@ -454,6 +454,24 @@ def _cms_bucket_sql(tok_expr: str, r_expr: str) -> str:
     )
 
 
+def cms_token_sketch(docs: DataFrame) -> DataFrame:
+    """Sparse CMS cells (r, bucket, cnt) for a documents slice — the
+    mergeable partial: counter-wise ADDITION over any partition of
+    the corpus equals the sketch of the whole (CMS's defining
+    property), so the streaming twin's epoch merge and the batch
+    query share this exact computation."""
+    tok = (
+        docs.select(
+            F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    cells = tok.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("tok"), r)
+                      for r in range(CMS_DEPTH)])).alias("r", "bucket"))
+    return cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+
+
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the corpus token stream, probed for a
     fixed term set — the mergeable-sketch pattern for distributed
@@ -474,11 +492,7 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
-    cells = tok.select(
-        F.posexplode(
-            F.array(*[_cms_bucket(F.col("tok"), r)
-                      for r in range(CMS_DEPTH)])).alias("r", "bucket"))
-    sketch = cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
+    sketch = cms_token_sketch(docs)
     probes = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in CMS_PROBES])).alias("tok"))
     probe_cells = probes.select(

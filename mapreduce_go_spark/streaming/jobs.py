@@ -1006,3 +1006,78 @@ def read_hll_estimate(spark: SparkSession, out_dir: str) -> float:
     if est <= 2.5 * m and v_zero > 0:
         est = m * math.log(m / v_zero)
     return est
+
+
+# ------------------------------------------------------------------ #
+# Incremental count-min sketch maintenance (D21 x the sketch family;  #
+# batch anchor: operators.quality.cms_token_counts)                   #
+# ------------------------------------------------------------------ #
+
+def _cms_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """One micro-batch of incremental token-frequency sketching —
+    the frequency sibling of _hll_epoch: the snapshot is the sparse
+    (r, bucket, cnt) cell table (at most DEPTH x WIDTH rows), the
+    epoch merge is counter-wise ADDITION (CMS's defining
+    mergeability), so the maintained sketch equals the batch sketch
+    over the union of all epochs' documents cell for cell — exact
+    parity proven in tests/test_streaming.py. State is
+    O(DEPTH x WIDTH) forever; no token is ever stored."""
+    from mapreduce_go_spark.operators.quality import cms_token_sketch
+
+    target = os.path.join(out_dir, f"v={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    partial = cms_token_sketch(batch_df.select("doc_id", "text"))
+    prev = _latest_rollup_version(out_dir, below=epoch_id)
+    if prev is not None:
+        hist = spark.read.parquet(os.path.join(out_dir, f"v={prev}"))
+        partial = (hist.unionByName(partial)
+                   .groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt")))
+    partial.write.mode("overwrite").parquet(target)
+    _prune_old_versions(out_dir)
+
+
+def run_streaming_cms(spark: SparkSession, stream: DataFrame,
+                      out_dir: str, checkpoint_dir: str) -> None:
+    """Incremental token-frequency sketch: per micro-batch CMS cell
+    partials counter-added into a persistent O(DEPTH x WIDTH)
+    snapshot. Exactly-once via checkpointed offsets + versioned
+    sketch snapshots."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _cms_epoch(batch_df, epoch_id, out_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_cms_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The maintained sketch's sparse cells (r, bucket, cnt)."""
+    v = _latest_rollup_version(out_dir)
+    return spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+
+
+def read_cms_estimate(spark: SparkSession, out_dir: str,
+                      terms: list[str]) -> DataFrame:
+    """Probe the maintained sketch for `terms`: min over the DEPTH
+    cells per term — the same estimator as the batch query."""
+    from mapreduce_go_spark.operators.quality import (CMS_DEPTH,
+                                                      _cms_bucket)
+
+    sketch = read_cms_sketch(spark, out_dir)
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(t) for t in terms])).alias("tok"))
+    probe_cells = probes.select(
+        "tok",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("tok"), r)
+                      for r in range(CMS_DEPTH)])).alias("r", "bucket"))
+    return (probe_cells.join(sketch, ["r", "bucket"], "left")
+            .fillna(0, subset=["cnt"])
+            .groupBy("tok").agg(F.min("cnt").alias("est")))

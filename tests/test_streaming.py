@@ -969,3 +969,63 @@ def test_streaming_hll_epoch_replay_is_idempotent(spark, sf_dir,
     after = sorted((r.bucket, r.r) for r in jobs.read_hll_registers(
         spark, out).collect())
     assert after == before
+
+
+def test_streaming_cms_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """The maintained CMS over 3 micro-batches must equal the batch
+    sketch CELL FOR CELL (counter addition is associative and
+    commutative) and its probe estimates must match the batch
+    query's estimates for the same probe terms."""
+    import os
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators.quality import (
+        CMS_PROBES, cms_token_counts, cms_token_sketch)
+
+    src = str(tmp_path / "cms_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+
+    stream = jobs.documents_stream(spark, str(tmp_path / "cms_src/*"),
+                                   docs.schema)
+    jobs.run_streaming_cms(spark, stream, str(tmp_path / "cms_out"),
+                           str(tmp_path / "cms_ck"))
+    got = sorted((r.r, r.bucket, r.cnt) for r in jobs.read_cms_sketch(
+        spark, str(tmp_path / "cms_out")).collect())
+    want = sorted((r.r, r.bucket, r.cnt) for r in cms_token_sketch(
+        tables.load(spark, sf_dir, "documents")).collect())
+    assert got == want
+    assert got  # non-vacuous
+
+    est = {r.tok: r.est for r in jobs.read_cms_estimate(
+        spark, str(tmp_path / "cms_out"), list(CMS_PROBES)).collect()}
+    batch = {r.tok: r.est
+             for r in cms_token_counts(spark, sf_dir).collect()}
+    assert est == batch
+
+
+def test_streaming_cms_epoch_replay_is_idempotent(spark, sf_dir,
+                                                  tmp_path):
+    """Re-firing an already-committed CMS epoch must not double-count
+    any cell (the versioned-snapshot discipline — the exact failure a
+    read-merge-overwrite sketch store would hit)."""
+    import glob
+    import os
+
+    src = str(tmp_path / "cms_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, str(tmp_path / "cms_src/*"),
+                                   docs.schema)
+    out = str(tmp_path / "cms_out")
+    jobs.run_streaming_cms(spark, stream, out, str(tmp_path / "cms_ck"))
+
+    before = sorted((r.r, r.bucket, r.cnt) for r in jobs.read_cms_sketch(
+        spark, out).collect())
+    last = max(int(os.path.basename(p).split("=")[1])
+               for p in glob.glob(os.path.join(out, "v=*")))
+    batch = docs.sparkSession.read.parquet(src + "/b2")
+    jobs._cms_epoch(batch, last, out)
+    after = sorted((r.r, r.bucket, r.cnt) for r in jobs.read_cms_sketch(
+        spark, out).collect())
+    assert after == before
