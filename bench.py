@@ -145,6 +145,7 @@ HEADLINE = [
     # (symmetric-deletion blocking + capped keys + exact verify) and
     # the bucketed q18/q21 twins on the shared co-located layouts
     "symspell_typo_pairs",
+    "typo_corrections",
     "q18_large_orders_bucketed",
     "q21_waiting_orders_bucketed",
 ]

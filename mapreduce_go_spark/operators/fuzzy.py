@@ -108,8 +108,69 @@ def symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def typo_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The normalization surface a pipeline actually applies: every
+    OUT-OF-VOCABULARY token (the synthesized noisy vocabulary minus
+    the clean corpus vocabulary) mapped to its best distance-<=1
+    correction — the clean word with the highest corpus frequency,
+    ties broken lexicographically (deterministic in both engines).
+    Built from the same capped deletion-key join as
+    symspell_typo_pairs, restricted to noisy->clean candidates; OOV
+    tokens with no under-cap clean neighbor are reported uncorrected
+    (corrected IS NULL) so the miss set is visible, not dropped.
+    Output: (w, corrected, dist, n_clean)."""
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    clean = (
+        docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+"))
+                    .alias("w"))
+        .where(F.length("w").between(FUZZY_MIN_LEN, FUZZY_MAX_LEN))
+        .groupBy("w").agg(F.count("*").alias("n"))
+    )
+    noisy = (
+        docs.selectExpr("doc_id", "split(lower(text), '[^a-z]+') AS ws")
+        .selectExpr(
+            "doc_id",
+            "element_at(ws, cast(doc_id % size(ws) as int) + 1) AS w")
+        .where(F.length("w").between(FUZZY_MIN_LEN, FUZZY_MAX_LEN))
+        .selectExpr("doc_id", "w",
+                    "1 + cast(doc_id % length(w) as int) AS p")
+        .selectExpr(f"{_TYPO_SQL} AS w")
+        .select("w").distinct()
+        .join(clean.select("w"), "w", "left_anti")  # OOV only
+    )
+    var_expr = (
+        "explode(array_union(array(w), "
+        " transform(sequence(1, length(w)), i ->"
+        "  concat(substring(w, 1, i - 1), substring(w, i + 1))))) AS v")
+    cv = clean.selectExpr("w", "n", var_expr)
+    capw = Window.partitionBy("v")
+    cv = (cv.withColumn("_k", F.count("*").over(capw))
+          .where(F.col("_k") <= FUZZY_KEY_CAP).drop("_k")
+          .selectExpr("w AS cw", "n", "v"))
+    nv = noisy.selectExpr("w", var_expr)
+    cand = (
+        nv.join(cv, "v")
+        .where(F.levenshtein(F.col("w"), F.col("cw")) <= 1)
+        .select("w", "cw", "n",
+                F.levenshtein(F.col("w"), F.col("cw")).alias("dist"))
+        .distinct()
+    )
+    pick = Window.partitionBy("w").orderBy(F.col("n").desc(), "cw")
+    best = (cand.withColumn("rk", F.row_number().over(pick))
+            .where(F.col("rk") == 1)
+            .select("w", F.col("cw").alias("corrected"), "dist",
+                    F.col("n").alias("n_clean")))
+    return (noisy.join(best, "w", "left")
+            .select("w", "corrected",
+                    F.col("dist").cast("int").alias("dist"),
+                    F.col("n_clean").cast("long").alias("n_clean")))
+
+
 QUERIES = {
     "symspell_typo_pairs": symspell_typo_pairs,
+    "typo_corrections": typo_corrections,
 }
 
 _TYPO_SQL_DUCK = _TYPO_SQL  # identical ascii/chr/substring arithmetic
@@ -167,5 +228,70 @@ ORACLES = {
         SELECT w1, w2, cast(levenshtein(w1, w2) AS int) AS dist,
                cast(n1 AS bigint) AS n1, cast(n2 AS bigint) AS n2
         FROM cand WHERE levenshtein(w1, w2) <= 1
+    """,
+    "typo_corrections": f"""
+        WITH docs AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        clean AS (
+            SELECT u.w AS w, count(*) AS n
+            FROM docs, unnest(regexp_split_to_array(lt, '[^a-z]+')) u(w)
+            WHERE length(u.w) BETWEEN {FUZZY_MIN_LEN} AND {FUZZY_MAX_LEN}
+            GROUP BY u.w
+        ),
+        picked AS (
+            SELECT doc_id,
+                   list_extract(regexp_split_to_array(lt, '[^a-z]+'),
+                       cast(doc_id % len(regexp_split_to_array(lt, '[^a-z]+'))
+                            AS int) + 1) AS w
+            FROM docs
+        ),
+        noisy AS (
+            SELECT DISTINCT {_TYPO_SQL_DUCK} AS w
+            FROM (SELECT doc_id, w,
+                         1 + cast(doc_id % length(w) AS int) AS p
+                  FROM picked
+                  WHERE length(w) BETWEEN {FUZZY_MIN_LEN} AND {FUZZY_MAX_LEN})
+            WHERE {_TYPO_SQL_DUCK} NOT IN (SELECT w FROM clean)
+        ),
+        cvars AS (
+            SELECT DISTINCT w, n, v FROM (
+                SELECT w, n, w AS v FROM clean
+                UNION ALL
+                SELECT w, n,
+                       concat(substring(w, 1, g.i - 1),
+                              substring(w, g.i + 1))
+                FROM clean, unnest(generate_series(1, length(w))) g(i))
+        ),
+        ccapped AS (
+            SELECT w AS cw, n, v FROM (
+                SELECT w, n, v, count(*) OVER (PARTITION BY v) AS _k
+                FROM cvars)
+            WHERE _k <= {FUZZY_KEY_CAP}
+        ),
+        nvars AS (
+            SELECT DISTINCT w, v FROM (
+                SELECT w, w AS v FROM noisy
+                UNION ALL
+                SELECT w,
+                       concat(substring(w, 1, g.i - 1),
+                              substring(w, g.i + 1))
+                FROM noisy, unnest(generate_series(1, length(w))) g(i))
+        ),
+        cand AS (
+            SELECT DISTINCT nv.w AS w, cc.cw, cc.n,
+                   levenshtein(nv.w, cc.cw) AS dist
+            FROM nvars nv JOIN ccapped cc USING (v)
+            WHERE levenshtein(nv.w, cc.cw) <= 1
+        ),
+        best AS (
+            SELECT w, cw AS corrected, dist, n AS n_clean FROM (
+                SELECT w, cw, dist, n,
+                       row_number() OVER (PARTITION BY w
+                           ORDER BY n DESC, cw) AS rk
+                FROM cand)
+            WHERE rk = 1
+        )
+        SELECT no.w, b.corrected, cast(b.dist AS int) AS dist,
+               cast(b.n_clean AS bigint) AS n_clean
+        FROM noisy no LEFT JOIN best b ON no.w = b.w
     """,
 }

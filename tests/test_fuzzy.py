@@ -77,3 +77,40 @@ def test_symspell_no_allpairs_join(spark, sf_dir):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_typo_corrections_recover_sources(spark, sf_dir):
+    """Every OOV token must receive a correction on the fixtures (all
+    synthesized typos are distance-1 from a clean word by
+    construction — the NULL miss path is a completeness guarantee,
+    not a fixture feature), every correction must be a genuine
+    distance-<=1 clean word, and the chosen correction must be the
+    typo's true SOURCE word for the clear majority (the argmax-
+    frequency rule may legitimately pick a more frequent neighbor)."""
+    rows = fuzzy.typo_corrections(spark, sf_dir).collect()
+    assert rows
+    assert all(r.corrected is not None for r in rows)
+
+    def lev1(a, b):
+        if a == b:
+            return True
+        if abs(len(a) - len(b)) > 1:
+            return False
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, t = (a, b) if len(a) < len(b) else (b, a)
+        for i in range(len(t)):
+            if t[:i] + t[i + 1:] == s:
+                return True
+        return False
+
+    assert all(lev1(r.w, r.corrected) for r in rows)
+
+    source = {}
+    for w1, w2 in _expected_typo_pairs(sf_dir):
+        # pair is sorted; the noisy member is the one fuzzy reports
+        source.setdefault(w1, set()).add(w2)
+        source.setdefault(w2, set()).add(w1)
+    hits = sum(1 for r in rows
+               if r.corrected in source.get(r.w, set()))
+    assert hits / len(rows) >= 0.8, (hits, len(rows))

@@ -86,7 +86,7 @@ FILL_QUEUE = [
     # oracle-backed and green in tests/test_queries.py):
     "bpe_token_stats", "multimodal_pack", "bmp_resize",
     "sliding_window", "dedup_first_event",
-    "symspell_typo_pairs", "q18_large_orders_bucketed",
+    "symspell_typo_pairs", "typo_corrections", "q18_large_orders_bucketed",
     "q21_waiting_orders_bucketed",
 ]
 
