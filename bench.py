@@ -148,6 +148,12 @@ HEADLINE = [
     "typo_corrections",
     "q18_large_orders_bucketed",
     "q21_waiting_orders_bucketed",
+    # NEW late-r8: corpus-hygiene family (Bloom membership sketch,
+    # CCNet boilerplate strip, normal-equations probe, URL dedup)
+    "bloom_decontaminate",
+    "strip_boilerplate_lines",
+    "quality_probe",
+    "url_dedup",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

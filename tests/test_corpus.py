@@ -1,0 +1,194 @@
+"""Ground-truth and property tests for operators/corpus.py — beyond
+the differential oracle (tests/test_queries.py covers that), these pin
+the semantic claims each family makes: Bloom one-sided error, grafted
+boilerplate recovery, least-squares invariants, and canonicalization
+of known URL forms."""
+
+from fractions import Fraction
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_go_spark.operators import corpus
+
+
+# ---------------------------------------------------------------- #
+# Bloom decontamination                                              #
+# ---------------------------------------------------------------- #
+
+
+def test_bloom_sound_and_fp_mass(spark, sf_dir):
+    rows = corpus.bloom_decontaminate(spark, sf_dir).collect()
+    assert rows
+    # one-sided error: NEVER a false negative, per doc
+    assert all(r["sound"] for r in rows)
+    assert all(r["bloom_hits"] >= r["exact_hits"] for r in rows)
+    assert all(r["n_false_pos"] >= 0 for r in rows)
+    # the FP path is exercised by real mass at the fixture scale
+    # (constants chosen for fill ~0.13 -> fp ~0.2% over ~26k probes)
+    assert sum(r["n_false_pos"] for r in rows) > 0
+    # and the filter actually passes the true leaks through
+    assert sum(r["exact_hits"] for r in rows) > 0
+
+
+def test_bloom_filter_bits_bounded(spark, sf_dir):
+    from mapreduce_go_spark.operators.quality import eval_shingles_df
+
+    row = corpus.bloom_filter_bits(
+        eval_shingles_df(spark, sf_dir)).collect()[0]
+    assert 0 < row["n_set"] <= corpus.BLOOM_M
+    bits = row["bits"]
+    assert len(bits) == row["n_set"]
+    assert bits == sorted(set(bits))
+    assert all(0 <= b < corpus.BLOOM_M for b in bits)
+
+
+def test_bloom_agrees_with_exact_decontaminate(spark, sf_dir):
+    """Every doc the exact query flags must be a Bloom 'maybe' doc
+    with at least that many hits — the screen never loses a leak."""
+    from mapreduce_go_spark.operators.quality import decontaminate
+
+    exact = {r["doc_id"]: r["n_overlap"]
+             for r in decontaminate(spark, sf_dir).collect()}
+    bloom = {r["doc_id"]: r for r in
+             corpus.bloom_decontaminate(spark, sf_dir).collect()}
+    for doc_id, n in exact.items():
+        assert bloom[doc_id]["bloom_hits"] >= n
+    # NOTE: decontaminate counts per-doc-distinct shingle matches,
+    # same basis as exact_hits
+    for doc_id, n in exact.items():
+        assert bloom[doc_id]["exact_hits"] == n
+
+
+# ---------------------------------------------------------------- #
+# Boilerplate lines                                                  #
+# ---------------------------------------------------------------- #
+
+
+def test_boilerplate_grafts_recovered(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in
+            corpus.strip_boilerplate_lines(spark, sf_dir).collect()}
+    assert rows
+    for doc_id, r in rows.items():
+        expected = (doc_id % 3 == 0) + (doc_id % 2 == 0)
+        # grafted lines are corpus-frequent by construction; natural
+        # 12-token chunks may coincidentally repeat, so >= not ==
+        assert r["n_stripped"] >= expected
+        assert corpus.BOILER_A not in r["clean_text"]
+        assert corpus.BOILER_B not in r["clean_text"]
+        assert r["n_kept"] == (
+            0 if r["clean_text"] == ""
+            else r["clean_text"].count("\n") + 1)
+
+
+def test_boilerplate_stats_consistent_with_strip(spark, sf_dir):
+    stats = {r["doc_id"]: r for r in
+             corpus.boilerplate_line_stats(spark, sf_dir).collect()}
+    strip = {r["doc_id"]: r for r in
+             corpus.strip_boilerplate_lines(spark, sf_dir).collect()}
+    assert stats.keys() == strip.keys()
+    for doc_id in stats:
+        assert stats[doc_id]["n_boiler"] == strip[doc_id]["n_stripped"]
+        assert (stats[doc_id]["n_lines"]
+                == strip[doc_id]["n_kept"] + strip[doc_id]["n_stripped"])
+
+
+# ---------------------------------------------------------------- #
+# Least-squares quality probe                                        #
+# ---------------------------------------------------------------- #
+
+
+def test_solve_frac_known_system():
+    # x + y = 3; x - y = 1  ->  x = 2, y = 1
+    assert corpus._solve_frac([[1, 1], [1, -1]], [3, 1]) == [
+        Fraction(2), Fraction(1)]
+
+
+def test_solve_frac_singular_raises():
+    with pytest.raises(ValueError, match="singular"):
+        corpus._solve_frac([[1, 2], [2, 4]], [1, 2])
+
+
+def test_probe_recovers_exact_linear_target():
+    """If y IS a linear image of the features, the exact rational
+    solve recovers the coefficients exactly (no least-squares noise,
+    no float drift) — the correctness core of the normal-equations
+    path."""
+    feats = [(3, 10, 2), (5, 21, 4), (7, 30, 6), (2, 8, 2), (9, 40, 5)]
+    w_true = [Fraction(7), Fraction(-2), Fraction(3), Fraction(1, 2)]
+    s = {k: 0 for k in ("n", "s1", "s2", "s3", "s11", "s12", "s13",
+                        "s22", "s23", "s33", "sy", "s1y", "s2y", "s3y")}
+    for x1, x2, x3 in feats:
+        y = w_true[0] + w_true[1] * x1 + w_true[2] * x2 + w_true[3] * x3
+        s["n"] += 1
+        s["s1"] += x1; s["s2"] += x2; s["s3"] += x3  # noqa: E702
+        s["s11"] += x1 * x1; s["s12"] += x1 * x2  # noqa: E702
+        s["s13"] += x1 * x3; s["s22"] += x2 * x2  # noqa: E702
+        s["s23"] += x2 * x3; s["s33"] += x3 * x3  # noqa: E702
+        s["sy"] += y; s["s1y"] += x1 * y  # noqa: E702
+        s["s2y"] += x2 * y; s["s3y"] += x3 * y  # noqa: E702
+    # Fraction-valued stats: _probe_weights_from_stats takes ints in
+    # production; the shared solver accepts exact rationals too
+    A = [[s["n"], s["s1"], s["s2"], s["s3"]],
+         [s["s1"], s["s11"], s["s12"], s["s13"]],
+         [s["s2"], s["s12"], s["s22"], s["s23"]],
+         [s["s3"], s["s13"], s["s23"], s["s33"]]]
+    b = [s["sy"], s["s1y"], s["s2y"], s["s3y"]]
+    assert corpus._solve_frac(A, b) == w_true
+
+
+def test_probe_residual_invariants(spark, sf_dir):
+    """Least squares with an intercept: residuals sum to zero (exact
+    in rationals; bounded by the per-row 1e-6 grid after rounding),
+    and the fixture target is NOT linear in the features, so the fit
+    has genuine residual mass."""
+    rows = corpus.quality_probe(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    total = sum(r["resid_micro"] for r in rows)
+    assert abs(total) <= n  # each row rounds by at most 0.5 micro
+    assert any(abs(r["resid_micro"]) > 10**6 for r in rows)
+    for r in rows:
+        assert r["pred_micro"] + r["resid_micro"] == pytest.approx(
+            r["y"] * 10**6, abs=1)
+
+
+# ---------------------------------------------------------------- #
+# URL canonicalization                                               #
+# ---------------------------------------------------------------- #
+
+
+def test_url_known_forms(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in
+            corpus.url_canonicalize(spark, sf_dir).collect()}
+    # doc 0: every messy feature at once — uppercase scheme/host,
+    # www., :443, trailing slash, utm params, fragment
+    assert rows[0]["url"] == ("HTTPS://WWW.Example0.COM:443/Path/0/"
+                              "?utm_source=feed&utm_campaign=c0&id=0#sec0")
+    assert rows[0]["canonical_url"] == "https://example0.com/Path/0?id=0"
+    # doc 1: odd -> no query; not %3 -> no fragment; not %4 -> no slash
+    assert rows[1]["url"] == "HTTPS://WWW.Example1.COM:443/Path/1"
+    assert rows[1]["canonical_url"] == "https://example1.com/Path/1"
+    # doc 3: fragment only
+    assert rows[3]["canonical_url"] == "https://example3.com/Path/3"
+
+
+def test_url_dedup_collapses_variants(spark, sf_dir):
+    out = corpus.url_dedup(spark, sf_dir).collect()
+    canon = corpus.url_canonicalize(spark, sf_dir).collect()
+    n_docs = len(canon)
+    groups = {}
+    for r in canon:
+        groups.setdefault(r["canonical_url"], []).append(r["doc_id"])
+    assert len(out) == len(groups)
+    assert sum(r["n_dups"] for r in out) == n_docs
+    for r in out:
+        assert r["keeper_doc"] == min(groups[r["canonical_url"]])
+    # the graft guarantees real collapse: (%5 x %11 x %2) variants
+    assert any(r["n_dups"] > 1 for r in out)
+
+
+def test_url_canonicalize_is_mapper_only(spark, sf_dir):
+    plan = corpus.url_canonicalize(
+        spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

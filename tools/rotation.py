@@ -88,6 +88,11 @@ FILL_QUEUE = [
     "sliding_window", "dedup_first_event",
     "symspell_typo_pairs", "typo_corrections", "q18_large_orders_bucketed",
     "q21_waiting_orders_bucketed",
+    # registered late in r8 (corpus-hygiene family; all oracle-backed
+    # and green in tests/test_queries.py + test_corpus.py):
+    "bloom_decontaminate", "boilerplate_line_stats",
+    "strip_boilerplate_lines", "quality_probe", "url_canonicalize",
+    "url_dedup",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
