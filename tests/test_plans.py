@@ -303,3 +303,47 @@ def test_pricing_summary_hot_path_sums_longs(spark, sf_dir):
     assert "cast(round(" in deepest and "as bigint)" in deepest, deepest
     assert "decimal(28" not in deepest and "decimal(18" not in deepest, (
         deepest)
+
+
+def test_corpus_bloom_probe_all_joins_broadcast(spark, sf_dir):
+    """bloom_decontaminate's joins (the broadcast filter row and the
+    exact-hit eval set) must ALL be broadcast — the corpus side never
+    shuffles for a join; its only exchanges are aggregations and the
+    input-split spread. A SortMergeJoin here would mean the constant-
+    size filter stopped being the broadcast side."""
+    from mapreduce_go_spark.operators import corpus
+
+    p = plan_of(corpus.bloom_decontaminate(spark, sf_dir))
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
+
+
+def test_corpus_boilerplate_no_line_key_collect(spark, sf_dir):
+    """The line-frequency relation must stay aggregate-only: the only
+    collect_list in the strip plan is the per-DOC reassembly (bounded
+    by document length); the line-key groupBy carries count aggregates
+    only. Two Exchanges on the line side (partial/final agg + the
+    join) and the doc-side agg — pinned at 5 with the spread."""
+    from mapreduce_go_spark.operators import corpus
+
+    p = plan_of(corpus.strip_boilerplate_lines(spark, sf_dir))
+    # exactly ONE collect_list aggregate in the whole plan (the
+    # formatted explain mentions it once as partial_collect_list)
+    assert p.count("partial_collect_list") == 1, p
+    stats = plan_of(corpus.boilerplate_line_stats(spark, sf_dir))
+    assert "collect_list" not in stats, stats
+    for plan in (p, stats):
+        n = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+        assert n == 5, (n, plan)
+
+
+def test_corpus_url_dedup_single_exchange(spark, sf_dir):
+    """URL dedup is canonicalize (mapper-only) + one groupBy on the
+    canonical key: exactly one shuffle, with partial aggregation
+    before it (map-side combine on min/count)."""
+    from mapreduce_go_spark.operators import corpus
+
+    p = plan_of(corpus.url_dedup(spark, sf_dir))
+    n = len(re.findall(r"^\(\d+\) Exchange\b", p, re.M))
+    assert n == 1, (n, p)
+    assert "partial_min" in p or "partial" in p.lower(), p

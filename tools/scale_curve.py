@@ -116,6 +116,8 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/tmp/scale_curve")
     ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--only", default="",
+                    help="comma-separated query names (default: all)")
     args = ap.parse_args()
 
     from mapreduce_go_spark.session import get_spark
@@ -132,12 +134,16 @@ def main() -> None:
                                                       repetition_stats)
     from mapreduce_go_spark.operators.similarity import (
         ann_pq_topk, embedding_neardup_pairs_blocked)
+    from mapreduce_go_spark.operators.corpus import (
+        bloom_decontaminate, quality_probe, strip_boilerplate_lines,
+        url_dedup)
     from mapreduce_go_spark.operators.video import (mjpeg_frame_sample,
                                                     video_phash_pairs)
 
     spark = get_spark("scale_curve")
     x1, xn = build_corpora(spark, args.base, args.out, args.factor)
 
+    only = {n for n in args.only.split(",") if n}
     result = {"factor": args.factor, "base": args.base, "queries": {}}
     for name, fn in [("dedup_verified_pairs", dedup_verified_pairs),
                      ("embedding_neardup_pairs_blocked",
@@ -155,7 +161,13 @@ def main() -> None:
                      ("audio_fingerprint_pairs", audio_fingerprint_pairs),
                      ("video_phash_pairs", video_phash_pairs),
                      ("hll_distinct_tokens", hll_distinct_tokens),
+                     ("bloom_decontaminate", bloom_decontaminate),
+                     ("strip_boilerplate_lines", strip_boilerplate_lines),
+                     ("quality_probe", quality_probe),
+                     ("url_dedup", url_dedup),
                      ("pretrain_corpus", pretrain_corpus)]:
+        if only and name not in only:
+            continue
         t1, r1 = time_query(fn, spark, x1)
         tn, rn = time_query(fn, spark, xn)
         result["queries"][name] = {
