@@ -1081,3 +1081,82 @@ def read_cms_estimate(spark: SparkSession, out_dir: str,
     return (probe_cells.join(sketch, ["r", "bucket"], "left")
             .fillna(0, subset=["cnt"])
             .groupBy("tok").agg(F.min("cnt").alias("est")))
+
+
+# ------------------------------------------------------------------ #
+# Incremental Bloom-filter maintenance (D21 x the sketch family;      #
+# batch anchor: operators.corpus.bloom_decontaminate)                 #
+# ------------------------------------------------------------------ #
+
+def _bloom_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """One micro-batch of incremental membership sketching — the
+    membership sibling of _hll_epoch/_cms_epoch, completing the
+    streaming face of the sketch trio: the snapshot is the set-bit
+    relation (at most BLOOM_M single-int rows), the epoch merge is
+    set UNION (bit-OR — Bloom's defining mergeability), so the
+    maintained filter equals the batch filter over the union of all
+    epochs' documents bit for bit, regardless of batching. State is
+    O(BLOOM_M) forever; no shingle is ever stored."""
+    from mapreduce_go_spark.operators.corpus import BLOOM_K, _bloom_bit
+    from mapreduce_go_spark.operators.quality import decon_shingles_df
+
+    target = os.path.join(out_dir, f"v={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    sh = (decon_shingles_df(batch_df.select("doc_id", "text"))
+          .select("shingle").distinct())
+    partial = sh.select(F.explode(F.array(
+        *[_bloom_bit(F.col("shingle"), k) for k in range(BLOOM_K)]
+    )).alias("bit")).distinct()
+    prev = _latest_rollup_version(out_dir, below=epoch_id)
+    if prev is not None:
+        hist = spark.read.parquet(os.path.join(out_dir, f"v={prev}"))
+        partial = hist.unionByName(partial).distinct()
+    partial.write.mode("overwrite").parquet(target)
+    _prune_old_versions(out_dir)
+
+
+def run_streaming_bloom(spark: SparkSession, stream: DataFrame,
+                        out_dir: str, checkpoint_dir: str) -> None:
+    """Incrementally maintained Bloom filter over streaming document
+    shingles: per micro-batch bit partials unioned into a persistent
+    O(BLOOM_M) snapshot. Exactly-once via checkpointed offsets +
+    versioned snapshots. Streaming twin of the eval-side filter build
+    in corpus.bloom_decontaminate — a live benchmark suite can grow
+    while the screen keeps a constant-size broadcast artifact."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _bloom_epoch(batch_df, epoch_id, out_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_bloom_bits(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The maintained filter content: one row per set bit."""
+    v = _latest_rollup_version(out_dir)
+    return spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+
+
+def read_bloom_membership(spark: SparkSession, out_dir: str,
+                          shingles: DataFrame) -> DataFrame:
+    """Probe a shingle relation against the maintained filter:
+    adds the Bloom 'maybe' verdict. The filter travels as one
+    broadcast array row — the same constant-size probe shape as the
+    batch anchor."""
+    from mapreduce_go_spark.operators.corpus import BLOOM_K, _bloom_bit
+
+    filt = read_bloom_bits(spark, out_dir).agg(
+        F.sort_array(F.collect_set("bit")).alias("bits"))
+    maybe = F.lit(True)
+    for k in range(BLOOM_K):
+        maybe = maybe & F.array_contains(
+            F.col("bits"), _bloom_bit(F.col("shingle"), k))
+    return (shingles.crossJoin(F.broadcast(filt))
+            .select(*shingles.columns, maybe.alias("maybe")))

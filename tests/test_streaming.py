@@ -1029,3 +1029,87 @@ def test_streaming_cms_epoch_replay_is_idempotent(spark, sf_dir,
     after = sorted((r.r, r.bucket, r.cnt) for r in jobs.read_cms_sketch(
         spark, out).collect())
     assert after == before
+
+
+def test_streaming_bloom_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """The maintained Bloom filter over 3 micro-batches of the eval
+    split must equal the batch filter BIT FOR BIT (set union is
+    associative and commutative), and every eval shingle must probe
+    'maybe' against it (soundness of the maintained artifact)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators.corpus import bloom_filter_bits
+    from mapreduce_go_spark.operators.quality import (
+        DECON_EVAL_MOD, eval_shingles_df)
+
+    src = str(tmp_path / "bloom_src")
+    os.makedirs(src)
+    # stream ONLY the eval split — the filter's input in the batch
+    # anchor — in 3 doc_id ranges
+    docs = tables.load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % DECON_EVAL_MOD == 0)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    step = (hi + 3) // 3
+    for i in range(3):
+        docs.where((F.col("doc_id") >= i * step)
+                   & (F.col("doc_id") < (i + 1) * step)) \
+            .coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+
+    stream = jobs.documents_stream(spark, str(tmp_path / "bloom_src/*"),
+                                   docs.schema)
+    out = str(tmp_path / "bloom_out")
+    jobs.run_streaming_bloom(spark, stream, out,
+                             str(tmp_path / "bloom_ck"))
+
+    got = sorted(r.bit for r in jobs.read_bloom_bits(spark, out).collect())
+    want_row = bloom_filter_bits(
+        eval_shingles_df(spark, sf_dir)).collect()[0]
+    assert got == list(want_row["bits"])
+    assert len(got) == want_row["n_set"] > 0
+
+    probed = jobs.read_bloom_membership(
+        spark, out, eval_shingles_df(spark, sf_dir))
+    assert all(r.maybe for r in probed.collect())
+
+
+def test_streaming_bloom_epoch_replay_is_idempotent(spark, sf_dir,
+                                                    tmp_path):
+    """Re-firing an already-committed Bloom epoch must leave the bit
+    set unchanged (union is idempotent AND the versioned-snapshot
+    discipline skips the committed version)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators.quality import DECON_EVAL_MOD
+
+    src = str(tmp_path / "bloom_src")
+    os.makedirs(src)
+    docs = tables.load(spark, sf_dir, "documents").where(
+        F.col("doc_id") % DECON_EVAL_MOD == 0)
+    hi = docs.agg(F.max("doc_id")).collect()[0][0]
+    step = (hi + 3) // 3
+    for i in range(3):
+        docs.where((F.col("doc_id") >= i * step)
+                   & (F.col("doc_id") < (i + 1) * step)) \
+            .coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+    stream = jobs.documents_stream(spark, str(tmp_path / "bloom_src/*"),
+                                   docs.schema)
+    out = str(tmp_path / "bloom_out")
+    jobs.run_streaming_bloom(spark, stream, out,
+                             str(tmp_path / "bloom_ck"))
+
+    before = sorted(r.bit
+                    for r in jobs.read_bloom_bits(spark, out).collect())
+    last = max(int(os.path.basename(p).split("=")[1])
+               for p in glob.glob(os.path.join(out, "v=*")))
+    batch = spark.read.parquet(src + "/b2")
+    jobs._bloom_epoch(batch, last, out)
+    after = sorted(r.bit
+                   for r in jobs.read_bloom_bits(spark, out).collect())
+    assert after == before
