@@ -154,6 +154,8 @@ HEADLINE = [
     "strip_boilerplate_lines",
     "quality_probe",
     "url_dedup",
+    "unigram_logprob_filter",
+    "triangle_counts",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -548,6 +548,62 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+# ---------------------------------------------------------------- #
+# Unigram log-likelihood (perplexity-style) quality filter           #
+# ---------------------------------------------------------------- #
+
+# CCNet's second filtering stage scores documents with a language
+# model and keeps the low-perplexity head; the distributed shape is
+# identical with the simplest LM that has no training loop — the
+# corpus unigram model. NLL threshold calibrated near the fixture
+# median so both keep and drop paths carry mass.
+NLL_KEEP_MAX_MICRO = 3_401_000  # ~fixture median: keep ~half
+
+
+def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc negative mean log-likelihood under the corpus unigram
+    model, with the CCNet-style keep-the-head verdict.
+
+    Plan shape (the 100 TB one): one token shuffle builds the unigram
+    count relation (Zipf-bounded: |vocab| << corpus), the corpus
+    total rides as a broadcast scalar, tokens join counts ON THE
+    TOKEN KEY (shuffle join — the vocab side is too big to assume
+    broadcast at scale, AQE may still choose it when small), and the
+    per-doc reduce is a sum of exact per-token micro-nat integers.
+
+    Determinism: ln() is the correctly-rounded libm call the green
+    BM25/tfidf queries already rely on; each token's
+    ln(total/count) lands on the 1e-6 integer grid (functions.num
+    .grid parity proof), so the per-doc SUM is exact int64
+    arithmetic — no double accumulation anywhere."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (
+        tables.spread(docs)
+        .select("doc_id",
+                F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    lnval = F.log(F.col("total").cast("double") / F.col("cnt"))
+    per_tok = (
+        tok.join(counts, "tok")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", grid(lnval, 10**6).alias("nat_micro"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum("nat_micro").alias("sum_micro"),
+    )
+    nll = F.round(F.col("sum_micro") / F.col("n_tokens")).cast("long")
+    return per_doc.select(
+        "doc_id", "n_tokens",
+        nll.alias("nll_micro"),
+        (nll <= NLL_KEEP_MAX_MICRO).alias("keep_head"),
+    )
+
+
 # ---------------------------------------------------------------- #
 # registry                                                           #
 # ---------------------------------------------------------------- #
@@ -559,6 +615,7 @@ QUERIES = {
     "quality_probe": quality_probe,
     "url_canonicalize": url_canonicalize,
     "url_dedup": url_dedup,
+    "unigram_logprob_filter": unigram_logprob_filter,
 }
 
 LAZY_ORACLES = {"quality_probe": _probe_oracle_lazy}
@@ -678,6 +735,32 @@ ORACLES = {
                cast(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS bigint)
                    AS n_stripped
         FROM flagged GROUP BY doc_id
+    """,
+    "unigram_logprob_filter": f"""
+        WITH tok AS (
+            SELECT doc_id, t AS tok FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(
+                    text, '{NON_LETTER_RE}')) AS t FROM documents)
+            WHERE t <> ''
+        ),
+        counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+        tot AS (SELECT sum(cnt) AS total FROM counts),
+        per_tok AS (
+            SELECT doc_id,
+                   cast(round(ln(cast(total AS double) / cnt)
+                              * 1000000) AS bigint) AS nat_micro
+            FROM tok JOIN counts USING (tok) CROSS JOIN tot
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   sum(nat_micro) AS sum_micro
+            FROM per_tok GROUP BY doc_id
+        )
+        SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens,
+               cast(round(sum_micro / n_tokens) AS bigint) AS nll_micro,
+               (cast(round(sum_micro / n_tokens) AS bigint)
+                    <= {NLL_KEEP_MAX_MICRO}) AS keep_head
+        FROM per_doc
     """,
     "url_canonicalize": f"""
         SELECT doc_id, {_URL_SQL} AS url,

@@ -1,0 +1,104 @@
+"""Ground-truth tests for operators/graph.py: a THIRD independent
+triangle counter (pure-Python brute force over the same md5-grafted
+edge set) must agree with the Spark degree-orientation algorithm
+(the DuckDB triple-join oracle being the second, in
+tests/test_queries.py), plus the structural properties the
+orientation trick guarantees."""
+
+import hashlib
+from itertools import combinations
+
+import duckdb
+
+from mapreduce_go_spark.operators import graph
+
+
+def _py_node(doc_id: int, salt: str) -> int:
+    h = hashlib.md5(f"{salt}{doc_id}".encode()).hexdigest()[:8]
+    return int(h, 16) % graph.GRAPH_N
+
+
+def _py_edges(sf_dir: str) -> set[tuple[int, int]]:
+    con = duckdb.connect()
+    ids = [r[0] for r in con.execute(
+        f"SELECT doc_id FROM '{sf_dir}/documents.parquet'").fetchall()]
+    edges = set()
+    for d in ids:
+        u, v = _py_node(d, "gu:"), _py_node(d, "gv:")
+        if u != v:
+            edges.add((min(u, v), max(u, v)))
+    return edges
+
+
+def test_triangle_counts_match_bruteforce(spark, sf_dir):
+    edges = _py_edges(sf_dir)
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {n: 0 for n in adj}
+    for x, y, z in combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            want[x] += 1
+            want[y] += 1
+            want[z] += 1
+    want = {n: c for n, c in want.items() if c > 0}
+
+    got = {r["node"]: r["n_tri"]
+           for r in graph.triangle_counts(spark, sf_dir).collect()}
+    assert got == want
+    assert sum(got.values()) % 3 == 0  # each triangle credits 3 corners
+    assert sum(got.values()) > 0
+
+
+def test_degree_stats_match_bruteforce(spark, sf_dir):
+    edges = _py_edges(sf_dir)
+    want = {}
+    for a, b in edges:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    got = {r["node"]: r["degree"]
+           for r in graph.graph_degree_stats(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_triangles_bounded_by_degree(spark, sf_dir):
+    """n_tri(v) <= C(deg(v), 2) — a triangle through v uses a pair of
+    v's neighbors."""
+    deg = {r["node"]: r["degree"]
+           for r in graph.graph_degree_stats(spark, sf_dir).collect()}
+    for r in graph.triangle_counts(spark, sf_dir).collect():
+        d = deg[r["node"]]
+        assert r["n_tri"] <= d * (d - 1) // 2
+
+
+def test_orientation_bounds_wedge_sources(spark, sf_dir):
+    """The scale property itself: after (degree, id) orientation, no
+    vertex's OUT-degree exceeds the sqrt-bound class — concretely,
+    every oriented source has out-degree <= its undirected degree AND
+    the max out-degree is at most twice sqrt(m) on this graph (the
+    theoretical O(sqrt(m)) bound with small-graph slack)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    docs = tables.load(spark, sf_dir, "documents")
+    e = graph.edges_df(docs)
+    m = e.count()
+    deg = (e.select(F.explode(F.array("a", "b")).alias("node"))
+           .groupBy("node").agg(F.count("*").alias("degree")))
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
+    ranked = e.join(da, "a").join(db, "b")
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    out_deg = (
+        ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b"))
+            .alias("src"))
+        .groupBy("src").agg(F.count("*").alias("out"))
+    )
+    max_out = max(r["out"] for r in out_deg.collect())
+    assert max_out <= 2 * math.sqrt(m) + 1

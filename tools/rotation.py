@@ -92,7 +92,8 @@ FILL_QUEUE = [
     # and green in tests/test_queries.py + test_corpus.py):
     "bloom_decontaminate", "boilerplate_line_stats",
     "strip_boilerplate_lines", "quality_probe", "url_canonicalize",
-    "url_dedup",
+    "url_dedup", "unigram_logprob_filter", "triangle_counts",
+    "graph_degree_stats",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
