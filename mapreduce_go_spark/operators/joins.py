@@ -72,10 +72,12 @@ def _workspace_dir() -> str:
 # (table, key, cols), so a mismatched request is a distinct table.
 LINEITEM_BUCKET_COLS = [
     "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
-    "l_quantity", "l_returnflag"]  # widened r8 for the q18/q21 twins
+    "l_quantity", "l_returnflag",
+    "l_shipdate"]                  # widened r8: q18/q21, then q3 twins
 ORDERS_BUCKET_COLS = [
     "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice",
-    "o_orderstatus"]               # widened r8 for the q21 twin
+    "o_orderstatus",
+    "o_orderpriority"]             # widened r8: q21, then q3 twins
 
 
 def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,

@@ -584,6 +584,77 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q3_shipping_priority_bucketed(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """q3_shipping_priority on the co-located layout: LINEITEM — the
+    big fact — joins straight off its bucketed+sorted scan with ZERO
+    exchange at any scale; the orderkey-side shuffles move only the
+    (date-filtered, semi-joined) orders rows. The customer semi-join
+    runs FIRST against orders (custkey exchanges on the small fact),
+    then the surviving orders re-partition once onto the orderkey
+    layout lineitem already has. Same result and oracle as
+    q3_shipping_priority; plan-asserted in tests/test_plans.py (no
+    Exchange on the lineitem branch)."""
+    from mapreduce_go_spark.operators.joins import (
+        LINEITEM_BUCKET_COLS, ORDERS_BUCKET_COLS, _bucketed_table)
+
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey",
+                         LINEITEM_BUCKET_COLS).where(
+        F.col("l_shipdate") > "1996-07-01")
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey",
+                        ORDERS_BUCKET_COLS).where(
+        F.col("o_orderdate") < "1996-07-01")
+    c = tables.load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING")
+    o_building = o.join(c, F.col("o_custkey") == F.col("c_custkey"),
+                        "left_semi")
+    return (
+        li.join(o_building, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q10_returned_items_bucketed(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """q10_returned_items on the co-located layout: the date-filtered
+    customer x orders join runs on the custkey side first, then meets
+    LINEITEM on the orderkey layout it already has — zero exchange on
+    the big fact; only the final custkey group re-shuffles the
+    aggregated rows. Same result and oracle as q10_returned_items."""
+    from mapreduce_go_spark.operators.joins import (
+        LINEITEM_BUCKET_COLS, ORDERS_BUCKET_COLS, _bucketed_table)
+
+    li = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey",
+                         LINEITEM_BUCKET_COLS).where(
+        F.col("l_returnflag") == "R")
+    o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey",
+                        ORDERS_BUCKET_COLS).where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-07-01"))
+    c = tables.load(spark, sf_dir, "customer")
+    n = tables.load(spark, sf_dir, "nation")
+    co = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "n_name")
+    )
+    return (
+        li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q2_min_cost_supplier": q2_min_cost_supplier,
     "q3_shipping_priority": q3_shipping_priority,
@@ -595,6 +666,8 @@ QUERIES = {
     "q21_waiting_orders": q21_waiting_orders,
     "q18_large_orders_bucketed": q18_large_orders_bucketed,
     "q21_waiting_orders_bucketed": q21_waiting_orders_bucketed,
+    "q3_shipping_priority_bucketed": q3_shipping_priority_bucketed,
+    "q10_returned_items_bucketed": q10_returned_items_bucketed,
     "q13_order_count_distribution": q13_order_count_distribution,
     "q16_part_supplier_counts": q16_part_supplier_counts,
     "q22_global_sales_opportunity": q22_global_sales_opportunity,
@@ -911,3 +984,8 @@ ORACLES = {
            OR (p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30)
     """,
 }
+
+# the bucketed twins are physical-layout variants: same semantics,
+# same oracle text (the q18/q21 twins predate this aliasing style)
+ORACLES["q3_shipping_priority_bucketed"] = ORACLES["q3_shipping_priority"]
+ORACLES["q10_returned_items_bucketed"] = ORACLES["q10_returned_items"]

@@ -347,3 +347,29 @@ def test_corpus_url_dedup_single_exchange(spark, sf_dir):
     n = len(re.findall(r"^\(\d+\) Exchange\b", p, re.M))
     assert n == 1, (n, p)
     assert "partial_min" in p or "partial" in p.lower(), p
+
+
+def test_q3_q10_bucketed_twins_save_lineitem_exchange(spark, sf_dir):
+    """The late-r8 twins route the customer-side work first and meet
+    LINEITEM on its bucketed layout: with broadcast disabled each twin
+    plans exactly ONE fewer Exchange than its plain query — the
+    lineitem one, the largest relation in the plan (the li branch
+    feeds its SortMergeJoin straight from the bucket-sorted scan)."""
+    from mapreduce_go_spark.operators import tpch
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        shuffles = re.compile(r"^\(\d+\) Exchange\b", re.MULTILINE)
+        for plain_fn, twin_fn in (
+                (tpch.q3_shipping_priority,
+                 tpch.q3_shipping_priority_bucketed),
+                (tpch.q10_returned_items,
+                 tpch.q10_returned_items_bucketed)):
+            plain = len(shuffles.findall(plan_of(plain_fn(spark, sf_dir))))
+            twin_plan = plan_of(twin_fn(spark, sf_dir))
+            twin = len(shuffles.findall(twin_plan))
+            assert twin == plain - 1, (
+                plain_fn.__name__, plain, twin, twin_plan)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

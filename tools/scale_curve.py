@@ -136,7 +136,8 @@ def main() -> None:
         ann_pq_topk, embedding_neardup_pairs_blocked)
     from mapreduce_go_spark.operators.corpus import (
         bloom_decontaminate, quality_probe, strip_boilerplate_lines,
-        url_dedup)
+        unigram_logprob_filter, url_dedup)
+    from mapreduce_go_spark.operators.graph import triangle_counts
     from mapreduce_go_spark.operators.video import (mjpeg_frame_sample,
                                                     video_phash_pairs)
 
@@ -165,6 +166,8 @@ def main() -> None:
                      ("strip_boilerplate_lines", strip_boilerplate_lines),
                      ("quality_probe", quality_probe),
                      ("url_dedup", url_dedup),
+                     ("unigram_logprob_filter", unigram_logprob_filter),
+                     ("triangle_counts", triangle_counts),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
             continue
