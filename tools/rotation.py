@@ -93,7 +93,8 @@ FILL_QUEUE = [
     "bloom_decontaminate", "boilerplate_line_stats",
     "strip_boilerplate_lines", "quality_probe", "url_canonicalize",
     "url_dedup", "unigram_logprob_filter", "triangle_counts",
-    "graph_degree_stats",
+    "graph_degree_stats", "q3_shipping_priority_bucketed",
+    "q10_returned_items_bucketed",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
