@@ -156,6 +156,8 @@ HEADLINE = [
     "url_dedup",
     "unigram_logprob_filter",
     "triangle_counts",
+    "hll_distinct_by_source",
+    "window_navigation",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -752,8 +752,139 @@ def _hll_oracle_sql() -> str:
     """
 
 
+
+def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-GROUP HyperLogLog — the sketch as grouped aggregation
+    state, which is how a 100 TB pipeline actually deploys it
+    (distinct tokens per data SOURCE, one constant-size sketch per
+    group riding the same shuffle as any other aggregate).
+
+    Same register-exact discipline as hll_distinct_tokens: the
+    (source, bucket) groupBy IS the sketch merge, the merged state is
+    |sources| x HLL_M rows regardless of corpus size, and the exact
+    per-source distinct rides along for the error-bound verdict."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "source",
+            F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10) \
+        .cast("long")
+    w = (h / HLL_M).cast("long")
+    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
+        F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
+    regs = (
+        tok.select("source", (h % HLL_M).alias("bucket"),
+                   rho.alias("rho"))
+        .groupBy("source", "bucket").agg(F.max("rho").alias("r"))
+    )
+    dense = (
+        docs.select("source").distinct()
+        .crossJoin(F.broadcast(
+            spark.range(HLL_M).select(F.col("id").alias("bucket"))))
+        .join(regs, ["source", "bucket"], "left")
+        .fillna(0, subset=["r"])
+    )
+    ex = tok.groupBy("source").agg(
+        F.countDistinct("tok").alias("n_exact"))
+    summary = (
+        dense.groupBy("source").agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("bucket", "r"))),
+                    lambda s: s["r"].cast("string")),
+                ",").alias("registers"),
+            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"),
+            F.sum((F.col("r") == 0).cast("int")).alias("v_zero"),
+        )
+        .join(F.broadcast(ex), "source")
+    )
+    m = float(HLL_M)
+    est_raw = F.lit(HLL_ALPHA) * F.lit(m * m) / F.col("z")
+    est = F.when(
+        (est_raw <= 2.5 * m) & (F.col("v_zero") > 0),
+        F.lit(m) * F.log(F.lit(m) / F.col("v_zero")),
+    ).otherwise(est_raw)
+    return summary.select(
+        "source", "registers", "v_zero",
+        F.round(est_raw, 4).alias("est_raw"),
+        F.round(est, 4).alias("est_hll"),
+        "n_exact",
+        (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.3)
+        .alias("within_bounds"),
+    )
+
+
+def _hll_by_source_oracle_sql() -> str:
+    h = ("list_reduce(list_prepend(cast(0 AS bigint),"
+         " list_transform(regexp_split_to_array(substring(md5(tok),"
+         " 1, 12), ''),"
+         " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
+         " (acc, v) -> acc * 16 + v)")
+    m = float(HLL_M)
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest(regexp_split_to_array(text,
+                      '{NON_LETTER_RE}')) AS tok
+        FROM documents
+    ),
+    toks AS (SELECT source, tok FROM tok WHERE tok <> ''),
+    hashed AS (SELECT source, {h} AS h FROM toks),
+    rhos AS (
+        SELECT source, h % {HLL_M} AS bucket,
+               CASE WHEN h // {HLL_M} = 0 THEN {HLL_WBITS + 1}
+                    ELSE bit_count(((h // {HLL_M})
+                                    & -(h // {HLL_M})) - 1) + 1
+               END AS rho
+        FROM hashed
+    ),
+    g AS (
+        SELECT s.source, b.b AS bucket
+        FROM (SELECT DISTINCT source FROM documents) s
+        CROSS JOIN (SELECT unnest(generate_series(0, {HLL_M - 1}))
+                        AS b) b
+    ),
+    regs AS (
+        SELECT g.source, g.bucket AS bucket,
+               coalesce(max(rho), 0) AS r
+        FROM g LEFT JOIN rhos
+            ON rhos.source = g.source AND rhos.bucket = g.bucket
+        GROUP BY g.source, g.bucket
+    ),
+    summary AS (
+        SELECT source,
+               string_agg(cast(r AS varchar), ',' ORDER BY bucket)
+                   AS registers,
+               sum(power(2.0, -r)) AS z,
+               sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS v_zero
+        FROM regs GROUP BY source
+    ),
+    ex AS (SELECT source, count(DISTINCT tok) AS n_exact
+           FROM toks GROUP BY source),
+    est AS (
+        SELECT summary.source AS source, registers, v_zero, n_exact,
+               {HLL_ALPHA} * {m * m} / z AS est_raw,
+               CASE WHEN {HLL_ALPHA} * {m * m} / z <= {2.5 * m}
+                         AND v_zero > 0
+                    THEN {m} * ln({m} / v_zero)
+                    ELSE {HLL_ALPHA} * {m * m} / z
+               END AS est
+        FROM summary JOIN ex ON summary.source = ex.source
+    )
+    SELECT source, registers, cast(v_zero AS bigint) AS v_zero,
+           round(est_raw, 4) AS est_raw,
+           round(est, 4) AS est_hll,
+           cast(n_exact AS bigint) AS n_exact,
+           (abs(est - n_exact) / n_exact <= 0.3) AS within_bounds
+    FROM est
+    """
+
+
 QUERIES = {
     "hll_distinct_tokens": hll_distinct_tokens,
+    "hll_distinct_by_source": hll_distinct_by_source,
     "repetition_stats": repetition_stats,
     "bm25_search": bm25_search,
     "cms_token_counts": cms_token_counts,
@@ -1027,3 +1158,4 @@ def _domain_mix_sql() -> str:
 
 ORACLES["domain_mix_sample"] = _domain_mix_sql()
 ORACLES["hll_distinct_tokens"] = _hll_oracle_sql()
+ORACLES["hll_distinct_by_source"] = _hll_by_source_oracle_sql()

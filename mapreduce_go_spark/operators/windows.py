@@ -79,7 +79,32 @@ def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D15 completion: the distribution/navigation window family —
+    ntile, percent_rank, cume_dist, lead — over per-customer order
+    history, all four sharing ONE window spec (one shuffle + one
+    sorted pass, exactly like window_rank). percent_rank/cume_dist
+    are emitted on the 1e-6 integer grid: their rational values
+    (k/(n-1), k/n) can land shortest-repr midpoints at the 7th
+    decimal where the decimal-cast dround diverges cross-engine —
+    grid()'s half-integer argument is exactly representable, so
+    round() agrees (the quality_probe lesson)."""
+    from mapreduce_go_spark.functions.num import grid
+
+    o = tables.load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        grid(F.percent_rank().over(w), 10**6).alias("pct_rank_micro"),
+        grid(F.cume_dist().over(w), 10**6).alias("cume_dist_micro"),
+        dround(F.lead("o_totalprice").over(w), 2).alias("next_total"),
+    )
+
+
 QUERIES = {
+    "window_navigation": window_navigation,
     "window_rank": window_rank,
     "topk_per_group": topk_per_group,
     "moving_average": moving_average,
@@ -122,3 +147,18 @@ ORACLES = {
         FROM events
     """,
 }
+
+ORACLES["window_navigation"] = """
+    SELECT o_custkey, o_orderkey,
+           ntile(4) OVER w AS quartile,
+           cast(round(percent_rank() OVER w * 1000000) AS bigint)
+               AS pct_rank_micro,
+           cast(round(cume_dist() OVER w * 1000000) AS bigint)
+               AS cume_dist_micro,
+           cast(round(cast(lead(o_totalprice) OVER w
+                           AS decimal(18,6)), 2) AS double)
+               AS next_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey)
+"""

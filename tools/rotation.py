@@ -94,7 +94,8 @@ FILL_QUEUE = [
     "strip_boilerplate_lines", "quality_probe", "url_canonicalize",
     "url_dedup", "unigram_logprob_filter", "triangle_counts",
     "graph_degree_stats", "q3_shipping_priority_bucketed",
-    "q10_returned_items_bucketed",
+    "q10_returned_items_bucketed", "hll_distinct_by_source",
+    "window_navigation",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
