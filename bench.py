@@ -158,6 +158,7 @@ HEADLINE = [
     "triangle_counts",
     "hll_distinct_by_source",
     "window_navigation",
+    "cms_heavy_hitters",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -609,6 +609,54 @@ HLL_WBITS = 42      # 48-bit md5 prefix minus the 6 bucket bits
 HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, m >= 64)
 
 
+
+# two-pass heavy hitters: screen threshold (absolute count). At
+# sf0.01 the 30 common vocab tokens sit near ~900 and the grafted
+# 'dup' token at ~26; at 10x everything scales up and the split
+# holds. Production sets this as a fraction of the stream length.
+HH_MIN_COUNT = 500
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass heavy hitters — the canonical COMPOSITION of the CMS
+    sketch into a pipeline (Cormode/Muthukrishnan §4): pass 1 builds
+    the mergeable sketch (constant DEPTH x WIDTH state, one counter
+    shuffle); the candidate screen probes each DISTINCT token against
+    the BROADCAST sketch (vocab-bounded relation, mapper-side min
+    over DEPTH cells); pass 2 exact-counts ONLY the candidates.
+
+    CMS's one-sided error (est >= exact always) makes the screen
+    sound: no true heavy hitter can be missed, and the `confirmed`
+    column exposes any false candidate the exact pass rejects —
+    both facts asserted in tests. At 100 TB: the sketch is ~4 KiB
+    broadcast, candidates are a vocab-bounded fraction, and the
+    exact pass counts only their occurrences."""
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    sketch = cms_token_sketch(docs)
+    vocab = tok.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    probe_cells = vocab.select(
+        "tok", "n_exact",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("tok"), r)
+                      for r in range(CMS_DEPTH)])).alias("r", "bucket"))
+    est = (
+        probe_cells.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("tok", "n_exact").agg(F.min("cnt").alias("est_cms"))
+    )
+    return (
+        est.where(F.col("est_cms") >= HH_MIN_COUNT)
+        .select(
+            "tok", "est_cms", "n_exact",
+            (F.col("n_exact") >= HH_MIN_COUNT).alias("confirmed"),
+        )
+    )
+
+
 def hll_token_registers(docs: DataFrame) -> DataFrame:
     """Sparse HLL register maxima (bucket, r) for a documents slice —
     the mergeable partial: register-wise max over any union of
@@ -888,6 +936,7 @@ QUERIES = {
     "repetition_stats": repetition_stats,
     "bm25_search": bm25_search,
     "cms_token_counts": cms_token_counts,
+    "cms_heavy_hitters": cms_heavy_hitters,
     "feature_hash_embed": feature_hash_embed,
     "pii_stats": pii_stats,
     "pii_redact": pii_redact,
@@ -1157,5 +1206,35 @@ def _domain_mix_sql() -> str:
 
 
 ORACLES["domain_mix_sample"] = _domain_mix_sql()
+ORACLES["cms_heavy_hitters"] = f"""
+    WITH tok AS (
+        SELECT t AS tok FROM (
+            SELECT unnest(regexp_split_to_array(
+                text, '{NON_LETTER_RE}')) AS t FROM documents)
+        WHERE t <> ''
+    ),
+    cells AS (
+        SELECT g.r AS r, {_cms_bucket_sql('tok', 'g.r')} AS bucket
+        FROM tok CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) g(r)
+    ),
+    sketch AS (
+        SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY r, bucket
+    ),
+    vocab AS (SELECT tok, count(*) AS n_exact FROM tok GROUP BY tok),
+    probe AS (
+        SELECT vocab.tok, vocab.n_exact, g.r AS r,
+               {_cms_bucket_sql('vocab.tok', 'g.r')} AS bucket
+        FROM vocab CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) g(r)
+    ),
+    est AS (
+        SELECT tok, n_exact, min(cnt) AS est_cms
+        FROM probe JOIN sketch USING (r, bucket)
+        GROUP BY tok, n_exact
+    )
+    SELECT tok, cast(est_cms AS bigint) AS est_cms,
+           cast(n_exact AS bigint) AS n_exact,
+           (n_exact >= {HH_MIN_COUNT}) AS confirmed
+    FROM est WHERE est_cms >= {HH_MIN_COUNT}
+"""
 ORACLES["hll_distinct_tokens"] = _hll_oracle_sql()
 ORACLES["hll_distinct_by_source"] = _hll_by_source_oracle_sql()

@@ -268,3 +268,29 @@ def test_feature_hash_embeds_compose_with_knn(spark, sf_dir):
     for k in dup_keepers:
         best = max(v for (qid, _), v in got.items() if qid == k)
         assert best > 0.999999, (k, best)
+
+
+def test_cms_heavy_hitters_sound_and_tight(spark, sf_dir):
+    """One-sided screen: every token whose EXACT count clears the
+    threshold must appear as a candidate (CMS can never under-count),
+    est >= exact on every row, and false candidates are exposed by
+    confirmed=False rather than silently kept."""
+    import duckdb
+
+    from mapreduce_go_spark.operators.quality import (
+        HH_MIN_COUNT, cms_heavy_hitters)
+
+    rows = cms_heavy_hitters(spark, sf_dir).collect()
+    assert rows
+    by_tok = {r["tok"]: r for r in rows}
+    for r in rows:
+        assert r["est_cms"] >= r["n_exact"]
+        assert r["confirmed"] == (r["n_exact"] >= HH_MIN_COUNT)
+    con = duckdb.connect()
+    exact_heavy = {t for (t, c) in con.execute(
+        "SELECT t, count(*) FROM (SELECT unnest(regexp_split_to_array("
+        "text, '[^a-zA-Z]+')) AS t FROM "
+        f"'{sf_dir}/documents.parquet') WHERE t <> '' GROUP BY t"
+    ).fetchall() if c >= HH_MIN_COUNT}
+    assert exact_heavy <= set(by_tok)
+    assert all(by_tok[t]["confirmed"] for t in exact_heavy)

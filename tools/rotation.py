@@ -95,7 +95,7 @@ FILL_QUEUE = [
     "url_dedup", "unigram_logprob_filter", "triangle_counts",
     "graph_degree_stats", "q3_shipping_priority_bucketed",
     "q10_returned_items_bucketed", "hll_distinct_by_source",
-    "window_navigation",
+    "window_navigation", "cms_heavy_hitters",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
