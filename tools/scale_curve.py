@@ -129,9 +129,10 @@ def main() -> None:
     from mapreduce_go_spark.operators.multimodal import (image_phash_pairs,
                                                          phash_dup_flags)
     from mapreduce_go_spark.operators.pipeline import pretrain_corpus
-    from mapreduce_go_spark.operators.quality import (decontaminate,
-                                                      hll_distinct_tokens,
-                                                      repetition_stats)
+    from mapreduce_go_spark.operators.quality import (
+        cms_heavy_hitters, decontaminate, hll_distinct_by_source,
+        hll_distinct_tokens, repetition_stats)
+    from mapreduce_go_spark.operators.windows import window_navigation
     from mapreduce_go_spark.operators.similarity import (
         ann_pq_topk, embedding_neardup_pairs_blocked)
     from mapreduce_go_spark.operators.corpus import (
@@ -168,6 +169,8 @@ def main() -> None:
                      ("url_dedup", url_dedup),
                      ("unigram_logprob_filter", unigram_logprob_filter),
                      ("triangle_counts", triangle_counts),
+                     ("hll_distinct_by_source", hll_distinct_by_source),
+                     ("cms_heavy_hitters", cms_heavy_hitters),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
             continue
