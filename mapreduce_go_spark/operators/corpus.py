@@ -355,9 +355,9 @@ def quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decimal(38,0) sums of integer features: overflow-proof at any
     scale, map-side combinable, 14 scalars over the wire). The 4x4
     solve runs driver-side in exact Fraction arithmetic — the
-    bounded driver action here is .collect() of ONE row of 14
-    numbers, the same shape at 100 TB. Pass 2 scores every doc
-    mapper-only with the 4 broadcast weight literals.
+    bounded driver action here is collecting ONE row of 14 numbers,
+    the same shape at 100 TB. Pass 2 scores every doc mapper-only
+    with the 4 broadcast weight literals.
 
     Output: per-doc features, target, prediction, residual (the
     model's quality signal: how far a doc sits from the corpus
@@ -380,7 +380,7 @@ def quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d("x1") * d("y")).alias("s1y"),
         F.sum(d("x2") * d("y")).alias("s2y"),
         F.sum(d("x3") * d("y")).alias("s3y"),
-    ).collect()[0]  # bounded driver action: 14 scalars (see docstring)
+    ).collect()[0]  # allow-bounded-collect: 14 scalars (normal equations)
     s = {k: int(stats_row[k]) for k in stats_row.asDict()}
     w0, w1, w2, w3 = _probe_weights_from_stats(s)
     # left-to-right double arithmetic; identical literal order in the

@@ -402,7 +402,17 @@ def _pretrain_sql() -> str:
     """Composite oracle: each stage's own registered oracle query is
     nested verbatim as a CTE subquery (DuckDB allows WITH inside a
     parenthesized subquery), so this checks the COMPOSITION of the
-    exact semantics each stage already proves individually."""
+    exact semantics each stage already proves individually.
+
+    Import-order hazard (quality <-> pipeline cycle): when QUALITY is
+    imported first, this function runs while quality is mid-import —
+    its ORACLES dict literal exists (so the plain entries below are
+    safe) but the post-dict fill of 'domain_mix_sample' has not run
+    yet, and reading the dict entry here embedded a literal `None` in
+    the composite SQL (broke the oracle only under quality-first
+    import order). Call the BUILDER `_domain_mix_sql()` instead —
+    defined before the fill, safe in both orders; pinned by
+    tests/test_registry.py::test_oracles_immune_to_import_order."""
     from mapreduce_go_spark.operators import quality
 
     return f"""
@@ -417,7 +427,7 @@ def _pretrain_sql() -> str:
         ),
         mix AS (
             SELECT doc_id, source
-            FROM ({quality.ORACLES['domain_mix_sample']})
+            FROM ({quality._domain_mix_sql()})
         ),
         red AS (
             SELECT doc_id, md5(redacted) AS redacted_md5

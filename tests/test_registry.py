@@ -166,3 +166,27 @@ def test_bench_headline_names_are_registered():
     assert not missing, missing
     assert len(bench.FROZEN_R5) == 37
     assert set(bench.FROZEN_R5) <= set(bench.HEADLINE)
+
+
+def test_oracles_immune_to_import_order():
+    """quality <-> pipeline import cycle: with QUALITY imported first
+    (any test or user importing an operator module that pulls quality
+    in, e.g. operators.corpus), pipeline's module-level composite
+    oracle used to read quality.ORACLES['domain_mix_sample'] before
+    the post-dict fill ran and embedded a literal None in the
+    pretrain_corpus SQL. Reproduce the hostile order in a fresh
+    interpreter and assert every oracle still parses clean."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "import mapreduce_go_spark.operators.quality  # quality FIRST\n"
+        "from mapreduce_go_spark import registry\n"
+        "bad = {n: s for n, s in registry.all_oracles().items()\n"
+        "       if 'None' in s.split() or '(None)' in s}\n"
+        "assert not bad, f'import-order-poisoned oracles: {list(bad)}'\n"
+    )
+    subprocess.run([sys.executable, "-c", code, repo], check=True)
