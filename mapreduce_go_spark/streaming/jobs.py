@@ -1160,3 +1160,69 @@ def read_bloom_membership(spark: SparkSession, out_dir: str,
             F.col("bits"), _bloom_bit(F.col("shingle"), k))
     return (shingles.crossJoin(F.broadcast(filt))
             .select(*shingles.columns, maybe.alias("maybe")))
+
+
+# ------------------------------------------------------------------ #
+# Incremental boilerplate line-frequency index (D21 x corpus hygiene; #
+# batch anchor: operators.corpus.boilerplate_line_stats)              #
+# ------------------------------------------------------------------ #
+
+def _boiler_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """One micro-batch of incremental line-frequency maintenance: the
+    snapshot is the (line, n_docs) counter table, the epoch merge is
+    counter ADDITION — valid because each document arrives in exactly
+    one epoch, so per-epoch DISTINCT-doc counts partition the global
+    distinct count. State is O(distinct lines) — the honest CCNet
+    cost (a counter per line ever seen, never a member list); the
+    boilerplate verdict (n_docs >= BOILER_MIN_DOCS) is derived at
+    read time so a line can BECOME boilerplate as epochs accumulate —
+    exactly the behavior a live crawl needs."""
+    from mapreduce_go_spark.operators.corpus import _lines_exploded
+
+    target = os.path.join(out_dir, f"v={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    partial = (
+        _lines_exploded(batch_df.select("doc_id", "text"))
+        .groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+    )
+    prev = _latest_rollup_version(out_dir, below=epoch_id)
+    if prev is not None:
+        hist = spark.read.parquet(os.path.join(out_dir, f"v={prev}"))
+        partial = (hist.unionByName(partial)
+                   .groupBy("line")
+                   .agg(F.sum("n_docs").alias("n_docs")))
+    partial.write.mode("overwrite").parquet(target)
+    _prune_old_versions(out_dir)
+
+
+def run_streaming_boiler(spark: SparkSession, stream: DataFrame,
+                         out_dir: str, checkpoint_dir: str) -> None:
+    """Incrementally maintained boilerplate line-frequency index:
+    per micro-batch distinct-doc line counts counter-added into a
+    persistent versioned snapshot. Streaming twin of the line side of
+    corpus.boilerplate_line_stats/strip_boilerplate_lines."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _boiler_epoch(batch_df, epoch_id, out_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_boiler_lines(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The maintained index with the threshold verdict applied at
+    read time: (line, n_docs, boiler)."""
+    from mapreduce_go_spark.operators.corpus import BOILER_MIN_DOCS
+
+    v = _latest_rollup_version(out_dir)
+    counts = spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+    return counts.withColumn(
+        "boiler", F.col("n_docs") >= BOILER_MIN_DOCS)

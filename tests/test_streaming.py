@@ -1113,3 +1113,62 @@ def test_streaming_bloom_epoch_replay_is_idempotent(spark, sf_dir,
     after = sorted(r.bit
                    for r in jobs.read_bloom_bits(spark, out).collect())
     assert after == before
+
+
+def test_streaming_boiler_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """The maintained line-frequency index over 3 doc_id-range
+    micro-batches must equal the batch relation COUNTER FOR COUNTER
+    (each doc arrives in exactly one epoch, so per-epoch distinct-doc
+    counts partition the global count), including the threshold
+    verdicts — and a grafted footer line must be flagged boiler."""
+    import os
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators.corpus import (
+        BOILER_A, _boiler_lines, _lines_exploded)
+
+    src = str(tmp_path / "boiler_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, str(tmp_path / "boiler_src/*"),
+                                   docs.schema)
+    out = str(tmp_path / "boiler_out")
+    jobs.run_streaming_boiler(spark, stream, out,
+                              str(tmp_path / "boiler_ck"))
+
+    got = sorted((r.line, r.n_docs, r.boiler) for r in
+                 jobs.read_boiler_lines(spark, out).collect())
+    want = sorted((r.line, r.n_docs, r.boiler) for r in
+                  _boiler_lines(_lines_exploded(
+                      tables.load(spark, sf_dir, "documents"))).collect())
+    assert got == want
+    flagged = {line for line, _, b in got if b}
+    assert BOILER_A in flagged
+
+
+def test_streaming_boiler_epoch_replay_is_idempotent(spark, sf_dir,
+                                                     tmp_path):
+    """Re-firing an already-committed epoch must not double-count any
+    line (versioned-snapshot discipline — counter addition is NOT
+    idempotent, so the replay guard is what carries exactly-once)."""
+    import glob
+    import os
+
+    src = str(tmp_path / "boiler_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, str(tmp_path / "boiler_src/*"),
+                                   docs.schema)
+    out = str(tmp_path / "boiler_out")
+    jobs.run_streaming_boiler(spark, stream, out,
+                              str(tmp_path / "boiler_ck"))
+
+    before = sorted((r.line, r.n_docs) for r in
+                    jobs.read_boiler_lines(spark, out).collect())
+    last = max(int(os.path.basename(p).split("=")[1])
+               for p in glob.glob(os.path.join(out, "v=*")))
+    batch = spark.read.parquet(src + "/b2")
+    jobs._boiler_epoch(batch, last, out)
+    after = sorted((r.line, r.n_docs) for r in
+                   jobs.read_boiler_lines(spark, out).collect())
+    assert after == before
