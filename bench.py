@@ -159,6 +159,7 @@ HEADLINE = [
     "hll_distinct_by_source",
     "window_navigation",
     "cms_heavy_hitters",
+    "weighted_sample_per_source",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -354,7 +354,52 @@ def chunk_topk_from_sums(sums: DataFrame) -> DataFrame:
     )
 
 
+
+# A-ES weighted sampling: keep top-K per source
+WS_K = 5
+
+
+def weighted_sample_per_source(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Efraimidis-Spirakis (A-ES) weighted random sampling WITHOUT
+    replacement, per source group — the principled distributed
+    weighted sampler for data mixing: each doc gets key u^(1/w)
+    (u uniform from a deterministic md5 fold, w = doc length), and
+    the top-K keys per group ARE a weighted sample without
+    replacement. Compared in the monotone ln(u)/w form, so no pow().
+
+    Scale shape: the key is mapper-side arithmetic; selection is one
+    per-group window top-K (rank <= K, the topk_per_group shape) —
+    no global sort, no rejection loop, no driver state. At 100 TB
+    this is how you draw a weighted mixture in one pass.
+
+    Determinism: u = (52-bit md5 fold + 1) / (2^52 + 1), exact in
+    both engines; ln() is the green BM25 discipline; identical
+    doubles rank identically, and doc_id breaks (impossible) ties.
+    The emitted key lands on the 1e-9 grid for value comparison."""
+    from mapreduce_go_spark.functions.num import grid
+
+    docs = tables.load(spark, sf_dir, "documents")
+    u52 = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ws:"),
+                                   F.col("doc_id").cast("string"))),
+                    1, 13), 16, 10).cast("long")
+    u = (u52 + 1).cast("double") / F.lit(float(2**52 + 1))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = F.log(u) / w
+    wnd = Window.partitionBy("source").orderBy(
+        F.col("key").desc(), F.col("doc_id"))
+    return (
+        docs.select("source", "doc_id", "n_chars", key.alias("key"))
+        .withColumn("rk", F.row_number().over(wnd))
+        .where(F.col("rk") <= WS_K)
+        .select("source", "doc_id", "n_chars", "rk",
+                grid(F.col("key"), 10**9).alias("key_nano"))
+    )
+
+
 QUERIES = {
+    "weighted_sample_per_source": weighted_sample_per_source,
     "corpus_clean": corpus_clean,
     "pretrain_corpus": pretrain_corpus,
     "chunk_retrieval_topk": chunk_retrieval_topk,
@@ -569,3 +614,22 @@ ORACLES = {
         FROM orders
     """,
 }
+
+
+ORACLES["weighted_sample_per_source"] = """
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln(((list_reduce(list_prepend(cast(0 AS bigint), list_transform(regexp_split_to_array(substring(md5('ws:' || cast(doc_id AS varchar)), 1, 13), ''), c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))), (acc, v) -> acc * 16 + v)) + 1) / 4503599627370497.0)
+                   / cast(greatest(n_chars, 1) AS double) AS key
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars, key,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY key DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT source, doc_id, n_chars, cast(rk AS bigint) AS rk,
+           cast(round(key * 1000000000) AS bigint) AS key_nano
+    FROM ranked WHERE rk <= 5
+"""

@@ -192,3 +192,70 @@ def test_url_canonicalize_is_mapper_only(spark, sf_dir):
     plan = corpus.url_canonicalize(
         spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------- #
+# A-ES weighted sampling (pipeline.weighted_sample_per_source)       #
+# ---------------------------------------------------------------- #
+
+
+def test_weighted_sample_matches_pure_python():
+    """Third implementation: recompute the Efraimidis-Spirakis keys
+    with hashlib + math.log and verify the exact per-source top-K
+    selection (not just counts) — Spark, DuckDB (oracle), and Python
+    must all pick the same docs in the same order."""
+    import hashlib
+    import math
+    import os
+
+    import duckdb
+
+    from mapreduce_go_spark.operators.pipeline import WS_K
+
+    sf_dir = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT source, doc_id, n_chars FROM "
+        f"'{sf_dir}/documents.parquet'").fetchall()
+    by_src = {}
+    for source, doc_id, n_chars in rows:
+        h = hashlib.md5(f"ws:{doc_id}".encode()).hexdigest()[:13]
+        u = (int(h, 16) + 1) / float(2**52 + 1)
+        key = math.log(u) / max(n_chars, 1)
+        by_src.setdefault(source, []).append((-key, doc_id))
+    want = {}
+    for source, ks in by_src.items():
+        ks.sort()
+        want[source] = [d for _, d in ks[:WS_K]]
+    # compare against the registered oracle (DuckDB side; the Spark
+    # side is pinned equal to it by tests/test_queries.py)
+    from mapreduce_go_spark import registry
+
+    got_rows = con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'; "
+        + registry.all_oracles()["weighted_sample_per_source"]
+    ).fetchall()
+    got = {}
+    for source, doc_id, _nc, rk, _k in sorted(
+            got_rows, key=lambda r: (r[0], r[3])):
+        got.setdefault(source, []).append(doc_id)
+    assert got == want
+
+
+def test_weighted_sample_is_length_biased(spark, sf_dir):
+    """Sampling probability rises with weight: across all sources the
+    sampled docs' mean n_chars must exceed the corpus mean (w =
+    n_chars makes longer docs more likely)."""
+    import duckdb
+
+    from mapreduce_go_spark.operators.pipeline import (
+        weighted_sample_per_source)
+
+    sampled = weighted_sample_per_source(spark, sf_dir).collect()
+    con = duckdb.connect()
+    corpus_mean = con.execute(
+        f"SELECT avg(n_chars) FROM '{sf_dir}/documents.parquet'"
+    ).fetchone()[0]
+    sample_mean = sum(r["n_chars"] for r in sampled) / len(sampled)
+    assert sample_mean > corpus_mean
