@@ -1226,3 +1226,77 @@ def read_boiler_lines(spark: SparkSession, out_dir: str) -> DataFrame:
     counts = spark.read.parquet(os.path.join(out_dir, f"v={v}"))
     return counts.withColumn(
         "boiler", F.col("n_docs") >= BOILER_MIN_DOCS)
+
+
+# ------------------------------------------------------------------ #
+# Incremental URL-seen dedup (D21 x corpus hygiene; batch anchor:     #
+# operators.corpus.url_dedup)                                         #
+# ------------------------------------------------------------------ #
+
+def _urlseen_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
+                   out_dir: str) -> None:
+    """One micro-batch of crawl-frontier URL dedup: canonicalize the
+    batch's URLs, flag any doc whose canonical form is in the
+    persistent seen-set OR has an earlier occurrence in the same
+    batch (row_number — the arrival-order keep-first rule), then
+    extend the seen-set. One index row per distinct canonical URL —
+    no per-doc state, no cap needed by construction (the dupspan
+    discipline). Under doc_id-ordered arrival the keeper set equals
+    the batch url_dedup's min-doc_id keepers (proven in tests)."""
+    from pyspark.sql import Window
+
+    from mapreduce_go_spark.operators.corpus import (
+        _canonical_url, _url_spark)
+
+    target = os.path.join(index_dir, f"v={epoch_id}")
+    if os.path.exists(os.path.join(target, "_SUCCESS")):
+        return  # replayed epoch: already applied
+    spark = batch_df.sparkSession
+
+    canon = batch_df.select(
+        "doc_id", _canonical_url(_url_spark()).alias("canonical_url"))
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    ranked = canon.withColumn("rn", F.row_number().over(w))
+    prev = _latest_rollup_version(index_dir, below=epoch_id)
+    if prev is None:
+        joined = ranked.withColumn("seen", F.lit(False))
+        index = canon.select("canonical_url").distinct()
+    else:
+        hist = spark.read.parquet(os.path.join(index_dir, f"v={prev}"))
+        joined = ranked.join(
+            hist.withColumn("seen", F.lit(True)), "canonical_url",
+            "left").fillna(False, subset=["seen"])
+        index = (hist.select("canonical_url")
+                 .unionByName(canon.select("canonical_url")).distinct())
+    verdicts = joined.select(
+        "doc_id", "canonical_url",
+        (F.col("seen") | (F.col("rn") > 1)).alias("is_dup"))
+    # verdicts first: a crash before the index commit replays wholesale
+    verdicts.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"epoch={epoch_id}"))
+    index.write.mode("overwrite").parquet(target)
+    _prune_old_versions(index_dir)
+
+
+def run_streaming_urlseen(spark: SparkSession, stream: DataFrame,
+                          index_dir: str, out_dir: str,
+                          checkpoint_dir: str) -> None:
+    """Incremental URL dedup against a persistent canonical-URL
+    seen-set — the crawl-frontier filter as a streaming job. Exactly-
+    once via checkpointed offsets + versioned index snapshots +
+    epoch-keyed verdict partitions (replay overwrites itself)."""
+    def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        _urlseen_epoch(batch_df, epoch_id, index_dir, out_dir)
+
+    q = (stream.writeStream.foreachBatch(on_epoch)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_urlseen_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
+    """All epochs' keep/dup verdicts."""
+    return spark.read.parquet(os.path.join(out_dir, "epoch=*"))

@@ -1172,3 +1172,62 @@ def test_streaming_boiler_epoch_replay_is_idempotent(spark, sf_dir,
     after = sorted((r.line, r.n_docs) for r in
                    jobs.read_boiler_lines(spark, out).collect())
     assert after == before
+
+
+def test_streaming_urlseen_matches_batch_keepers(spark, sf_dir,
+                                                 tmp_path):
+    """Under doc_id-ordered arrival, the streaming keep-first verdict
+    set must equal the batch url_dedup keepers (min doc_id per
+    canonical URL), every doc must get exactly one verdict, and dup
+    counts must reconcile with the batch n_dups."""
+    import os
+
+    from mapreduce_go_spark.operators.corpus import url_dedup
+
+    src = str(tmp_path / "url_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, str(tmp_path / "url_src/*"),
+                                   docs.schema)
+    jobs.run_streaming_urlseen(
+        spark, stream, str(tmp_path / "url_idx"),
+        str(tmp_path / "url_out"), str(tmp_path / "url_ck"))
+
+    verdicts = jobs.read_urlseen_verdicts(
+        spark, str(tmp_path / "url_out")).collect()
+    n_docs = docs.count()
+    assert len(verdicts) == n_docs
+    keepers = {r["doc_id"] for r in verdicts if not r["is_dup"]}
+    batch = url_dedup(spark, sf_dir).collect()
+    assert keepers == {r["keeper_doc"] for r in batch}
+    # dup mass reconciles: n_dups counts every member incl. keeper
+    assert sum(r["n_dups"] for r in batch) - len(batch) == sum(
+        1 for r in verdicts if r["is_dup"])
+
+
+def test_streaming_urlseen_epoch_replay_is_idempotent(spark, sf_dir,
+                                                      tmp_path):
+    """Re-firing the last committed epoch must change neither the
+    verdict partitions nor the seen-set (versioned snapshots +
+    epoch-keyed overwrite)."""
+    import glob
+    import os
+
+    src = str(tmp_path / "url_src")
+    os.makedirs(src)
+    docs = _stage_docs_in_ranges(spark, sf_dir, src)
+    stream = jobs.documents_stream(spark, str(tmp_path / "url_src/*"),
+                                   docs.schema)
+    idx, out = str(tmp_path / "url_idx"), str(tmp_path / "url_out")
+    jobs.run_streaming_urlseen(spark, stream, idx, out,
+                               str(tmp_path / "url_ck"))
+
+    before = sorted(map(tuple, jobs.read_urlseen_verdicts(
+        spark, out).collect()))
+    last = max(int(os.path.basename(p).split("=")[1])
+               for p in glob.glob(os.path.join(idx, "v=*")))
+    batch = spark.read.parquet(src + "/b2")
+    jobs._urlseen_epoch(batch, last, idx, out)
+    after = sorted(map(tuple, jobs.read_urlseen_verdicts(
+        spark, out).collect()))
+    assert after == before
