@@ -160,6 +160,8 @@ HEADLINE = [
     "window_navigation",
     "cms_heavy_hitters",
     "weighted_sample_per_source",
+    "variant_extract",
+    "warc_source_extract",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -261,6 +261,37 @@ def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D16c: Spark 4 VARIANT surface — semi-structured JSON parsed
+    ONCE into the binary Variant encoding, then typed shredded reads
+    via variant_get (the open-format answer to string-walking JSON per
+    field; at scale the parse cost is paid once, not per extraction).
+    A rich document is grafted deterministically from events.props
+    (nested object, array, booleans), and every 97th row is malformed
+    so try_parse_json's null path is exercised and asserted."""
+    ev = tables.load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    body = F.when(eid % 97 == 0, F.lit("{bad")).otherwise(F.concat(
+        F.lit('{"k": '), F.get_json_object("props", "$.k"),
+        F.lit(', "tags": ["a'), (eid % 3).cast("string"),
+        F.lit('", "b"], "meta": {"depth": '), (eid % 5).cast("string"),
+        F.lit(', "flag": '),
+        F.when(eid % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+        F.lit("}}"),
+    ))
+    v = F.try_parse_json(body)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k"),
+        F.variant_get(v, "$.tags[0]", "string").alias("tag0"),
+        F.variant_get(v, "$.meta.depth", "int").alias("depth"),
+        F.variant_get(v, "$.meta.flag", "boolean").alias("flag"),
+        F.variant_get(v, "$.missing", "int").alias("missing"),
+        v.isNull().alias("malformed"),
+    )
+
+
 QUERIES = {
     "projection": projection,
     "filter_pushdown": filter_pushdown,
@@ -279,6 +310,7 @@ QUERIES = {
     "cube_agg": cube_agg,
     "scalar_pack": scalar_pack,
     "json_extract": json_extract,
+    "variant_extract": variant_extract,
 }
 
 ORACLES = {
@@ -372,6 +404,37 @@ ORACLES = {
                {dround_sql('sqrt(abs(value))', 6)} AS val_sqrt,
                event_type || '-' || cast(user_id AS varchar) AS tag
         FROM events
+    """,
+    "variant_extract": """
+        WITH g AS (
+            SELECT event_id,
+                   (event_id % 97 = 0) AS malformed,
+                   '{"k": ' || json_extract_string(props, '$.k')
+                   || ', "tags": ["a' || (event_id % 3)
+                   || '", "b"], "meta": {"depth": ' || (event_id % 5)
+                   || ', "flag": '
+                   || CASE WHEN event_id % 2 = 0 THEN 'true'
+                           ELSE 'false' END
+                   || '}}' AS body
+            FROM events
+        )
+        SELECT event_id,
+               CASE WHEN malformed THEN NULL ELSE
+                   cast(json_extract_string(body, '$.k') AS int)
+               END AS k,
+               CASE WHEN malformed THEN NULL ELSE
+                   json_extract_string(body, '$.tags[0]')
+               END AS tag0,
+               CASE WHEN malformed THEN NULL ELSE
+                   cast(json_extract_string(body, '$.meta.depth') AS int)
+               END AS depth,
+               CASE WHEN malformed THEN NULL ELSE
+                   cast(json_extract_string(body, '$.meta.flag')
+                        AS boolean)
+               END AS flag,
+               cast(NULL AS int) AS missing,
+               malformed
+        FROM g
     """,
     "json_extract": """
         SELECT event_id,

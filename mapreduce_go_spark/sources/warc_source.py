@@ -1,0 +1,162 @@
+"""Spark 4 Python DataSource for WARC crawl archives — a from-scratch
+`spark.read.format("warc")` connector built on the engine's user
+DataSource API (pyspark.sql.datasource), wired to the strict
+ISO-28500 stream walker in operators/warc.py.
+
+Reference analog: the reference's only input surface is whole text
+files handed to map tasks (/root/reference/mr/master.go:21-40 splits
+by file); this is that surface done Spark-natively for a real archive
+format: each .warc FILE is one InputPartition (the framework's
+file-split parallelism), the reader streams records lazily, and
+corrupt archives either fail the task (strict mode) or contribute
+zero rows (skip mode) — the same two postures warc_extract's error
+path tests.
+
+Scale posture: partitions() is O(#files) driver metadata; each task
+walks only its own archive with the strict single-pass parser (no
+whole-directory state). At 100 TB the partition list is the manifest
+and every archive streams through one task — the shape a crawl
+ingest actually has.
+
+Fixture boundary: ensure_warc_files() materializes the deterministic
+per-bucket streams (identical bytes to warc_extract's in-plan
+synthesis — same make_warc) ONCE per session into real .warc files,
+the media.py ingest-boundary discipline: operators read files, they
+don't synthesize.
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+WARC_SOURCE_SCHEMA = ("bucket bigint, doc_id bigint, uri string, "
+                      "http_status int, body_len int, body_md5 string")
+
+
+class WarcDataSource(DataSource):
+    """format("warc"): directory of .warc files -> one row per
+    successfully parsed record. Options: path (required),
+    on_corrupt = "fail" (default: a malformed archive raises in the
+    task) | "skip" (malformed archives contribute zero rows)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return WARC_SOURCE_SCHEMA
+
+    def reader(self, schema) -> "WarcReader":
+        return WarcReader(self.options)
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires option 'path'")
+        self.on_corrupt = options.get("on_corrupt", "fail")
+
+    def partitions(self):
+        files = sorted(glob.glob(os.path.join(self.path, "*.warc")))
+        # one file = one InputPartition = one task: the reference's
+        # file-split granularity (mr/master.go:21-40), Spark-native
+        return [InputPartition(f) for f in files]
+
+    def read(self, partition):
+        # imports here: this body runs ON EXECUTORS (pickled)
+        from mapreduce_go_spark.operators.warc import parse_warc
+
+        fname = partition.value
+        bucket = int(os.path.basename(fname).split("=")[1]
+                     .split(".")[0])
+        payload = open(fname, "rb").read()
+        try:
+            records = parse_warc(payload)
+        except ValueError:
+            if self.on_corrupt == "skip":
+                return
+            raise
+        for rec in records:
+            uri = rec["headers"].get("WARC-Target-URI", "")
+            doc_id = int(uri.rsplit("/", 1)[-1])
+            body = rec["body"]
+            yield (bucket, doc_id, uri, rec["http_status"],
+                   len(body), hashlib.md5(body).hexdigest())
+
+
+def ensure_warc_files(spark, sf_dir: str) -> str:
+    """Materialize the deterministic per-bucket .warc files once per
+    session (keyed by sf + applicationId, the bucketed-layout
+    discipline) and return the directory. Corrupt buckets
+    (bucket % WARC_CORRUPT_EVERY == 0) are written too — truncated
+    mid-record exactly like the in-plan synthesis — so the source's
+    skip/fail postures face real malformed archives."""
+    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.operators.warc import WARC_BUCKET, make_warc
+
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_" \
+          f"{spark.sparkContext.applicationId}"
+    out = os.path.join(_workspace_dir(), f"warc_files_{tag}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    # fixture-ingest boundary: driver-side write of the deterministic
+    # archives (bounded: #docs rows once per session; a real pipeline
+    # starts from files and never runs this)
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        "SELECT doc_id, text FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}' ORDER BY doc_id"
+    ).fetchall()
+    con.close()
+    buckets: dict[int, list[tuple[int, str]]] = {}
+    for doc_id, text in rows:
+        buckets.setdefault(doc_id // WARC_BUCKET, []).append(
+            (doc_id, text))
+    for b, docs in buckets.items():
+        with open(os.path.join(out, f"bucket={b}.warc"), "wb") as f:
+            f.write(make_warc(b, docs))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out
+
+
+def warc_source_extract(spark, sf_dir: str):
+    """The DataSource in action: read the session's .warc files
+    through format("warc") in skip mode — identical output (and the
+    identical oracle) to warc_extract's in-plan walk, but arriving
+    through the engine's connector surface with file-granular
+    partitions."""
+    path = ensure_warc_files(spark, sf_dir)
+    spark.dataSource.register(WarcDataSource)
+    return (spark.read.format("warc")
+            .option("path", path)
+            .option("on_corrupt", "skip")
+            .load())
+
+
+QUERIES = {
+    "warc_source_extract": warc_source_extract,
+}
+
+# identical semantics to warc_extract (same bytes, same parser) —
+# the oracle is shared verbatim
+from mapreduce_go_spark.operators.warc import (  # noqa: E402
+    ORACLES as _WARC_ORACLES,
+)
+
+ORACLES = {
+    "warc_source_extract": _WARC_ORACLES["warc_extract"],
+}

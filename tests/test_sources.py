@@ -110,3 +110,50 @@ def test_capstone_partitioned_sink_roundtrip(spark, sf_dir, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m is not None, plan
     assert "source" in m.group(1) and m.group(1).strip(), m.group(1)
+
+
+def test_warc_datasource_matches_inplan_walk(spark, sf_dir):
+    """format('warc') (Spark 4 Python DataSource) over the session's
+    .warc files must produce exactly the rows the in-plan
+    warc_extract walk produces — same bytes, same parser, different
+    engine surface — with one InputPartition per archive file."""
+    from mapreduce_go_spark.operators.warc import warc_extract
+    from mapreduce_go_spark.sources.warc_source import (
+        warc_source_extract)
+
+    via_source = sorted(map(tuple,
+                            warc_source_extract(spark, sf_dir).collect()))
+    via_plan = sorted(map(tuple, warc_extract(spark, sf_dir).collect()))
+    assert via_source == via_plan
+    assert via_source
+
+
+def test_warc_datasource_strict_mode_fails_on_corrupt(spark, sf_dir):
+    """on_corrupt=fail must surface the corrupt archive as a task
+    error (the strict posture); skip mode drops exactly the corrupt
+    buckets' records."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcDataSource, ensure_warc_files)
+
+    path = ensure_warc_files(spark, sf_dir)
+    spark.dataSource.register(WarcDataSource)
+    strict = (spark.read.format("warc").option("path", path)
+              .option("on_corrupt", "fail").load())
+    with _pytest.raises((Py4JJavaError, Exception)):
+        strict.count()
+
+
+def test_warc_datasource_file_granular_partitions(spark, sf_dir):
+    import glob
+    import os
+
+    from mapreduce_go_spark.sources.warc_source import (
+        ensure_warc_files, warc_source_extract)
+
+    path = ensure_warc_files(spark, sf_dir)
+    n_files = len(glob.glob(os.path.join(path, "*.warc")))
+    df = warc_source_extract(spark, sf_dir)
+    assert df.rdd.getNumPartitions() == n_files > 1

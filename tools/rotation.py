@@ -96,7 +96,8 @@ FILL_QUEUE = [
     "graph_degree_stats", "q3_shipping_priority_bucketed",
     "q10_returned_items_bucketed", "hll_distinct_by_source",
     "window_navigation", "cms_heavy_hitters",
-    "weighted_sample_per_source",
+    "weighted_sample_per_source", "variant_extract",
+    "warc_source_extract",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
