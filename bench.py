@@ -162,6 +162,7 @@ HEADLINE = [
     "weighted_sample_per_source",
     "variant_extract",
     "warc_source_extract",
+    "arrow_text_stats",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -294,7 +294,55 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _arrow_stats_batches(batches):
+    """Arrow-native kernel: runs per RecordBatch with zero pandas
+    materialization — pyarrow.compute regex counting end to end."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        text = batch.column("text")
+        n_tokens = pc.count_substring_regex(text, "[a-zA-Z]+")
+        n_letters = pc.count_substring_regex(text, "[a-zA-Z]")
+        n_chars = pc.utf8_length(text)
+        # pc.round defaults to HALF_TO_EVEN (banker's); the repo grid
+        # convention (and DuckDB) round half AWAY from zero, and the
+        # fixture hits true half-integers (105/128 * 1e6 = 820312.5)
+        ratio = pc.round(pc.divide(
+            pc.multiply(pc.cast(n_letters, pa.float64()), 1_000_000.0),
+            pc.cast(n_chars, pa.float64())),
+            round_mode="half_towards_infinity")
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"),
+             pc.cast(n_tokens, pa.int64()),
+             pc.cast(n_letters, pa.int64()),
+             pc.cast(n_chars, pa.int64()),
+             pc.cast(ratio, pa.int64())],
+            ["doc_id", "n_tokens", "n_letters", "n_chars",
+             "letter_ratio_micro"])
+
+
+def arrow_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.3 surface completion: mapInArrow — the zero-copy sibling of
+    mapInPandas. The kernel touches ONLY Arrow arrays (regex match
+    counting via pyarrow.compute), so no pandas object materializes
+    anywhere between the JVM and the kernel; for string-heavy batch
+    transforms this is the cheapest Python path Spark offers.
+
+    letter_ratio rides the 1e-6 integer grid: both engines compute
+    round(letters * 1e6 / chars) on exact-int-valued doubles
+    (functions.num.grid parity proof)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return docs.select("doc_id", "text").mapInArrow(
+        _arrow_stats_batches,
+        "doc_id long, n_tokens long, n_letters long, n_chars long, "
+        "letter_ratio_micro long",
+    )
+
+
 QUERIES = {
+    "arrow_text_stats": arrow_text_stats,
     "token_stats": token_stats,
     "bpe_token_stats": bpe_token_stats,
     "bpe_subword_tokens": bpe_subword_tokens,
@@ -411,3 +459,16 @@ ORACLES = {
         FROM documents
     """,
 }
+
+ORACLES["arrow_text_stats"] = """
+    SELECT doc_id,
+           cast(len(regexp_extract_all(text, '[a-zA-Z]+')) AS bigint)
+               AS n_tokens,
+           cast(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+               AS bigint) AS n_letters,
+           cast(length(text) AS bigint) AS n_chars,
+           cast(round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                      * 1000000.0 / length(text)) AS bigint)
+               AS letter_ratio_micro
+    FROM documents
+"""

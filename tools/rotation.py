@@ -97,7 +97,7 @@ FILL_QUEUE = [
     "q10_returned_items_bucketed", "hll_distinct_by_source",
     "window_navigation", "cms_heavy_hitters",
     "weighted_sample_per_source", "variant_extract",
-    "warc_source_extract",
+    "warc_source_extract", "arrow_text_stats",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
