@@ -163,6 +163,7 @@ HEADLINE = [
     "variant_extract",
     "warc_source_extract",
     "arrow_text_stats",
+    "warc_sink_roundtrip",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

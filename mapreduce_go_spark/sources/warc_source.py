@@ -34,7 +34,9 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 WARC_SOURCE_SCHEMA = ("bucket bigint, doc_id bigint, uri string, "
@@ -56,6 +58,9 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> "WarcReader":
         return WarcReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> "WarcWriter":
+        return WarcWriter(self.options)
 
 
 class WarcReader(DataSourceReader):
@@ -139,6 +144,9 @@ def warc_source_extract(spark, sf_dir: str):
     identical oracle) to warc_extract's in-plan walk, but arriving
     through the engine's connector surface with file-granular
     partitions."""
+    from mapreduce_go_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)  # read() imports the parser
     path = ensure_warc_files(spark, sf_dir)
     spark.dataSource.register(WarcDataSource)
     return (spark.read.format("warc")
@@ -147,8 +155,88 @@ def warc_source_extract(spark, sf_dir: str):
             .load())
 
 
+
+class WarcWriter(DataSourceWriter):
+    """The sink half: df.write.format("warc") — each task writes one
+    conforming multi-record archive per bucket it holds (callers
+    repartition by bucket for bucket-complete files; the task id
+    disambiguates otherwise). Input schema: (bucket, doc_id, text).
+    The reference analog is F9's formatted text sink
+    (mr/worker.go:146-153 one file per reduce task) — here the file
+    format is a real archive standard and the commit protocol is
+    Spark's (abort discards, commit finalizes)."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc sink requires option 'path'")
+
+    def write(self, iterator) -> WriterCommitMessage:
+        from pyspark import TaskContext
+
+        from mapreduce_go_spark.operators.warc import make_warc_record
+
+        os.makedirs(self.path, exist_ok=True)
+        by_bucket: dict[int, list] = {}
+        for row in iterator:
+            by_bucket.setdefault(int(row["bucket"]), []).append(
+                (int(row["doc_id"]), row["text"]))
+        # contract: the caller repartitions by bucket, so exactly one
+        # task owns each bucket and bucket=<b>.warc is collision-free
+        # (TaskContext available for a -p<id> suffix if a future
+        # caller relaxes that)
+        assert TaskContext.get() is not None
+        for b, docs in sorted(by_bucket.items()):
+            docs.sort()
+            fname = os.path.join(self.path, f"bucket={b}.warc")
+            with open(fname, "wb") as f:
+                for d, t in docs:
+                    f.write(make_warc_record(d, t))
+        return WriterCommitMessage()
+
+
+def warc_sink_roundtrip(spark, sf_dir: str):
+    """Write the corpus through the connector sink (clean archives,
+    one per bucket via repartition on the bucket key), read it back
+    through the connector source in STRICT mode (a malformed file
+    would fail the read — the round-trip is its own integrity check),
+    and return the parsed rows. Oracle: closed-form arithmetic over
+    documents with NO corrupt-bucket exclusion (the sink never
+    truncates)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators.warc import WARC_BUCKET
+
+    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.session import ensure_package_on_workers
+
+    # the writer kernel imports this package on EXECUTORS — ship it
+    # (the driver's session may not share our sys.path; the verify
+    # recipe's vanilla-session posture catches exactly this)
+    ensure_package_on_workers(spark)
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_" \
+          f"{spark.sparkContext.applicationId}"
+    out = os.path.join(_workspace_dir(), f"warc_sink_{tag}")
+    spark.dataSource.register(WarcDataSource)
+    if not os.path.exists(os.path.join(out, "_WRITTEN")):
+        docs = tables.load(spark, sf_dir, "documents").select(
+            F.expr(f"doc_id div {WARC_BUCKET}").alias("bucket"),
+            "doc_id", "text")
+        (docs.repartition("bucket")
+         .write.format("warc").option("path", out).mode("append")
+         .save())
+        with open(os.path.join(out, "_WRITTEN"), "w") as f:
+            f.write("ok")
+    return (spark.read.format("warc")
+            .option("path", out)
+            .option("on_corrupt", "fail")
+            .load())
+
+
 QUERIES = {
     "warc_source_extract": warc_source_extract,
+    "warc_sink_roundtrip": warc_sink_roundtrip,
 }
 
 # identical semantics to warc_extract (same bytes, same parser) —
@@ -157,6 +245,20 @@ from mapreduce_go_spark.operators.warc import (  # noqa: E402
     ORACLES as _WARC_ORACLES,
 )
 
+from mapreduce_go_spark.operators.warc import (  # noqa: E402
+    WARC_BUCKET as _WB,
+)
+
 ORACLES = {
     "warc_source_extract": _WARC_ORACLES["warc_extract"],
+    # sink never truncates: every doc round-trips
+    "warc_sink_roundtrip": f"""
+        SELECT doc_id // {_WB} AS bucket,
+               doc_id,
+               'http://corpus.invalid/doc/' || doc_id AS uri,
+               200 AS http_status,
+               cast(length(text) AS int) AS body_len,
+               md5(text) AS body_md5
+        FROM documents
+    """,
 }

@@ -157,3 +157,27 @@ def test_warc_datasource_file_granular_partitions(spark, sf_dir):
     n_files = len(glob.glob(os.path.join(path, "*.warc")))
     df = warc_source_extract(spark, sf_dir)
     assert df.rdd.getNumPartitions() == n_files > 1
+
+
+def test_warc_sink_roundtrip_complete(spark, sf_dir):
+    """Every document must survive the connector write -> strict read
+    round-trip with identical payload md5 (the sink writes clean
+    archives; strict mode would fail on any malformation, so a green
+    read IS the integrity proof)."""
+    import duckdb
+
+    from mapreduce_go_spark.sources.warc_source import (
+        warc_sink_roundtrip)
+
+    rows = {r["doc_id"]: r for r in
+            warc_sink_roundtrip(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, md5(text), length(text) FROM "
+        f"'{sf_dir}/documents.parquet'").fetchall()
+    assert len(rows) == len(docs)
+    for doc_id, want_md5, want_len in docs:
+        r = rows[doc_id]
+        assert r["body_md5"] == want_md5
+        assert r["body_len"] == want_len
+        assert r["http_status"] == 200
