@@ -164,6 +164,8 @@ HEADLINE = [
     "warc_source_extract",
     "arrow_text_stats",
     "warc_sink_roundtrip",
+    "partition_pruned_daily",
+    "dpp_enriched_revenue",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

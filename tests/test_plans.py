@@ -373,3 +373,27 @@ def test_q3_q10_bucketed_twins_save_lineitem_exchange(spark, sf_dir):
                 plain_fn.__name__, plain, twin, twin_plan)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_static_partition_pruning_reaches_scan(spark, sf_dir):
+    """partition_pruned_daily's date range must arrive as a
+    PartitionFilter on the day-partitioned scan — directory
+    elimination, not row filtering."""
+    from mapreduce_go_spark.operators import pruning
+
+    p = plan_of(pruning.partition_pruned_daily(spark, sf_dir))
+    pf = [ln for ln in p.splitlines() if "PartitionFilters" in ln]
+    assert pf and "event_date" in pf[0], p
+    # and the row-data Filter must NOT re-test the partition predicate
+    assert "dynamicpruning" not in p.lower(), p
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """dpp_enriched_revenue never states the dates — they arrive only
+    through the filtered dim join, so the fact scan must carry a
+    dynamicpruning expression (Spark's runtime partition pruning, the
+    star-schema scan saver at scale)."""
+    from mapreduce_go_spark.operators import pruning
+
+    p = plan_of(pruning.dpp_enriched_revenue(spark, sf_dir))
+    assert "dynamicpruning" in p.lower(), p

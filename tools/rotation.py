@@ -98,7 +98,8 @@ FILL_QUEUE = [
     "window_navigation", "cms_heavy_hitters",
     "weighted_sample_per_source", "variant_extract",
     "warc_source_extract", "arrow_text_stats",
-    "warc_sink_roundtrip",
+    "warc_sink_roundtrip", "partition_pruned_daily",
+    "dpp_enriched_revenue",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
