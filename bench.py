@@ -166,6 +166,7 @@ HEADLINE = [
     "warc_sink_roundtrip",
     "partition_pruned_daily",
     "dpp_enriched_revenue",
+    "zscore_arrow",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -99,9 +99,44 @@ def zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize, "event_id bigint, event_type string, z double")
 
 
+
+def zscore_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same semantics through applyInArrow — Spark 4's Arrow-native
+    grouped map (§2.3 completion beside mapInArrow): the kernel
+    receives each group as a pyarrow.Table with NO pandas
+    materialization; the numeric columns convert zero-copy to numpy
+    and run the identical grid-sum moment arithmetic as
+    zscore_pandas, so the identical oracle applies verbatim."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mapreduce_go_spark.functions.simd import _grid, _grid_sum
+
+    ev = tables.load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value")
+
+    def normalize(table: pa.Table) -> pa.Table:
+        x = table.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = len(x)
+        mu = _grid_sum(x * 1e12) / 1e12 / n
+        s2 = _grid_sum(x * x * 1e9) / 1e9 / n
+        sigma = np.sqrt(s2 - mu * mu)
+        z = (x - mu) / sigma
+        return pa.table({
+            "event_id": table.column("event_id"),
+            "event_type": table.column("event_type"),
+            "z": pa.array(_grid(z * 1e6) / 1e6, type=pa.float64()),
+        })
+
+    return ev.groupBy("event_type").applyInArrow(
+        normalize, "event_id bigint, event_type string, z double")
+
+
 QUERIES = {
     "grouped_zscore": grouped_zscore,
     "zscore_pandas": zscore_pandas,
+    "zscore_arrow": zscore_arrow,
 }
 
 ORACLES = {
@@ -148,3 +183,6 @@ ORACLES = {
         FROM events e JOIN stats USING (event_type)
     """,
 }
+
+# identical kernel arithmetic -> identical oracle
+ORACLES["zscore_arrow"] = ORACLES["zscore_pandas"]

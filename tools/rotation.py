@@ -99,7 +99,7 @@ FILL_QUEUE = [
     "weighted_sample_per_source", "variant_extract",
     "warc_source_extract", "arrow_text_stats",
     "warc_sink_roundtrip", "partition_pruned_daily",
-    "dpp_enriched_revenue",
+    "dpp_enriched_revenue", "zscore_arrow",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
