@@ -69,23 +69,37 @@ def _grid(p: np.ndarray) -> np.ndarray:
 
 
 def _grid_sum(p: np.ndarray, axis=None):
-    """_grid followed by an int64 sum with a GROUP-SUM overflow
-    guard: numpy int64 .sum() wraps silently, so _grid's per-element
-    2^51 bound alone does not protect the total — n elements of
-    magnitude up to 2^51 overflow a 2^63 accumulator at n ~ 4096.
-    Require n_summed * max|grid| < 2^63 (conservative, exact) and
-    raise with a rescale hint otherwise, keeping the kernels honest
-    at group sizes the fixtures never reach (the DuckDB oracles sum
-    in hugeint and would silently diverge)."""
+    """_grid followed by an EXACT sum: numpy int64 .sum() wraps
+    silently, and _grid's per-element 2^51 bound does not protect the
+    total — n elements of magnitude up to 2^51 overflow a 2^63
+    accumulator at n ~ 4096. When n_summed * max|grid| could reach
+    2^63 the flat sum escalates to CHUNKED big-int accumulation
+    (int64 partials over provably-safe chunks, folded in Python's
+    arbitrary-precision int) — exact at ANY group size, matching the
+    DuckDB oracles' hugeint sums. This guard FIRED for real: at sf0.1
+    the z-score kernels see n ~ 20k rows/group with |grid| ~ 5.6e14,
+    whose flat int64 sum would silently wrap. The axis (vector) form
+    keeps the raise — its callers (k-means twin) own the rescale.
+
+    Returns a Python int in the escalated scalar path; callers only
+    divide by floats, and Python int -> float conversion is correctly
+    rounded, same as DuckDB's hugeint -> double."""
     g = _grid(p)
     if g.size:
         n = g.size if axis is None else g.shape[axis]
         m = int(np.max(np.abs(g)))
         if m and n > np.iinfo(np.int64).max // m:
-            raise ValueError(
-                "int64 group sum may overflow "
-                f"(n={n}, max|grid|={m}): rescale the grid or split "
-                "the group; the parity proof requires exact sums")
+            if axis is not None:
+                raise ValueError(
+                    "int64 group sum may overflow "
+                    f"(n={n}, max|grid|={m}): rescale the grid or "
+                    "split the group; the parity proof requires "
+                    "exact sums")
+            chunk = max(1, np.iinfo(np.int64).max // m // 2)
+            flat = g.ravel()
+            return sum(
+                int(flat[i:i + chunk].sum())
+                for i in range(0, flat.size, chunk))
     return g.sum(axis=axis)
 
 
