@@ -167,6 +167,10 @@ HEADLINE = [
     "partition_pruned_daily",
     "dpp_enriched_revenue",
     "zscore_arrow",
+    "scd2_user_dim",
+    "merge_upsert_customers",
+    "jsonl_roundtrip",
+    "contrastive_pairs",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

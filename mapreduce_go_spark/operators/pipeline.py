@@ -398,7 +398,68 @@ def weighted_sample_per_source(spark: SparkSession,
     )
 
 
+# Contrastive negative sampling: K deterministic negatives per anchor
+# via a linear-congruential mix over the dense doc_id domain. The mix
+# constants keep (n_docs - 1) * CONTRA_A < 2^63 for corpora up to
+# ~3.4e9 docs (beyond a 100 TB text corpus at ~30 KB/doc); past that,
+# split the id domain into ranges and mix within-range (the pack_
+# sequences two-level discipline) — never a float RNG, whose sampling
+# would shift under repartition.
+CONTRA_K = 4
+CONTRA_A = 2654435761  # Knuth multiplicative hash constant
+CONTRA_B = 97
+CONTRA_C = 17
+
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for contrastive training: each document
+    anchors CONTRA_K pseudo-random negatives drawn uniformly from the
+    dense doc_id domain (self-pairs remapped +1), labeled with a
+    same_source flag so a trainer can drop likely false negatives.
+
+    Shape: the corpus count reaches the mapper as a broadcast 1-row
+    aggregate (stays declarative — no driver action); negatives are a
+    pure per-row expression; the only exchange is the equi-join of
+    K x |docs| sampled ids back to documents, which at 100 TB rides
+    the canonical doc_id-bucketed layout. Determinism: membership is
+    a pure integer function of (doc_id, k), invariant under
+    repartition and corpus growth within a fixed n_docs snapshot.
+    """
+    docs = tables.load(spark, sf_dir, "documents").select(
+        "doc_id", "source")
+    n = docs.groupBy().agg(F.count("*").alias("n_docs"))
+    raw = (F.col("doc_id") * F.lit(CONTRA_A)
+           + F.col("k") * F.lit(CONTRA_B)
+           + F.lit(CONTRA_C)) % F.col("n_docs")
+    neg_id = F.when(raw == F.col("doc_id"),
+                    (raw + 1) % F.col("n_docs")).otherwise(raw)
+    pairs = (
+        docs.crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("source").alias("anchor_source"),
+            F.explode(
+                F.sequence(F.lit(1).cast("long"),
+                           F.lit(CONTRA_K).cast("long"))
+            ).alias("k"),
+            "n_docs",
+        )
+        .withColumn("neg_id", neg_id)
+    )
+    neg = docs.select(F.col("doc_id").alias("neg_id"),
+                      F.col("source").alias("neg_source"))
+    return (
+        pairs.join(neg, "neg_id")
+        .select(
+            "doc_id", "k", "neg_id", "anchor_source", "neg_source",
+            (F.col("anchor_source") == F.col("neg_source"))
+            .alias("same_source"),
+        )
+    )
+
+
 QUERIES = {
+    "contrastive_pairs": contrastive_pairs,
     "weighted_sample_per_source": weighted_sample_per_source,
     "corpus_clean": corpus_clean,
     "pretrain_corpus": pretrain_corpus,
@@ -565,6 +626,26 @@ def _retrieval_sql() -> str:
 
 
 ORACLES = {
+    "contrastive_pairs": f"""
+        WITH n AS (SELECT count(*) AS n_docs FROM documents),
+        ks AS (SELECT unnest(generate_series(1, {CONTRA_K})) AS k),
+        pairs AS (
+            SELECT d.doc_id, d.source AS anchor_source, ks.k, n.n_docs,
+                   (d.doc_id * {CONTRA_A} + ks.k * {CONTRA_B}
+                        + {CONTRA_C}) % n.n_docs AS raw
+            FROM documents d, n, ks
+        ),
+        withneg AS (
+            SELECT doc_id, anchor_source, k,
+                   CASE WHEN raw = doc_id
+                        THEN (raw + 1) % n_docs ELSE raw END AS neg_id
+            FROM pairs
+        )
+        SELECT w.doc_id, w.k, w.neg_id, w.anchor_source,
+               d2.source AS neg_source,
+               w.anchor_source = d2.source AS same_source
+        FROM withneg w JOIN documents d2 ON w.neg_id = d2.doc_id
+    """,
     "corpus_clean": _corpus_clean_sql(),
     "pretrain_corpus": _pretrain_sql(),
     "chunk_retrieval_topk": _retrieval_sql(),

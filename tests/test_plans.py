@@ -397,3 +397,40 @@ def test_dynamic_partition_pruning_fires(spark, sf_dir):
 
     p = plan_of(pruning.dpp_enriched_revenue(spark, sf_dir))
     assert "dynamicpruning" in p.lower(), p
+
+
+def test_scd2_single_exchange_single_sort(spark, sf_dir):
+    """scd2_user_dim's change-detection and interval windows share one
+    (user_id; ts, event_id) partitioning+order, so the whole dimension
+    build must plan ONE Exchange and ONE Sort — two Window nodes riding
+    the same shuffle. A second sort/exchange would double the only
+    scale cost the operator has."""
+    from mapreduce_go_spark.operators import warehouse
+
+    p = plan_of(warehouse.scd2_user_dim(spark, sf_dir))
+    assert len(re.findall(r"^\(\d+\) Exchange\b", p, re.M)) == 1, p
+    assert len(re.findall(r"^\(\d+\) Sort\b", p, re.M)) == 1, p
+    assert len(re.findall(r"^\(\d+\) Window\b", p, re.M)) == 2, p
+
+
+def test_merge_upsert_full_outer_smj_no_driver_path(spark, sf_dir):
+    """merge_upsert_customers must run the four MERGE arms through a
+    full-outer SortMergeJoin (a CDC batch can be arbitrarily large —
+    never broadcast, never nested-loop) with the change batch built by
+    a map-side-combinable aggregate."""
+    from mapreduce_go_spark.operators import warehouse
+
+    p = plan_of(warehouse.merge_upsert_customers(spark, sf_dir))
+    assert "SortMergeJoin" in p and "FullOuter" in p, p
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "partial_sum" in p, p  # the orders agg combines map-side
+
+
+def test_contrastive_pairs_count_is_broadcast(spark, sf_dir):
+    """contrastive_pairs reaches the corpus count as a broadcast 1-row
+    aggregate — the plan must show no CartesianProduct (the crossJoin
+    is against a broadcast singleton) and no driver-side action exists
+    in the operator at all."""
+    p = plan_of(pipeline.contrastive_pairs(spark, sf_dir))
+    assert "CartesianProduct" not in p, p

@@ -100,6 +100,10 @@ FILL_QUEUE = [
     "warc_source_extract", "arrow_text_stats",
     "warc_sink_roundtrip", "partition_pruned_daily",
     "dpp_enriched_revenue", "zscore_arrow",
+    # registered late in r8 (warehouse-maintenance family + training
+    # negative sampling; oracle-backed, green in tests/test_queries.py):
+    "scd2_user_dim", "merge_upsert_customers", "jsonl_roundtrip",
+    "contrastive_pairs",
 ]
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
