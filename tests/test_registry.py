@@ -71,20 +71,27 @@ def test_driver_window_is_curated():
     assert names[:50] == registry._PRIORITY
     missing = [n for n in names[:50] if n not in _ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
-    # r8 rotation (tools/rotation.py policy): the r6 first greens
-    # confirmed their second green in r7 and released their seats;
-    # families stay represented by the prefixes below (near-dup by
-    # minhash/simhash/ngram/cdc/winnow/span rows, perceptual dedup
-    # by the phash trio, sketches by hll/hist, streaming by
-    # sessionize, multimodal by jpeg/audio, TPC-H by the held q*)
-    families = ("wc", "q4_", "q18_", "q22_",
-                "join_inner_bucketed", "local_supplier_volume_bucketed",
-                "ann_", "dup_span_", "bm25_", "pii_", "cdc_",
+    # r9 rotation (tools/rotation.py policy): the r7 first greens
+    # confirmed their second green in r8 and released their seats
+    # (all plain TPC-H q*, ann_ivf, jpeg/audio_resample, dup_span,
+    # bm25, pii); families stay represented by the prefixes below
+    # (TPC-H by the bucketed twins, near-dup by minhash/simhash/
+    # ngram/cdc/winnow rows, perceptual dedup by the phash trio,
+    # sketches by hll/hist/cms/bloom, corpus hygiene by url/
+    # boilerplate/unigram/quality, graph by triangle/degree,
+    # streaming by sessionize + dedup_first_event)
+    families = ("wc", "q3_", "q10_", "q18_", "q21_",
+                "join_inner_bucketed", "cdc_",
                 "winnow_", "sessionize", "pretrain_",
-                "jpeg_", "audio_", "image_phash_", "video_phash_",
+                "audio_", "image_phash_", "video_phash_",
                 "phash_dup_", "hll_", "hist_", "kmeans_", "zscore_",
                 "minhash_", "simhash", "ngram_", "salted_",
-                "train_test_", "dq_", "topk_")
+                "train_test_", "dq_", "topk_", "bloom_", "url_",
+                "boilerplate_", "strip_", "quality_", "unigram_",
+                "triangle_", "graph_", "cms_", "window_",
+                "weighted_", "variant_", "symspell_", "typo_",
+                "bpe_", "multimodal_", "bmp_", "sliding_",
+                "dedup_first_")
     for fam in families:
         assert any(n.startswith(fam) for n in names[:50]), fam
 

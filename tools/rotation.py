@@ -106,6 +106,13 @@ FILL_QUEUE = [
     "contrastive_pairs",
 ]
 
+# REGISTRATION BUDGET (VERDICT r8 item 4): per round, register at
+# most as many NEW oracle-backed queries as the round frees seats
+# (demotions), so the never-verified debt is monotonically
+# non-increasing. r8 registered 30 vs 26 freed and the debt grew
+# 26 -> 35; r9 seats 25 of it and the 10 names above hold the queue
+# head for r10. Check before registering: len(new) <= len(demoted).
+
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
 # written exemption — the query is registered, runs in pytest, but a
 # driver seat would add no verification signal. These do NOT count
