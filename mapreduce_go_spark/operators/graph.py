@@ -112,12 +112,17 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.explode(F.array("a", "b")).alias("node"))
         .groupBy("node").agg(F.count("*").alias("degree"))
     )
-    # degree lookups broadcast: the degree relation is |V| rows
+    # Degree lookups are plain equi-joins — NO broadcast hint. The
+    # degree relation is |V| rows, and on a web graph |V| is billions:
+    # a forced broadcast would be exactly the single-node bottleneck
+    # this module's orientation trick exists to avoid. Unhinted, the
+    # joins sort-merge on a/b at unbounded |V| (linear in |E|+|V|,
+    # shuffle-partitioned on the join key), and AQE's runtime size
+    # check converts them to broadcast-hash when deg is genuinely
+    # small — the engine decides from measured bytes, not our guess.
     da = deg.select(F.col("node").alias("a"), F.col("degree").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("degree").alias("db"))
-    ranked = (
-        e.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
-    )
+    ranked = e.join(da, "a").join(db, "b")
     # total order: (degree, id); src = smaller endpoint in that order
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))

@@ -102,3 +102,26 @@ def test_orientation_bounds_wedge_sources(spark, sf_dir):
     )
     max_out = max(r["out"] for r in out_deg.collect())
     assert max_out <= 2 * math.sqrt(m) + 1
+
+
+def test_triangle_degree_join_not_hint_forced(spark, sf_dir):
+    """Scale pin (VERDICT r8 item 2): the degree-lookup joins must NOT
+    carry a forced broadcast hint — on a web graph the degree relation
+    is |V| rows and a hint would pin it into driver/executor memory.
+    The analyzed plan must be hint-free (AQE may still choose
+    broadcast at runtime from measured bytes — that's the point), and
+    with broadcast disabled the static strategy must be sort-merge,
+    i.e. the plan stays linear at unbounded |V|."""
+    df = graph.triangle_counts(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
+    assert "UnresolvedHint" not in analyzed
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = graph.triangle_counts(
+            spark, sf_dir)._jdf.queryExecution().sparkPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
