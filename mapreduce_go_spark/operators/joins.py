@@ -287,8 +287,55 @@ def local_supplier_volume_bucketed(spark: SparkSession,
     )
 
 
+SKEW_HOT_PCT = 97  # share of fact rows landing on hot key 0
+
+
+def skewed_fact(li: DataFrame) -> DataFrame:
+    """Deliberately skewed fact relation: ~SKEW_HOT_PCT% of lineitem
+    rows map to key 0, the rest spread over nation keys 1..23 — the
+    celebrity-key join distribution AQE's skew handling exists for.
+    The cold modulus must be COPRIME to the hot one: o % 25 is fully
+    determined by o % 100 (25 | 100), which collapses the cold keys
+    to {22, 23, 24}; % 23 is independent of the mod-100 selection.
+    tables.spread gives the map side real splits: AQE splits a skewed
+    reducer partition by MAP-OUTPUT ranges, so a single-split scan
+    (the fixture shape — one parquet file, one mapper) is physically
+    unsplittable no matter the thresholds (measured r9; the same
+    single-mapper caveat as the spread docstring)."""
+    key = (
+        F.when(F.col("l_orderkey") % 100 < SKEW_HOT_PCT, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 23 + 1)
+    )
+    return tables.spread(
+        li.select(key.cast("long").alias("k"),
+                  F.col("l_quantity").cast("long").alias("qty")))
+
+
+def skew_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skewed fact-dim equi-join (VERDICT r8 item 6): the skewed fact
+    sort-merge-joins nation (both children direct shuffle reads — an
+    interposed aggregate would break OptimizeSkewedJoin's pattern
+    match, also measured r9), then aggregates per key. Under AQE with
+    realistic thresholds the hot partition splits into map-range
+    chunks with the dim side replicated per chunk (plan-pinned in
+    tests/test_skew.py); the salting twin salted_skew_agg covers the
+    GROUP-BY skew AQE cannot split. Oracle is the plain join+agg —
+    skew handling must be algebra-invisible."""
+    li = tables.load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity")
+    dim = tables.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("long").alias("k"), "n_name")
+    j = skewed_fact(li).join(dim, "k")
+    return j.groupBy("k", "n_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("qty").alias("qty_sum"),
+        F.max("qty").alias("qty_max"),
+    )
+
+
 QUERIES = {
     "join_inner": join_inner,
+    "skew_join_stats": skew_join_stats,
     "join_inner_bucketed": join_inner_bucketed,
     "local_supplier_volume_bucketed": local_supplier_volume_bucketed,
     "join_left_outer": join_left_outer,
@@ -300,6 +347,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "skew_join_stats": f"""
+        WITH fact AS (
+            SELECT CASE WHEN l_orderkey % 100 < {SKEW_HOT_PCT}
+                        THEN 0 ELSE l_orderkey % 23 + 1 END AS k,
+                   cast(l_quantity AS bigint) AS qty
+            FROM lineitem
+        )
+        SELECT k, n_name,
+               cast(count(*) AS bigint) AS n_rows,
+               cast(sum(qty) AS bigint) AS qty_sum,
+               cast(max(qty) AS bigint) AS qty_max
+        FROM fact JOIN nation ON k = cast(n_nationkey AS bigint)
+        GROUP BY k, n_name
+    """,
     "join_inner": f"""
         SELECT o_orderkey, o_orderdate, o_orderpriority,
                {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
