@@ -27,6 +27,7 @@ externally-encoded files with the same decoder.
 
 from __future__ import annotations
 
+import functools
 import struct
 
 import numpy as np
@@ -235,52 +236,29 @@ def encode_gray(px: np.ndarray, return_recon: bool = False):
     return data
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
-
-    def _fill(self, nbits: int) -> None:
-        while self.n < nbits:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated JPEG entropy stream")
-            self.acc = (self.acc << 8) | self.data[self.pos]
-            self.pos += 1
-            self.n += 8
-
-    def read(self, nbits: int) -> int:
-        if nbits == 0:
-            return 0
-        self._fill(nbits)
-        v = (self.acc >> (self.n - nbits)) & ((1 << nbits) - 1)
-        self.n -= nbits
-        self.acc &= (1 << self.n) - 1
-        return v
-
-    def read_symbol(self, table: dict) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | self.read(1)
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-        raise ValueError("invalid Huffman code in JPEG stream")
+_W16 = (1 << np.arange(15, -1, -1)).astype(np.int64)
 
 
-def _decode_table(bits, vals) -> dict:
+@functools.lru_cache(maxsize=32)
+def _lookup_tables(bits: tuple, vals: tuple) -> tuple[list, list]:
+    """16-bit-window Huffman lookup (F.2.2.3 done table-driven): for
+    every uint16 window value whose leading bits form a code, the code
+    length and decoded symbol; length 0 marks an invalid prefix. One
+    list index replaces the old per-BIT reader loop (read_symbol →
+    read → _fill was ~85% of decode time, ~4 Python calls per bit —
+    the GIF-LZW per-code-loop lesson applied to Huffman). Cached:
+    real corpora reuse a handful of tables (our encoder ships the
+    fixed Annex K pair), so the 64 KiB fill runs once per table, not
+    per frame. Plain lists, not arrays — the decode loop consumes
+    one scalar at a time and list indexing returns ready Python ints."""
     enc = _canonical_codes(bits, vals)
-    return {(length, code): sym for sym, (code, length) in enc.items()}
-
-
-def _extend(bits: int, size: int) -> int:
-    """F.2.2.1 EXTEND: map appended bits back to a signed value."""
-    if size == 0:
-        return 0
-    if bits < (1 << (size - 1)):
-        return bits - (1 << size) + 1
-    return bits
+    lens = np.zeros(65536, dtype=np.int64)
+    syms = np.zeros(65536, dtype=np.int64)
+    for sym, (code, length) in enc.items():
+        lo = code << (16 - length)
+        lens[lo:lo + (1 << (16 - length))] = length
+        syms[lo:lo + (1 << (16 - length))] = sym
+    return lens.tolist(), syms.tolist()
 
 
 def decode_gray(data: bytes) -> np.ndarray:
@@ -334,7 +312,7 @@ def decode_gray(data: bytes) -> np.ndarray:
                 bits = tuple(seg[i + 1:i + 17])
                 nvals = sum(bits)
                 vals = tuple(seg[i + 17:i + 17 + nvals])
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = _lookup_tables(bits, vals)
                 i += 17 + nvals
         elif marker == 0xC0 or marker == 0xC1:
             _prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
@@ -370,28 +348,66 @@ def _decode_scan(data: bytes, start: int, dims, qt, dc_tab,
     if end < start:
         raise ValueError("missing EOI")
     entropy = data[start:end].replace(b"\xff\x00", b"\xff")
-    br = _BitReader(entropy)
+    dc_len, dc_sym = dc_tab
+    ac_len, ac_sym = ac_tab
+    # One vectorized pass turns the whole entropy stream into 16-bit
+    # lookahead windows: W[p] = the 16 bits starting at bit p, so a
+    # code OR a value read at any position is one list index. The
+    # trailing pad is 1-bits (the spec's byte-align fill), so windows
+    # past the real stream decode as the (invalid or truncating)
+    # padding they are — the pos > nbits guard below keeps the old
+    # ValueError contract for truncated streams.
+    raw = np.unpackbits(np.frombuffer(entropy, dtype=np.uint8))
+    nbits = raw.size
+    padded = np.concatenate([raw, np.ones(31, dtype=np.uint8)])
+    W = (np.lib.stride_tricks.sliding_window_view(padded, 16)
+         @ _W16).tolist()
     nby, nbx = (h + 7) // 8, (w + 7) // 8
     nb = nby * nbx
     zz = np.zeros((nb, 64), dtype=np.int32)
     dc = 0
+    pos = 0
     for b in range(nb):
-        size = br.read_symbol(dc_tab)
-        dc += _extend(br.read(size), size)
+        wv = W[pos]
+        length = dc_len[wv]
+        if length == 0:
+            raise ValueError("invalid Huffman code in JPEG stream")
+        size = dc_sym[wv]
+        pos += length
+        if pos > nbits:
+            raise ValueError("truncated JPEG entropy stream")
+        if size:
+            v = W[pos] >> (16 - size)
+            pos += size
+            if pos > nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            # F.2.2.1 EXTEND inlined
+            dc += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
         zz[b, 0] = dc
         k = 1
         while k < 64:
-            sym = br.read_symbol(ac_tab)
+            wv = W[pos]
+            length = ac_len[wv]
+            if length == 0:
+                raise ValueError("invalid Huffman code in JPEG stream")
+            sym = ac_sym[wv]
+            pos += length
+            if pos > nbits:
+                raise ValueError("truncated JPEG entropy stream")
             if sym == 0x00:      # EOB
                 break
             if sym == 0xF0:      # ZRL
                 k += 16
                 continue
-            run, size = sym >> 4, sym & 15
-            k += run
+            size = sym & 15
+            k += sym >> 4
             if k > 63:
                 raise ValueError("AC run past block end")
-            zz[b, k] = _extend(br.read(size), size)
+            v = W[pos] >> (16 - size)
+            pos += size
+            if pos > nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            zz[b, k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
             k += 1
     qc = np.zeros((nb, 64), dtype=np.int32)
     qc[:, ZIGZAG] = zz
