@@ -202,6 +202,18 @@ def main() -> None:
 
     queries = registry.all_queries()
     names = [n for n in HEADLINE if n in queries]
+    # SPARK_GRAFT_BENCH_ONLY=frozen: time ONLY the frozen r5 subset in
+    # this (dedicated) session — the cross-round comparable number the
+    # SCALE.md drift discipline wants, free of suite-growth contention.
+    # Any other value is a comma-separated name filter for targeted
+    # re-measures.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    if only == "frozen":
+        names = [n for n in FROZEN_R5 if n in queries]
+    elif only:
+        wanted = {n for n in only.split(",") if n}
+        names = [n for n in names if n in wanted] or [
+            n for n in wanted if n in queries]
 
     # Warm-up outside the timed region: run representative plan shapes
     # (scan/agg/join/window/explode) at the smallest scale factor so
