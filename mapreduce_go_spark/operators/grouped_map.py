@@ -133,10 +133,59 @@ def zscore_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize, "event_id bigint, event_type string, z double")
 
 
+def grouped_agg_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized UDAF via pandas_udf (Series -> scalar) — the
+    GROUPED_AGG surface, the last §2.3 matrix cell beside
+    map/applyInPandas, map/applyInArrow and the UDTF: the engine runs
+    the UDF as a REAL aggregate expression inside agg(), Arrow-
+    shipping each group's column as one pd.Series. One engine
+    constraint pinned here: a grouped-agg pandas UDF cannot share an
+    agg() with NON-pandas aggregates (INVALID_PANDAS_UDF_PLACEMENT) —
+    so the row count is a second pandas aggregate, not F.count.
+    Statistic: median absolute deviation of l_quantity per
+    return flag — median-based, so every intermediate is an integer
+    or an exact binary fraction (.5 midpoint averages of values
+    <= 50) and the pandas result is bit-identical to the DuckDB
+    oracle with no grid discipline needed.
+
+    Scale note: a grouped-agg pandas UDF is complete-mode — the
+    engine buffers each (group, column) before the call, so it's for
+    per-group columns that fit an executor (here: one int64 column
+    per group). A 100 TB MAD wants the mergeable fixed-grid
+    histogram instead (hist_quantiles) — this query exists to pin
+    the UDF surface, and the docstring is the honest boundary."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # decorated inside the query: a DDL return type parses at
+    # decoration time and needs the active session (module-level
+    # pandas_udf is the UNSUPPORTED_SIGNATURE trap in verify notes)
+    @pandas_udf("double")
+    def mad(v: pd.Series) -> float:
+        x = v.to_numpy(dtype=np.int64)
+        med = np.median(x)
+        return float(np.median(np.abs(x - med)))
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        return len(v)
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("long")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            mad(qty).alias("qty_mad"),
+            n_rows(qty).alias("n_rows"),
+        )
+    )
+
+
 QUERIES = {
     "grouped_zscore": grouped_zscore,
     "zscore_pandas": zscore_pandas,
     "zscore_arrow": zscore_arrow,
+    "grouped_agg_mad": grouped_agg_mad,
 }
 
 ORACLES = {
@@ -186,3 +235,21 @@ ORACLES = {
 
 # identical kernel arithmetic -> identical oracle
 ORACLES["zscore_arrow"] = ORACLES["zscore_pandas"]
+
+# MAD cross-engine: median over integers interpolates midpoints as
+# (a+b)/2 in BOTH numpy and DuckDB — exact binary fractions for
+# values <= 50, so plain equality holds with no rounding image
+ORACLES["grouped_agg_mad"] = """
+    WITH q AS (
+        SELECT l_returnflag, cast(l_quantity AS bigint) AS qty
+        FROM lineitem
+    ),
+    med AS (
+        SELECT l_returnflag, median(qty) AS m FROM q GROUP BY 1
+    )
+    SELECT q.l_returnflag,
+           median(abs(qty - m)) AS qty_mad,
+           cast(count(*) AS bigint) AS n_rows
+    FROM q JOIN med USING (l_returnflag)
+    GROUP BY q.l_returnflag
+"""

@@ -176,10 +176,37 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.json(out, schema=schema).select(*cols)
 
 
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC interchange round-trip (the jsonl_roundtrip discipline on
+    the other columnar format Spark ships a native vectorized
+    reader/writer for): export orders through the task-commit writer,
+    read it back, return the rows — the oracle is the identity query
+    on the source table, so any value the format mangles (decimal
+    scale, timestamp zone, nulls) fails the differential. ORC stripes
+    are splittable and carry min/max indexes, so the re-read
+    parallelizes and filter-prunes like parquet; sources/io.read_orc
+    is the library entry."""
+    from mapreduce_go_spark.operators.joins import _workspace_dir
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    tag = (f"{os.path.basename(sf_dir.rstrip('/'))}_"
+           f"{spark.sparkContext.applicationId}")
+    out = os.path.join(_workspace_dir(), f"orc_{tag}")
+    if not os.path.exists(os.path.join(out, "_WRITTEN")):
+        (tables.load(spark, sf_dir, "orders")
+         .select(*cols)
+         .write.mode("overwrite").orc(out))
+        with open(os.path.join(out, "_WRITTEN"), "w") as f:
+            f.write("ok")
+    return spark.read.orc(out).select(*cols)
+
+
 QUERIES = {
     "scd2_user_dim": scd2_user_dim,
     "merge_upsert_customers": merge_upsert_customers,
     "jsonl_roundtrip": jsonl_roundtrip,
+    "orc_roundtrip": orc_roundtrip,
 }
 
 ORACLES = {
@@ -238,5 +265,10 @@ ORACLES = {
     """,
     "jsonl_roundtrip": """
         SELECT doc_id, lang, source, n_chars, text FROM documents
+    """,
+    "orc_roundtrip": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders
     """,
 }
