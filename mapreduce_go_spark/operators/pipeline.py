@@ -458,7 +458,46 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OBS_MIN_CHARS = 200  # keep docs with at least this many chars
+
+
+def observed_pipeline_filter(spark: SparkSession, sf_dir: str,
+                             observation=None) -> DataFrame:
+    """Inline pipeline observability via df.observe(): length-filter
+    the corpus and piggyback EXACT row/char/language metrics on the
+    same action — Spark's observable metrics evaluate as accumulator-
+    style aggregates during the pass that produces the rows, so a
+    100 TB pipeline gets its kept/dropped bookkeeping for free
+    instead of re-scanning (the .count()-after-filter anti-pattern
+    doubles the scan). The observation never changes the rows, so
+    the oracle is the plain filter; metric VALUES are asserted
+    against an independent aggregate in tests/test_observe.py, which
+    passes a pyspark.sql.Observation through the `observation` hook
+    (the driver path observes under a name only — named observations
+    need no listener to stay side-effect-free)."""
+    docs = tables.load(spark, sf_dir, "documents")
+    kept = docs.where(F.col("n_chars") >= OBS_MIN_CHARS).select(
+        "doc_id", "lang", "source", "n_chars")
+    # observed metrics must be MERGEABLE single-pass aggregates — the
+    # engine rejects DISTINCT (AGGREGATE_EXPRESSION_WITH_DISTINCT_
+    # UNSUPPORTED): the per-task metric states merge like shuffle
+    # partials, the same constraint the CMS/HLL/Bloom sketch family
+    # is built around. Cardinality therefore rides HLL
+    # (approx_count_distinct — exact below the sparse-mode threshold,
+    # which 6 languages are).
+    metrics = [
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum("n_chars").alias("chars_kept"),
+        F.approx_count_distinct("lang").alias("langs_kept"),
+        F.min("n_chars").alias("min_chars"),
+    ]
+    if observation is not None:
+        return kept.observe(observation, *metrics)
+    return kept.observe("pipeline_filter_metrics", *metrics)
+
+
 QUERIES = {
+    "observed_pipeline_filter": observed_pipeline_filter,
     "contrastive_pairs": contrastive_pairs,
     "weighted_sample_per_source": weighted_sample_per_source,
     "corpus_clean": corpus_clean,
@@ -626,6 +665,11 @@ def _retrieval_sql() -> str:
 
 
 ORACLES = {
+    # the observation is metadata-only: rows are the plain filter
+    "observed_pipeline_filter": f"""
+        SELECT doc_id, lang, source, n_chars
+        FROM documents WHERE n_chars >= {OBS_MIN_CHARS}
+    """,
     "contrastive_pairs": f"""
         WITH n AS (SELECT count(*) AS n_docs FROM documents),
         ks AS (SELECT unnest(generate_series(1, {CONTRA_K})) AS k),
