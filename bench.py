@@ -171,6 +171,12 @@ HEADLINE = [
     "merge_upsert_customers",
     "jsonl_roundtrip",
     "contrastive_pairs",
+    # NEW in r9: AQE skew-join fixture, pandas grouped-agg UDAF, ORC
+    # round-trip, observable-metrics filter
+    "skew_join_stats",
+    "grouped_agg_mad",
+    "orc_roundtrip",
+    "observed_pipeline_filter",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set
