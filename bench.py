@@ -172,11 +172,12 @@ HEADLINE = [
     "jsonl_roundtrip",
     "contrastive_pairs",
     # NEW in r9: AQE skew-join fixture, pandas grouped-agg UDAF, ORC
-    # round-trip, observable-metrics filter
+    # round-trip, observable-metrics filter, recursive CTE
     "skew_join_stats",
     "grouped_agg_mad",
     "orc_roundtrip",
     "observed_pipeline_filter",
+    "recursive_ancestor_depth",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -559,7 +559,41 @@ def _pagerank_sql() -> str:
               f" FROM r{PR_ITERS}")
 
 
+def recursive_ancestor_depth(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Recursive CTE — Spark 4 is the first release with WITH
+    RECURSIVE (SPARK-24497), and this query exercises it end to end:
+    climb the deterministic decimal-trie forest parent(n) = n div 10
+    from every document to the root, then aggregate each node's chain
+    (depth-to-root = digit count, ancestor sum). Execution is
+    level-synchronous: the engine unions one join per level,
+    O(log10 N) levels regardless of corpus size — the same bounded
+    iteration shape as the connected-components fixpoint
+    (dedup.py:962) but DECLARED instead of driver-looped, so Catalyst
+    owns the loop and the lineage. The anc > 0 guard strictly
+    decreases the frontier, so termination is structural (and far
+    inside spark.sql.cteRecursionLevelLimit's default 100).
+
+    DuckDB runs the IDENTICAL recursion natively (// is its integer
+    division) — a cross-engine differential of the recursive
+    execution itself, not a rewrite."""
+    docs = tables.load(spark, sf_dir, "documents")
+    docs.select("doc_id").createOrReplaceTempView("rec_anc_docs")
+    return spark.sql("""
+        WITH RECURSIVE chain(node, anc, depth) AS (
+            SELECT doc_id, doc_id div 10, 1 FROM rec_anc_docs
+            UNION ALL
+            SELECT node, anc div 10, depth + 1 FROM chain WHERE anc > 0
+        )
+        SELECT node AS doc_id,
+               cast(max(depth) AS bigint) AS depth_to_root,
+               cast(sum(anc) AS bigint) AS anc_sum
+        FROM chain GROUP BY node
+    """)
+
+
 QUERIES = {
+    "recursive_ancestor_depth": recursive_ancestor_depth,
     "salted_skew_agg": salted_skew_agg,
     "zorder_layout": zorder_layout,
     "pagerank_fixed": pagerank_fixed,
@@ -579,6 +613,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "recursive_ancestor_depth": """
+        WITH RECURSIVE chain(node, anc, depth) AS (
+            SELECT doc_id, doc_id // 10, 1 FROM documents
+            UNION ALL
+            SELECT node, anc // 10, depth + 1 FROM chain WHERE anc > 0
+        )
+        SELECT node AS doc_id,
+               cast(max(depth) AS bigint) AS depth_to_root,
+               cast(sum(anc) AS bigint) AS anc_sum
+        FROM chain GROUP BY node
+    """,
     "zorder_layout": f"""
         WITH base AS (
             SELECT o_orderkey, o_custkey,
