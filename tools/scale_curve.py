@@ -139,6 +139,8 @@ def main() -> None:
         bloom_decontaminate, quality_probe, strip_boilerplate_lines,
         unigram_logprob_filter, url_dedup)
     from mapreduce_go_spark.operators.graph import triangle_counts
+    from mapreduce_go_spark.operators.advanced import recursive_ancestor_depth
+    from mapreduce_go_spark.operators.pipeline import observed_pipeline_filter
     from mapreduce_go_spark.operators.video import (mjpeg_frame_sample,
                                                     video_phash_pairs)
 
@@ -171,6 +173,8 @@ def main() -> None:
                      ("triangle_counts", triangle_counts),
                      ("hll_distinct_by_source", hll_distinct_by_source),
                      ("cms_heavy_hitters", cms_heavy_hitters),
+                     ("recursive_ancestor_depth", recursive_ancestor_depth),
+                     ("observed_pipeline_filter", observed_pipeline_filter),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
             continue
