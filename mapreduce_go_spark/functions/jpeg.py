@@ -308,10 +308,18 @@ def decode_gray(data: bytes) -> np.ndarray:
                 tc, th = seg[i] >> 4, seg[i] & 15
                 bits = tuple(seg[i + 1:i + 17])
                 nvals = sum(bits)
+                # a truncated segment can declare more codes than it
+                # carries values — caught here so the canonical-code
+                # walk can't run off the value list (fuzz-pinned:
+                # decode must be TOTAL, ValueError on any malformation)
+                if len(bits) < 16 or i + 17 + nvals > len(seg):
+                    raise ValueError("truncated DHT segment")
                 vals = tuple(seg[i + 17:i + 17 + nvals])
                 huff[(tc, th)] = _lookup_tables(bits, vals)
                 i += 17 + nvals
         elif marker == 0xC0 or marker == 0xC1:
+            if len(seg) < 9:
+                raise ValueError("truncated SOF segment")
             _prec, h, w, nf = struct.unpack(">BHHB", seg[:6])
             if nf != 1:
                 raise ValueError("only 1-component baseline supported")
@@ -327,10 +335,16 @@ def decode_gray(data: bytes) -> np.ndarray:
         elif marker == 0xDA:
             if dims is None:
                 raise ValueError("SOS before SOF")
+            if len(seg) < 3:
+                raise ValueError("truncated SOS segment")
             ns = seg[0]
             if ns != 1:
                 raise ValueError("only 1-component scans supported")
             td, ta = seg[2] >> 4, seg[2] & 15
+            if (0, td) not in huff or (1, ta) not in huff:
+                raise ValueError("SOS references missing Huffman table")
+            if dims[2] not in qt:
+                raise ValueError("SOS references missing quant table")
             scan_start = pos + 2 + seglen
             return _decode_scan(data, scan_start, dims, qt,
                                 huff[(0, td)], huff[(1, ta)])

@@ -406,3 +406,31 @@ def test_symspell_pairs_partition_invariant(spark, sf_dir):
     finally:
         tables.load = orig
     assert alt == base
+
+
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_jpeg_decoder_total_on_garbage(junk, seed):
+    """The windowed-lookup decoder (r9) is TOTAL on arbitrary bytes:
+    any input either decodes to a raster or raises ValueError — never
+    IndexError/KeyError from the window arrays or lookup tables. Two
+    adversarial families: raw fuzz with a forced SOI prefix (plain
+    fuzz almost never passes the magic check), and random truncations
+    of a VALID jpeg re-terminated with EOI (exercises every
+    truncation guard in the scan loop)."""
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+
+    rng = np.random.default_rng(seed)
+    candidates = [b"\xff\xd8" + junk]
+    px = rng.integers(0, 256, (17, 23), dtype=np.uint8)
+    valid, _ = jpeg.encode_gray(px, return_recon=True)
+    cut = int(rng.integers(2, len(valid)))
+    candidates.append(valid[:cut] + b"\xff\xd9")
+    for data in candidates:
+        try:
+            out = jpeg.decode_gray(data)
+            assert out.dtype == np.uint8
+        except ValueError:
+            pass
