@@ -434,3 +434,41 @@ def test_jpeg_decoder_total_on_garbage(junk, seed):
             assert out.dtype == np.uint8
         except ValueError:
             pass
+
+
+@given(st.integers(0, 2**31 - 1))
+@settings(max_examples=25, deadline=None)
+def test_all_codec_parsers_total(seed):
+    """Every from-scratch parser is TOTAL: truncations, byte
+    corruptions and pure garbage either parse or raise ValueError —
+    never IndexError/KeyError/struct.error (the corrupt-payload
+    postures in the operators rely on catching exactly ValueError).
+    The JPEG holes this found in r9 are fixed in functions/jpeg.py;
+    this pin covers the whole family."""
+    import numpy as np
+
+    from mapreduce_go_spark.operators import audio, multimodal as mm
+    from mapreduce_go_spark.operators import video, warc
+
+    rng = np.random.default_rng(seed)
+    cases = [
+        (mm.decode_image, mm.make_png(20, 14, bytes(range(100)))),
+        (mm.decode_image, mm.make_gif(20, 14, bytes(range(100)))),
+        (mm.decode_image, mm.make_bmp(20, 14, bytes(range(100)))),
+        (audio.decode_wav, audio.make_wav(7, b"hello audio body")),
+        (video.parse_avi, video._vphash_clip(1)),
+        (warc.parse_warc, warc.make_warc(1, [(1, "hi"), (2, "yo")])),
+    ]
+    for dec, valid in cases:
+        trunc = valid[:int(rng.integers(0, len(valid)))]
+        corrupt = bytearray(valid)
+        for _ in range(int(rng.integers(1, 5))):
+            corrupt[int(rng.integers(0, len(corrupt)))] = \
+                int(rng.integers(0, 256))
+        garbage = rng.integers(
+            0, 256, int(rng.integers(0, 200)), dtype=np.uint8).tobytes()
+        for data in (trunc, bytes(corrupt), garbage):
+            try:
+                dec(data)
+            except ValueError:
+                pass
