@@ -468,7 +468,7 @@ def observed_pipeline_filter(spark: SparkSession, sf_dir: str,
     same action — Spark's observable metrics evaluate as accumulator-
     style aggregates during the pass that produces the rows, so a
     100 TB pipeline gets its kept/dropped bookkeeping for free
-    instead of re-scanning (the .count()-after-filter anti-pattern
+    instead of re-scanning (a count action after every filter stage
     doubles the scan). The observation never changes the rows, so
     the oracle is the plain filter; metric VALUES are asserted
     against an independent aggregate in tests/test_observe.py, which
