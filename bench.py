@@ -178,6 +178,7 @@ HEADLINE = [
     "orc_roundtrip",
     "observed_pipeline_filter",
     "recursive_ancestor_depth",
+    "csv_roundtrip",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -202,11 +202,48 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.orc(out).select(*cols)
 
 
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV interchange round-trip with the quoting path genuinely
+    exercised: the fixture text contains no commas or quotes, so a
+    plain dump would never leave the fast path — instead a derived
+    `tricky` column embeds both a comma and a double-quote per row,
+    forcing RFC 4180 quote-wrapping + quote-doubling on write and the
+    inverse on read (escape='\"' — Spark's default backslash escape is
+    NOT the RFC dialect most CSV consumers expect). Identity oracle:
+    the same derived string computed straight from the source table,
+    so any mangling (lost quote, split field, header drift) fails the
+    differential."""
+    from mapreduce_go_spark.operators.joins import _workspace_dir
+
+    def derive(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.concat(F.col("lang"), F.lit(',"'),
+                     F.col("source"), F.lit('" v'),
+                     F.col("n_chars").cast("string")).alias("tricky"),
+        )
+
+    tag = (f"{os.path.basename(sf_dir.rstrip('/'))}_"
+           f"{spark.sparkContext.applicationId}")
+    out = os.path.join(_workspace_dir(), f"csv_{tag}")
+    opts = {"header": "true", "quote": '"', "escape": '"'}
+    if not os.path.exists(os.path.join(out, "_WRITTEN")):
+        (derive(tables.load(spark, sf_dir, "documents"))
+         .write.mode("overwrite").options(**opts).csv(out))
+        with open(os.path.join(out, "_WRITTEN"), "w") as f:
+            f.write("ok")
+    schema = ("doc_id long, lang string, source string, "
+              "n_chars long, tricky string")
+    return (spark.read.options(**opts).schema(schema).csv(out)
+            .select("doc_id", "lang", "source", "n_chars", "tricky"))
+
+
 QUERIES = {
     "scd2_user_dim": scd2_user_dim,
     "merge_upsert_customers": merge_upsert_customers,
     "jsonl_roundtrip": jsonl_roundtrip,
     "orc_roundtrip": orc_roundtrip,
+    "csv_roundtrip": csv_roundtrip,
 }
 
 ORACLES = {
@@ -270,5 +307,11 @@ ORACLES = {
         SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
                o_orderdate, o_orderpriority
         FROM orders
+    """,
+    "csv_roundtrip": """
+        SELECT doc_id, lang, source, n_chars,
+               lang || ',"' || source || '" v'
+                    || cast(n_chars AS varchar) AS tricky
+        FROM documents
     """,
 }

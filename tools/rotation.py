@@ -104,9 +104,10 @@ FILL_QUEUE = [
     # negative sampling; oracle-backed, green in tests/test_queries.py):
     "scd2_user_dim", "merge_upsert_customers", "jsonl_roundtrip",
     "contrastive_pairs",
-    # registered in r9 (5 new vs 25 freed — inside the budget below):
+    # registered in r9 (6 new vs 25 freed — inside the budget below):
     "skew_join_stats", "grouped_agg_mad", "orc_roundtrip",
     "observed_pipeline_filter", "recursive_ancestor_depth",
+    "csv_roundtrip",
 ]
 
 # REGISTRATION BUDGET (VERDICT r8 item 4): per round, register at
