@@ -214,9 +214,17 @@ def main() -> None:
                "ANCH" if n in ANCHORS else
                "HOLD" if streak.get(n, 0) == 1 else "FILL")
         print(f"    \"{n}\",  # {tag} greens={greens.get(n, 0)}")
-    print(f"# demoted ({len(demoted)}):")
-    for n in demoted:
-        print(f"#   {n} (greens={greens.get(n, 0)})")
+    if window == current:
+        # registry._PRIORITY already IS the fixpoint — the "demoted"
+        # list would just echo this window's own fill seats (they are
+        # in the current window but not in `keep`), which misled a
+        # post-regen reading in r9; say the true thing instead
+        print("# current window == proposal (fixpoint; nothing to "
+              "demote)")
+    else:
+        print(f"# demoted ({len(demoted)}):")
+        for n in demoted:
+            print(f"#   {n} (greens={greens.get(n, 0)})")
     after = [n for n in never if n not in window]
     print(f"# never-verified after this round if 50/50: {len(after)}")
 
