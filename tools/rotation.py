@@ -114,8 +114,10 @@ FILL_QUEUE = [
 # most as many NEW oracle-backed queries as the round frees seats
 # (demotions), so the never-verified debt is monotonically
 # non-increasing. r8 registered 30 vs 26 freed and the debt grew
-# 26 -> 35; r9 seats 25 of it and the 10 names above hold the queue
-# head for r10. Check before registering: len(new) <= len(demoted).
+# 26 -> 35; r9 seated 25 of it, freed 25 and registered 6, leaving a
+# 16-name queue for r10 against the ~18 seats the r8-first-green
+# holds release on their second green. Check before registering:
+# len(new) <= len(demoted).
 
 # Deliberate NON-WINDOW queries (VERDICT r7 item 3): each line is a
 # written exemption — the query is registered, runs in pytest, but a
