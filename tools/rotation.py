@@ -140,11 +140,27 @@ EXEMPT = {
 WINDOW = 50
 
 
-def history() -> tuple[dict[str, int], dict[str, int], set[str], int]:
+def latest_round() -> int:
+    """Highest N among CORRECTNESS_r{N}.json files on disk."""
+    ns = [int(m.group(1)) for f in
+          glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+          if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))]
+    return max(ns) if ns else 0
+
+
+def history(as_of: int | None = None,
+            ) -> tuple[dict[str, int], dict[str, int], set[str], int]:
     """(cumulative greens, consecutive-green streak, names red in the
-    latest round, n_rounds)."""
+    latest round, n_rounds). `as_of` truncates the history to rounds
+    <= that number — the judge-time fixpoint check uses it because the
+    driver writes CORRECTNESS after the end-of-round snapshot, so the
+    committed window always lags the on-disk history by one round."""
     greens: dict[str, int] = {}
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    if as_of is not None:
+        rounds = [f for f in rounds
+                  if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+                  and int(m.group(1)) <= as_of]
     per_round: list[set[str]] = []
     latest_red: set[str] = set()
     for f in rounds:
@@ -168,12 +184,13 @@ def history() -> tuple[dict[str, int], dict[str, int], set[str], int]:
     return greens, streak, latest_red, len(rounds)
 
 
-def propose(current_window: list[str]) -> tuple[list[str], list[str]]:
+def propose(current_window: list[str],
+            as_of: int | None = None) -> tuple[list[str], list[str]]:
     from mapreduce_go_spark import registry
 
     all_names = list(registry.all_queries())
     oracled = set(registry.all_oracles())
-    greens, streak, latest_red, _ = history()
+    greens, streak, latest_red, _ = history(as_of)
 
     keep = list(PERMANENT)
     keep += [n for n in current_window
@@ -210,6 +227,7 @@ def main() -> None:
              if greens.get(n, 0) == 0 and n not in EXEMPT]
     print(f"# rounds seen: {n_rounds}; never-verified now: "
           f"{len(never)} (+ {len(EXEMPT)} written exemptions)")
+    print(f"# paste into registry.py:  _WINDOW_AS_OF = {latest_round()}")
     print(f"# proposed window ({len(window)} seats):")
     for n in window:
         tag = ("PERM" if n in PERMANENT else
