@@ -1,11 +1,21 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints the full result as one JSON line (per-query timings first,
+totals LAST), then a second SHORT summary JSON line. The driver
+records only the final ~2000 bytes of stdout (BENCH_r1–r9 all landed
+with "parsed": null because the one giant line's totals scrolled out
+of that tail), so the machine-readable summary — totals, frozen-subset
+total, per-family subtotals — must fit entirely inside the tail: the
+short last line guarantees it whether the driver parses the last line
+or greps the tail.
 
 Each query executes end-to-end into a noop sink (full plan runs, no
 driver materialization), timed after a session warm-up so JVM/codegen
-startup isn't attributed to the first query.
+startup isn't attributed to the first query. Full suite is min-of-2
+(107+ queries — the suite-level JVM contention band exceeds short
+queries' absolute times, so the third repeat bought noise, not
+signal); dedicated SPARK_GRAFT_BENCH_ONLY runs (the frozen subset and
+targeted re-measures) stay min-of-3.
 """
 
 from __future__ import annotations
@@ -203,6 +213,40 @@ FROZEN_R5 = [
 ]
 
 
+# Per-family subtotals for the summary line: first matching prefix
+# wins; order = specificity. Keeps the tail-visible summary a
+# regression tripwire per FAMILY even when per-query noise (±1 s JVM
+# contention on a 107-query suite) swamps individual short queries.
+FAMILIES: list[tuple[str, tuple[str, ...]]] = [
+    ("tpch", ("q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9",
+              "pricing_summary", "local_supplier_volume")),
+    ("dedup", ("dedup_", "simhash", "neardup_", "cdc_", "dup_span",
+               "strip_dup", "minhash", "winnow_", "url_dedup",
+               "semantic_dedup")),
+    ("ann", ("ann_", "knn_", "embedding_", "chunk_retrieval",
+             "feature_hash", "kmeans")),
+    ("media", ("png_", "gif_", "bmp_", "jpeg_", "media_", "audio_",
+               "video_", "mjpeg_", "image_", "phash_", "multimodal",
+               "warc_")),
+    ("text", ("lang_id", "quality_", "repetition_", "decontaminate",
+              "bm25", "bpe_", "unigram_", "boilerplate_",
+              "strip_boilerplate", "pii_", "symspell_", "typo_",
+              "wc", "indexer", "arrow_text")),
+    ("sketch", ("hll_", "cms_", "hist_", "bloom_", "approx_")),
+    ("stream", ("sessionize", "tumbling_", "sliding_", "window_",
+                "dedup_first_")),
+    ("io", ("jsonl_", "orc_", "csv_", "scd2_", "merge_",
+            "partition_", "dpp_")),
+]
+
+
+def family_of(name: str) -> str:
+    for fam, prefixes in FAMILIES:
+        if any(name.startswith(p) for p in prefixes):
+            return fam
+    return "other"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -214,14 +258,22 @@ def main() -> None:
     # this (dedicated) session — the cross-round comparable number the
     # SCALE.md drift discipline wants, free of suite-growth contention.
     # Any other value is a comma-separated name filter for targeted
-    # re-measures.
+    # re-measures — resolved against the FULL registry (not just
+    # HEADLINE) name by name, so a mixed list never silently drops the
+    # non-headline names (ADVICE r9).
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    repeats = 2  # full suite: min-of-2 (VERDICT r9 item 8)
     if only == "frozen":
         names = [n for n in FROZEN_R5 if n in queries]
+        repeats = 3  # dedicated cross-round basis keeps min-of-3
     elif only:
-        wanted = {n for n in only.split(",") if n}
-        names = [n for n in names if n in wanted] or [
-            n for n in wanted if n in queries]
+        wanted = [n for n in only.split(",") if n]
+        unknown = [n for n in wanted if n not in queries]
+        if unknown:
+            print(f"# WARNING: unknown bench names skipped: {unknown}",
+                  file=sys.stderr)
+        names = [n for n in wanted if n in queries]
+        repeats = 3  # targeted re-measure: keep the drift methodology
 
     # Warm-up outside the timed region: run representative plan shapes
     # (scan/agg/join/window/explode) at the smallest scale factor so
@@ -241,8 +293,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(3):  # min-of-3: drops transient JIT/GC/host noise
-                            # (single runs swung ±15% on the shared host)
+        for _ in range(repeats):  # min-of-N drops transient JIT/GC noise
             t0 = time.perf_counter()
             df = queries[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -257,13 +308,33 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     r5_subset = round(
         sum(timings[n] for n in FROZEN_R5 if n in timings), 3)
+    fams: dict[str, float] = {}
+    for n, t in timings.items():
+        fams[family_of(n)] = round(fams.get(family_of(n), 0.0) + t, 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # full line: per-query detail first, totals LAST (tail-safe order)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "unit": "sec",
+        "sf": sf_val,
+        "queries": timings,
+        "families": fams,
+        "n_queries": len(timings),
+        "repeats": repeats,
+        "r5_subset_total": r5_subset,
+        "value": total,
+    }))
+    # short FINAL summary line — must fit in the driver's 2000-byte
+    # stdout tail whole, so BENCH_r{N}.json's `parsed` stops being null
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "r5_subset_total": r5_subset,
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "families": fams,
+        "n_queries": len(timings),
+        "repeats": repeats,
+        "sf": sf_val,
     }))
 
 
