@@ -363,29 +363,37 @@ def _decode_scan(data: bytes, start: int, dims, qt, dc_tab,
     ac_len, ac_sym = ac_tab
     # One vectorized pass turns the whole entropy stream into 16-bit
     # lookahead windows: W[p] = the 16 bits starting at bit p, so a
-    # code OR a value read at any position is one list index. Built
-    # from three-byte rolling words with two shifts — not an
-    # unpackbits (n,16) bit matrix, whose matmul upcasts to int64 and
+    # code OR a value read at any position is one index. Built from
+    # three-byte rolling words with two shifts — not an unpackbits
+    # (n,16) bit matrix, whose matmul upcasts to int64 and
     # transiently costs ~128 bytes per input byte (measured 25x
-    # slower at 100 KB); this form is ~16 bytes per input byte. The
-    # trailing pad is 1-bits (the spec's byte-align fill), so windows
-    # past the real stream decode as the (invalid or truncating)
-    # padding they are — the pos > nbits guard below keeps the old
-    # ValueError contract for truncated streams.
+    # slower at 100 KB). W stays the int64 NDARRAY: ~64 bytes per
+    # input byte of steady state (8 windows/byte x 8 B). The r9
+    # .tolist() form was ~4.5x that (measured ~288 B/input byte —
+    # list slot + a fresh PyLong per window), which on a multi-MB
+    # real JPEG transiently held hundreds of MB per image on
+    # executors (ADVICE r9); each loop read below converts its one
+    # scalar with int(), which benchmarks within a few percent of
+    # list indexing on 512x512 photo content while the old _BitReader
+    # was ~85% of decode wall. The trailing pad is 1-bits (the spec's
+    # byte-align fill), so windows past the real stream decode as the
+    # (invalid or truncating) padding they are — the pos > nbits
+    # guard below keeps the old ValueError contract for truncated
+    # streams.
     barr = np.frombuffer(entropy, dtype=np.uint8)
     nbits = barr.size * 8
     padded = np.concatenate(
         [barr, np.full(4, 0xFF, np.uint8)]).astype(np.int64)
     trip = (padded[:-2] << 16) | (padded[1:-1] << 8) | padded[2:]
     idx = np.arange(nbits + 16)
-    W = ((trip[idx >> 3] >> (8 - (idx & 7))) & 0xFFFF).tolist()
+    W = (trip[idx >> 3] >> (8 - (idx & 7))) & 0xFFFF
     nby, nbx = (h + 7) // 8, (w + 7) // 8
     nb = nby * nbx
     zz = np.zeros((nb, 64), dtype=np.int32)
     dc = 0
     pos = 0
     for b in range(nb):
-        wv = W[pos]
+        wv = int(W[pos])
         length = dc_len[wv]
         if length == 0:
             raise ValueError("invalid Huffman code in JPEG stream")
@@ -394,7 +402,7 @@ def _decode_scan(data: bytes, start: int, dims, qt, dc_tab,
         if pos > nbits:
             raise ValueError("truncated JPEG entropy stream")
         if size:
-            v = W[pos] >> (16 - size)
+            v = int(W[pos]) >> (16 - size)
             pos += size
             if pos > nbits:
                 raise ValueError("truncated JPEG entropy stream")
@@ -403,7 +411,7 @@ def _decode_scan(data: bytes, start: int, dims, qt, dc_tab,
         zz[b, 0] = dc
         k = 1
         while k < 64:
-            wv = W[pos]
+            wv = int(W[pos])
             length = ac_len[wv]
             if length == 0:
                 raise ValueError("invalid Huffman code in JPEG stream")
@@ -417,10 +425,19 @@ def _decode_scan(data: bytes, start: int, dims, qt, dc_tab,
                 k += 16
                 continue
             size = sym & 15
+            if size == 0:
+                # T.81 table F.1 leaves (run, size=0) undefined for
+                # run not in {0 (EOB), 15 (ZRL)} — a reserved symbol
+                # only a corrupt/hostile stream produces. Without
+                # this guard the EXTEND below evaluates 1 << -1
+                # (ValueError by accident, with a misleading
+                # message); fail it as the explicit corrupt-stream
+                # contract instead (ADVICE r9).
+                raise ValueError("reserved AC symbol in JPEG stream")
             k += sym >> 4
             if k > 63:
                 raise ValueError("AC run past block end")
-            v = W[pos] >> (16 - size)
+            v = int(W[pos]) >> (16 - size)
             pos += size
             if pos > nbits:
                 raise ValueError("truncated JPEG entropy stream")
