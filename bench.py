@@ -189,6 +189,9 @@ HEADLINE = [
     "observed_pipeline_filter",
     "recursive_ancestor_depth",
     "csv_roundtrip",
+    # NEW in r10: stream-stream join batch anchor + multi-probe IVF
+    "purchase_click_attribution",
+    "ann_ivf_nprobe_topk",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -112,6 +112,44 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the STREAM-STREAM inner join
+    (streaming/jobs.stream_stream_join): every purchase joined to the
+    same user's clicks within the preceding hour — the attribution
+    query real clickstream pipelines run. Same formulation as the
+    streaming job minus the watermarks (batch needs no state bound);
+    tests/test_streaming.py::test_stream_stream_join_matches_batch
+    asserts the watermarked streaming execution converges to exactly
+    this answer, completing the D21 pattern: every streaming job has
+    an oracle-checkable batch anchor.
+
+    100 TB shape: an equi-join on user_id (SortMergeJoin, one shuffle
+    per side) with the time-range predicate applied as a join residual
+    — the streaming twin's state stays bounded by watermark + 1h range
+    for the same reason the batch join's per-key match set is bounded
+    by the hour window."""
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+    )
+
+
 def event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-static dimension-enrichment join
     (streaming/jobs.enriched_segment_counts): events joined to the
@@ -135,6 +173,7 @@ QUERIES = {
     "sliding_window": sliding_window,
     "sessionize": sessionize,
     "dedup_first_event": dedup_first_event,
+    "purchase_click_attribution": purchase_click_attribution,
 }
 
 ORACLES = {
@@ -195,5 +234,14 @@ ORACLES = {
                                         ORDER BY ts, event_id) AS rn
               FROM events)
         WHERE rn = 1
+    """,
+    "purchase_click_attribution": """
+        SELECT p.user_id AS p_user, p.event_id AS purchase_id,
+               c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL 1 HOUR
     """,
 }

@@ -1,9 +1,17 @@
 """Whole-registry plan-audit gate: every registered query's physical
-plan is built (not executed) and screened for the two anti-patterns
-this engine bans outright. The per-query plan tests in test_plans.py
-pin specific GOOD shapes; this sweep guarantees the BAD shapes never
-sneak into ANY query as the registry grows (r9 baseline: 190 queries,
-zero hits, ~70 s).
+plan is built and screened for the two anti-patterns this engine bans
+outright. The per-query plan tests in test_plans.py pin specific GOOD
+shapes; this sweep guarantees the BAD shapes never sneak into ANY
+query as the registry grows (r9 baseline: 190 queries, zero hits,
+~70 s).
+
+Plans are built, not collected — but building is NOT side-effect-free
+for every query: the source-roundtrip fixtures (jsonl_roundtrip,
+orc_roundtrip, csv_roundtrip, warc_sink_roundtrip, scd2/merge
+warehouse ops) execute their WRITE leg eagerly during query
+construction (the read-back DataFrame they return needs the files to
+exist), so this sweep's runtime includes those writes and it creates
+workspace files (ADVICE r9 — the claim used to say "not executed").
 
 - CartesianProduct: a non-broadcast cross join materializes |L|x|R|
   row pairs — every intended cross in the repo is against a broadcast

@@ -84,8 +84,9 @@ def test_driver_window_is_curated():
     # sliding_window + dedup_first_event, vectorized-Python by
     # zscore_arrow/arrow_text_stats/grouped_agg_mad, sources by
     # warc/jsonl/orc/csv, warehouse by scd2/merge).
-    families = ("wc", "indexer", "crash_", "q3_", "q4_", "q6_",
+    families = ("wc", "indexer", "crash_", "q3_",
                 "q10_", "q18_", "q21_",
+                "purchase_", "ann_",
                 "join_inner_bucketed", "winnow_", "sessionize",
                 "pretrain_", "bloom_", "url_", "boilerplate_",
                 "strip_", "quality_", "unigram_", "triangle_",

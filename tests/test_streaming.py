@@ -132,19 +132,12 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, staged):
         spark, jobs.stream_stream_join(purchases, clicks),
         "t_ssjoin", "append")
 
-    ev = tables.load(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
-        F.col("event_id").alias("purchase_id"))
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
-        F.col("event_id").alias("click_id"))
-    batch = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+    # the batch side IS the registry twin (oracle-backed, driver-
+    # checkable): streaming execution -> batch anchor -> DuckDB oracle
+    # forms one verification chain
+    from mapreduce_go_spark.operators import streaming_batch
+
+    batch = streaming_batch.purchase_click_attribution(spark, sf_dir)
 
     got = sorted(map(tuple, out.collect()))
     want = sorted(map(tuple, batch.collect()))

@@ -108,6 +108,9 @@ FILL_QUEUE = [
     "skew_join_stats", "grouped_agg_mad", "orc_roundtrip",
     "observed_pipeline_filter", "recursive_ancestor_depth",
     "csv_roundtrip",
+    # registered in r10 (2 new vs 18 freed — inside the budget): the
+    # stream-stream join batch anchor and the multi-probe IVF variant
+    "purchase_click_attribution", "ann_ivf_nprobe_topk",
 ]
 
 # REGISTRATION BUDGET (VERDICT r8 item 4): per round, register at
