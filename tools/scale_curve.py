@@ -40,9 +40,30 @@ def build_corpora(spark, base: str, out: str, factor: int) -> tuple[str, str]:
 
     docs = tables.load(spark, base, "documents")
     emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
+    ev = tables.load(spark, base, "events")
 
     docs.coalesce(2).write.parquet(os.path.join(x1, "documents.parquet"))
     emb.coalesce(1).write.parquet(os.path.join(x1, "embeddings.parquet"))
+    ev.coalesce(2).write.parquet(os.path.join(x1, "events.parquet"))
+
+    # events scale as NEW USERS (user_id shifted per copy), the way a
+    # clickstream actually grows — shifting only event_id would pile k
+    # copies into the same (user, hour) neighborhoods and inflate any
+    # per-user join/session state k-fold per key (quadratic pair
+    # growth), which is a skew experiment, not a scale curve.
+    ev_parts = [ev] + [
+        ev.select(
+            (F.col("event_id") + k * SHIFT).alias("event_id"),
+            "ts",
+            (F.col("user_id") + k * SHIFT).alias("user_id"),
+            "event_type", "value", "props",
+        )
+        for k in range(1, factor)
+    ]
+    big_ev = ev_parts[0]
+    for e in ev_parts[1:]:
+        big_ev = big_ev.unionByName(e)
+    big_ev.repartition(4).write.parquet(os.path.join(xn, "events.parquet"))
 
     doc_parts, emb_parts = [], []
     for k in range(factor):
@@ -134,7 +155,9 @@ def main() -> None:
         hll_distinct_tokens, repetition_stats)
     from mapreduce_go_spark.operators.windows import window_navigation
     from mapreduce_go_spark.operators.similarity import (
-        ann_pq_topk, embedding_neardup_pairs_blocked)
+        ann_ivf_nprobe_topk, ann_pq_topk, embedding_neardup_pairs_blocked)
+    from mapreduce_go_spark.operators.streaming_batch import (
+        purchase_click_attribution)
     from mapreduce_go_spark.operators.corpus import (
         bloom_decontaminate, quality_probe, strip_boilerplate_lines,
         unigram_logprob_filter, url_dedup)
@@ -175,6 +198,9 @@ def main() -> None:
                      ("cms_heavy_hitters", cms_heavy_hitters),
                      ("recursive_ancestor_depth", recursive_ancestor_depth),
                      ("observed_pipeline_filter", observed_pipeline_filter),
+                     ("purchase_click_attribution",
+                      purchase_click_attribution),
+                     ("ann_ivf_nprobe_topk", ann_ivf_nprobe_topk),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
             continue
