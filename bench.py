@@ -223,6 +223,9 @@ FROZEN_R5 = [
 FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("tpch", ("q1", "q2", "q3", "q4", "q5", "q6", "q7", "q8", "q9",
               "pricing_summary", "local_supplier_volume")),
+    # stream before dedup: "dedup_first_" must win over "dedup_"
+    ("stream", ("sessionize", "tumbling_", "sliding_", "window_",
+                "dedup_first_", "purchase_")),
     ("dedup", ("dedup_", "simhash", "neardup_", "cdc_", "dup_span",
                "strip_dup", "minhash", "winnow_", "url_dedup",
                "semantic_dedup")),
@@ -236,8 +239,6 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
               "strip_boilerplate", "pii_", "symspell_", "typo_",
               "wc", "indexer", "arrow_text")),
     ("sketch", ("hll_", "cms_", "hist_", "bloom_", "approx_")),
-    ("stream", ("sessionize", "tumbling_", "sliding_", "window_",
-                "dedup_first_")),
     ("io", ("jsonl_", "orc_", "csv_", "scd2_", "merge_",
             "partition_", "dpp_")),
 ]
@@ -276,6 +277,14 @@ def main() -> None:
             print(f"# WARNING: unknown bench names skipped: {unknown}",
                   file=sys.stderr)
         names = [n for n in wanted if n in queries]
+        if not names:
+            # still emit a machine-readable (empty) summary line for
+            # the driver tail instead of IndexError-ing in the warm-up
+            print(json.dumps({
+                "metric": "headline_queries_total_wall", "value": 0,
+                "unit": "sec", "error": f"no known names in {wanted}",
+                "queries": {}, "sf": sf}))
+            return
         repeats = 3  # targeted re-measure: keep the drift methodology
 
     # Warm-up outside the timed region: run representative plan shapes

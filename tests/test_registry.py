@@ -76,7 +76,10 @@ def test_driver_window_is_curated():
     # minhash/simhash/cdc/winnow_fingerprints) confirmed their second
     # green in r9 and released their seats; the full never-verified
     # backlog seats (warc source/sink, pruning pair, warehouse pair,
-    # roundtrips, skew/UDAF/observe/recursive) + q4/q6 refill.
+    # roundtrips, skew/UDAF/observe/recursive) + the two r10
+    # registrations (purchase_click_attribution, ann_ivf_nprobe_topk
+    # — never-verified names outrank the q4/q6 greens-refill in the
+    # FILL pool).
     # Families stay represented by the prefixes below (TPC-H by the
     # bucketed twins + q4/q6, near-dup by winnow/bloom/url_dedup,
     # sketches by hll/cms, corpus hygiene by boilerplate/unigram/
@@ -135,6 +138,14 @@ def test_driver_window_matches_rotation_tool():
         f"window generated from r{registry._WINDOW_AS_OF} history but "
         f"r{rotation.latest_round()} is on disk — rerun "
         f"tools/rotation.py and paste the new window")
+    # ...and may not run AHEAD of the on-disk history: a future stamp
+    # would be green at commit time (truncation is a no-op) and then
+    # flip red at judge time once the stamped round's CORRECTNESS file
+    # lands with different results — the exact failure mode the stamp
+    # exists to kill
+    assert registry._WINDOW_AS_OF <= rotation.latest_round(), (
+        f"_WINDOW_AS_OF = {registry._WINDOW_AS_OF} is ahead of the "
+        f"newest CORRECTNESS file (r{rotation.latest_round()})")
 
     current = list(_QUERIES)[:rotation.WINDOW]
     window, _demoted = rotation.propose(

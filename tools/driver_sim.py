@@ -25,15 +25,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
-WINDOW = 50
 
 
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
 
+    import importlib.util
+
     from mapreduce_go_spark import registry
-    from tests.helpers import canonical_rows
+    from tests.helpers import compare
+
+    # tools/ is not a package: load rotation by path for its WINDOW
+    # (the authoritative seat count the registry test checks against)
+    spec = importlib.util.spec_from_file_location(
+        "rotation", os.path.join(REPO, "tools", "rotation.py"))
+    rotation = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rotation)
+    window = rotation.WINDOW
 
     spark = (SparkSession.builder.master(
         f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
@@ -46,7 +55,7 @@ def main() -> int:
 
     queries = registry.all_queries()
     oracles = registry.all_oracles()
-    names = list(queries)[:WINDOW]
+    names = list(queries)[:window]
     if len(sys.argv) > 1 and sys.argv[1]:
         names = [n for n in sys.argv[1].split(",") if n]
 
@@ -55,24 +64,18 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = queries[name](spark, SF_DIR)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
             if name not in oracles:
-                status = f"rows-only ({len(s_rows)} rows)"
-                if not s_rows:
+                n = sdf.count()
+                if not n:
                     raise AssertionError("0 rows on rows-only query")
+                status = f"rows-only ({n} rows)"
             else:
-                rel = con.execute(oracles[name])
-                d_cols = [d[0] for d in rel.description]
-                d_rows = rel.fetchall()
-                assert sorted(s_cols) == sorted(d_cols), (
-                    f"schema: spark={sorted(s_cols)} duck={sorted(d_cols)}")
-                assert len(s_rows) == len(d_rows), (
-                    f"rows: spark={len(s_rows)} duck={len(d_rows)}")
-                _, sc = canonical_rows(s_cols, s_rows)
-                _, dc = canonical_rows(d_cols, d_rows)
-                assert sc == dc, "value hash mismatch"
-                status = f"match ({len(s_rows)} rows)"
+                # the suite's own comparator (schema + count + name-
+                # sorted canonical values) so this tool can never
+                # diverge from tests/test_queries.py's verdicts
+                n = sdf.count()
+                compare(sdf, con.execute(oracles[name]), name)
+                status = f"match ({n} rows)"
         except Exception as ex:
             status = f"FAIL: {type(ex).__name__}: {ex}"
             failures.append(name)

@@ -27,9 +27,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SHIFT = 10_000_000  # doc_id/vec_id offset per synthetic copy
 
 
-def build_corpora(spark, base: str, out: str, factor: int) -> tuple[str, str]:
+def build_corpora(spark, base: str, out: str, factor: int,
+                  with_events: bool = True) -> tuple[str, str]:
     """Write x1 (pass-through) and x<factor> scaled dirs with
-    documents.parquet + embeddings.parquet."""
+    documents.parquet + embeddings.parquet, plus events.parquet when
+    `with_events` (skipped for documents/embeddings-only --only runs
+    — the events union+write is pure wasted wall there)."""
     from pyspark.sql import functions as F
 
     from mapreduce_go_spark import tables
@@ -40,30 +43,33 @@ def build_corpora(spark, base: str, out: str, factor: int) -> tuple[str, str]:
 
     docs = tables.load(spark, base, "documents")
     emb = spark.read.parquet(os.path.join(base, "embeddings.parquet"))
-    ev = tables.load(spark, base, "events")
 
     docs.coalesce(2).write.parquet(os.path.join(x1, "documents.parquet"))
     emb.coalesce(1).write.parquet(os.path.join(x1, "embeddings.parquet"))
-    ev.coalesce(2).write.parquet(os.path.join(x1, "events.parquet"))
 
-    # events scale as NEW USERS (user_id shifted per copy), the way a
-    # clickstream actually grows — shifting only event_id would pile k
-    # copies into the same (user, hour) neighborhoods and inflate any
-    # per-user join/session state k-fold per key (quadratic pair
-    # growth), which is a skew experiment, not a scale curve.
-    ev_parts = [ev] + [
-        ev.select(
-            (F.col("event_id") + k * SHIFT).alias("event_id"),
-            "ts",
-            (F.col("user_id") + k * SHIFT).alias("user_id"),
-            "event_type", "value", "props",
-        )
-        for k in range(1, factor)
-    ]
-    big_ev = ev_parts[0]
-    for e in ev_parts[1:]:
-        big_ev = big_ev.unionByName(e)
-    big_ev.repartition(4).write.parquet(os.path.join(xn, "events.parquet"))
+    if with_events:
+        # events scale as NEW USERS (user_id shifted per copy), the
+        # way a clickstream actually grows — shifting only event_id
+        # would pile k copies into the same (user, hour) neighborhoods
+        # and inflate any per-user join/session state k-fold per key
+        # (quadratic pair growth): a skew experiment, not a scale
+        # curve.
+        ev = tables.load(spark, base, "events")
+        ev.coalesce(2).write.parquet(os.path.join(x1, "events.parquet"))
+        ev_parts = [ev] + [
+            ev.select(
+                (F.col("event_id") + k * SHIFT).alias("event_id"),
+                "ts",
+                (F.col("user_id") + k * SHIFT).alias("user_id"),
+                "event_type", "value", "props",
+            )
+            for k in range(1, factor)
+        ]
+        big_ev = ev_parts[0]
+        for e in ev_parts[1:]:
+            big_ev = big_ev.unionByName(e)
+        big_ev.repartition(4).write.parquet(
+            os.path.join(xn, "events.parquet"))
 
     doc_parts, emb_parts = [], []
     for k in range(factor):
@@ -153,7 +159,6 @@ def main() -> None:
     from mapreduce_go_spark.operators.quality import (
         cms_heavy_hitters, decontaminate, hll_distinct_by_source,
         hll_distinct_tokens, repetition_stats)
-    from mapreduce_go_spark.operators.windows import window_navigation
     from mapreduce_go_spark.operators.similarity import (
         ann_ivf_nprobe_topk, ann_pq_topk, embedding_neardup_pairs_blocked)
     from mapreduce_go_spark.operators.streaming_batch import (
@@ -168,9 +173,12 @@ def main() -> None:
                                                     video_phash_pairs)
 
     spark = get_spark("scale_curve")
-    x1, xn = build_corpora(spark, args.base, args.out, args.factor)
-
     only = {n for n in args.only.split(",") if n}
+    # the only curve query reading events; skip the events union+write
+    # for documents/embeddings-only runs
+    needs_events = (not only) or ("purchase_click_attribution" in only)
+    x1, xn = build_corpora(spark, args.base, args.out, args.factor,
+                           with_events=needs_events)
     result = {"factor": args.factor, "base": args.base, "queries": {}}
     for name, fn in [("dedup_verified_pairs", dedup_verified_pairs),
                      ("embedding_neardup_pairs_blocked",
