@@ -261,3 +261,27 @@ def test_ann_ivf_nprobe_recall_above_single_cell(spark, sf_dir):
     assert r3 >= 0.35, r3
     for key in set(cos_multi) & set(cos_knn):
         assert cos_multi[key] == cos_knn[key], key
+
+
+def test_ann_ivf_nprobe_partition_invariant(spark, sf_dir):
+    """The nprobe cell ranking must not depend on physical
+    partitioning: centroid scores are exact-integer sums cast to
+    double, so re-partitioning the input (different partial-agg
+    order) must yield the identical result set — the operator's
+    cross-engine exactness claim, tested within-engine."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import similarity
+
+    base = sorted(map(tuple, similarity.ann_ivf_nprobe_topk(
+        spark, sf_dir).collect()))
+    orig = tables.load
+    try:
+        def shuffled(s, d, name):
+            df = orig(s, d, name)
+            return df.repartition(7) if name == "embeddings" else df
+        tables.load = shuffled
+        alt = sorted(map(tuple, similarity.ann_ivf_nprobe_topk(
+            spark, sf_dir).collect()))
+    finally:
+        tables.load = orig
+    assert alt == base

@@ -1224,3 +1224,42 @@ def test_streaming_urlseen_epoch_replay_is_idempotent(spark, sf_dir,
     after = sorted(map(tuple, jobs.read_urlseen_verdicts(
         spark, out).collect()))
     assert after == before
+
+
+def test_attribution_hour_boundary(spark):
+    """purchase_click_attribution's window is half-open
+    (p_ts - 1h, p_ts]: a click EXACTLY one hour before the purchase
+    is excluded, a click at the purchase instant is included — the
+    same bounds the streaming stream_stream_join uses, so the parity
+    test can't silently pass with both sides wrong the same way
+    unless the bounds themselves are pinned somewhere. Synthetic
+    4-event fixture via a patched tables.load."""
+    import datetime as dt
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import streaming_batch
+
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, base, 42, "purchase", 1.0, "{}"),
+        # exactly 1h before: EXCLUDED (strict >)
+        (2, base - dt.timedelta(hours=1), 42, "click", 1.0, "{}"),
+        # 59:59 before: included
+        (3, base - dt.timedelta(minutes=59, seconds=59), 42, "click",
+         1.0, "{}"),
+        # at the purchase instant: included (<=)
+        (4, base, 42, "click", 1.0, "{}"),
+        # 1s after: excluded
+        (5, base + dt.timedelta(seconds=1), 42, "click", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    orig = tables.load
+    try:
+        tables.load = lambda s, d, name: df
+        out = streaming_batch.purchase_click_attribution(spark, "ignored")
+        got = sorted(r.click_id for r in out.collect())
+    finally:
+        tables.load = orig
+    assert got == [3, 4], got
