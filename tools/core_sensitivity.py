@@ -34,7 +34,17 @@ def run_bench(sf_dir: str, cpus: int) -> dict:
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, capture_output=True, text=True, check=True,
     )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    # bench.py prints two JSON lines since r10 (full dict first, short
+    # tail-safe summary last); this tool needs the per-query dict, so
+    # take the LAST line whose "queries" map is non-empty
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+        except ValueError:
+            continue
+        if d.get("queries"):
+            return d
+    raise RuntimeError("no bench JSON line with per-query timings")
 
 
 def main() -> None:
