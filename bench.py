@@ -239,6 +239,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
               "strip_boilerplate", "pii_", "symspell_", "typo_",
               "wc", "indexer", "arrow_text")),
     ("sketch", ("hll_", "cms_", "hist_", "bloom_", "approx_")),
+    ("graph", ("pagerank", "triangle_", "graph_")),
     ("io", ("jsonl_", "orc_", "csv_", "scd2_", "merge_",
             "partition_", "dpp_")),
 ]

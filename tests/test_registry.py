@@ -231,3 +231,35 @@ def test_oracles_immune_to_import_order():
         "assert not bad, f'import-order-poisoned oracles: {list(bad)}'\n"
     )
     subprocess.run([sys.executable, "-c", code, repo], check=True)
+
+
+def test_bench_summary_line_fits_driver_tail():
+    """The driver records only the final 2000 bytes of bench stdout;
+    bench.py's short final summary line exists to fit that tail whole
+    (VERDICT r9 item 3 — BENCH_r1-r9 all landed parsed:null). Guard
+    the invariant structurally: a worst-case summary (every family
+    present at 5-digit seconds, 4-digit query count) must stay under
+    the tail with margin. If FAMILIES grows past this, shorten keys
+    or drop the families map from the short line."""
+    import importlib.util
+    import json
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    fams = {name: 99999.999 for name, _ in bench.FAMILIES}
+    fams["other"] = 99999.999
+    worst = json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": 999999.999,
+        "unit": "sec",
+        "r5_subset_total": 999999.999,
+        "families": fams,
+        "n_queries": 9999,
+        "repeats": 3,
+        "sf": 0.1,
+    })
+    assert len(worst) < 1500, (len(worst), worst)
