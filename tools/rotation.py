@@ -32,11 +32,17 @@ POLICY (applied in order; deterministic):
       (d) newest registrations. Never-verified count is the debt
       metric; it only shrinks via FILL.
 
-Run:  python tools/rotation.py        (prints the proposed window)
+Run:  python tools/rotation.py          (prints the proposed window)
+      python tools/rotation.py --write  (regenerates
+          mapreduce_go_spark/window.py — the generated module the
+          registry imports _PRIORITY/_WINDOW_AS_OF from; the r1-r9
+          flow was manual paste into registry.py, a recurring
+          round-open error source)
 """
 
 from __future__ import annotations
 
+import argparse
 import glob
 import json
 import os
@@ -220,7 +226,39 @@ def propose(current_window: list[str],
     return keep + fills, demoted
 
 
+def render_window(window: list[str], greens: dict[str, int],
+                  streak: dict[str, int], as_of: int) -> str:
+    """The generated mapreduce_go_spark/window.py source."""
+    lines = [
+        '"""Driver-window seats — GENERATED, do not hand-edit.',
+        "",
+        "Regenerate with `python tools/rotation.py --write` as the",
+        "FIRST act of each round. The policy lives in",
+        "tools/rotation.py; the registry re-exports these names and",
+        "tests/test_registry.py asserts the window is the policy's",
+        "fixpoint over the CORRECTNESS history up to _WINDOW_AS_OF.",
+        '"""',
+        "",
+        f"_WINDOW_AS_OF = {as_of}",
+        "",
+        "_PRIORITY: list[str] = [",
+    ]
+    for n in window:
+        tag = ("PERM" if n in PERMANENT else
+               "ANCH" if n in ANCHORS else
+               "HOLD" if streak.get(n, 0) == 1 else "FILL")
+        lines.append(f"    \"{n}\",  # {tag} greens={greens.get(n, 0)}")
+    lines.append("]")
+    lines.append("")
+    return "\n".join(lines)
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--write", action="store_true",
+                    help="regenerate mapreduce_go_spark/window.py")
+    args = ap.parse_args()
+
     from mapreduce_go_spark import registry
 
     current = list(registry.all_queries())[:WINDOW]
@@ -230,13 +268,19 @@ def main() -> None:
              if greens.get(n, 0) == 0 and n not in EXEMPT]
     print(f"# rounds seen: {n_rounds}; never-verified now: "
           f"{len(never)} (+ {len(EXEMPT)} written exemptions)")
-    print(f"# paste into registry.py:  _WINDOW_AS_OF = {latest_round()}")
+    print(f"# window as-of round: {latest_round()}")
     print(f"# proposed window ({len(window)} seats):")
     for n in window:
         tag = ("PERM" if n in PERMANENT else
                "ANCH" if n in ANCHORS else
                "HOLD" if streak.get(n, 0) == 1 else "FILL")
         print(f"    \"{n}\",  # {tag} greens={greens.get(n, 0)}")
+    if args.write:
+        path = os.path.join(REPO, "mapreduce_go_spark", "window.py")
+        with open(path, "w") as f:
+            f.write(render_window(window, greens, streak,
+                                  latest_round()))
+        print(f"# wrote {path}")
     if window == current:
         # registry._PRIORITY already IS the fixpoint — the "demoted"
         # list would just echo this window's own fill seats (they are
