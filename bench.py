@@ -189,9 +189,12 @@ HEADLINE = [
     "observed_pipeline_filter",
     "recursive_ancestor_depth",
     "csv_roundtrip",
-    # NEW in r10: stream-stream join batch anchor + multi-probe IVF
+    # NEW in r10: stream-stream join batch anchor, multi-probe IVF,
+    # RAG sliding-window chunker, temperature domain mixing
     "purchase_click_attribution",
     "ann_ivf_nprobe_topk",
+    "token_chunks_overlap",
+    "domain_mix_temperature",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set
@@ -237,7 +240,7 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
     ("text", ("lang_id", "quality_", "repetition_", "decontaminate",
               "bm25", "bpe_", "unigram_", "boilerplate_",
               "strip_boilerplate", "pii_", "symspell_", "typo_",
-              "wc", "indexer", "arrow_text")),
+              "wc", "indexer", "arrow_text", "token_", "domain_")),
     ("sketch", ("hll_", "cms_", "hist_", "bloom_", "approx_")),
     ("graph", ("pagerank", "triangle_", "graph_")),
     ("io", ("jsonl_", "orc_", "csv_", "scd2_", "merge_",

@@ -58,6 +58,45 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# RAG chunker geometry: 64-token chunks every 48 tokens (16-token
+# overlap) — the fixed-window/stride shape retrieval pipelines
+# default to (vs the content-defined boundaries of dedup.cdc_chunks,
+# which serve dedup, not retrieval granularity).
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def token_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window token chunker with overlap — the standard RAG
+    ingestion step: whitespace tokens, one chunk every CHUNK_STRIDE
+    tokens, each CHUNK_TOKENS long (the last chunk per doc may be
+    shorter). Chunk membership is a pure function of the text, so
+    re-chunking a grown corpus never shifts existing chunk ids.
+
+    100 TB shape: split -> sequence -> explode -> slice is one narrow
+    map-side pass (no shuffle at all; chunk count is ~n_tokens/stride
+    per doc), and the output is immediately partitionable by doc_id
+    for downstream featurization. Cross-engine exact: token arrays
+    and slices are identical in both engines; counts cast to long."""
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    t = docs.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") > 0)
+    e = t.select(
+        "doc_id", "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1,
+                       F.lit(CHUNK_STRIDE))).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, CHUNK_TOKENS)
+    return e.select(
+        "doc_id",
+        F.expr(f"start div {CHUNK_STRIDE}").alias("chunk_no"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 # Docs per cumsum shard. Shards are contiguous doc_id ranges, so the
 # two-level cumsum is EXACT (same numbers as one global pass). Fixture
 # calibration: 500 docs -> 4 shards, so the multi-shard path is
@@ -505,6 +544,7 @@ QUERIES = {
     "chunk_retrieval_topk": chunk_retrieval_topk,
     "stratified_sample": stratified_sample,
     "train_test_split": train_test_split,
+    "token_chunks_overlap": token_chunks_overlap,
     "pack_sequences": pack_sequences,
     "dq_orphan_lineitems": dq_orphan_lineitems,
     "dq_profile": dq_profile,
@@ -669,6 +709,26 @@ ORACLES = {
     "observed_pipeline_filter": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents WHERE n_chars >= {OBS_MIN_CHARS}
+    """,
+    "token_chunks_overlap": f"""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+        ),
+        e AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, len(toks), {CHUNK_STRIDE})) AS start
+            FROM t WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               start // {CHUNK_STRIDE} AS chunk_no,
+               cast(len(toks[start + 1 : start + {CHUNK_TOKENS}])
+                    AS bigint) AS n_tokens,
+               array_to_string(toks[start + 1 : start + {CHUNK_TOKENS}],
+                               ' ') AS chunk_text
+        FROM e
     """,
     "contrastive_pairs": f"""
         WITH n AS (SELECT count(*) AS n_docs FROM documents),

@@ -351,6 +351,61 @@ def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-mixing budget: total docs drawn across all sources.
+MIX_BUDGET = 200
+
+
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixing (the T5/XLM-R rebalancing
+    rule, alpha = 0.5): source s receives a quota proportional to
+    count(s)^0.5 of a fixed MIX_BUDGET, flattening the source
+    distribution so low-resource domains are upsampled relative to
+    their raw share. domain_mix_sample is the static-rate variant;
+    this one derives the rates from the data.
+
+    Cross-engine exactness: sqrt(count) is a correctly-rounded IEEE
+    op on an exact integer (identical double both engines), snapped
+    to a 1e-6 integer grid (long) so the normalizing SUM is exact and
+    order-independent; quotas are integer division on longs. Draw
+    order inside a source is md5(doc_id) — identical hex both
+    engines.
+
+    100 TB shape: counts and quotas are a tiny broadcast relation;
+    the per-source top-quota draw filters rn <= MIX_BUDGET against a
+    CONSTANT first, which lets Spark's WindowGroupLimit push a
+    partial top-k below the source shuffle (rn <= quota alone is a
+    column comparison and would not), so only ~MIX_BUDGET rows per
+    source per map partition ever reach the exchange."""
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("c"))
+    w = counts.select(
+        "source",
+        F.round(F.sqrt(F.col("c").cast("double")) * 1e6)
+        .cast("long").alias("gs"),
+    )
+    tot = w.agg(F.sum("gs").alias("g_total"))
+    quota = (
+        w.crossJoin(F.broadcast(tot))
+        .selectExpr("source",
+                    f"({MIX_BUDGET} * gs) div g_total AS quota")
+    )
+    win = Window.partitionBy("source").orderBy("hk", "doc_id")
+    ranked = (
+        docs.select(
+            "doc_id", "source",
+            F.md5(F.col("doc_id").cast("string")).alias("hk"))
+        .withColumn("rn", F.row_number().over(win).cast("long"))
+        .where(F.col("rn") <= MIX_BUDGET)  # constant: WindowGroupLimit
+    )
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source", "quota")
+    )
+
+
 # The retrieval query's literal terms (corpus-common words with
 # different document frequencies, so idf actually discriminates).
 SEARCH_TERMS = ("spark", "window", "hash")
@@ -943,6 +998,7 @@ QUERIES = {
     "decontaminate": decontaminate,
     "bm25_top_terms": bm25_top_terms,
     "domain_mix_sample": domain_mix_sample,
+    "domain_mix_temperature": domain_mix_temperature,
 }
 
 
@@ -1068,6 +1124,36 @@ ORACLES = {
         WHERE rk <= {BM25_TOP_K}
     """,
     "domain_mix_sample": None,  # filled in below (needs pipeline SQL)
+    # temperature mixing: same exact-integer pipeline as the Spark
+    # side — 1e-6-grid sqrt weights (long), exact normalizing sum,
+    # integer-division quotas, md5 draw order
+    "domain_mix_temperature": f"""
+        WITH counts AS (
+            SELECT source, count(*) AS c FROM documents GROUP BY 1
+        ),
+        w AS (
+            SELECT source,
+                   cast(round(sqrt(cast(c AS double)) * 1e6) AS bigint)
+                       AS gs
+            FROM counts
+        ),
+        tot AS (SELECT cast(sum(gs) AS bigint) AS g_total FROM w),
+        quota AS (
+            SELECT source, ({MIX_BUDGET} * gs) // g_total AS quota
+            FROM w, tot
+        ),
+        ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(cast(doc_id AS varchar)), doc_id)
+                       AS rn
+            FROM documents
+        )
+        SELECT r.doc_id, r.source, q.quota
+        FROM ranked r JOIN quota q USING (source)
+        WHERE r.rn <= q.quota
+    """,
     "feature_hash_embed": f"""
         WITH tok AS (
             SELECT doc_id, t AS tok FROM (

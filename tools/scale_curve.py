@@ -168,7 +168,9 @@ def main() -> None:
         unigram_logprob_filter, url_dedup)
     from mapreduce_go_spark.operators.graph import triangle_counts
     from mapreduce_go_spark.operators.advanced import recursive_ancestor_depth
-    from mapreduce_go_spark.operators.pipeline import observed_pipeline_filter
+    from mapreduce_go_spark.operators.pipeline import (
+        observed_pipeline_filter, token_chunks_overlap)
+    from mapreduce_go_spark.operators.quality import domain_mix_temperature
     from mapreduce_go_spark.operators.video import (mjpeg_frame_sample,
                                                     video_phash_pairs)
 
@@ -209,6 +211,8 @@ def main() -> None:
                      ("purchase_click_attribution",
                       purchase_click_attribution),
                      ("ann_ivf_nprobe_topk", ann_ivf_nprobe_topk),
+                     ("token_chunks_overlap", token_chunks_overlap),
+                     ("domain_mix_temperature", domain_mix_temperature),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
             continue
