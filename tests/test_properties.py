@@ -472,3 +472,50 @@ def test_all_codec_parsers_total(seed):
                 dec(data)
             except ValueError:
                 pass
+
+
+@given(st.lists(st.text(alphabet="abc xyz", min_size=0, max_size=30),
+                min_size=1, max_size=8),
+       st.integers(0, 2**31 - 1))
+@settings(max_examples=20, deadline=None)
+def test_token_chunker_matches_python_reference(spark, texts, seed):
+    """token_chunks_overlap vs a trivial pure-Python reference over
+    hypothesis-generated texts: same chunk set, full token coverage,
+    stable chunk ids. Edge cases exercised: empty/whitespace-only
+    docs (no chunks), n < CHUNK_TOKENS (single short chunk), n at
+    exact stride multiples (no empty tail chunk — sequence stops at
+    n-1)."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import pipeline
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    want = []
+    for i, t in rows:
+        toks = [w for w in t.split() if w]
+        for start in range(0, len(toks), pipeline.CHUNK_STRIDE):
+            chunk = toks[start:start + pipeline.CHUNK_TOKENS]
+            want.append((i, start // pipeline.CHUNK_STRIDE,
+                         len(chunk), " ".join(chunk)))
+
+    orig = tables.load
+    try:
+        tables.load = lambda s, d, name: df
+        got = sorted(
+            tuple(r) for r in
+            pipeline.token_chunks_overlap(spark, "ignored").collect())
+    finally:
+        tables.load = orig
+    assert got == sorted(want)
+    # coverage: every token of every non-empty doc appears in >= 1
+    # chunk (reconstruct from the stride prefixes + final chunk)
+    for i, t in rows:
+        toks = [w for w in t.split() if w]
+        covered = []
+        chunks = [g for g in got if g[0] == i]
+        for _, no, n, text in sorted(chunks):
+            ctoks = text.split() if text else []
+            covered.extend(ctoks[:pipeline.CHUNK_STRIDE]
+                           if no < len(chunks) - 1 else ctoks)
+        assert covered == toks, (i, covered, toks)

@@ -294,3 +294,37 @@ def test_cms_heavy_hitters_sound_and_tight(spark, sf_dir):
     ).fetchall() if c >= HH_MIN_COUNT}
     assert exact_heavy <= set(by_tok)
     assert all(by_tok[t]["confirmed"] for t in exact_heavy)
+
+
+def test_domain_mix_temperature_quota_laws(spark, sf_dir):
+    """Temperature-mixing invariants on the fixtures: (a) quotas sum
+    to <= MIX_BUDGET (integer-division floors), (b) exactly quota
+    rows are drawn per source, (c) the flattening direction holds —
+    every below-average-count source receives a LARGER share of the
+    budget than its raw corpus share (alpha=0.5 upsamples the tail;
+    that is the operator's whole purpose)."""
+    from collections import Counter
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import quality
+
+    rows = quality.domain_mix_temperature(spark, sf_dir).collect()
+    per_src = Counter(r.source for r in rows)
+    quota = {r.source: r.quota for r in rows}
+    assert sum(quota.values()) <= quality.MIX_BUDGET
+    for s, q in quota.items():
+        assert per_src[s] == q, (s, per_src[s], q)
+
+    from pyspark.sql import functions as F
+
+    docs = tables.load(spark, sf_dir, "documents")
+    counts = {r.source: r.c for r in
+              docs.groupBy("source").agg(
+                  F.count("*").alias("c")).collect()}
+    total = sum(counts.values())
+    budget = sum(quota.values())
+    avg = total / len(counts)
+    for s, c in counts.items():
+        if c < avg and s in quota:
+            assert quota[s] / budget > c / total, (
+                s, quota[s] / budget, c / total)
