@@ -189,12 +189,14 @@ HEADLINE = [
     "observed_pipeline_filter",
     "recursive_ancestor_depth",
     "csv_roundtrip",
-    # NEW in r10: stream-stream join batch anchor, multi-probe IVF,
-    # RAG sliding-window chunker, temperature domain mixing
+    # NEW in r10: stream-stream join batch anchors (inner + outer),
+    # multi-probe IVF + LSH, RAG chunker, temperature domain mixing
     "purchase_click_attribution",
     "ann_ivf_nprobe_topk",
     "token_chunks_overlap",
     "domain_mix_temperature",
+    "purchase_click_attribution_outer",
+    "ann_lsh_multiprobe_topk",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -336,6 +336,74 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB 2007): each query probes
+    its own bucket PLUS the LSH_BITS buckets at Hamming distance 1
+    (one signature bit flipped) in every band — for sign-random-
+    projection LSH a near neighbor's most likely miss is exactly one
+    flipped low-margin bit, so distance-1 probes recover most of what
+    a single probe loses without adding bands (more bands = more
+    signature state per vector; more probes = more lookups per QUERY,
+    the cheaper axis at serving time). 1 + LSH_BITS probes per band;
+    candidates stay bucket-local. Recall floor vs ann_lsh_topk pinned
+    in tests/test_approx.py.
+
+    100 TB shape: identical storage/partitioning to ann_lsh_topk
+    (signatures computed once, table partitioned by (band, bucket));
+    the probe fan-out multiplies only the broadcast query-side rows
+    (queries x bands x 7), never the table scan. Probe keys are pure
+    string flips of the exact grid-sign signatures, so the candidate
+    set — and therefore the result — stays exactly oracle-checkable."""
+    from pyspark.sql import Window
+
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(_BAND_KEYS_E(F.col("embedding")))
+        .alias("band", "bkey"),
+    )
+    qb = bands.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "band", "bkey")
+    flips = [F.col("bkey")] + [
+        F.concat(
+            F.substring("bkey", 1, i),
+            F.when(F.substring("bkey", i + 1, 1) == "1",
+                   F.lit("0")).otherwise(F.lit("1")),
+            F.substring("bkey", i + 2, LSH_BITS),
+        )
+        for i in range(LSH_BITS)
+    ]
+    qprobes = qb.select(
+        "q_id", "band", F.explode(F.array(*flips)).alias("bkey"))
+    cand = (
+        F.broadcast(qprobes)
+        .join(bands.select(F.col("vec_id").alias("c_id"), "band", "bkey"),
+              ["band", "bkey"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
+    c = emb.select(F.col("vec_id").alias("c_id"),
+                   F.col("embedding").alias("ce"), F.col("norm").alias("cn"))
+    scored = (
+        cand.join(F.broadcast(q), "q_id")
+        .join(c, "c_id")
+        .select("q_id", "c_id",
+                _cosine(F.col("qe"), F.col("ce"),
+                        F.col("qn"), F.col("cn")).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "rk",
+                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
+    )
+
+
 # Max vectors per ND-LSH bucket before the bucket is dropped as
 # degenerate, mirroring dedup's LSH_BUCKET_CAP: a bucket of B vectors
 # emits B(B-1)/2 candidate pairs, so one boilerplate/zero-vector bucket
@@ -676,6 +744,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe_topk": ann_ivf_nprobe_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_pq_topk": ann_pq_topk,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_pairs_blocked": embedding_neardup_pairs_blocked,
@@ -854,6 +923,62 @@ ORACLES = {
         SELECT DISTINCT qs.vec_id AS q_id, cs.vec_id AS c_id
         FROM sigs qs JOIN sigs cs USING (band, bkey)
         WHERE qs.vec_id < {N_QUERIES} AND qs.vec_id <> cs.vec_id
+    ),
+    elems AS (
+        SELECT q_id, c_id, nq.norm AS qn, nc.norm AS cn,
+               unnest(nq.embedding) AS x, unnest(nc.embedding) AS y
+        FROM cand
+        JOIN norms nq ON nq.vec_id = q_id
+        JOIN norms nc ON nc.vec_id = c_id
+    ),
+    dots AS (
+        SELECT q_id, c_id, any_value(qn) AS qn, any_value(cn) AS cn,
+               sum(cast(round(cast(x AS double) * cast(y AS double) * 1e12)
+                        AS bigint)) / 1e12 AS dot
+        FROM elems GROUP BY q_id, c_id
+    ),
+    scored AS (SELECT q_id, c_id, dot / (qn * cn) AS cos FROM dots)
+        SELECT q_id, c_id, rk,
+               cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
+        FROM (SELECT q_id, c_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id) AS rk
+              FROM scored)
+        WHERE rk <= {TOP_K}
+    """,
+    # multi-probe twin: identical signature pipeline, plus a probes
+    # CTE flipping each signature bit once (p=0 keeps the original)
+    "ann_lsh_multiprobe_topk": _NORMS_SQL + f""",
+    planes(j, r) AS (VALUES {_PLANES_SQL}),
+    bitsums AS (
+        SELECT vec_id, j,
+               sum(cast(round(cast(x AS double) * y * 1e12) AS bigint)) AS s
+        FROM (SELECT vec_id, j, unnest(embedding) AS x, unnest(r) AS y
+              FROM embeddings, planes)
+        GROUP BY vec_id, j
+    ),
+    sigs AS (
+        SELECT vec_id, cast(floor(j / {LSH_BITS}.0) AS int) AS band,
+               string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, ''
+                          ORDER BY j) AS bkey
+        FROM bitsums GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT DISTINCT qs.vec_id AS q_id, qs.band,
+               CASE WHEN ps.p = 0 THEN qs.bkey
+                    ELSE substr(qs.bkey, 1, ps.p - 1)
+                         || (CASE WHEN substr(qs.bkey, ps.p, 1) = '1'
+                                  THEN '0' ELSE '1' END)
+                         || substr(qs.bkey, ps.p + 1)
+               END AS bkey
+        FROM sigs qs,
+             (SELECT unnest(range(0, {LSH_BITS} + 1)) AS p) ps
+        WHERE qs.vec_id < {N_QUERIES}
+    ),
+    cand AS (
+        SELECT DISTINCT pr.q_id, cs.vec_id AS c_id
+        FROM probes pr JOIN sigs cs USING (band, bkey)
+        WHERE pr.q_id <> cs.vec_id
     ),
     elems AS (
         SELECT q_id, c_id, nq.norm AS qn, nc.norm AS cn,

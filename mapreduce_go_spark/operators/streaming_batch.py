@@ -150,6 +150,43 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def purchase_click_attribution_outer(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """LEFT-OUTER twin of purchase_click_attribution: every purchase,
+    attributed clicks where they exist, NULL click columns where none
+    occurred in the preceding hour — the "attribution coverage" query
+    (what fraction of purchases have a click path). Batch anchor of
+    the watermarked outer stream-stream join
+    (streaming/jobs.stream_stream_join_outer), whose null rows are
+    emitted only once the watermark passes the purchase's state —
+    tests/test_streaming.py pins exactly that emission rule against
+    this query's answer.
+
+    100 TB shape: same SortMergeJoin-on-user_id as the inner twin;
+    the outer side adds no state beyond the null-extension."""
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            "left_outer",
+        )
+        .select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+    )
+
+
 def event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-static dimension-enrichment join
     (streaming/jobs.enriched_segment_counts): events joined to the
@@ -174,6 +211,7 @@ QUERIES = {
     "sessionize": sessionize,
     "dedup_first_event": dedup_first_event,
     "purchase_click_attribution": purchase_click_attribution,
+    "purchase_click_attribution_outer": purchase_click_attribution_outer,
 }
 
 ORACLES = {
@@ -240,6 +278,15 @@ ORACLES = {
                c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL 1 HOUR
+    """,
+    "purchase_click_attribution_outer": """
+        SELECT p.user_id AS p_user, p.event_id AS purchase_id,
+               c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
           ON p.user_id = c.user_id
          AND c.ts <= p.ts
          AND c.ts > p.ts - INTERVAL 1 HOUR

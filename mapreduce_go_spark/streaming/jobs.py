@@ -212,6 +212,36 @@ def stream_stream_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
     ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
 
 
+def stream_stream_join_outer(purchases: DataFrame,
+                             clicks: DataFrame) -> DataFrame:
+    """D21 stream-stream LEFT OUTER join (batch anchor:
+    operators.streaming_batch.purchase_click_attribution_outer).
+    Matched rows emit as they join; a purchase's NULL-extended row
+    emits only when the watermark passes its join state (the engine
+    must be sure no qualifying click can still arrive), so purchases
+    inside the final watermark horizon are withheld at end-of-stream
+    — the parity test pins that exact emission rule rather than
+    papering over it. The time-range condition is REQUIRED here:
+    Spark rejects outer stream-stream joins without an event-time
+    constraint, because unbounded state could never be declared
+    complete for the null extension."""
+    p = (purchases.withWatermark("ts", WATERMARK)
+         .select(F.col("user_id").alias("p_user"),
+                 F.col("ts").alias("p_ts"),
+                 F.col("event_id").alias("purchase_id")))
+    c = (clicks.withWatermark("ts", WATERMARK)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("ts").alias("c_ts"),
+                 F.col("event_id").alias("click_id")))
+    return p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+
+
 def run_foreach_batch_parquet(spark: SparkSession, streaming_df: DataFrame,
                               out_dir: str, checkpoint_dir: str) -> None:
     """Exactly-once parquet sink via foreachBatch: each micro-batch

@@ -285,3 +285,41 @@ def test_ann_ivf_nprobe_partition_invariant(spark, sf_dir):
     finally:
         tables.load = orig
     assert alt == base
+
+
+def test_ann_lsh_multiprobe_recall_above_single_probe(spark, sf_dir):
+    """Multi-probe LSH's contract: probing the Hamming-distance-1
+    buckets must strictly beat the single-probe ann_lsh_topk on
+    recall@10 vs exact knn. Measured on the near-random fixtures:
+    single-probe 0.025-0.087, multi-probe 0.30-0.39 (sf0.01/sf0.001)
+    — a 4.5-12x lift from 7x the probes, the Lv et al. trade the
+    operator exists to make. Shared (q_id, c_id) results must carry
+    identical exact cosines."""
+    from collections import defaultdict
+
+    from mapreduce_go_spark.operators import similarity
+
+    knn_rows = similarity.knn_cosine_topk(spark, sf_dir).collect()
+    one_rows = similarity.ann_lsh_topk(spark, sf_dir).collect()
+    multi_rows = similarity.ann_lsh_multiprobe_topk(
+        spark, sf_dir).collect()
+    knn, one, multi = defaultdict(set), defaultdict(set), defaultdict(set)
+    cos_knn, cos_multi = {}, {}
+    for r in knn_rows:
+        knn[r.q_id].add(r.c_id)
+        cos_knn[(r.q_id, r.c_id)] = r.cos
+    for r in one_rows:
+        one[r.q_id].add(r.c_id)
+    for r in multi_rows:
+        multi[r.q_id].add(r.c_id)
+        cos_multi[(r.q_id, r.c_id)] = r.cos
+
+    def mean_recall(approx):
+        return sum(len(approx[q] & knn[q]) / len(knn[q])
+                   for q in knn) / len(knn)
+
+    r1, rm = mean_recall(one), mean_recall(multi)
+    assert rm > r1, (r1, rm)
+    assert rm >= 0.25, rm
+    for key in set(cos_multi) & set(cos_knn):
+        assert cos_multi[key] == cos_knn[key], key

@@ -114,11 +114,13 @@ FILL_QUEUE = [
     "skew_join_stats", "grouped_agg_mad", "orc_roundtrip",
     "observed_pipeline_filter", "recursive_ancestor_depth",
     "csv_roundtrip",
-    # registered in r10 (4 new vs 18 freed — inside the budget): the
-    # stream-stream join batch anchor, the multi-probe IVF variant,
-    # the RAG sliding-window chunker, and temperature domain mixing
+    # registered in r10 (6 new vs 18 freed — inside the budget): the
+    # stream-stream join batch anchors (inner + left-outer), the
+    # multi-probe IVF and multi-probe LSH variants, the RAG
+    # sliding-window chunker, and temperature domain mixing
     "purchase_click_attribution", "ann_ivf_nprobe_topk",
     "token_chunks_overlap", "domain_mix_temperature",
+    "purchase_click_attribution_outer", "ann_lsh_multiprobe_topk",
 ]
 
 # REGISTRATION BUDGET (VERDICT r8 item 4): per round, register at

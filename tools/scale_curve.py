@@ -160,9 +160,10 @@ def main() -> None:
         cms_heavy_hitters, decontaminate, hll_distinct_by_source,
         hll_distinct_tokens, repetition_stats)
     from mapreduce_go_spark.operators.similarity import (
-        ann_ivf_nprobe_topk, ann_pq_topk, embedding_neardup_pairs_blocked)
+        ann_ivf_nprobe_topk, ann_lsh_multiprobe_topk, ann_pq_topk,
+        embedding_neardup_pairs_blocked)
     from mapreduce_go_spark.operators.streaming_batch import (
-        purchase_click_attribution)
+        purchase_click_attribution, purchase_click_attribution_outer)
     from mapreduce_go_spark.operators.corpus import (
         bloom_decontaminate, quality_probe, strip_boilerplate_lines,
         unigram_logprob_filter, url_dedup)
@@ -176,9 +177,11 @@ def main() -> None:
 
     spark = get_spark("scale_curve")
     only = {n for n in args.only.split(",") if n}
-    # the only curve query reading events; skip the events union+write
-    # for documents/embeddings-only runs
-    needs_events = (not only) or ("purchase_click_attribution" in only)
+    # the only curve queries reading events; skip the events
+    # union+write for documents/embeddings-only runs
+    needs_events = (not only) or bool(
+        only & {"purchase_click_attribution",
+                "purchase_click_attribution_outer"})
     x1, xn = build_corpora(spark, args.base, args.out, args.factor,
                            with_events=needs_events)
     result = {"factor": args.factor, "base": args.base, "queries": {}}
@@ -213,6 +216,9 @@ def main() -> None:
                      ("ann_ivf_nprobe_topk", ann_ivf_nprobe_topk),
                      ("token_chunks_overlap", token_chunks_overlap),
                      ("domain_mix_temperature", domain_mix_temperature),
+                     ("purchase_click_attribution_outer",
+                      purchase_click_attribution_outer),
+                     ("ann_lsh_multiprobe_topk", ann_lsh_multiprobe_topk),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
             continue
