@@ -434,3 +434,35 @@ def test_contrastive_pairs_count_is_broadcast(spark, sf_dir):
     in the operator at all."""
     p = plan_of(pipeline.contrastive_pairs(spark, sf_dir))
     assert "CartesianProduct" not in p, p
+
+
+def test_token_chunker_zero_exchange(spark, sf_dir):
+    """token_chunks_overlap is one map-side pass: split -> sequence ->
+    explode -> slice, with NO shuffle anywhere — the property that
+    makes it free at 100 TB. A future edit that sneaks in a groupBy
+    or repartition must fail here."""
+    p = plan_of(pipeline.token_chunks_overlap(spark, sf_dir))
+    assert "Exchange" not in p, p
+
+
+def test_domain_mix_windowgrouplimit_fires(spark, sf_dir):
+    """domain_mix_temperature's per-source draw must carry the
+    WindowGroupLimit partial below the source shuffle — that is what
+    the constant rn <= MIX_BUDGET prefilter exists for (a plain
+    rn <= quota column comparison would not qualify and every row of
+    every source would reach the exchange)."""
+    from mapreduce_go_spark.operators import quality
+
+    p = plan_of(quality.domain_mix_temperature(spark, sf_dir))
+    assert "WindowGroupLimit" in p, p
+    assert "CartesianProduct" not in p, p
+
+
+def test_multiprobe_lsh_broadcasts_query_side(spark, sf_dir):
+    """ann_lsh_multiprobe_topk's probe fan-out multiplies only the
+    broadcast query side (queries x bands x 7 rows); the candidate
+    join against the full signature table must be a broadcast hash
+    join, never a shuffle of the table side or a cartesian."""
+    p = plan_of(similarity.ann_lsh_multiprobe_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p, p
