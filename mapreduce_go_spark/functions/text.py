@@ -54,9 +54,19 @@ def token_count(text) -> Column:
     return F.size(F.filter(tokens(text), lambda w: w != F.lit("")))
 
 
+# The whitespace class for fingerprint normalization, EXPLICIT on
+# both engines: Java regex \s includes vertical tab \x0B, RE2
+# (DuckDB) \s does not — a doc containing 0x0B would fingerprint
+# differently per engine under bare \s+ (review r10). Oracles must
+# use FP_WS_SQL verbatim.
+FP_WS = r"[ \t\n\x0B\f\r]+"
+FP_WS_SQL = r"[ \t\n\x0B\f\r]+"
+
+
 def fingerprint(text) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. Cross-engine reproducible
-    (DuckDB md5() matches Spark md5())."""
-    normalized = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    (DuckDB md5() matches Spark md5(); the whitespace class is the
+    explicit FP_WS, not \\s — see its comment)."""
+    normalized = F.lower(F.regexp_replace(F.trim(text), FP_WS, " "))
     return F.md5(normalized)

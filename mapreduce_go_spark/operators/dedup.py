@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
 from mapreduce_go_spark.functions.num import dround, dround_sql
-from mapreduce_go_spark.functions.text import NON_LETTER_RE, fingerprint
+from mapreduce_go_spark.functions.text import FP_WS_SQL, NON_LETTER_RE, fingerprint
 
 N_MINHASH = 12          # permutations
 LSH_BANDS = 4           # bands -> candidate if all rows in any band agree
@@ -122,8 +122,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-gram Jaccard >= 0.5, d1 < d2.
 
     Plan: shingle inverted index -> self-equi-join on shingle
-    (intersection counts) -> broadcast per-doc set sizes -> algebraic
-    Jaccard. Shuffle keys are shingle strings and doc-id pairs."""
+    (intersection counts) -> per-doc set sizes join (AQE picks the
+    strategy) -> algebraic Jaccard. Shuffle keys are shingle strings
+    and doc-id pairs."""
     docs = tables.load(spark, sf_dir, "documents")
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -137,9 +138,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("nb"))
+    # no broadcast hint on sizes: it is one row PER DOCUMENT — corpus-
+    # sized, so a forced broadcast would override the engine's size
+    # threshold and OOM the driver at the very scale this query is
+    # the production path for. AQE broadcasts it while it fits and
+    # falls back to a shuffle join when it doesn't (review r10).
     return (
-        inter.join(F.broadcast(sa), "d1")
-        .join(F.broadcast(sb), "d2")
+        inter.join(sa, "d1")
+        .join(sb, "d2")
         .withColumn(
             # dround, not plain round: a raw-double round diverges
             # across engines at .xx5 boundaries and would flip the
@@ -208,8 +214,6 @@ def _bucket_pairs(bands: DataFrame, cap: int | None = None) -> DataFrame:
     no reducer ever materializes a bucket-sized list — the window
     and the groupBy share the bucket-key exchange, so the guard
     costs no extra shuffle."""
-    from pyspark.sql import Window
-
     w = Window.partitionBy("band", "band_key")
     cond = F.col("_bn") >= 2
     if cap is not None:
@@ -313,9 +317,14 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("nb"))
+    # no broadcast hint on sizes: it is one row PER DOCUMENT — corpus-
+    # sized, so a forced broadcast would override the engine's size
+    # threshold and OOM the driver at the very scale this query is
+    # the production path for. AQE broadcasts it while it fits and
+    # falls back to a shuffle join when it doesn't (review r10).
     return (
-        inter.join(F.broadcast(sa), "d1")
-        .join(F.broadcast(sb), "d2")
+        inter.join(sa, "d1")
+        .join(sb, "d2")
         .withColumn(
             # dround, not plain round: a raw-double round diverges
             # across engines at .xx5 boundaries and would flip the
@@ -507,8 +516,6 @@ def _simhash_pairs(sig: DataFrame, cap: int | None = None) -> DataFrame:
     banded_hamming_pairs discipline — no reducer materializes a
     degenerate bucket's array; window and groupBy share the
     band_key exchange)."""
-    from pyspark.sql import Window
-
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -687,8 +694,6 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded_hamming_pairs discipline: a boilerplate fingerprint's rows
     never enter an array; window and groupBy share the fp
     exchange)."""
-    from pyspark.sql import Window
-
     fps = winnow_fingerprints(spark, sf_dir).select(
         "doc_id", "fp").distinct()
     wf = Window.partitionBy("fp")
@@ -955,7 +960,13 @@ def strip_dup_spans_df(docs: DataFrame) -> DataFrame:
     """strip_dup_spans over an arbitrary (doc_id, text) DataFrame —
     also the unit under the span-removal property test (a span
     planted in two documents disappears from both; text with no
-    duplicated window survives verbatim)."""
+    duplicated window survives verbatim).
+
+    Every input doc gets an output row: a doc with no letter tokens
+    (digits/punctuation-only, empty text) emits (0, 0, '') instead of
+    silently vanishing — a consumer rebuilding the corpus by joining
+    clean_text must not lose documents (review r10 finding; same
+    left-join-back fix dup_span_stats already carries)."""
     tok = _span_tokens(docs)
     flagged = tok.join(_dup_window_counts(tok), "whash", "left").select(
         "doc_id", "p", "tok",
@@ -964,7 +975,7 @@ def strip_dup_spans_df(docs: DataFrame) -> DataFrame:
     cover = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
         -(DUP_SPAN_K - 1), Window.currentRow)
     covered = flagged.withColumn("cov", F.max("ds").over(cover))
-    return (
+    per = (
         covered.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tokens"),
@@ -983,6 +994,18 @@ def strip_dup_spans_df(docs: DataFrame) -> DataFrame:
             ).alias("clean_text"),
         )
     )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+# Label-propagation round bound for cluster_labels: converges in
+# O(component diameter) rounds (round 1 covers hop 1); exhaustion
+# RAISES rather than returning split clusters.
+CLUSTER_MAX_ROUNDS = 49
 
 
 def cluster_labels(spark: SparkSession, sf_dir: str,
@@ -1038,7 +1061,14 @@ def cluster_labels(spark: SparkSession, sf_dir: str,
         .select(F.col("d1").alias("doc_id"), "label")
         .cache()
     )
-    for _ in range(19):  # diameter bound; fixpoint checked below
+    converged = False
+    # Diameter bound: label propagation needs O(graph diameter)
+    # rounds; near-dup clusters are tiny (2-3) but a pathological
+    # chain is not impossible, and returning non-converged labels
+    # would mean silently split clusters / wrong keepers. So the
+    # bound FAILS LOUD on exhaustion instead of returning wrong
+    # answers (review r10 finding: a 22-doc chain exceeds 20 hops).
+    for _ in range(CLUSTER_MAX_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.d2 == labels.doc_id)
             .groupBy(F.col("d1").alias("doc_id"))
@@ -1063,12 +1093,18 @@ def cluster_labels(spark: SparkSession, sf_dir: str,
             new_labels = new_labels.localCheckpoint()
         changed = new_labels.where("chg").limit(1).count()
         # ^ materializes new_labels, so the old cache can go
-        if hasattr(labels, "unpersist"):
-            labels.unpersist()
+        labels.unpersist()
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        raise RuntimeError(
+            f"cluster_labels did not converge within "
+            f"{CLUSTER_MAX_ROUNDS} rounds — the near-dup graph has a "
+            f"component of diameter > {CLUSTER_MAX_ROUNDS + 1}; raise "
+            f"CLUSTER_MAX_ROUNDS (each round is one O(E) join)")
     return docs.join(labels, "doc_id", "left").select(
         "doc_id",
         F.coalesce(F.col("label"), F.col("doc_id")).alias("label"))
@@ -1320,8 +1356,8 @@ _SIMHASH_CTE = f"""
 """
 
 ORACLES = {
-    "dedup_exact": r"""
-        SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+    "dedup_exact": rf"""
+        SELECT md5(lower(regexp_replace(trim(text), '{FP_WS_SQL}', ' ', 'g'))) AS fp,
                count(*) AS n_docs, min(doc_id) AS keeper
         FROM documents GROUP BY fp
     """,
@@ -1562,13 +1598,20 @@ ORACLES = {
                                  ROWS BETWEEN {DUP_SPAN_K - 1} PRECEDING
                                  AND CURRENT ROW) AS cov
             FROM flagged
+        ),
+        per AS (
+            SELECT doc_id,
+                   count(*) AS n_tokens,
+                   cast(sum(cov) AS bigint) AS n_removed,
+                   coalesce(string_agg(tok, ' ' ORDER BY p)
+                            FILTER (cov = 0), '') AS clean_text
+            FROM covered GROUP BY doc_id
         )
-        SELECT doc_id,
-               count(*) AS n_tokens,
-               cast(sum(cov) AS bigint) AS n_removed,
-               coalesce(string_agg(tok, ' ' ORDER BY p)
-                        FILTER (cov = 0), '') AS clean_text
-        FROM covered GROUP BY doc_id
+        SELECT d.doc_id,
+               coalesce(per.n_tokens, 0) AS n_tokens,
+               coalesce(per.n_removed, 0) AS n_removed,
+               coalesce(per.clean_text, '') AS clean_text
+        FROM documents d LEFT JOIN per USING (doc_id)
     """,
     "winnow_overlap_pairs": _WINNOW_SQL + f""",
         docfps AS (SELECT DISTINCT doc_id, fp FROM sel),

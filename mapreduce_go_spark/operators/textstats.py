@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
 from mapreduce_go_spark.functions.num import dround, dround_sql
-from mapreduce_go_spark.functions.text import NON_LETTER_RE, fingerprint
+from mapreduce_go_spark.functions.text import FP_WS_SQL, NON_LETTER_RE, fingerprint
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
@@ -448,7 +448,7 @@ ORACLES = {
     """,
     "doc_fingerprint": rf"""
         SELECT doc_id,
-               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+               md5(lower(regexp_replace(trim(text), '{FP_WS_SQL}', ' ', 'g')))
                    AS fp_md5,
                list_reduce(
                    list_prepend(cast(0 AS bigint),

@@ -519,3 +519,45 @@ def test_token_chunker_matches_python_reference(spark, texts, seed):
             covered.extend(ctoks[:pipeline.CHUNK_STRIDE]
                            if no < len(chunks) - 1 else ctoks)
         assert covered == toks, (i, covered, toks)
+
+
+def test_strip_dup_spans_keeps_letterless_docs(spark):
+    """A doc with no letter tokens (digits/punct-only or empty) must
+    still appear in strip_dup_spans output as (0, 0, '') — before the
+    r10 fix it vanished from the result entirely, losing documents
+    for any consumer that rebuilds the corpus from clean_text (the
+    sibling dup_span_stats always had the left-join-back)."""
+    from mapreduce_go_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox " * 10),
+         (2, "12345 *** 678"),
+         (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in dedup.strip_dup_spans_df(df).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[2] == (0, 0, "")
+    assert out[3] == (0, 0, "")
+
+
+def test_fingerprint_vertical_tab_cross_engine(spark, duck):
+    """Java regex \\s includes \\x0B, RE2's does not — the explicit
+    FP_WS class pins both engines to the same normalization. A doc
+    whose only difference is a vertical tab vs a space must
+    fingerprint IDENTICALLY in Spark and DuckDB (and the two variants
+    must collapse to one fingerprint)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark.functions.text import FP_WS_SQL, fingerprint
+
+    texts = ["a\x0bb", "a b", "a\tb"]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    spark_fps = [r.fp for r in
+                 df.select(fingerprint(F.col("text")).alias("fp"))
+                 .collect()]
+    duck_fps = [duck.execute(
+        f"SELECT md5(lower(regexp_replace(trim(?), '{FP_WS_SQL}', ' ', 'g')))",
+        [t]).fetchone()[0] for t in texts]
+    assert spark_fps == duck_fps
+    assert len(set(spark_fps)) == 1  # all normalize to 'a b'
