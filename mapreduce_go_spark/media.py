@@ -108,6 +108,16 @@ _KINDS = {
 
 _CLEANUP_REGISTERED: set[str] = set()
 
+# media_table's check-then-write is driver-local: two threads of the
+# SAME session requesting the same kind before first materialization
+# would both miss _SUCCESS and overwrite each other mid-commit (png
+# has two consumer operators — review r10). Cross-SESSION safety is
+# already structural (the path embeds applicationId); this lock
+# closes the intra-process window.
+import threading as _threading  # noqa: E402
+
+_MEDIA_LOCK = _threading.Lock()
+
 
 def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """The encoded-media corpus for `kind` at `sf_dir`: (doc_id, src,
@@ -127,11 +137,12 @@ def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     base = os.path.join(_workspace_dir(),
                         spark.sparkContext.applicationId)
     path = os.path.join(base, f"media_{kind}_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        if base not in _CLEANUP_REGISTERED:
-            _CLEANUP_REGISTERED.add(base)
-            atexit.register(shutil.rmtree, base, True)
-        src = tables.load(spark, sf_dir, "documents").select(*cols)
-        (tables.spread(src).mapInPandas(kernel, MEDIA_SCHEMA)
-         .write.mode("overwrite").parquet(path))
+    with _MEDIA_LOCK:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            if base not in _CLEANUP_REGISTERED:
+                _CLEANUP_REGISTERED.add(base)
+                atexit.register(shutil.rmtree, base, True)
+            src = tables.load(spark, sf_dir, "documents").select(*cols)
+            (tables.spread(src).mapInPandas(kernel, MEDIA_SCHEMA)
+             .write.mode("overwrite").parquet(path))
     return spark.read.parquet(path)

@@ -285,17 +285,25 @@ def _afp_bands_from_wav(wav: bytes) -> list[int] | None:
     16-bit band values. Corrupt payloads return None."""
     nw = AFP_N // AFP_WIN
     try:
-        s = decode_wav(wav)["samples"].astype(np.int64)
+        dec = decode_wav(wav)
     except ValueError:
         return None  # corrupt clip: contributes no fingerprint
+    s = dec["samples"].astype(np.int64)
+    if dec["channels"] != 1 or len(s) != AFP_N:
+        # decodable but wrong shape for this fingerprint family:
+        # skipped like corrupt, NOT a task crash — a different sample
+        # count raised ValueError from reshape OUTSIDE the except
+        # above and killed the job, and a stereo clip with AFP_N/2
+        # frames reshaped fine and silently fingerprinted interleaved
+        # L/R (review r10)
+        return None
     E = np.abs(s).reshape(nw, AFP_WIN).sum(1)
     bits = np.empty(64, dtype=bool)
     bits[:63] = E[:63] > E[1:]
     bits[63] = E[63] * nw > E.sum()
-    return [
-        int((bits[k * 16:(k + 1) * 16] * (1 << np.arange(16))).sum())
-        for k in range(4)
-    ]
+    from mapreduce_go_spark.operators.multimodal import _pack_bands
+
+    return _pack_bands(bits)
 
 
 def _afp_band_batches(

@@ -1151,9 +1151,17 @@ def _phash_bands_from_png(png: bytes) -> list[int] | None:
 
     w = h = PHASH_W
     try:
-        _w, _h, _c, arr = decode_png_pixels(png)
+        dw, dh, dc, arr = decode_png_pixels(png)
     except ValueError:
         return None  # corrupt image: contributes no hash
+    if (dw, dh, dc) != (w, h, 1):
+        # decodable but wrong shape for this fingerprint family:
+        # treated like corrupt (no hash), NOT a task crash — without
+        # this guard an RGB or off-size raster raised a ValueError
+        # from np.add.at OUTSIDE the except above and killed the
+        # whole job, and a smaller raster silently hashed garbage
+        # (review r10)
+        return None
     pix = np.asarray(arr, dtype=np.int64)
     cr = (np.arange(h) * 8) // h
     cc = (np.arange(w) * 8) // w
@@ -1163,6 +1171,17 @@ def _phash_bands_from_png(png: bytes) -> list[int] | None:
             * np.bincount(cc, minlength=8)[None, :])
     ts, tn = int(sums.sum()), int(h * w)
     bits = (sums * tn > ts * cnts).reshape(-1)  # index cr*8+cc
+    return _pack_bands(bits)
+
+
+def _pack_bands(bits) -> list[int]:
+    """Pack a 64-bit fingerprint bit vector into the four 16-bit band
+    values banded_hamming_pairs and the SQL oracles agree on (band k
+    = bits k*16..k*16+15, weight 2^i within the band). The ONE copy
+    of the band-layout contract all three modalities share (review
+    r10: it was triplicated verbatim across image/audio/video)."""
+    import numpy as np
+
     return [
         int((bits[k * 16:(k + 1) * 16] * (1 << np.arange(16))).sum())
         for k in range(4)

@@ -291,8 +291,9 @@ def _vphash_bands_from_avi(avi: bytes) -> list[int] | None:
     cnts = (np.bincount(cr, minlength=8)[:, None]
             * np.bincount(cr, minlength=8)[None, :])
     bits = (sums * (VPH_W * VPH_W) > sums.sum() * cnts).reshape(-1)
-    return [int((bits[k * 16:(k + 1) * 16]
-                 * (1 << np.arange(16))).sum()) for k in range(4)]
+    from mapreduce_go_spark.operators.multimodal import _pack_bands
+
+    return _pack_bands(bits)
 
 
 def _vphash_clip_bands(doc_id: int) -> list[int] | None:
@@ -307,21 +308,18 @@ def _vphash_clip_bands(doc_id: int) -> list[int] | None:
 def _vphash_band_batches(batches):
     """Decode-only kernel: reads ENCODED clip bytes (the 'payload'
     column of media_table('vph'))."""
-    from mapreduce_go_spark.operators.multimodal import PHASH_BANDS_SCHEMA
+    from mapreduce_go_spark.operators.multimodal import (
+        PHASH_BANDS_SCHEMA, _phash_rows)
 
     cols = [f.name for f in PHASH_BANDS_SCHEMA]
     for pdf in batches:
         out = []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            vals = _vphash_bands_from_avi(
-                bytes(payload) if payload is not None else b"")
-            if vals is None:
-                continue
-            for bno in range(4):
-                out.append({"doc_id": doc_id, "band_no": bno,
-                            "band_val": vals[bno],
-                            "b0": vals[0], "b1": vals[1],
-                            "b2": vals[2], "b3": vals[3]})
+            _phash_rows(
+                doc_id,
+                _vphash_bands_from_avi(
+                    bytes(payload) if payload is not None else b""),
+                out)
         yield pd.DataFrame(out, columns=cols)
 
 

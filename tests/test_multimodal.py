@@ -463,3 +463,46 @@ def test_phash_hash_comes_from_decoded_png(spark, sf_dir):
         _w, _h, _c, arr = mm.decode_png_pixels(png)
         assert (_w, _h, _c) == (mm.PHASH_W, mm.PHASH_W, 1)
         assert np.array_equal(np.asarray(arr, dtype=np.uint8), p)
+
+
+def test_phash_kernel_skips_wrong_shape_rasters():
+    """The ingest-boundary kernel must SKIP (not crash the task on) a
+    decodable PNG whose raster is not the 32x32 single-channel shape
+    this fingerprint family is defined over — an RGB or off-size
+    image previously raised ValueError outside the corrupt-skip
+    except and killed the whole job; a smaller raster silently hashed
+    garbage."""
+    from mapreduce_go_spark.operators import multimodal as mm
+
+    ok = mm._phash_bands_from_png(mm.make_png(32, 32, b"abc"))
+    assert ok is not None and len(ok) == 4
+    assert mm._phash_bands_from_png(mm.make_png(16, 16, b"abc")) is None
+    assert mm._phash_bands_from_png(mm.make_png(32, 16, b"abc")) is None
+    assert mm._phash_bands_from_png(b"not a png") is None
+
+
+def test_afp_kernel_skips_wrong_shape_clips():
+    """Same boundary for audio: a decodable WAV that is not exactly
+    AFP_N mono samples is skipped, not a task crash (and a stereo
+    clip with AFP_N/2 frames must not silently fingerprint
+    interleaved channels)."""
+    import struct
+
+    from mapreduce_go_spark.operators import audio as au
+
+    good = au._afp_wav(1)
+    assert au._afp_bands_from_wav(good) is not None
+
+    def wav_pcm16(n_samples, channels):
+        data = struct.pack(f"<{n_samples}h", *([0] * n_samples))
+        fmt = struct.pack("<HHIIHH", 1, channels, 8000,
+                          8000 * 2 * channels, 2 * channels, 16)
+        body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+        return b"RIFF" + struct.pack("<I", 4 + len(body) - 8 + 8) + body
+
+    # wrong sample count: skipped
+    assert au._afp_bands_from_wav(wav_pcm16(au.AFP_N // 2, 1)) is None
+    # stereo with AFP_N interleaved samples: skipped (was silently
+    # fingerprinted as interleaved L/R before the guard)
+    assert au._afp_bands_from_wav(wav_pcm16(au.AFP_N, 2)) is None
