@@ -52,9 +52,22 @@ def _stage_events_dir(sf_dir: str) -> str:
 def events_stream(spark: SparkSession, sf_dir: str,
                   staged_dir: str | None = None) -> DataFrame:
     """readStream over the events fixture with the same nanos->micros
-    normalization tables.load applies to the batch side."""
+    normalization tables.load applies to the batch side.
+
+    Without `staged_dir` a fresh staging copy is created PER CALL and
+    its removal is registered atexit — the old contract said 'caller
+    owns cleanup' while discarding the only handle to the path, so a
+    long-lived session leaked one events.parquet copy per call
+    (review r10). Callers that loop should still stage once and pass
+    `staged_dir` explicitly."""
+    import atexit
+    import shutil
+
     tables._ensure_confs(spark)
-    src = staged_dir or _stage_events_dir(sf_dir)
+    if staged_dir is None:
+        staged_dir = _stage_events_dir(sf_dir)
+        atexit.register(shutil.rmtree, staged_dir, True)
+    src = staged_dir
     # schema from the batch reader, pre-conversion
     raw_schema = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")).schema
@@ -242,6 +255,19 @@ def stream_stream_join_outer(purchases: DataFrame,
     ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
 
 
+def _drain_foreach(stream, checkpoint_dir: str, fn) -> None:
+    """Run a foreachBatch streaming query to completion and stop it —
+    the one copy of the drain protocol (it appeared 12 times before
+    review r10; any fix to drain semantics now lands once)."""
+    q = (stream.writeStream.foreachBatch(fn)
+         .option("checkpointLocation", checkpoint_dir)
+         .start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
 def run_foreach_batch_parquet(spark: SparkSession, streaming_df: DataFrame,
                               out_dir: str, checkpoint_dir: str) -> None:
     """Exactly-once parquet sink via foreachBatch: each micro-batch
@@ -253,14 +279,7 @@ def run_foreach_batch_parquet(spark: SparkSession, streaming_df: DataFrame,
         (batch_df.write.mode("overwrite")
          .parquet(f"{out_dir}/epoch={epoch_id}"))
 
-    q = (streaming_df.writeStream
-         .foreachBatch(write_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(streaming_df, checkpoint_dir, write_epoch)
 
 
 def _latest_rollup_version(out_dir: str, below: int | None = None) -> int | None:
@@ -314,8 +333,6 @@ def _merge_rollup_epoch(batch_df: DataFrame, epoch_id: int,
     format (Delta/Iceberg MERGE with txn ids) provides on a cluster —
     the epoch-versioned layout is the same idea with parquet-only
     means."""
-    from pyspark.sql import functions as F
-
     target = os.path.join(out_dir, f"v={epoch_id}")
     if os.path.exists(os.path.join(target, "_SUCCESS")):
         return  # epoch already applied (foreachBatch replay after restart)
@@ -340,12 +357,22 @@ def _merge_rollup_epoch(batch_df: DataFrame, epoch_id: int,
     _prune_old_versions(out_dir)
 
 
-def read_continuous_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
-    """The rollup's current contents: latest committed snapshot."""
+def _committed_version(out_dir: str) -> int:
+    """Latest committed snapshot version, or an EXPLICIT
+    FileNotFoundError — before review r10 the sketch readers formatted
+    a literal None into the path ('<out_dir>/v=None') and surfaced an
+    opaque PATH_NOT_FOUND AnalysisException when no epoch had
+    committed yet."""
     v = _latest_rollup_version(out_dir)
     if v is None:
-        raise FileNotFoundError(f"no committed rollup snapshot in {out_dir}")
-    return spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+        raise FileNotFoundError(f"no committed snapshot in {out_dir}")
+    return v
+
+
+def read_continuous_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The rollup's current contents: latest committed snapshot."""
+    return spark.read.parquet(
+        os.path.join(out_dir, f"v={_committed_version(out_dir)}"))
 
 
 def run_continuous_rollup(spark: SparkSession, stream: DataFrame,
@@ -364,13 +391,7 @@ def run_continuous_rollup(spark: SparkSession, stream: DataFrame,
     def merge_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _merge_rollup_epoch(batch_df, epoch_id, out_dir)
 
-    q = (stream.writeStream.foreachBatch(merge_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, merge_epoch)
 
 
 def documents_stream(spark: SparkSession, staged_dir: str,
@@ -427,7 +448,10 @@ def _neardup_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str,
         return  # replayed epoch: already applied
     spark = batch_df.sparkSession
 
-    bands = _lsh_bands_df(_minhash_sig_df(batch_df))
+    # persist: the minhash+LSH signature lineage feeds both the
+    # ranked probe (flags write) and batch_idx (index write) —
+    # unpersisted it recomputed the signatures per write (review r10)
+    bands = _lsh_bands_df(_minhash_sig_df(batch_df)).persist()
     w = Window.partitionBy("band", "band_key").orderBy("doc_id")
     ranked = bands.withColumn("rb", F.row_number().over(w))
     # earliest holder + cumulative count per bucket within this batch
@@ -465,9 +489,12 @@ def _neardup_epoch(batch_df: DataFrame, epoch_id: int, out_dir: str,
     # flags first: a crash between the two writes leaves no _SUCCESS on
     # the index snapshot, so the epoch replays wholesale (both writes
     # are overwrite-by-epoch — idempotent).
-    flags.write.mode("overwrite").parquet(
-        os.path.join(flags_dir, f"epoch={epoch_id}"))
-    index.write.mode("overwrite").parquet(target)
+    try:
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_dir, f"epoch={epoch_id}"))
+        index.write.mode("overwrite").parquet(target)
+    finally:
+        bands.unpersist()
     _prune_old_versions(out_dir)
 
 
@@ -500,13 +527,7 @@ def run_streaming_neardup(spark: SparkSession, stream: DataFrame,
         _neardup_epoch(batch_df, epoch_id, index_dir, flags_dir,
                        bucket_cap=bucket_cap)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_neardup_flags(spark: SparkSession, flags_dir: str) -> DataFrame:
@@ -577,13 +598,7 @@ def run_streaming_cdc(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _cdc_epoch(batch_df, epoch_id, index_dir, out_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_cdc_stats(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -650,7 +665,10 @@ def _dupspan_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
             "dup_frac",
             F.when(F.col("n_windows") > 0,
                    dround(F.col("n_dup_windows") / F.col("n_windows"), 6))
-            .otherwise(F.lit(0).cast("decimal(18,6)")))
+            # dround's when-branch is DOUBLE, so a decimal otherwise
+            # literal was silently coerced right back — say what the
+            # type actually is (review r10)
+            .otherwise(F.lit(0.0)))
     )
     # stats first: a crash before the index commit replays wholesale
     stats.write.mode("overwrite").parquet(
@@ -671,13 +689,7 @@ def run_streaming_dupspan(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _dupspan_epoch(batch_df, epoch_id, index_dir, out_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_dupspan_stats(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -733,13 +745,7 @@ def run_streaming_retrieval(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _retrieval_epoch(batch_df, epoch_id, index_dir, out_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_retrieval_answers(spark: SparkSession, out_dir: str,
@@ -796,13 +802,7 @@ def run_streaming_decon(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _decon_epoch(batch_df, epoch_id, ev_shingles, out_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_decon_flags(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -859,8 +859,13 @@ def _phash_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
         return  # replayed epoch: already applied
     spark = batch_df.sparkSession
 
+    # persist: the PNG decode kernel feeds THREE lineages (in_batch
+    # via grouped, hist_probe, new_holders via grouped) and both
+    # epoch writes — unpersisted it re-ran the per-doc decode ~3x per
+    # epoch (review r10; the batch anchor phash_dup_flags documents
+    # the same single-run requirement and persists)
     bands = batch_df.select("doc_id").mapInPandas(
-        _phash_band_batches, PHASH_BANDS_SCHEMA)
+        _phash_band_batches, PHASH_BANDS_SCHEMA).persist()
     grouped = (
         bands.groupBy("band_no", "band_val")
         .agg(F.sort_array(
@@ -926,9 +931,12 @@ def _phash_epoch(batch_df: DataFrame, epoch_id: int, index_dir: str,
              else new_holders)
     # flags first: a crash between the writes leaves no _SUCCESS on
     # the index snapshot, so the epoch replays wholesale
-    flags.write.mode("overwrite").parquet(
-        os.path.join(flags_dir, f"epoch={epoch_id}"))
-    index.write.mode("overwrite").parquet(target)
+    try:
+        flags.write.mode("overwrite").parquet(
+            os.path.join(flags_dir, f"epoch={epoch_id}"))
+        index.write.mode("overwrite").parquet(target)
+    finally:
+        bands.unpersist()
     _prune_old_versions(index_dir)
 
 
@@ -943,13 +951,7 @@ def run_streaming_phash(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _phash_epoch(batch_df, epoch_id, index_dir, flags_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_phash_flags(spark: SparkSession, flags_dir: str) -> DataFrame:
@@ -999,13 +1001,7 @@ def run_streaming_hll(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _hll_epoch(batch_df, epoch_id, out_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_hll_registers(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -1013,8 +1009,8 @@ def read_hll_registers(spark: SparkSession, out_dir: str) -> DataFrame:
     registers, zero-filled."""
     from mapreduce_go_spark.operators.quality import HLL_M
 
-    v = _latest_rollup_version(out_dir)
-    regs = spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+    regs = spark.read.parquet(
+        os.path.join(out_dir, f"v={_committed_version(out_dir)}"))
     return (spark.range(HLL_M).select(F.col("id").alias("bucket"))
             .join(regs, "bucket", "left").fillna(0, subset=["r"]))
 
@@ -1078,19 +1074,13 @@ def run_streaming_cms(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _cms_epoch(batch_df, epoch_id, out_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_cms_sketch(spark: SparkSession, out_dir: str) -> DataFrame:
     """The maintained sketch's sparse cells (r, bucket, cnt)."""
-    v = _latest_rollup_version(out_dir)
-    return spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+    return spark.read.parquet(
+        os.path.join(out_dir, f"v={_committed_version(out_dir)}"))
 
 
 def read_cms_estimate(spark: SparkSession, out_dir: str,
@@ -1159,19 +1149,13 @@ def run_streaming_bloom(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _bloom_epoch(batch_df, epoch_id, out_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_bloom_bits(spark: SparkSession, out_dir: str) -> DataFrame:
     """The maintained filter content: one row per set bit."""
-    v = _latest_rollup_version(out_dir)
-    return spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+    return spark.read.parquet(
+        os.path.join(out_dir, f"v={_committed_version(out_dir)}"))
 
 
 def read_bloom_membership(spark: SparkSession, out_dir: str,
@@ -1238,13 +1222,7 @@ def run_streaming_boiler(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _boiler_epoch(batch_df, epoch_id, out_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_boiler_lines(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -1252,8 +1230,8 @@ def read_boiler_lines(spark: SparkSession, out_dir: str) -> DataFrame:
     read time: (line, n_docs, boiler)."""
     from mapreduce_go_spark.operators.corpus import BOILER_MIN_DOCS
 
-    v = _latest_rollup_version(out_dir)
-    counts = spark.read.parquet(os.path.join(out_dir, f"v={v}"))
+    counts = spark.read.parquet(
+        os.path.join(out_dir, f"v={_committed_version(out_dir)}"))
     return counts.withColumn(
         "boiler", F.col("n_docs") >= BOILER_MIN_DOCS)
 
@@ -1318,15 +1296,12 @@ def run_streaming_urlseen(spark: SparkSession, stream: DataFrame,
     def on_epoch(batch_df: DataFrame, epoch_id: int) -> None:
         _urlseen_epoch(batch_df, epoch_id, index_dir, out_dir)
 
-    q = (stream.writeStream.foreachBatch(on_epoch)
-         .option("checkpointLocation", checkpoint_dir)
-         .start())
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    _drain_foreach(stream, checkpoint_dir, on_epoch)
 
 
 def read_urlseen_verdicts(spark: SparkSession, out_dir: str) -> DataFrame:
-    """All epochs' keep/dup verdicts."""
-    return spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+    """All epochs' keep/dup verdicts. Read at the base path, not an
+    'epoch=*' glob — with the glob each epoch=N dir becomes its own
+    base path and the epoch partition column vanishes from the result
+    (review r10), unlike every sibling epoch reader."""
+    return spark.read.parquet(out_dir)
