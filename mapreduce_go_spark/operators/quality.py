@@ -19,9 +19,12 @@ Scale posture:
   identical shape to tfidf_top_terms, which is plan-audited.
 
 Determinism: all ratios are integer/integer images rounded on the
-decimal grid (functions.num.dround); the only transcendental is
-BM25's ln(), the same correctly-rounded libm call the green
-tfidf_top_terms already relies on.
+decimal grid (functions.num.dround). Transcendental inventory (each
+a correctly-rounded libm call on identical doubles in both engines):
+BM25's ln() (shared with the green tfidf_top_terms), the HLL
+small-range correction's ln(m/V) over exact integers, and temperature
+mixing's sqrt(count) — snapped to the 1e-6 integer grid immediately,
+so only the correctly-rounded sqrt itself crosses engines.
 """
 
 from __future__ import annotations
@@ -376,14 +379,16 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial top-k below the source shuffle (rn <= quota alone is a
     column comparison and would not), so only ~MIX_BUDGET rows per
     source per map partition ever reach the exchange."""
-    from pyspark.sql import Window
+    from mapreduce_go_spark.functions.num import grid
 
     docs = tables.load(spark, sf_dir, "documents")
     counts = docs.groupBy("source").agg(F.count("*").alias("c"))
+    # grid(): the canonical exact-integer snap, carrying the
+    # |x*scale| < 2^51 cross-engine rounding proof — sqrt(count)*1e6
+    # stays far under it for any real corpus
     w = counts.select(
         "source",
-        F.round(F.sqrt(F.col("c").cast("double")) * 1e6)
-        .cast("long").alias("gs"),
+        grid(F.sqrt(F.col("c").cast("double")), 10**6).alias("gs"),
     )
     tot = w.agg(F.sum("gs").alias("g_total"))
     quota = (
@@ -499,13 +504,18 @@ def _cms_bucket(col: Column, r: int) -> Column:
     )
 
 
-def _cms_bucket_sql(tok_expr: str, r_expr: str) -> str:
+def _cms_bucket_sql(tok_expr: str, r_expr: str,
+                    width: int = CMS_WIDTH) -> str:
+    # `width` parameterizes the modulus — feature_hash_embed's oracle
+    # used to string-replace '% 256' in this function's output, which
+    # silently corrupts the SQL if the literal ever changes or
+    # collides (review r10)
     return (
         "(list_reduce(list_prepend(cast(0 AS bigint),"
         " list_transform(regexp_split_to_array(substring(md5("
         f"cast({r_expr} AS varchar) || ':' || {tok_expr}), 1, 8), ''),"
         " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
-        f" (acc, v) -> acc * 16 + v) % {CMS_WIDTH})"
+        f" (acc, v) -> acc * 16 + v) % {width})"
     )
 
 
@@ -660,8 +670,20 @@ def feature_hash_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------- #
 
 HLL_M = 64          # registers (p=6); typical error 1.04/sqrt(64) ~ 13%
+HLL_P = 6           # register-index bits; HLL_M == 1 << HLL_P
 HLL_WBITS = 42      # 48-bit md5 prefix minus the 6 bucket bits
 HLL_ALPHA = 0.709   # alpha_64 (Flajolet et al. 2007, m >= 64)
+assert HLL_M == 1 << HLL_P
+
+#: DuckDB twin of the Spark-side 48-bit md5 hex fold — the ONE copy
+#: (review r10: it was pasted verbatim into both HLL oracle builders;
+#: a hash-width change must land exactly once).
+_HLL_FOLD_SQL = (
+    "list_reduce(list_prepend(cast(0 AS bigint),"
+    " list_transform(regexp_split_to_array(substring(md5(tok),"
+    " 1, 12), ''),"
+    " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
+    " (acc, v) -> acc * 16 + v)")
 
 
 
@@ -693,46 +715,76 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("tok") != "")
     )
     sketch = cms_token_sketch(docs)
-    vocab = tok.groupBy("tok").agg(F.count("*").alias("n_exact"))
+    vocab = tok.select("tok").distinct()
     probe_cells = vocab.select(
-        "tok", "n_exact",
+        "tok",
         F.posexplode(
             F.array(*[_cms_bucket(F.col("tok"), r)
                       for r in range(CMS_DEPTH)])).alias("r", "bucket"))
-    est = (
+    cands = (
         probe_cells.join(F.broadcast(sketch), ["r", "bucket"])
-        .groupBy("tok", "n_exact").agg(F.min("cnt").alias("est_cms"))
+        .groupBy("tok").agg(F.min("cnt").alias("est_cms"))
+        .where(F.col("est_cms") >= HH_MIN_COUNT)
     )
-    return (
-        est.where(F.col("est_cms") >= HH_MIN_COUNT)
-        .select(
-            "tok", "est_cms", "n_exact",
-            (F.col("n_exact") >= HH_MIN_COUNT).alias("confirmed"),
-        )
+    # pass 2 exact-counts ONLY the candidates: the token stream is
+    # semi-joined against the (vocab-bounded, screened) candidate set
+    # before any exact counting — the old form exact-counted the
+    # ENTIRE vocabulary in the candidate aggregate, making the sketch
+    # screen decorative (review r10)
+    exact = (
+        tok.join(F.broadcast(cands), "tok")
+        .groupBy("tok", "est_cms").agg(F.count("*").alias("n_exact"))
+    )
+    return exact.select(
+        "tok", "est_cms", "n_exact",
+        (F.col("n_exact") >= HH_MIN_COUNT).alias("confirmed"),
     )
 
 
-def hll_token_registers(docs: DataFrame) -> DataFrame:
-    """Sparse HLL register maxima (bucket, r) for a documents slice —
-    the mergeable partial: register-wise max over any union of
-    slices equals the registers of the union (HLL's defining
-    property), so the streaming twin's epoch merge and the batch
-    query share this exact computation. Only occupied buckets are
-    emitted; consumers left-join against range(HLL_M) and zero-fill."""
+def hll_token_registers(docs: DataFrame,
+                        group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Sparse HLL register maxima (*group_cols, bucket, r) for a
+    documents slice — the mergeable partial: register-wise max over
+    any union of slices equals the registers of the union (HLL's
+    defining property), so the streaming twin's epoch merge, the
+    corpus-wide batch query and the per-source grouped variant all
+    share this exact computation (review r10: the hash/rank block was
+    duplicated in hll_distinct_by_source). Only occupied buckets are
+    emitted; consumers left-join against range(HLL_M) and zero-fill.
+
+    The register word w = h >> HLL_P is a SHIFT, not (h / m) cast
+    through double: exact at any hash width (the double path was only
+    exact by the accident of the 48-bit prefix staying under 2^53 —
+    review r10), and exactly the oracle's integer h // m."""
     tok = (
         docs.select(
+            *group_cols,
             F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10) \
         .cast("long")
-    w = (h / HLL_M).cast("long")
+    w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
         F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
     return (
-        tok.select((h % HLL_M).alias("bucket"), rho.alias("rho"))
-        .groupBy("bucket").agg(F.max("rho").alias("r"))
+        tok.select(*group_cols, (h % HLL_M).alias("bucket"),
+                   rho.alias("rho"))
+        .groupBy(*group_cols, "bucket").agg(F.max("rho").alias("r"))
     )
+
+
+def _hll_estimates(z: Column, v_zero: Column) -> tuple[Column, Column]:
+    """(est_raw, est): the raw alpha*m^2/z estimator and the
+    small-range-corrected estimate — one copy shared by the corpus
+    and per-source queries."""
+    m = float(HLL_M)
+    est_raw = F.lit(HLL_ALPHA) * F.lit(m * m) / z
+    est = F.when(
+        (est_raw <= 2.5 * m) & (v_zero > 0),
+        F.lit(m) * F.log(F.lit(m) / v_zero),
+    ).otherwise(est_raw)
+    return est_raw, est
 
 
 def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -781,16 +833,15 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"),
         F.sum((F.col("r") == 0).cast("int")).alias("v_zero"),
     ).crossJoin(F.broadcast(ex))
-    m = float(HLL_M)
-    est_raw = F.lit(HLL_ALPHA) * F.lit(m * m) / F.col("z")
-    est = F.when(
-        (est_raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(m) * F.log(F.lit(m) / F.col("v_zero")),
-    ).otherwise(est_raw)
+    est_raw, est = _hll_estimates(F.col("z"), F.col("v_zero"))
     return summary.select(
         "registers", "v_zero",
-        F.round(est_raw, 4).alias("est_raw"),
-        F.round(est, 4).alias("est_hll"),
+        # dround, not raw round: Spark and DuckDB round(double, 4)
+        # disagree at scale-4 midpoints (measured: 0.00145 -> 0.0015
+        # vs 0.0014, ~6% of midpoints — review r10); the decimal-grid
+        # image rounds identically in both engines
+        dround(est_raw, 4).alias("est_raw"),
+        dround(est, 4).alias("est_hll"),
         "n_exact",
         (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.3)
         .alias("within_bounds"),
@@ -798,12 +849,12 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_oracle_sql() -> str:
-    h = ("list_reduce(list_prepend(cast(0 AS bigint),"
-         " list_transform(regexp_split_to_array(substring(md5(tok),"
-         " 1, 12), ''),"
-         " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
-         " (acc, v) -> acc * 16 + v)")
+    h = _HLL_FOLD_SQL
     m = float(HLL_M)
+    # decimal-grid rounding twin of the Spark dround (raw round(x,4)
+    # diverges at scale-4 midpoints — review r10)
+    dr_raw = dround_sql("est_raw", 4)
+    dr_est = dround_sql("est", 4)
     return f"""
     WITH tok AS (
         SELECT unnest(regexp_split_to_array(text,
@@ -847,8 +898,8 @@ def _hll_oracle_sql() -> str:
         FROM summary, ex
     )
     SELECT registers, cast(v_zero AS bigint) AS v_zero,
-           round(est_raw, 4) AS est_raw,
-           round(est, 4) AS est_hll,
+           {dr_raw} AS est_raw,
+           {dr_est} AS est_hll,
            cast(n_exact AS bigint) AS n_exact,
            (abs(est - n_exact) / n_exact <= 0.3) AS within_bounds
     FROM est
@@ -873,16 +924,7 @@ def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10) \
-        .cast("long")
-    w = (h / HLL_M).cast("long")
-    rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
-        F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
-    regs = (
-        tok.select("source", (h % HLL_M).alias("bucket"),
-                   rho.alias("rho"))
-        .groupBy("source", "bucket").agg(F.max("rho").alias("r"))
-    )
+    regs = hll_token_registers(docs, ("source",))
     dense = (
         docs.select("source").distinct()
         .crossJoin(F.broadcast(
@@ -904,16 +946,11 @@ def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(ex), "source")
     )
-    m = float(HLL_M)
-    est_raw = F.lit(HLL_ALPHA) * F.lit(m * m) / F.col("z")
-    est = F.when(
-        (est_raw <= 2.5 * m) & (F.col("v_zero") > 0),
-        F.lit(m) * F.log(F.lit(m) / F.col("v_zero")),
-    ).otherwise(est_raw)
+    est_raw, est = _hll_estimates(F.col("z"), F.col("v_zero"))
     return summary.select(
         "source", "registers", "v_zero",
-        F.round(est_raw, 4).alias("est_raw"),
-        F.round(est, 4).alias("est_hll"),
+        dround(est_raw, 4).alias("est_raw"),
+        dround(est, 4).alias("est_hll"),
         "n_exact",
         (F.abs(est - F.col("n_exact")) / F.col("n_exact") <= 0.3)
         .alias("within_bounds"),
@@ -921,12 +958,10 @@ def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_by_source_oracle_sql() -> str:
-    h = ("list_reduce(list_prepend(cast(0 AS bigint),"
-         " list_transform(regexp_split_to_array(substring(md5(tok),"
-         " 1, 12), ''),"
-         " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
-         " (acc, v) -> acc * 16 + v)")
+    h = _HLL_FOLD_SQL
     m = float(HLL_M)
+    dr_raw = dround_sql("est_raw", 4)
+    dr_est = dround_sql("est", 4)
     return f"""
     WITH tok AS (
         SELECT source, unnest(regexp_split_to_array(text,
@@ -977,8 +1012,8 @@ def _hll_by_source_oracle_sql() -> str:
         FROM summary JOIN ex ON summary.source = ex.source
     )
     SELECT source, registers, cast(v_zero AS bigint) AS v_zero,
-           round(est_raw, 4) AS est_raw,
-           round(est, 4) AS est_hll,
+           {dr_raw} AS est_raw,
+           {dr_est} AS est_hll,
            cast(n_exact AS bigint) AS n_exact,
            (abs(est - n_exact) / n_exact <= 0.3) AS within_bounds
     FROM est
@@ -1163,10 +1198,8 @@ ORACLES = {
         ),
         cells AS (
             SELECT doc_id,
-                   {_cms_bucket_sql("tok", "'b'").replace(
-                       f"% {CMS_WIDTH}", f"% {FH_DIM}")} AS bucket,
-                   1 - 2 * ({_cms_bucket_sql("tok", "'s'").replace(
-                       f"% {CMS_WIDTH}", "% 2")}) AS sign
+                   {_cms_bucket_sql("tok", "'b'", FH_DIM)} AS bucket,
+                   1 - 2 * ({_cms_bucket_sql("tok", "'s'", 2)}) AS sign
             FROM tok
         ),
         s AS (
