@@ -74,13 +74,36 @@ def _with_norm(df: DataFrame) -> DataFrame:
 
 
 def _cosine(qe: Column, ce: Column, qn: Column, cn: Column) -> Column:
-    return grid_dot(qe, ce) / (qn * cn)
+    """NULL when either norm is zero: 0/0 would be NaN, which Spark
+    ORDERS ABOVE every real cosine (a zero vector would become every
+    query's rank-1 neighbor) and which ANSI mode then refuses to cast
+    to decimal in the display projection — killing all seven cosine
+    queries on the first all-zero embedding (review r10). NULL sorts
+    last under DESC in both engines, so zero vectors simply never
+    rank; every oracle carries the matching CASE WHEN guard."""
+    return F.when(qn * cn > 0, grid_dot(qe, ce) / (qn * cn))
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    """Shared top-k tail: rank candidates per query by exact cosine
+    (desc, c_id tie-break), keep TOP_K, round for display — the one
+    copy of the block that appeared verbatim in all six top-k queries
+    (review r10; a tie-break or rounding change now lands once)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", "rk",
+                F.round(F.col("cos").cast(_DEC), 6).cast("double")
+                .alias("cos"))
+    )
 
 
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for each query vector
     (vec_id < 8) over the whole table, self excluded."""
-    from pyspark.sql import Window
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -104,20 +127,13 @@ def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("q_id", "c_id", "rk",
-                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
-    )
+    return _topk(scored)
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-bucketed ANN: exact top-10 within the query's cell (label).
     Probing 1 cell of ~n/10 candidates — the 100 TB shape where cells
     are partition keys and each probe is a co-located scan."""
-    from pyspark.sql import Window
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -143,13 +159,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("q_id", "c_id", "rk",
-                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
-    )
+    return _topk(scored)
 
 
 IVF_NPROBE = 3      # cells probed by the multi-probe IVF variant
@@ -211,6 +221,10 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("dotd") / F.sqrt(F.col("n2d"))).desc(), "label")
     probed = (
         dots.join(F.broadcast(cell_n2), "label")
+        # an all-zero cell-sum vector has no centroid signal and its
+        # 0-division would rank NaN-first in Spark only — exclude it
+        # (both engines; oracle carries the same predicate)
+        .where(F.col("n2d") > 0)
         .withColumn("crn", F.row_number().over(cw))
         .where(F.col("crn") <= IVF_NPROBE)
         .select("q_id", "label")
@@ -240,13 +254,7 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cos"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("q_id", "c_id", "rk",
-                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
-    )
+    return _topk(scored)
 
 
 EMB_DIM = 64        # fixture embedding dimensionality (TESTDATA.md)
@@ -296,7 +304,6 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a co-located scan of ~n/2^bits candidates, never the full
     table. Exactly oracle-checkable because the hyperplanes are
     literals and the sign sums use the scaled-long grid."""
-    from pyspark.sql import Window
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
 
@@ -327,13 +334,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _cosine(F.col("qe"), F.col("ce"),
                         F.col("qn"), F.col("cn")).alias("cos"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("q_id", "c_id", "rk",
-                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
-    )
+    return _topk(scored)
 
 
 def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -354,7 +355,6 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (queries x bands x 7), never the table scan. Probe keys are pure
     string flips of the exact grid-sign signatures, so the candidate
     set — and therefore the result — stays exactly oracle-checkable."""
-    from pyspark.sql import Window
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     bands = emb.select(
@@ -395,13 +395,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _cosine(F.col("qe"), F.col("ce"),
                         F.col("qn"), F.col("cn")).alias("cos"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("q_id", "c_id", "rk",
-                F.round(F.col("cos").cast(_DEC), 6).cast("double").alias("cos"))
-    )
+    return _topk(scored)
 
 
 # Max vectors per ND-LSH bucket before the bucket is dropped as
@@ -683,7 +677,18 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf(ArrayType(IntegerType()))
     def pq_encode(e: pd.Series) -> pd.Series:
-        X = _grid_normalize(np.vstack(e.to_numpy()))
+        from mapreduce_go_spark.functions.simd import (_check_finite,
+                                                       _stack)
+
+        # _stack, not raw np.vstack: Arrow hands float32 arrays, and
+        # a float32 X*X*1e12 norm diverges from the float64 oracle /
+        # driver LUT path by ~1e3 grid units — enough to flip a
+        # near-tie sub-codebook argmin between engines (review r10,
+        # confirmed by repro). _check_finite mirrors every sibling
+        # kernel: NaN must fail loudly, not grid to INT64_MIN.
+        if not len(e):
+            return pd.Series([], dtype=object)
+        X = _grid_normalize(_check_finite(_stack(e)))
         S = X.reshape(len(X), M, sub)
         d = _grid(((S[:, :, None, :] - CB[None, :, :, :]) ** 2)
                   * 1e12).sum(-1)
@@ -691,7 +696,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf(ArrayType(LongType()))
     def adc_scores(codes: pd.Series) -> pd.Series:
-        C = np.vstack(codes.to_numpy())            # (n, M)
+        if not len(codes):
+            return pd.Series([], dtype=object)
+        C = np.vstack(codes.to_numpy())            # (n, M) int codes
         cols = np.arange(M)[None, :]
         out = np.stack(
             [LUT[qi][cols, C].sum(1) for qi in range(len(LUT))], axis=1
@@ -723,20 +730,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select(
         F.col("vec_id").alias("c_id"),
         F.col("embedding").alias("ce"), F.col("norm").alias("cn"))
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
-    return (
+    rerank = (
         shortlist.join(F.broadcast(q), "q_id")
         .join(c, "c_id")
         .select(
             "q_id", "c_id",
             _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
             .alias("cos"))
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("q_id", "c_id", "rk",
-                F.round(F.col("cos").cast(_DEC), 6).cast("double")
-                .alias("cos"))
     )
+    return _topk(rerank)
 
 
 QUERIES = {
@@ -792,7 +794,7 @@ def _pair_cos_sql(qfilter: str, join_cond: str) -> str:
         FROM elems GROUP BY q_id, c_id
     ),
     scored AS (
-        SELECT q_id, c_id, dot / (qn * cn) AS cos FROM dots
+        SELECT q_id, c_id, CASE WHEN qn * cn > 0 THEN dot / (qn * cn) END AS cos FROM dots
     )
     """
 
@@ -873,7 +875,8 @@ ORACLES = {
                    row_number() OVER (
                        PARTITION BY d.q_id
                        ORDER BY d.dotd / sqrt(n.n2d) DESC, d.label) AS crn
-            FROM dots d JOIN cell_n2 n USING (label))
+            FROM dots d JOIN cell_n2 n USING (label)
+            WHERE n.n2d > 0)
         WHERE crn <= {IVF_NPROBE}
     ),
     pairs AS (
@@ -891,9 +894,11 @@ ORACLES = {
     ),
     scored AS (
         SELECT q_id, c_id,
-               (sum(cast(round(cast(x AS double) * cast(y AS double) * 1e12)
-                         AS bigint)) / 1e12)
-               / (any_value(qn) * any_value(cn)) AS cos
+               CASE WHEN any_value(qn) * any_value(cn) > 0 THEN
+                   (sum(cast(round(cast(x AS double) * cast(y AS double)
+                                   * 1e12) AS bigint)) / 1e12)
+                   / (any_value(qn) * any_value(cn))
+               END AS cos
         FROM elems GROUP BY q_id, c_id
     )
         SELECT q_id, c_id, rk,
@@ -937,7 +942,7 @@ ORACLES = {
                         AS bigint)) / 1e12 AS dot
         FROM elems GROUP BY q_id, c_id
     ),
-    scored AS (SELECT q_id, c_id, dot / (qn * cn) AS cos FROM dots)
+    scored AS (SELECT q_id, c_id, CASE WHEN qn * cn > 0 THEN dot / (qn * cn) END AS cos FROM dots)
         SELECT q_id, c_id, rk,
                cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
         FROM (SELECT q_id, c_id, cos,
@@ -993,7 +998,7 @@ ORACLES = {
                         AS bigint)) / 1e12 AS dot
         FROM elems GROUP BY q_id, c_id
     ),
-    scored AS (SELECT q_id, c_id, dot / (qn * cn) AS cos FROM dots)
+    scored AS (SELECT q_id, c_id, CASE WHEN qn * cn > 0 THEN dot / (qn * cn) END AS cos FROM dots)
         SELECT q_id, c_id, rk,
                cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
         FROM (SELECT q_id, c_id, cos,
@@ -1015,7 +1020,7 @@ ORACLES = {
                             AS bigint)) / 1e12 AS dot
             FROM elems GROUP BY d1, d2
         ),
-        scored AS (SELECT d1, d2, dot / (n1 * n2) AS cos FROM dots)
+        scored AS (SELECT d1, d2, CASE WHEN n1 * n2 > 0 THEN dot / (n1 * n2) END AS cos FROM dots)
         SELECT d1, d2,
                cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
         FROM scored WHERE cos >= {NEARDUP_COS}
@@ -1065,7 +1070,7 @@ _BLOCKED_SCORED_CTE = _NORMS_SQL + f""",
                             AS bigint)) / 1e12 AS dot
             FROM elems GROUP BY d1, d2
         ),
-        scored AS (SELECT d1, d2, dot / (n1 * n2) AS cos FROM dots)
+        scored AS (SELECT d1, d2, CASE WHEN n1 * n2 > 0 THEN dot / (n1 * n2) END AS cos FROM dots)
 """
 
 ORACLES["embedding_neardup_pairs_blocked"] = _BLOCKED_SCORED_CTE + f"""
@@ -1138,10 +1143,12 @@ def _pq_oracle_sql(sf_dir: str) -> str:
     ),
     rer AS (
         SELECT s.q_id, s.c_id,
-               (sum(cast(round(cast(a.embedding[g.j] AS double)
-                               * cast(b.embedding[g.j] AS double)
-                               * 1e12) AS bigint)) / 1e12)
-               / (any_value(a.nrm) * any_value(b.nrm)) AS cos
+               CASE WHEN any_value(a.nrm) * any_value(b.nrm) > 0 THEN
+                   (sum(cast(round(cast(a.embedding[g.j] AS double)
+                                   * cast(b.embedding[g.j] AS double)
+                                   * 1e12) AS bigint)) / 1e12)
+                   / (any_value(a.nrm) * any_value(b.nrm))
+               END AS cos
         FROM shortlist s
         JOIN nrm a ON a.vec_id = s.q_id
         JOIN nrm b ON b.vec_id = s.c_id

@@ -323,3 +323,36 @@ def test_ann_lsh_multiprobe_recall_above_single_probe(spark, sf_dir):
     assert rm >= 0.25, rm
     for key in set(cos_multi) & set(cos_knn):
         assert cos_multi[key] == cos_knn[key], key
+
+
+def test_zero_embedding_vector_never_ranks(spark, sf_dir):
+    """A zero embedding vector must not crash the cosine queries or
+    claim a top-k seat: before the r10 guard, 0/0 produced NaN, which
+    Spark orders ABOVE every real cosine (instant rank-1 everywhere)
+    and which the ANSI decimal display cast then rejects, killing the
+    query. With the guard the zero vector's cosine is NULL (sorts
+    last under DESC in both engines)."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import similarity
+
+    orig = tables.load
+    try:
+        def with_zero(s, d, name):
+            df = orig(s, d, name)
+            if name != "embeddings":
+                return df
+            from pyspark.sql import functions as F
+
+            dim = len(df.select("embedding").first()[0])
+            zero = s.createDataFrame(
+                [(999999, [0.0] * dim, 0)],
+                "vec_id long, embedding array<float>, label int")
+            return df.unionByName(zero)
+        tables.load = with_zero
+        base = similarity.knn_cosine_topk(spark, sf_dir).collect()
+        assert all(r.c_id != 999999 for r in base)
+        assert len(base) > 0
+        multi = similarity.ann_ivf_nprobe_topk(spark, sf_dir).collect()
+        assert all(r.c_id != 999999 for r in multi)
+    finally:
+        tables.load = orig
