@@ -218,25 +218,41 @@ def _boiler_lines(lines: DataFrame) -> DataFrame:
     )
 
 
-def boilerplate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc boilerplate exposure: line count, lines whose corpus
-    document-frequency >= BOILER_MIN_DOCS, and the boilerplate
-    fraction — the detect half of CCNet line-level dedup."""
+def _flagged_lines(spark: SparkSession, sf_dir: str
+                   ) -> tuple[DataFrame, DataFrame]:
+    """(docs, per-line rows joined to their corpus boiler flag) — the
+    shared preamble of the stats and strip halves (review r10: it was
+    copy-pasted in both; a threshold or join-key change now lands
+    once)."""
     docs = tables.load(spark, sf_dir, "documents")
     lines = _lines_exploded(docs)
     flagged = lines.join(_boiler_lines(lines).select("line", "boiler"),
                          "line")
-    return (
+    return docs, flagged
+
+
+def boilerplate_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate exposure: line count, lines whose corpus
+    document-frequency >= BOILER_MIN_DOCS, and the boilerplate
+    fraction — the detect half of CCNet line-level dedup. Every input
+    doc gets a row: a doc with zero extractable lines reports
+    (0, 0, 0.0) instead of vanishing (review r10 — the cleaning
+    family must never change corpus membership)."""
+    docs, flagged = _flagged_lines(spark, sf_dir)
+    per = (
         flagged.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_lines"),
             F.sum(F.col("boiler").cast("int")).alias("n_boiler"),
         )
-        .select(
-            "doc_id", "n_lines", "n_boiler",
-            dround(F.col("n_boiler") / F.col("n_lines"), 6)
-            .alias("boiler_frac"),
-        )
+    )
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+        F.when(F.col("n_lines") > 0,
+               dround(F.col("n_boiler") / F.col("n_lines"), 6))
+        .otherwise(F.lit(0.0)).alias("boiler_frac"),
     )
 
 
@@ -245,11 +261,8 @@ def strip_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     reassembled in order. The only collect_list is per-DOC (bounded by
     document length — the strip_dup_spans discipline); the line-key
     side stays aggregate-only."""
-    docs = tables.load(spark, sf_dir, "documents")
-    lines = _lines_exploded(docs)
-    flagged = lines.join(_boiler_lines(lines).select("line", "boiler"),
-                         "line")
-    return (
+    docs, flagged = _flagged_lines(spark, sf_dir)
+    per = (
         flagged.groupBy("doc_id")
         .agg(
             F.array_sort(
@@ -271,6 +284,14 @@ def strip_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_stripped"),
         )
     )
+    # left-join-back: a zero-line doc must survive the strip as
+    # ('', 0, 0), not vanish from the cleaned corpus (review r10)
+    return docs.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("n_stripped", F.lit(0)).alias("n_stripped"),
+    )
 
 
 # ---------------------------------------------------------------- #
@@ -284,9 +305,16 @@ def _probe_features(docs: DataFrame) -> DataFrame:
     the document's 'a'-character count — deliberately NOT a linear
     image of the features (n_chars would be: space-joined tokens make
     n_chars = x2 + x1 - 1 exactly, a vacuous zero-residual fit), so
-    the model has genuine residual structure to report."""
+    the model has genuine residual structure to report.
+
+    spread(): the per-row transform/aggregate/array_distinct work over
+    up-to-1024-token arrays is the map-heavy shape the single-split
+    fixture serializes onto one task — and quality_probe evaluates
+    this relation TWICE (stats collect + scoring plan), so the
+    missing spread cost double (review r10; _lines_exploded and the
+    unigram tokenizer already spread for the same reason)."""
     ts = _toks(F.col("text"))
-    return docs.select(
+    return tables.spread(docs).select(
         "doc_id",
         F.size(ts).alias("x1"),
         F.aggregate(
@@ -381,6 +409,11 @@ def quality_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d("x2") * d("y")).alias("s2y"),
         F.sum(d("x3") * d("y")).alias("s3y"),
     ).collect()[0]  # allow-bounded-collect: 14 scalars (normal equations)
+    if stats_row["n"] == 0:
+        # the sums aggregate to NULL on an empty corpus; int(None)
+        # would raise an opaque TypeError before the documented
+        # singular-system ValueError could fire (review r10)
+        raise ValueError("quality_probe: empty documents table")
     s = {k: int(stats_row[k]) for k in stats_row.asDict()}
     w0, w1, w2, w3 = _probe_weights_from_stats(s)
     # left-to-right double arithmetic; identical literal order in the
@@ -501,7 +534,10 @@ def _canonical_url(url: Column) -> Column:
     path = F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/$", "")
     query = F.regexp_extract(nofrag, r"(\?[^#]*)", 1)
-    query = F.regexp_replace(query, r"utm_[a-z]+=[^&#]*&?", "")
+    # (?i): UTM_Source= survives a case-sensitive pattern while the
+    # canonicalizer case-folds scheme/host — tracking params are
+    # case-insensitive in the wild (review r10)
+    query = F.regexp_replace(query, r"(?i)utm_[a-z]+=[^&#]*&?", "")
     query = F.regexp_replace(query, r"[?&]+$", "")
     return F.concat(scheme, F.lit("://"), host, path, query)
 
@@ -518,7 +554,7 @@ def _canonical_url_sql(url: str) -> str:
                '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/$', '')
         || regexp_replace(regexp_replace(regexp_extract(
                regexp_replace({url}, '#.*$', ''), '(\\?[^#]*)', 1),
-               'utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$', '')
+               '(?i)utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$', '')
     )"""
 
 
@@ -714,27 +750,41 @@ ORACLES = {
         FROM probed GROUP BY doc_id
     """,
     "boilerplate_line_stats": f"""
-        WITH {_LINES_SQL}
-        SELECT doc_id,
-               cast(count(*) AS bigint) AS n_lines,
-               cast(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS bigint)
-                   AS n_boiler,
-               {dround_sql(
-                   'sum(CASE WHEN boiler THEN 1 ELSE 0 END)'
-                   ' * 1.0 / count(*)', 6)} AS boiler_frac
-        FROM flagged GROUP BY doc_id
+        WITH {_LINES_SQL},
+        per AS (
+            SELECT doc_id,
+                   cast(count(*) AS bigint) AS n_lines,
+                   cast(sum(CASE WHEN boiler THEN 1 ELSE 0 END)
+                        AS bigint) AS n_boiler,
+                   {dround_sql(
+                       'sum(CASE WHEN boiler THEN 1 ELSE 0 END)'
+                       ' * 1.0 / count(*)', 6)} AS boiler_frac
+            FROM flagged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.n_lines, 0) AS n_lines,
+               coalesce(per.n_boiler, 0) AS n_boiler,
+               coalesce(per.boiler_frac, 0.0) AS boiler_frac
+        FROM documents d LEFT JOIN per USING (doc_id)
     """,
     "strip_boilerplate_lines": f"""
-        WITH {_LINES_SQL}
-        SELECT doc_id,
-               coalesce(string_agg(line, chr(10) ORDER BY pos)
-                            FILTER (WHERE NOT boiler), '')
-                   AS clean_text,
-               cast(sum(CASE WHEN boiler THEN 0 ELSE 1 END) AS bigint)
-                   AS n_kept,
-               cast(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS bigint)
-                   AS n_stripped
-        FROM flagged GROUP BY doc_id
+        WITH {_LINES_SQL},
+        per AS (
+            SELECT doc_id,
+                   coalesce(string_agg(line, chr(10) ORDER BY pos)
+                                FILTER (WHERE NOT boiler), '')
+                       AS clean_text,
+                   cast(sum(CASE WHEN boiler THEN 0 ELSE 1 END)
+                        AS bigint) AS n_kept,
+                   cast(sum(CASE WHEN boiler THEN 1 ELSE 0 END)
+                        AS bigint) AS n_stripped
+            FROM flagged GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(per.clean_text, '') AS clean_text,
+               coalesce(per.n_kept, 0) AS n_kept,
+               coalesce(per.n_stripped, 0) AS n_stripped
+        FROM documents d LEFT JOIN per USING (doc_id)
     """,
     "unigram_logprob_filter": f"""
         WITH tok AS (

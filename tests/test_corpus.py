@@ -259,3 +259,49 @@ def test_weighted_sample_is_length_biased(spark, sf_dir):
     ).fetchone()[0]
     sample_mean = sum(r["n_chars"] for r in sampled) / len(sampled)
     assert sample_mean > corpus_mean
+
+
+def test_boilerplate_pair_keeps_lineless_docs(spark):
+    """A doc that produces zero lines (no letters, no grafted footer)
+    must still appear in both boilerplate queries — (0, 0, 0.0) in
+    the stats, ('', 0, 0) in the strip. Before the r10 fix the doc
+    vanished from the cleaned corpus entirely."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import corpus
+
+    rows = [(1, "the quick brown fox " * 6),  # normal doc
+            (7, "12345 678 ***")]             # letterless, id%2!=0,%3!=0
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = tables.load
+    try:
+        tables.load = lambda s, d, name: df
+        stats = {r.doc_id: r for r in
+                 corpus.boilerplate_line_stats(spark, "x").collect()}
+        strip = {r.doc_id: r for r in
+                 corpus.strip_boilerplate_lines(spark, "x").collect()}
+    finally:
+        tables.load = orig
+    assert set(stats) == {1, 7} and set(strip) == {1, 7}
+    assert (stats[7].n_lines, stats[7].n_boiler,
+            stats[7].boiler_frac) == (0, 0, 0.0)
+    assert (strip[7].clean_text, strip[7].n_kept,
+            strip[7].n_stripped) == ("", 0, 0)
+
+
+def test_url_canonicalize_strips_mixed_case_utm(spark):
+    """UTM_Source= and utm_source= must canonicalize identically —
+    tracking params are case-insensitive in the wild; a
+    case-sensitive pattern silently failed to collapse the pair
+    (review r10)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark.operators.corpus import _canonical_url
+
+    df = spark.createDataFrame(
+        [(1, "https://x.com/p?UTM_Source=feed&id=1"),
+         (2, "https://x.com/p?utm_source=feed&id=1"),
+         (3, "https://x.com/p?id=1")],
+        "doc_id long, url string")
+    out = [r.c for r in
+           df.select(_canonical_url(F.col("url")).alias("c")).collect()]
+    assert out[0] == out[1] == out[2], out
