@@ -117,7 +117,8 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the bin containing that order statistic, so 0 < est - exact
     <= one bin width always (bin width 64 is a power of two, so the
     floor/edge arithmetic is float-exact). err_ok asserts it per row
-    and tests/test_advanced.py asserts every err_ok is true. (An
+    and tests/test_approx.py::test_hist_quantiles_error_bound
+    asserts every err_ok is true. (An
     INTERPOLATED percentile would not admit this bound: the
     interpolation partner v_(r+1) can sit any number of bins higher
     in sparse data.)"""
@@ -128,8 +129,6 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("bin"))
     sketch = b.groupBy("l_returnflag", "bin").agg(
         F.count("*").alias("cnt"))
-    from pyspark.sql import Window
-
     w = Window.partitionBy("l_returnflag").orderBy("bin")
     cum = (
         sketch.withColumn("cum", F.sum("cnt").over(w))
@@ -146,8 +145,7 @@ def hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("qbin") + 1) * HIST_BIN_W).alias("est_hist"))
     )
     ranked = (
-        tables.load(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_extendedprice")
+        li.select("l_returnflag", "l_extendedprice")
         .withColumn("rn", F.row_number().over(
             Window.partitionBy("l_returnflag")
             .orderBy("l_extendedprice")))
@@ -351,8 +349,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("ts") >= F.col("cohort_week"))
         .select(
             "user_id", "cohort_week",
-            ((F.unix_timestamp(F.date_trunc("week", F.col("ts")))
-              - F.unix_timestamp(F.col("cohort_week"))) / 604800)
+            # integer div, not double-divide-then-cast: Spark's cast
+            # truncates while DuckDB's rounds, which only agreed
+            # because UTC week boundaries differ by exact 604800s
+            # multiples — a DST timezone would give 601200/604800 =
+            # 0.994 -> 0 vs 1 (review r10); floor-div on exact longs
+            # is timezone-robust in both engines
+            F.expr("(unix_timestamp(date_trunc('week', ts))"
+                   " - unix_timestamp(cohort_week)) div 604800")
             .cast("int").alias("week_offset"),
         )
     )
@@ -393,12 +397,17 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bits of two (or more) columns makes ONE sort order serve range
 # predicates on EITHER column, so parquet min/max file stats prune
 # for 2-D predicates where a linear sort only prunes its leading
-# column. 12 bits per dimension covers the fixture domains
-# (o_custkey < 1500, day offset < 2500); at production scale the
-# inputs are first rank-normalized into the bit budget. The bit
-# spread is plain integer arithmetic ((x div 2^b) mod 2) * 4^b —
-# codegen on Spark, identical text in the DuckDB oracle.
-ZORDER_BITS = 12
+# column. 14 bits per dimension covers the fixture domains at EVERY
+# shipped scale (sf0.1: max o_custkey = 14999 needs 14 bits; day
+# offset < 2500) — the old 12 silently aliased custkeys 4096 apart
+# at sf0.1, collapsing custkey-stat pruning in the measured layout
+# (review r10; the differential could never catch it because both
+# engines computed the same truncated key). At production scale the
+# inputs are first rank-normalized into the bit budget
+# (tools/zorder_prune.py's zkey_norm). The bit spread is plain
+# integer arithmetic ((x div 2^b) mod 2) * 4^b — codegen on Spark,
+# identical text in the DuckDB oracle.
+ZORDER_BITS = 14
 
 
 def _zspread_sql(col: str) -> str:
@@ -654,9 +663,9 @@ ORACLES = {
         ),
         act AS (
             SELECT e.user_id, cohort_week,
-                   cast((epoch(date_trunc('week', ts))
-                         - epoch(cohort_week)) / 604800 AS int)
-                       AS week_offset
+                   cast((cast(epoch(date_trunc('week', ts)) AS bigint)
+                         - cast(epoch(cohort_week) AS bigint))
+                        // 604800 AS int) AS week_offset
             FROM events e JOIN first USING (user_id)
             WHERE ts >= cohort_week
         )

@@ -356,3 +356,21 @@ def test_zero_embedding_vector_never_ranks(spark, sf_dir):
         assert all(r.c_id != 999999 for r in multi)
     finally:
         tables.load = orig
+
+
+def test_events_event_id_unique(spark, sf_dir):
+    """asof_join's oracle partitions by event_id (rn=1 per id), while
+    the Spark side emits one row per event ROW — the two agree only
+    under the fixture contract that event_id is globally unique and
+    non-null. Pin the contract so a future fixture/synthesis change
+    fails HERE with a named reason, not as a spurious engine-diff."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    total, distinct, nulls = ev.agg(
+        F.count("*"), F.countDistinct("event_id"),
+        F.sum(F.col("event_id").isNull().cast("int"))).collect()[0]
+    assert nulls == 0
+    assert total == distinct
