@@ -4,6 +4,13 @@ jobs (SURVEY §2.4 D9/D14); here each is one declarative plan.
 
 Date constants are adapted to the fixture's 1995-2001 range. Every
 aggregate follows the functions/num.py determinism discipline.
+
+Broadcast discipline (review r10): explicit F.broadcast hints are
+reserved for region/nation (bounded by geography) and singleton
+aggregates. Relations that GROW with the scale factor — part,
+per-part aggregates — carry no hint: a forced broadcast of a
+200M-row part table at the 100 TB posture would OOM the driver,
+while AQE broadcasts the same relations while they actually fit.
 """
 
 from __future__ import annotations
@@ -15,11 +22,22 @@ from mapreduce_go_spark import tables
 from mapreduce_go_spark.functions.num import dround, dround_sql, dsum, dsum_sql
 
 
+def _dec18(c):
+    """decimal(18,6) image — the exact accumulator type every sum in
+    this module rides (one definition; it was a lambda re-defined in
+    four functions — review r10)."""
+    return c.cast("decimal(18,6)")
+
+
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q4: orders with at least one late line item, counted by
-    priority — existence join (left semi), no payload shuffle."""
+    """Q4-shaped: orders with at least one RETURNED line item, counted
+    by priority — existence join (left semi), no payload shuffle. The
+    spec's lateness predicate (l_commitdate < l_receiptdate) is not
+    expressible on this fixture (no commit/receipt dates), so returned
+    items stand in as the existence condition (review r10: the old
+    docstring said 'late', which the code never tested)."""
     o = tables.load(spark, sf_dir, "orders")
-    late = tables.load(spark, sf_dir, "lineitem").where(
+    returned = tables.load(spark, sf_dir, "lineitem").where(
         F.col("l_returnflag") == "R"
     )
     return (
@@ -27,7 +45,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_orderdate") >= "1996-01-01")
             & (F.col("o_orderdate") < "1997-01-01")
         )
-        .join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .join(returned,
+              F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
@@ -104,23 +123,25 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tables.load(spark, sf_dir, "lineitem")
     p = tables.load(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
     joined = (
         li.where(
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1996-04-01")
         )
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
     )
     agg = joined.agg(
         F.sum(
-            F.when(F.col("p_type").startswith("PROMO"), dec(rev))
+            F.when(F.col("p_type").startswith("PROMO"), _dec18(rev))
             .otherwise(F.lit(0).cast("decimal(18,6)"))
         ).alias("_promo"),
-        F.sum(dec(rev)).alias("_total"),
+        F.sum(_dec18(rev)).alias("_total"),
     )
     return agg.select(
-        F.round(
+        # dround, not raw round: Spark/DuckDB round(double, n) diverge
+        # at decimal midpoints (review r10); the decimal-grid image
+        # rounds identically in both engines
+        dround(
             F.lit(100.0) * F.col("_promo").cast("double")
             / F.col("_total").cast("double"),
             6,
@@ -128,12 +149,10 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q18: customers with any order whose total quantity exceeds a
-    threshold — agg-then-join (the IN-subquery becomes a semi join)."""
-    o = tables.load(spark, sf_dir, "orders")
-    li = tables.load(spark, sf_dir, "lineitem")
-    c = tables.load(spark, sf_dir, "customer")
+def _q18_plan(li, o, c) -> DataFrame:
+    """Shared Q18 body — the plain query and its bucketed twin differ
+    ONLY in table sources (review r10: the 23-line body was pasted in
+    both; a threshold/rounding edit now lands once)."""
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
@@ -151,6 +170,15 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18: customers with any order whose total quantity exceeds a
+    threshold — agg-then-join (the IN-subquery becomes a semi join)."""
+    o = tables.load(spark, sf_dir, "orders")
+    li = tables.load(spark, sf_dir, "lineitem")
+    c = tables.load(spark, sf_dir, "customer")
+    return _q18_plan(li, o, c)
 
 
 def q18_large_orders_bucketed(spark: SparkSession,
@@ -171,23 +199,7 @@ def q18_large_orders_bucketed(spark: SparkSession,
     o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey",
                         ORDERS_BUCKET_COLS)
     c = tables.load(spark, sf_dir, "customer")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("_q"))
-        .where(F.col("_q") > 150)
-        .select("l_orderkey",
-                F.round(F.col("_q"), 2).cast("double").alias("total_qty"))
-    )
-    return (
-        o.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .select(
-            "c_custkey", "c_name", "o_orderkey",
-            F.to_date("o_orderdate").alias("o_date"),
-            dround(F.col("o_totalprice"), 2).alias("total"),
-            "total_qty",
-        )
-    )
+    return _q18_plan(li, o, c)
 
 
 def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +207,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst extracts the common equi-key; the OR bands stay residual."""
     li = tables.load(spark, sf_dir, "lineitem")
     p = tables.load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     bands = (
         ((F.col("p_brand") == "Brand#1") & F.col("l_quantity").between(1, 11))
         | ((F.col("p_brand") == "Brand#2") & F.col("l_quantity").between(10, 20))
@@ -222,7 +234,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(per_part), F.col("l_partkey") == F.col("pk"))
+        li.join(per_part, F.col("l_partkey") == F.col("pk"))
         .where(F.col("l_quantity") < F.col("qty_cut"))
         .agg(
             dsum(F.col("l_extendedprice")).alias("small_qty_revenue"),
@@ -286,7 +298,7 @@ def q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(bad_supp, F.col("l_suppkey") == F.col("bad_key"), "left_anti")
     )
     return (
-        ps.join(F.broadcast(p.where(F.col("p_brand") != "Brand#1")),
+        ps.join(p.where(F.col("p_brand") != "Brand#1"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
@@ -350,9 +362,8 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold (HAVING against a subquery). (The spec's 0.1%-of-total
     cut is below every part's share on the uniform fixture.)"""
     li = tables.load(spark, sf_dir, "lineitem")
-    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(dec(F.col("l_extendedprice"))).alias("val"))
+        F.sum(_dec18(F.col("l_extendedprice"))).alias("val"))
     total = per_part.agg(
         (F.sum("val").cast("double") / F.count("*") * 1.2).alias("cut"))
     return (
@@ -368,12 +379,11 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     a global-max join (ties kept, exactly like the spec's view form)."""
     li = tables.load(spark, sf_dir, "lineitem")
     s = tables.load(spark, sf_dir, "supplier")
-    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
     rev = (
         li.where((F.col("l_shipdate") >= "1996-01-01")
                  & (F.col("l_shipdate") < "1996-07-01"))
         .groupBy("l_suppkey")
-        .agg(F.sum(dec(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .agg(F.sum(_dec18(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
              .alias("total_rev"))
     )
     mx = rev.agg(F.max("total_rev").alias("m"))
@@ -387,13 +397,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Q21-shaped: suppliers involved in multi-supplier 'F' orders
-    where they were the only one with returned items — EXISTS +
-    NOT-EXISTS pair over the same fact table."""
-    li = tables.load(spark, sf_dir, "lineitem")
-    o = tables.load(spark, sf_dir, "orders")
-    s = tables.load(spark, sf_dir, "supplier")
+def _q21_plan(li, o, s) -> DataFrame:
+    """Shared Q21 body — plain and bucketed twins differ only in
+    table sources (review r10)."""
     l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag")
     others = li.select(F.col("l_orderkey").alias("o2"),
                        F.col("l_suppkey").alias("s2"))
@@ -417,6 +423,16 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21-shaped: suppliers involved in multi-supplier 'F' orders
+    where they were the only one with returned items — EXISTS +
+    NOT-EXISTS pair over the same fact table."""
+    li = tables.load(spark, sf_dir, "lineitem")
+    o = tables.load(spark, sf_dir, "orders")
+    s = tables.load(spark, sf_dir, "supplier")
+    return _q21_plan(li, o, s)
 
 
 def q21_waiting_orders_bucketed(spark: SparkSession,
@@ -438,29 +454,7 @@ def q21_waiting_orders_bucketed(spark: SparkSession,
     o = _bucketed_table(spark, sf_dir, "orders", "o_orderkey",
                         ORDERS_BUCKET_COLS)
     s = tables.load(spark, sf_dir, "supplier")
-    l1 = li.select("l_orderkey", "l_suppkey", "l_returnflag")
-    others = li.select(F.col("l_orderkey").alias("o2"),
-                       F.col("l_suppkey").alias("s2"))
-    others_ret = li.where(F.col("l_returnflag") == "R").select(
-        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
-    base = (
-        l1.where(F.col("l_returnflag") == "R")
-        .join(o.where(F.col("o_orderstatus") == "F"),
-              F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(others,
-              (F.col("o2") == F.col("l_orderkey"))
-              & (F.col("s2") != F.col("l_suppkey")),
-              "left_semi")
-        .join(others_ret,
-              (F.col("o3") == F.col("l_orderkey"))
-              & (F.col("s3") != F.col("l_suppkey")),
-              "left_anti")
-    )
-    return (
-        base.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("s_suppkey", "s_name")
-        .agg(F.count("*").alias("numwait"))
-    )
+    return _q21_plan(li, o, s)
 
 
 def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -476,11 +470,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = tables.load(spark, sf_dir, "nation")
     r = tables.load(spark, sf_dir, "region").where(
         F.col("r_name") == "EUROPE")
-    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+    # semi-join the fact against the filtered part set BEFORE the
+    # per-(part, supplier) aggregate: Catalyst cannot push a join
+    # below an aggregate, so the old form min-aggregated ~6x more
+    # groups than survive the part filter (review r10)
+    li_elig = li.join(p.select("p_partkey"),
+                      F.col("l_partkey") == F.col("p_partkey"),
+                      "left_semi")
+    costs = li_elig.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity"))
         .alias("unit_cost"))
     elig = (
-        costs.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        costs.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -537,9 +538,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n_regionkey") == F.col("r_regionkey")).select(
         F.col("n_nationkey").alias("ck"))
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    dec = lambda c_: c_.cast("decimal(18,6)")  # noqa: E731
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"),
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"),
                 "left_semi")
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
@@ -549,10 +549,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            F.round(
-                F.sum(dec(F.when(F.col("supp_nation") == "NATION_3", vol)
+            dround(
+                F.sum(_dec18(F.when(F.col("supp_nation") == "NATION_3", vol)
                           .otherwise(0.0))).cast("double")
-                / F.sum(dec(vol)).cast("double"), 6).alias("mkt_share"))
+                / F.sum(_dec18(vol)).cast("double"), 6).alias("mkt_share"))
     )
 
 
@@ -572,7 +572,7 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * F.col("l_quantity") * 0.6
     )
     return (
-        li.join(F.broadcast(p.select("p_partkey", "p_retailprice")),
+        li.join(p.select("p_partkey", "p_retailprice"),
                 F.col("l_partkey") == F.col("p_partkey"))
         .join(o.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
@@ -722,15 +722,15 @@ ORACLES = {
     """,
     "q8_market_share": """
         SELECT cast(year(o_orderdate) AS int) AS o_year,
-               round(
+               cast(round(cast(
                  cast(sum(CASE WHEN n1.n_name = 'NATION_3'
                                THEN cast(l_extendedprice * (1 - l_discount)
                                          AS decimal(18,6))
                                ELSE cast(0.0 AS decimal(18,6)) END)
                       AS double)
                  / cast(sum(cast(l_extendedprice * (1 - l_discount)
-                                 AS decimal(18,6))) AS double),
-                 6) AS mkt_share
+                                 AS decimal(18,6))) AS double)
+                 AS decimal(18,6)), 6) AS double) AS mkt_share
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -802,22 +802,6 @@ ORACLES = {
     """,
     # the bucketed twins share their plain siblings' oracles verbatim
     # (the layout is physical, not semantic)
-    "q21_waiting_orders_bucketed": """
-        SELECT s_suppkey, s_name, count(*) AS numwait
-        FROM lineitem l1
-        JOIN orders ON l1.l_orderkey = o_orderkey
-        JOIN supplier ON l1.l_suppkey = s_suppkey
-        WHERE l1.l_returnflag = 'R'
-          AND o_orderstatus = 'F'
-          AND EXISTS (SELECT 1 FROM lineitem l2
-                      WHERE l2.l_orderkey = l1.l_orderkey
-                        AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                          WHERE l3.l_orderkey = l1.l_orderkey
-                            AND l3.l_suppkey <> l1.l_suppkey
-                            AND l3.l_returnflag = 'R')
-        GROUP BY s_suppkey, s_name
-    """,
     "q21_waiting_orders": """
         SELECT s_suppkey, s_name, count(*) AS numwait
         FROM lineitem l1
@@ -935,31 +919,18 @@ ORACLES = {
         GROUP BY l_returnflag
     """,
     "q14_promo_effect": """
-        SELECT round(100.0
+        SELECT cast(round(cast(100.0
                  * cast(sum(CASE WHEN p_type LIKE 'PROMO%'
                             THEN cast(l_extendedprice * (1 - l_discount)
                                       AS decimal(18,6))
                             ELSE cast(0 AS decimal(18,6)) END) AS double)
                  / cast(sum(cast(l_extendedprice * (1 - l_discount)
-                                 AS decimal(18,6))) AS double), 6)
+                                 AS decimal(18,6))) AS double)
+                 AS decimal(18,6)), 6) AS double)
                AS promo_pct
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= timestamp '1996-01-01'
           AND l_shipdate < timestamp '1996-04-01'
-    """,
-    "q18_large_orders_bucketed": f"""
-        WITH big AS (
-            SELECT l_orderkey,
-                   sum(cast(l_quantity AS decimal(18,6))) AS q
-            FROM lineitem GROUP BY l_orderkey
-            HAVING sum(cast(l_quantity AS decimal(18,6))) > 150
-        )
-        SELECT c_custkey, c_name, o_orderkey,
-               cast(o_orderdate AS date) AS o_date,
-               {dround_sql('o_totalprice')} AS total,
-               cast(round(q, 2) AS double) AS total_qty
-        FROM orders JOIN big ON o_orderkey = l_orderkey
-        JOIN customer ON o_custkey = c_custkey
     """,
     "q18_large_orders": f"""
         WITH big AS (
@@ -989,3 +960,7 @@ ORACLES = {
 # same oracle text (the q18/q21 twins predate this aliasing style)
 ORACLES["q3_shipping_priority_bucketed"] = ORACLES["q3_shipping_priority"]
 ORACLES["q10_returned_items_bucketed"] = ORACLES["q10_returned_items"]
+# same aliasing for the q18/q21 twins (review r10: they carried
+# verbatim 30-line copies of their plain oracles — a drift channel)
+ORACLES["q18_large_orders_bucketed"] = ORACLES["q18_large_orders"]
+ORACLES["q21_waiting_orders_bucketed"] = ORACLES["q21_waiting_orders"]
