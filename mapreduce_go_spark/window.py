@@ -7,57 +7,57 @@ tests/test_registry.py asserts the window is the policy's
 fixpoint over the CORRECTNESS history up to _WINDOW_AS_OF.
 """
 
-_WINDOW_AS_OF = 9
+_WINDOW_AS_OF = 10
 
 _PRIORITY: list[str] = [
-    "wc",  # PERM greens=9
-    "indexer",  # PERM greens=9
-    "crash_payload",  # PERM greens=9
-    "join_inner_bucketed",  # ANCH greens=8
-    "pretrain_corpus",  # ANCH greens=5
-    "sessionize",  # ANCH greens=7
-    "winnow_overlap_pairs",  # ANCH greens=5
-    "bpe_token_stats",  # HOLD greens=1
-    "multimodal_pack",  # HOLD greens=1
-    "bmp_resize",  # HOLD greens=1
-    "sliding_window",  # HOLD greens=1
-    "dedup_first_event",  # HOLD greens=1
-    "symspell_typo_pairs",  # HOLD greens=1
-    "typo_corrections",  # HOLD greens=1
-    "q18_large_orders_bucketed",  # HOLD greens=1
-    "q21_waiting_orders_bucketed",  # HOLD greens=1
-    "bloom_decontaminate",  # HOLD greens=1
-    "boilerplate_line_stats",  # HOLD greens=1
-    "strip_boilerplate_lines",  # HOLD greens=1
-    "quality_probe",  # HOLD greens=1
-    "url_canonicalize",  # HOLD greens=1
-    "url_dedup",  # HOLD greens=1
-    "unigram_logprob_filter",  # HOLD greens=1
-    "triangle_counts",  # HOLD greens=1
-    "graph_degree_stats",  # HOLD greens=1
-    "q3_shipping_priority_bucketed",  # HOLD greens=1
-    "q10_returned_items_bucketed",  # HOLD greens=1
-    "hll_distinct_by_source",  # HOLD greens=1
-    "window_navigation",  # HOLD greens=1
-    "cms_heavy_hitters",  # HOLD greens=1
-    "weighted_sample_per_source",  # HOLD greens=1
-    "variant_extract",  # HOLD greens=1
-    "warc_source_extract",  # FILL greens=0
-    "arrow_text_stats",  # FILL greens=0
-    "warc_sink_roundtrip",  # FILL greens=0
-    "partition_pruned_daily",  # FILL greens=0
-    "dpp_enriched_revenue",  # FILL greens=0
-    "zscore_arrow",  # FILL greens=0
-    "scd2_user_dim",  # FILL greens=0
-    "merge_upsert_customers",  # FILL greens=0
-    "jsonl_roundtrip",  # FILL greens=0
-    "contrastive_pairs",  # FILL greens=0
-    "skew_join_stats",  # FILL greens=0
-    "grouped_agg_mad",  # FILL greens=0
-    "orc_roundtrip",  # FILL greens=0
-    "observed_pipeline_filter",  # FILL greens=0
-    "recursive_ancestor_depth",  # FILL greens=0
-    "csv_roundtrip",  # FILL greens=0
-    "purchase_click_attribution",  # FILL greens=0
-    "ann_ivf_nprobe_topk",  # FILL greens=0
+    "wc",  # PERM greens=10
+    "indexer",  # PERM greens=10
+    "crash_payload",  # PERM greens=10
+    "join_inner_bucketed",  # ANCH greens=9
+    "pretrain_corpus",  # ANCH greens=6
+    "sessionize",  # ANCH greens=8
+    "winnow_overlap_pairs",  # ANCH greens=6
+    "warc_source_extract",  # HOLD greens=1
+    "arrow_text_stats",  # HOLD greens=1
+    "warc_sink_roundtrip",  # HOLD greens=1
+    "partition_pruned_daily",  # HOLD greens=1
+    "dpp_enriched_revenue",  # HOLD greens=1
+    "zscore_arrow",  # HOLD greens=1
+    "scd2_user_dim",  # HOLD greens=1
+    "merge_upsert_customers",  # HOLD greens=1
+    "jsonl_roundtrip",  # HOLD greens=1
+    "contrastive_pairs",  # HOLD greens=1
+    "skew_join_stats",  # HOLD greens=1
+    "grouped_agg_mad",  # HOLD greens=1
+    "orc_roundtrip",  # HOLD greens=1
+    "observed_pipeline_filter",  # HOLD greens=1
+    "recursive_ancestor_depth",  # HOLD greens=1
+    "csv_roundtrip",  # HOLD greens=1
+    "purchase_click_attribution",  # HOLD greens=1
+    "ann_ivf_nprobe_topk",  # HOLD greens=1
+    "token_chunks_overlap",  # FILL greens=0
+    "domain_mix_temperature",  # FILL greens=0
+    "purchase_click_attribution_outer",  # FILL greens=0
+    "ann_lsh_multiprobe_topk",  # FILL greens=0
+    "q4_order_priority",  # FILL greens=2
+    "q6_forecast_revenue",  # FILL greens=2
+    "q7_volume_shipping",  # FILL greens=2
+    "q9_product_type_profit",  # FILL greens=2
+    "q10_returned_items",  # FILL greens=2
+    "q11_important_stock",  # FILL greens=2
+    "q12_shipmode_priority",  # FILL greens=2
+    "q13_order_count_distribution",  # FILL greens=2
+    "q14_promo_effect",  # FILL greens=2
+    "q15_top_supplier",  # FILL greens=2
+    "q16_part_supplier_counts",  # FILL greens=2
+    "q17_small_quantity",  # FILL greens=2
+    "q18_large_orders",  # FILL greens=2
+    "q19_discounted_revenue",  # FILL greens=2
+    "q20_top_suppliers",  # FILL greens=2
+    "q21_waiting_orders",  # FILL greens=2
+    "q22_global_sales_opportunity",  # FILL greens=2
+    "ann_ivf_topk",  # FILL greens=2
+    "audio_resample",  # FILL greens=2
+    "jpeg_resize",  # FILL greens=2
+    "dup_span_stats",  # FILL greens=2
 ]

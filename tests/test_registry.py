@@ -71,31 +71,29 @@ def test_driver_window_is_curated():
     assert names[:50] == registry._PRIORITY
     missing = [n for n in names[:50] if n not in _ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
-    # r10 rotation (tools/rotation.py policy): the r8 first greens
-    # (phash trio, sketch twins, kmeans/zscore/salted, sampling/dq,
-    # minhash/simhash/cdc/winnow_fingerprints) confirmed their second
-    # green in r9 and released their seats; the full never-verified
-    # backlog seats (warc source/sink, pruning pair, warehouse pair,
-    # roundtrips, skew/UDAF/observe/recursive) + the two r10
-    # registrations (purchase_click_attribution, ann_ivf_nprobe_topk
-    # — never-verified names outrank the q4/q6 greens-refill in the
-    # FILL pool).
-    # Families stay represented by the prefixes below (TPC-H by the
-    # bucketed twins + q4/q6, near-dup by winnow/bloom/url_dedup,
-    # sketches by hll/cms, corpus hygiene by boilerplate/unigram/
-    # quality, graph by triangle/degree, streaming by sessionize +
-    # sliding_window + dedup_first_event, vectorized-Python by
-    # zscore_arrow/arrow_text_stats/grouped_agg_mad, sources by
-    # warc/jsonl/orc/csv, warehouse by scd2/merge).
-    families = ("wc", "indexer", "crash_", "q3_",
-                "q10_", "q18_", "q21_",
-                "purchase_", "ann_",
+    # r11 rotation (tools/rotation.py policy): the r9 first greens
+    # (bpe/multimodal/bmp/sliding/dedup_first/symspell/typo, the
+    # bucketed TPC-H twins, bloom/boilerplate/strip/quality/url pair/
+    # unigram, triangle/degree, hll/cms/window/weighted/variant)
+    # confirmed their second green in r10 and released 25 seats; the
+    # 4 late-r10 registrations seat (token_chunks_overlap,
+    # domain_mix_temperature, purchase_click_attribution_outer,
+    # ann_lsh_multiprobe_topk — never-verified names outrank the
+    # greens-refill) and the twice-green plain TPC-H pool refills.
+    # Families stay represented by the prefixes below (TPC-H by
+    # q4-q22, near-dup by winnow/dup_span, ANN by the ivf/lsh trio,
+    # streaming by sessionize + the purchase_ attribution pair,
+    # LLM-pipeline by token_/domain_/contrastive_/pretrain_, media
+    # by audio_/jpeg_, vectorized-Python by zscore_arrow/
+    # arrow_text_stats/grouped_agg_mad, sources by warc/jsonl/orc/
+    # csv, warehouse by scd2/merge, pruning by partition_/dpp_).
+    families = ("wc", "indexer", "crash_",
+                "q4_", "q6_", "q7_", "q9_", "q10_", "q11_", "q12_",
+                "q13_", "q14_", "q15_", "q16_", "q17_", "q18_",
+                "q19_", "q20_", "q21_", "q22_",
                 "join_inner_bucketed", "winnow_", "sessionize",
-                "pretrain_", "bloom_", "url_", "boilerplate_",
-                "strip_", "quality_", "unigram_", "triangle_",
-                "graph_", "hll_", "cms_", "window_", "weighted_",
-                "variant_", "symspell_", "typo_", "bpe_",
-                "multimodal_", "bmp_", "sliding_", "dedup_first_",
+                "pretrain_", "purchase_", "ann_", "token_",
+                "domain_", "audio_", "jpeg_", "dup_span_",
                 "warc_", "arrow_", "partition_", "dpp_", "zscore_",
                 "scd2_", "merge_", "jsonl_", "orc_", "csv_",
                 "contrastive_", "skew_", "grouped_agg_",
