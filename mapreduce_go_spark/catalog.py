@@ -45,10 +45,15 @@ def register_udfs(spark: SparkSession) -> list[str]:
         CREATE OR REPLACE TEMPORARY FUNCTION mrgs_token_count(t STRING)
         RETURNS INT RETURN size(mrgs_tokens(t))
     """)
-    spark.sql(r"""
+    # Same explicit whitespace class as functions.text.fingerprint
+    # (FP_WS) — bare \s+ would make the SQL twin diverge on \x0B.
+    from mapreduce_go_spark.functions.text import FP_WS
+
+    spark.sql(f"""
         CREATE OR REPLACE TEMPORARY FUNCTION mrgs_fingerprint(t STRING)
         RETURNS STRING
-        RETURN md5(lower(regexp_replace(trim(t), '\\s+', ' ')))
+        RETURN md5(lower(regexp_replace(trim(t),
+            '{FP_WS.replace(chr(92), chr(92) * 2)}', ' ')))
     """)
     from mapreduce_go_spark.operators.quality import (EMAIL_RE, IPV4_RE,
                                                       PHONE_RE)

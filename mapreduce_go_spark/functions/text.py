@@ -58,9 +58,11 @@ def token_count(text) -> Column:
 # both engines: Java regex \s includes vertical tab \x0B, RE2
 # (DuckDB) \s does not — a doc containing 0x0B would fingerprint
 # differently per engine under bare \s+ (review r10). Oracles must
-# use FP_WS_SQL verbatim.
-FP_WS = r"[ \t\n\x0B\f\r]+"
-FP_WS_SQL = r"[ \t\n\x0B\f\r]+"
+# use FP_WS_SQL verbatim. FP_WS_CHARS is the bare class body for
+# regexes that embed whitespace inside a larger pattern (BPE_RE).
+FP_WS_CHARS = r" \t\n\x0B\f\r"
+FP_WS = rf"[{FP_WS_CHARS}]+"
+FP_WS_SQL = FP_WS
 
 
 def fingerprint(text) -> Column:

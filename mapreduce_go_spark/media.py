@@ -112,11 +112,19 @@ _CLEANUP_REGISTERED: set[str] = set()
 # SAME session requesting the same kind before first materialization
 # would both miss _SUCCESS and overwrite each other mid-commit (png
 # has two consumer operators — review r10). Cross-SESSION safety is
-# already structural (the path embeds applicationId); this lock
-# closes the intra-process window.
+# already structural (the path embeds applicationId). Locks are keyed
+# per materialization PATH so only same-(kind, sf_dir) requests
+# serialize — a single global lock made a png encode block an
+# unrelated wav encode for the full mapInPandas run (ADVICE r10).
 import threading as _threading  # noqa: E402
 
-_MEDIA_LOCK = _threading.Lock()
+_MEDIA_LOCKS_GUARD = _threading.Lock()
+_MEDIA_LOCKS: dict[str, _threading.Lock] = {}
+
+
+def _media_lock(path: str) -> _threading.Lock:
+    with _MEDIA_LOCKS_GUARD:
+        return _MEDIA_LOCKS.setdefault(path, _threading.Lock())
 
 
 def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
@@ -137,7 +145,7 @@ def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     base = os.path.join(_workspace_dir(),
                         spark.sparkContext.applicationId)
     path = os.path.join(base, f"media_{kind}_{tag}")
-    with _MEDIA_LOCK:
+    with _media_lock(path):
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
             if base not in _CLEANUP_REGISTERED:
                 _CLEANUP_REGISTERED.add(base)

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
-from mapreduce_go_spark.functions.text import NON_LETTER_RE, token_count
+from mapreduce_go_spark.functions.text import (
+    FP_WS, FP_WS_SQL, NON_LETTER_RE, token_count)
 
 SAMPLE_PCT = 20
 TRAIN_PCT = 90
@@ -79,7 +80,10 @@ def token_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     for downstream featurization. Cross-engine exact: token arrays
     and slices are identical in both engines; counts cast to long."""
     docs = tables.load(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    # FP_WS, not \s+: Java \s includes \x0B, RE2's (DuckDB) does not —
+    # a vertical tab would chunk differently per engine (same class of
+    # divergence functions/text.py documents for fingerprints).
+    toks = F.filter(F.split(F.col("text"), FP_WS), lambda x: x != "")
     t = docs.select("doc_id", toks.alias("toks")).where(
         F.size("toks") > 0)
     e = t.select(
@@ -713,7 +717,8 @@ ORACLES = {
     "token_chunks_overlap": f"""
         WITH t AS (
             SELECT doc_id,
-                   list_filter(regexp_split_to_array(text, '\\s+'),
+                   list_filter(regexp_split_to_array(text,
+                                                     '{FP_WS_SQL}'),
                                x -> x <> '') AS toks
             FROM documents
         ),

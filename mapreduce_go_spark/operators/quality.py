@@ -741,36 +741,73 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def hll_token_registers(docs: DataFrame,
-                        group_cols: tuple[str, ...] = ()) -> DataFrame:
-    """Sparse HLL register maxima (*group_cols, bucket, r) for a
-    documents slice — the mergeable partial: register-wise max over
-    any union of slices equals the registers of the union (HLL's
-    defining property), so the streaming twin's epoch merge, the
-    corpus-wide batch query and the per-source grouped variant all
-    share this exact computation (review r10: the hash/rank block was
-    duplicated in hll_distinct_by_source). Only occupied buckets are
-    emitted; consumers left-join against range(HLL_M) and zero-fill.
-
-    The register word w = h >> HLL_P is a SHIFT, not (h / m) cast
-    through double: exact at any hash width (the double path was only
-    exact by the accident of the 48-bit prefix staying under 2^53 —
-    review r10), and exactly the oracle's integer h // m."""
-    tok = (
+def hll_tokens(docs: DataFrame,
+               group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The exploded (*group_cols, tok) token stream HLL consumes —
+    one copy so a query needing BOTH the registers and an exact
+    count derives them from the same relation instead of exploding
+    the corpus twice (ADVICE r10: hll_distinct_by_source scanned and
+    exploded documents twice per run)."""
+    return (
         docs.select(
             *group_cols,
             F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
+
+
+def _hll_bucket_rho(tok: DataFrame,
+                    group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(*group_cols, bucket, rho) for a token relation — the per-token
+    hash/rank block, one copy for the streaming partial and both batch
+    queries.
+
+    The register word w = h >> HLL_P is a SHIFT, not (h / m) cast
+    through double: exact at any hash width (the double path was only
+    exact by the accident of the 48-bit prefix staying under 2^53 —
+    review r10), and exactly the oracle's integer h // m."""
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 12), 16, 10) \
         .cast("long")
     w = F.shiftright(h, HLL_P)
     rho = F.when(w == 0, F.lit(HLL_WBITS + 1)).otherwise(
         F.bit_count((w.bitwiseAND(-w)) - 1) + 1)
+    return tok.select(*group_cols, (h % HLL_M).alias("bucket"),
+                      rho.alias("rho"))
+
+
+def hll_token_registers(docs: DataFrame,
+                        group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Sparse HLL register maxima (*group_cols, bucket, r) for a
+    documents slice — the mergeable partial: register-wise max over
+    any union of slices equals the registers of the union (HLL's
+    defining property), so the streaming twin's epoch merge and both
+    batch queries share this exact computation (review r10: the
+    hash/rank block was duplicated in hll_distinct_by_source). Only
+    occupied buckets are emitted; consumers left-join against
+    range(HLL_M) and zero-fill."""
     return (
-        tok.select(*group_cols, (h % HLL_M).alias("bucket"),
-                   rho.alias("rho"))
+        _hll_bucket_rho(hll_tokens(docs, group_cols), group_cols)
         .groupBy(*group_cols, "bucket").agg(F.max("rho").alias("r"))
+    )
+
+
+def _hll_registers_with_exact(docs: DataFrame,
+                              group_cols: tuple[str, ...] = ()
+                              ) -> DataFrame:
+    """(*group_cols, bucket, r, cnt): register maxima PLUS the number
+    of distinct tokens hashing to each bucket, from ONE pass — dedup
+    the token stream once, then aggregate max(rho) and count together.
+    sum(cnt) over a group's buckets is its exact distinct count, so
+    the batch queries get n_exact without a second scan+explode of
+    the corpus (ADVICE r10). The count aggregate is duplicate-
+    sensitive, which also keeps Catalyst's RemoveRedundantAggregates
+    from stripping the dedup (a shared-lineage `tok` alone still
+    planned two scans — verified on the physical plan)."""
+    dtok = hll_tokens(docs, group_cols).distinct()
+    return (
+        _hll_bucket_rho(dtok, group_cols)
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("r"), F.count(F.lit(1)).alias("cnt"))
     )
 
 
@@ -793,12 +830,15 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality sibling of cms_token_counts' frequency sketch, and
     the oracle-checkable twin of the engine-specific approx_distinct).
 
-    The DISTRIBUTED shape is the point: each task computes local
-    per-register maxima map-side (partial max — duplicates never
-    survive a partition), the single groupBy(bucket) shuffle IS the
-    sketch merge (register-wise max, HLL's defining property), and
-    the merged sketch is HLL_M rows regardless of corpus size — no
-    distinct, no shuffle of the token stream.
+    The DISTRIBUTED shape: one scan+explode of the corpus, one
+    token-level dedup shuffle shared by the sketch AND the exact
+    twin (registers ride a per-bucket count whose sum is n_exact —
+    _hll_registers_with_exact), then the groupBy(bucket) merge whose
+    state is HLL_M rows regardless of corpus size. In a production
+    deployment without the exact-twin verdict column the dedup
+    disappears too (hll_token_registers) and the token stream is
+    never shuffled at all — duplicates can't survive the map-side
+    partial max.
 
     Everything engine-visible is exact: the hash is the md5 hex-fold
     (the CMS discipline), rho comes from the all-integer identity
@@ -811,19 +851,15 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (register-level cross-engine parity), the raw and corrected
     estimates, the exact distinct count, and the error-bound verdict."""
     docs = tables.load(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
-        .where(F.col("tok") != "")
-    )
-    regs = hll_token_registers(docs)
+    regs = _hll_registers_with_exact(docs)
     full = (
         spark.range(HLL_M).select(F.col("id").alias("bucket"))
-        .join(regs, "bucket", "left").fillna(0, subset=["r"])
+        .join(regs, "bucket", "left")
+        .fillna(0, subset=["r", "cnt"])
     )
-    # exact twin as a 1-row relation crossed in — no driver action,
-    # the whole query stays one lazy plan
-    ex = tok.agg(F.countDistinct("tok").alias("n_exact"))
+    # n_exact rides the same aggregate: every distinct token lands in
+    # exactly one bucket, so sum(cnt) over the 64 rows is the exact
+    # distinct count — no second corpus pass (ADVICE r10)
     summary = full.agg(
         F.array_join(
             F.transform(
@@ -832,7 +868,8 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",").alias("registers"),
         F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"),
         F.sum((F.col("r") == 0).cast("int")).alias("v_zero"),
-    ).crossJoin(F.broadcast(ex))
+        F.sum("cnt").alias("n_exact"),
+    )
     est_raw, est = _hll_estimates(F.col("z"), F.col("v_zero"))
     return summary.select(
         "registers", "v_zero",
@@ -918,34 +955,31 @@ def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     |sources| x HLL_M rows regardless of corpus size, and the exact
     per-source distinct rides along for the error-bound verdict."""
     docs = tables.load(spark, sf_dir, "documents")
-    tok = (
-        docs.select(
-            "source",
-            F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
-        .where(F.col("tok") != "")
-    )
-    regs = hll_token_registers(docs, ("source",))
+    # Registers + per-bucket distinct counts from ONE (source, tok)
+    # dedup pass — n_exact is sum(cnt) per source, so the corpus is
+    # scanned and exploded once (ADVICE r10). The dense source list
+    # is a second scan but column-pruned to `source` only.
+    regs = _hll_registers_with_exact(docs, ("source",))
     dense = (
         docs.select("source").distinct()
         .crossJoin(F.broadcast(
             spark.range(HLL_M).select(F.col("id").alias("bucket"))))
         .join(regs, ["source", "bucket"], "left")
-        .fillna(0, subset=["r"])
+        .fillna(0, subset=["r", "cnt"])
     )
-    ex = tok.groupBy("source").agg(
-        F.countDistinct("tok").alias("n_exact"))
-    summary = (
-        dense.groupBy("source").agg(
-            F.array_join(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("bucket", "r"))),
-                    lambda s: s["r"].cast("string")),
-                ",").alias("registers"),
-            F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"),
-            F.sum((F.col("r") == 0).cast("int")).alias("v_zero"),
-        )
-        .join(F.broadcast(ex), "source")
-    )
+    summary = dense.groupBy("source").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("bucket", "r"))),
+                lambda s: s["r"].cast("string")),
+            ",").alias("registers"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"),
+        F.sum((F.col("r") == 0).cast("int")).alias("v_zero"),
+        F.sum("cnt").alias("n_exact"),
+    # a source whose docs have no letter tokens had no exact-twin row
+    # under the old two-pass form and was inner-joined away — keep
+    # that membership rule (and its 0/0 guard) explicit
+    ).where(F.col("n_exact") > 0)
     est_raw, est = _hll_estimates(F.col("z"), F.col("v_zero"))
     return summary.select(
         "source", "registers", "v_zero",

@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
 from mapreduce_go_spark.functions.num import dround, dround_sql
-from mapreduce_go_spark.functions.text import FP_WS_SQL, NON_LETTER_RE, fingerprint
+from mapreduce_go_spark.functions.text import (
+    FP_WS, FP_WS_CHARS, FP_WS_SQL, NON_LETTER_RE, fingerprint)
 
 STOPWORDS = ("the", "a", "of", "and", "in", "to", "is")
 
@@ -68,8 +69,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and RE2 engines agree): contractions, optionally-space-prefixed
 # letter runs / digit runs / punctuation runs, whitespace runs. Both
 # engines use leftmost-first alternation, so matches are identical.
-BPE_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
-          r"| ?[^a-zA-Z0-9\s]+|\s+")
+# Whitespace is the explicit FP_WS_CHARS class, not \s — Java \s
+# includes \x0B, RE2's does not, so a vertical tab would land in the
+# punctuation run on DuckDB but the whitespace run on Spark.
+BPE_RE = (rf"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+          rf"| ?[^a-zA-Z0-9{FP_WS_CHARS}]+|[{FP_WS_CHARS}]+")
 
 
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,11 +82,11 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard "tokens per word" fertility proxy. One narrow projection,
     no shuffle, no UDF."""
     docs = tables.load(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
+    ws = F.filter(F.split(F.col("text"), FP_WS), lambda w: w != F.lit(""))
     bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))
     # whitespace runs are themselves matches of the last alternative;
     # exclude them from the BPE token count.
-    bpe_toks = F.filter(bpe, lambda t: ~t.rlike(r"^\s+$"))
+    bpe_toks = F.filter(bpe, lambda t: ~t.rlike(f"^{FP_WS}$"))
     return docs.select(
         "doc_id",
         F.size(ws).alias("n_ws_tokens"),
@@ -399,11 +403,13 @@ ORACLES = {
     "bpe_token_stats": f"""
         WITH t AS (
             SELECT doc_id,
-                   len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   len(list_filter(regexp_split_to_array(text,
+                                                         '{FP_WS_SQL}'),
                                    x -> x <> '')) AS n_ws_tokens,
                    len(list_filter(
                        regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'),
-                       x -> NOT regexp_matches(x, '^\\s+$'))) AS n_bpe_tokens
+                       x -> NOT regexp_matches(x, '^{FP_WS_SQL}$')))
+                       AS n_bpe_tokens
             FROM documents
         )
         SELECT doc_id, n_ws_tokens, n_bpe_tokens,

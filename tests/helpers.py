@@ -41,7 +41,10 @@ def canonical_rows(cols: list[str], rows) -> tuple[list[str], list[tuple]]:
     return [cols[i] for i in order], out
 
 
-def compare(spark_df, duck_rel, name: str) -> None:
+def compare(spark_df, duck_rel, name: str) -> int:
+    """Assert spark_df matches the DuckDB relation under the
+    driver's canonical compare; returns the row count so callers
+    that report it don't execute the plan a second time."""
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols = [d[0] for d in duck_rel.description]
@@ -62,3 +65,4 @@ def compare(spark_df, duck_rel, name: str) -> None:
         raise AssertionError(
             f"{name}: value mismatch; spark-only={diff_s} duck-only={diff_d}"
         )
+    return len(s_rows)

@@ -561,3 +561,43 @@ def test_fingerprint_vertical_tab_cross_engine(spark, duck):
         [t]).fetchone()[0] for t in texts]
     assert spark_fps == duck_fps
     assert len(set(spark_fps)) == 1  # all normalize to 'a b'
+
+
+def test_tokenizers_vertical_tab_cross_engine(spark, tmp_path):
+    """token_chunks_overlap and bpe_token_stats must tokenize a doc
+    containing \\x0B identically in Spark and DuckDB. Java \\s
+    includes vertical tab; RE2's does not — under bare \\s+ the Spark
+    side treats 0x0B as a token boundary while the DuckDB oracle
+    keeps it inside a punctuation run (ADVICE r10, medium). The
+    explicit FP_WS class pins both engines."""
+    import duckdb
+
+    from mapreduce_go_spark.operators import pipeline, textstats
+
+    docs = [(1, "alpha\x0bbeta gamma", "en", "s1"),
+            (2, "alpha beta gamma", "en", "s1"),
+            (3, "num 12\x0b34 end!", "en", "s2")]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf}/documents.parquet/*.parquet'")
+    for name, fn, oracles in (
+            ("token_chunks_overlap", pipeline.token_chunks_overlap,
+             pipeline.ORACLES),
+            ("bpe_token_stats", textstats.bpe_token_stats,
+             textstats.ORACLES)):
+        s = sorted(map(tuple, fn(spark, sf).collect()))
+        d = sorted(map(tuple, con.execute(oracles[name]).fetchall()))
+        assert s == d, name
+    # the vertical tab IS a boundary on both engines now: doc 1
+    # chunks to the same 3 tokens as doc 2
+    out = {r.doc_id: r.n_tokens
+           for r in pipeline.token_chunks_overlap(spark, sf).collect()}
+    assert out[1] == out[2] == 3
+    con.close()

@@ -72,9 +72,10 @@ def main() -> int:
             else:
                 # the suite's own comparator (schema + count + name-
                 # sorted canonical values) so this tool can never
-                # diverge from tests/test_queries.py's verdicts
-                n = sdf.count()
-                compare(sdf, con.execute(oracles[name]), name)
+                # diverge from tests/test_queries.py's verdicts; its
+                # collect is the single execution — a separate
+                # .count() would run every plan twice (ADVICE r10)
+                n = compare(sdf, con.execute(oracles[name]), name)
                 status = f"match ({n} rows)"
         except Exception as ex:
             status = f"FAIL: {type(ex).__name__}: {ex}"
