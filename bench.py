@@ -16,6 +16,18 @@ startup isn't attributed to the first query. Full suite is min-of-2
 queries' absolute times, so the third repeat bought noise, not
 signal); dedicated SPARK_GRAFT_BENCH_ONLY runs (the frozen subset and
 targeted re-measures) stay min-of-3.
+
+CROSS-ROUND CONTRACT (pinned r11, VERDICT r10 item 6): the FROZEN
+subset (FROZEN_QUERIES below — fixed membership, dedicated min-of-3
+session, nothing else on the host) is the ONLY number comparable
+across rounds. The full-suite total is a TRIPWIRE, not a trend: its
+membership grows every round (r9 107 -> r10 115 queries), min-of-2
+vs min-of-3 methodology differs, and same-process neighbors perturb
+short queries by up to ~50% (SCALE.md host-variance notes) — so a
+full-suite delta between rounds measures suite growth + host state,
+not regressions. Do not chase it; compare frozen-vs-frozen (history:
+r5 27.07 s, r9 29.49/31.66 s, r10 30.88 s — and the r11 reading
+recorded in SCALE.md under "frozen subset").
 """
 
 from __future__ import annotations
