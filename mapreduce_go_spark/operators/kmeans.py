@@ -36,14 +36,17 @@ ITERATIONS = 3
 _SCALE = 1e12  # |x*1e12| and |(x-c)^2*1e12| stay far under 2^51 here
 
 
-def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Add a `cluster` column: index of the nearest centroid by the
-    GRID distance sum(round((x-c)^2 * 1e12)) — an int64, so the argmin
-    is exact and engine-portable (ties -> lowest index via the struct
-    order of array_min). Centroids are inlined literals — the
-    broadcast analog for a k x dim constant. Built as ONE selectExpr
-    string: a py4j round-trip per operator node would cost seconds at
-    k*dim nodes (the simhash lesson, .claude/skills/verify)."""
+def _dist_array_sql(centroids: list[list[float]]) -> str:
+    """SQL string for array(struct(d, i), ...): the GRID distance
+    sum(round((x-c)^2 * 1e12)) of `embedding` to every centroid — an
+    int64 per centroid, so any min/rank over it is exact and
+    engine-portable (struct order breaks ties by centroid index).
+    Centroids are inlined literals (repr round-trips float64 exactly)
+    — the broadcast analog for a k x dim constant. ONE string: a py4j
+    round-trip per operator node would cost seconds at k*dim nodes
+    (the simhash lesson, .claude/skills/verify). Shared by the
+    assignment argmin here and the trained-IVF probe ranking
+    (similarity.ann_ivf_trained_topk)."""
     dist_structs = []
     for ci, c in enumerate(centroids):
         arr = "array(" + ",".join(
@@ -55,7 +58,13 @@ def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
             f"cast(0 as bigint), (acc, v) -> acc + v)"
         )
         dist_structs.append(f"struct({d} as d, {ci} as i)")
-    best = f"array_min(array({', '.join(dist_structs)})).i"
+    return f"array({', '.join(dist_structs)})"
+
+
+def _assign(emb: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Add a `cluster` column: index of the nearest centroid (exact
+    int64 grid argmin, ties -> lowest index via struct order)."""
+    best = f"array_min({_dist_array_sql(centroids)}).i"
     return emb.selectExpr("*", f"{best} as cluster")
 
 
@@ -73,10 +82,16 @@ def _update(centroids: list[list[float]], sums_rows: dict,
     ]
 
 
-def kmeans_fit(spark: SparkSession, sf_dir: str,
-               k: int = K, iterations: int = ITERATIONS) -> DataFrame:
-    """Run fixed-iteration Lloyd's; returns (cluster, size,
-    centroid_norm) — norm rounded to 6dp for stable comparison."""
+def kmeans_centroids(spark: SparkSession, sf_dir: str,
+                     k: int = K,
+                     iterations: int = ITERATIONS) -> list[list[float]]:
+    """Train fixed-iteration Lloyd's over the embeddings table and
+    return the k final centroids as plain float64 lists — the
+    codebook consumers inline as literals (kmeans_fit's sizes query,
+    similarity.ann_ivf_trained_topk's coarse quantizer). Bit-identical
+    to _kmeans_twin's NumPy centroids by the grid discipline, so a
+    LAZY oracle can embed the twin's centroids and reproduce any
+    downstream computation exactly."""
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
     init = emb.orderBy("vec_id").limit(k).collect()
@@ -97,7 +112,16 @@ def kmeans_fit(spark: SparkSession, sf_dir: str,
         rows = {r["cluster"]: r for r in sums.collect()}
         # ^ k rows of longs — the bounded per-iteration driver traffic
         centroids = _update(centroids, rows, k, dim)
+    return centroids
 
+
+def kmeans_fit(spark: SparkSession, sf_dir: str,
+               k: int = K, iterations: int = ITERATIONS) -> DataFrame:
+    """Run fixed-iteration Lloyd's; returns (cluster, size,
+    centroid_norm) — norm rounded to 6dp for stable comparison."""
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    centroids = kmeans_centroids(spark, sf_dir, k, iterations)
     final = _assign(emb, centroids)
     norms = [
         (ci, round(float(sum(v * v for v in c) ** 0.5), 6))

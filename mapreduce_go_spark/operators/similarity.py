@@ -257,6 +257,80 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
+IVF_TRAINED_K = 8        # trained coarse-quantizer codebook size
+IVF_TRAINED_NPROBE = 2   # cells probed -> 2/8 of the table scanned
+
+
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a TRAINED coarse quantizer — the production form of
+    the family (VERDICT r10 item 2): ann_ivf_topk / ann_ivf_nprobe
+    take their cells from the fixture `label` column; here the cells
+    come from k-means centroids trained on the embeddings themselves
+    (kmeans.kmeans_centroids — Lloyd's on the exact 1e-12 integer
+    grid), which is what FAISS-style IVF actually deploys.
+
+    Pipeline: (1) train k=IVF_TRAINED_K centroids (driver loop,
+    O(k*dim) traffic per iteration); (2) assign every vector to its
+    nearest centroid by exact int64 grid distance (kmeans._assign —
+    ties to the lowest index); (3) per query, rank the k centroids by
+    the SAME grid distance and probe the IVF_TRAINED_NPROBE nearest
+    (array_sort over (d, i) structs — all-integer, so the probe list
+    is bit-identical cross-engine); (4) exact grid-cosine top-k among
+    candidates in the probed cells.
+
+    Exactness: centroids are bit-identical to the NumPy twin
+    (_kmeans_twin) by the kmeans grid discipline, so the LAZY oracle
+    embeds the twin's centroids as literals and re-derives assignment,
+    probe ranking and cosine in SQL — a full value-level differential
+    despite the data-derived codebook (the kmeans/PQ LAZY_ORACLE
+    pattern, registry.all_oracles).
+
+    100 TB shape: training cost is ITERATIONS small jobs (the
+    synchronous-Lloyd's floor; at real scale train on a sample); the
+    codebook is k*dim literals (KBs — the broadcast analog);
+    assignment is one narrow map pass; the probe list is
+    N_QUERIES*nprobe rows broadcast; the candidate scan joins on the
+    cell id — at scale the table is partitioned by cell, making each
+    probe a partition-pruned co-located scan. No all-pairs stage, no
+    driver-side data paths beyond the k-row training sums."""
+    from mapreduce_go_spark.operators.kmeans import (
+        _assign, _dist_array_sql, kmeans_centroids)
+
+    centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K)
+    raw = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    assigned = _assign(_with_norm(raw), centroids)
+    probed = assigned.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id",
+        f"explode(transform(slice(array_sort({_dist_array_sql(centroids)}),"
+        f" 1, {IVF_TRAINED_NPROBE}), s -> s.i)) as cluster",
+    )
+    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = assigned.select(
+        F.col("vec_id").alias("c_id"),
+        "cluster",
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(probed)
+        .join(c, "cluster")
+        .join(F.broadcast(q), "q_id")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+            .alias("cos"),
+        )
+    )
+    return _topk(scored)
+
+
 EMB_DIM = 64        # fixture embedding dimensionality (TESTDATA.md)
 LSH_BITS = 6        # hyperplanes per band -> 64 buckets/band
 LSH_BANDS_E = 2     # bands; a query probes its bucket in each band
@@ -745,6 +819,7 @@ QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe_topk": ann_ivf_nprobe_topk,
+    "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_pq_topk": ann_pq_topk,
@@ -1187,4 +1262,91 @@ def _pq_oracle_lazy() -> str | None:
         return None  # no/corrupt fixtures: ann_pq_topk stays rows-only
 
 
-LAZY_ORACLES = {"ann_pq_topk": _pq_oracle_lazy}
+def _ivf_trained_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ann_ivf_trained_topk: embeds the NumPy twin's
+    centroids (bit-identical to the Spark training loop by the kmeans
+    grid discipline) as literals, re-derives the exact-grid
+    assignment, the per-query nprobe cell ranking (ORDER BY d, i —
+    the struct-order tie-break), and the shared product-grid
+    cosine top-k."""
+    from mapreduce_go_spark.operators.kmeans import _kmeans_twin
+
+    C, _sizes = _kmeans_twin(sf_dir, k=IVF_TRAINED_K)
+    k, dim = C.shape
+    cb = ", ".join(
+        f"({ci}, {j + 1}, {float(C[ci, j])!r})"
+        for ci in range(k) for j in range(dim)
+    )
+    return _NORMS_SQL + f""",
+    cb(i, j, c) AS (VALUES {cb}),
+    elems0 AS (
+        SELECT vec_id, g.j AS j, cast(embedding[g.j] AS double) AS x
+        FROM embeddings CROSS JOIN generate_series(1, {dim}) g(j)
+    ),
+    dists AS (
+        SELECT e.vec_id, cb.i,
+               sum(cast(round((e.x - cb.c) * (e.x - cb.c) * 1e12)
+                        AS bigint)) AS d
+        FROM elems0 e JOIN cb ON cb.j = e.j
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT vec_id, i,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, i) AS rn
+        FROM dists
+    ),
+    assign AS (SELECT vec_id, i AS cluster FROM ranked WHERE rn = 1),
+    probed AS (
+        SELECT vec_id AS q_id, i AS cluster
+        FROM ranked
+        WHERE vec_id < {N_QUERIES} AND rn <= {IVF_TRAINED_NPROBE}
+    ),
+    pairs AS (
+        SELECT pr.q_id, a.vec_id AS c_id,
+               nq.embedding AS qe, nc.embedding AS ce,
+               nq.norm AS qn, nc.norm AS cn
+        FROM probed pr
+        JOIN assign a ON a.cluster = pr.cluster
+        JOIN norms nc ON nc.vec_id = a.vec_id
+        JOIN norms nq ON nq.vec_id = pr.q_id
+        WHERE a.vec_id <> pr.q_id
+    ),
+    elems AS (
+        SELECT q_id, c_id, qn, cn, unnest(qe) AS x, unnest(ce) AS y
+        FROM pairs
+    ),
+    scored AS (
+        SELECT q_id, c_id,
+               CASE WHEN any_value(qn) * any_value(cn) > 0 THEN
+                   (sum(cast(round(cast(x AS double) * cast(y AS double)
+                                   * 1e12) AS bigint)) / 1e12)
+                   / (any_value(qn) * any_value(cn))
+               END AS cos
+        FROM elems GROUP BY q_id, c_id
+    )
+        SELECT q_id, c_id, rk,
+               cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
+        FROM (SELECT q_id, c_id, cos,
+                     row_number() OVER (PARTITION BY q_id
+                                        ORDER BY cos DESC, c_id) AS rk
+              FROM scored)
+        WHERE rk <= {TOP_K}
+    """
+
+
+def _ivf_trained_oracle_lazy() -> str | None:
+    """LAZY oracle for ann_ivf_trained_topk — same contract as
+    _pq_oracle_lazy (centroid literals trained at oracle-collection
+    time from TEST_SF_DIR; any failure degrades to rows-only)."""
+    import os
+
+    sf_dir = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        return _ivf_trained_oracle_sql(sf_dir)
+    except Exception:
+        return None
+
+
+LAZY_ORACLES = {"ann_pq_topk": _pq_oracle_lazy,
+                "ann_ivf_trained_topk": _ivf_trained_oracle_lazy}

@@ -374,3 +374,70 @@ def test_events_event_id_unique(spark, sf_dir):
         F.sum(F.col("event_id").isNull().cast("int"))).collect()[0]
     assert nulls == 0
     assert total == distinct
+
+
+def test_ann_ivf_trained_recall_floor(spark, sf_dir):
+    """ann_ivf_trained_topk's contract (VERDICT r10 item 2): cells
+    from a TRAINED coarse quantizer with nprobe=2 of k=8 must reach
+    at least the recall@10 of the fixture-label 1-cell ann_ivf_topk —
+    the trained codebook replaces the family's one artificial piece,
+    so it must not cost recall. Candidate coverage alone (2/8 vs 1/10
+    of the table) plus learned cell geometry should clear the floor
+    with margin; scores shared with exact knn must be identical (the
+    same grid-cosine exactness claim every ANN variant carries)."""
+    from collections import defaultdict
+
+    from mapreduce_go_spark.operators import similarity
+
+    knn_rows = similarity.knn_cosine_topk(spark, sf_dir).collect()
+    label_rows = similarity.ann_ivf_topk(spark, sf_dir).collect()
+    trained_rows = similarity.ann_ivf_trained_topk(spark, sf_dir).collect()
+    knn, lab, tr = defaultdict(set), defaultdict(set), defaultdict(set)
+    cos_knn, cos_tr = {}, {}
+    for r in knn_rows:
+        knn[r.q_id].add(r.c_id)
+        cos_knn[(r.q_id, r.c_id)] = r.cos
+    for r in label_rows:
+        lab[r.q_id].add(r.c_id)
+    for r in trained_rows:
+        tr[r.q_id].add(r.c_id)
+        cos_tr[(r.q_id, r.c_id)] = r.cos
+
+    def mean_recall(approx):
+        return sum(len(approx[q] & knn[q]) / len(knn[q])
+                   for q in knn) / len(knn)
+
+    r_label, r_trained = mean_recall(lab), mean_recall(tr)
+    assert r_trained >= r_label, (r_label, r_trained)
+    # measured: 0.8625 at sf0.01 (vs 0.4125 nprobe-3-label, 0.125
+    # 1-cell) — the learned cell geometry, not just the 2/8 coverage;
+    # 0.5 leaves headroom for fixture-scale variation
+    assert r_trained >= 0.5, r_trained
+    for key in set(cos_tr) & set(cos_knn):
+        assert cos_tr[key] == cos_knn[key], key
+
+
+def test_ann_ivf_trained_probe_list_partition_invariant(spark, sf_dir):
+    """The trained probe list and final result must not depend on
+    physical partitioning: training sums, assignment argmins and the
+    probe ranking are all exact int64 grid quantities, so a
+    repartitioned input (different partial-agg order) must produce
+    the identical result set."""
+    from mapreduce_go_spark.operators import similarity
+
+    base = {tuple(r) for r in
+            similarity.ann_ivf_trained_topk(spark, sf_dir).collect()}
+    import mapreduce_go_spark.tables as tables
+    orig_load = tables.load
+
+    def shuffled_load(spark_, sf_dir_, name):
+        df = orig_load(spark_, sf_dir_, name)
+        return df.repartition(7) if name == "embeddings" else df
+
+    tables.load = shuffled_load
+    try:
+        shuf = {tuple(r) for r in
+                similarity.ann_ivf_trained_topk(spark, sf_dir).collect()}
+    finally:
+        tables.load = orig_load
+    assert base == shuf

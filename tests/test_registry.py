@@ -81,7 +81,8 @@ def test_driver_window_is_curated():
     # ann_lsh_multiprobe_topk — never-verified names outrank the
     # greens-refill) and the twice-green plain TPC-H pool refills.
     # Families stay represented by the prefixes below (TPC-H by
-    # q4-q22, near-dup by winnow/dup_span, ANN by the ivf/lsh trio,
+    # q4-q22, near-dup by winnow, ANN by the ivf/lsh quartet incl.
+    # the r11-registered trained-quantizer variant,
     # streaming by sessionize + the purchase_ attribution pair,
     # LLM-pipeline by token_/domain_/contrastive_/pretrain_, media
     # by audio_/jpeg_, vectorized-Python by zscore_arrow/
@@ -93,7 +94,7 @@ def test_driver_window_is_curated():
                 "q19_", "q20_", "q21_", "q22_",
                 "join_inner_bucketed", "winnow_", "sessionize",
                 "pretrain_", "purchase_", "ann_", "token_",
-                "domain_", "audio_", "jpeg_", "dup_span_",
+                "domain_", "audio_", "jpeg_",
                 "warc_", "arrow_", "partition_", "dpp_", "zscore_",
                 "scd2_", "merge_", "jsonl_", "orc_", "csv_",
                 "contrastive_", "skew_", "grouped_agg_",

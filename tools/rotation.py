@@ -121,6 +121,10 @@ FILL_QUEUE = [
     "purchase_click_attribution", "ann_ivf_nprobe_topk",
     "token_chunks_overlap", "domain_mix_temperature",
     "purchase_click_attribution_outer", "ann_lsh_multiprobe_topk",
+    # registered in r11 (vs 25 freed — inside the budget): the
+    # trained-coarse-quantizer IVF (kmeans-derived cells replace the
+    # fixture-label cells — VERDICT r10 item 2)
+    "ann_ivf_trained_topk",
 ]
 
 # REGISTRATION BUDGET (VERDICT r8 item 4): per round, register at
