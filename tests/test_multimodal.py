@@ -394,6 +394,50 @@ def test_jpeg_decode_gray_fill_bytes_and_jpg_extension():
         jpeg.decode_gray(c8)
 
 
+def test_jpeg_decode_peak_memory_stays_ndarray_shaped():
+    """Regression fence for the ADVICE-r10 memory fix (VERDICT r10
+    item 8): _decode_scan's 16-bit lookahead windows must stay an
+    int64 ndarray. Measured on a ~1 MB entropy stream: the ndarray
+    form peaks at ~275 B per entropy byte (W + its arange/shift
+    temporaries + output); the reverted .tolist() form adds ~288
+    B/byte of PyLong list slots on top (~560 total). The 400 B/byte
+    bound sits between the two, so reintroducing the blowup fails
+    here before it OOMs an executor on a multi-MB real JPEG.
+
+    tracemalloc sees numpy buffers (PyTraceMalloc_Track) and PyLong
+    lists alike, so both forms are measured on the same scale.
+    """
+    import tracemalloc
+
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+
+    rng = np.random.RandomState(11)
+    # Uniform noise defeats RLE: 1024x1024 gray -> ~450 KB entropy,
+    # big enough that the per-byte steady state dominates fixed
+    # overheads (the B/byte ratio is size-invariant, so the fence
+    # transfers to multi-MB real images; tracemalloc ~3.5x-slows the
+    # decode loop, which is why this is not run at 1536^2).
+    px = rng.randint(0, 256, (1024, 1024)).astype(np.uint8)
+    data = jpeg.encode_gray(px)
+    sos = data.find(b"\xff\xda")
+    hdr_end = sos + 2 + int.from_bytes(data[sos + 2:sos + 4], "big")
+    entropy_bytes = data.rfind(b"\xff\xd9") - hdr_end
+    assert entropy_bytes > 300_000
+
+    tracemalloc.start()
+    try:
+        dec = jpeg.decode_gray(data)
+        _, peak = tracemalloc.get_traced_memory()
+    finally:
+        tracemalloc.stop()
+    assert dec.shape == (1024, 1024)
+    assert peak / entropy_bytes < 400, (
+        f"decode peak {peak / entropy_bytes:.0f} B/entropy-byte — "
+        "lookahead windows are no longer a flat ndarray?")
+
+
 def test_jpeg_segment_walker_parses_codec_output():
     """The real codec's files flow through the SAME metadata path as
     every other JPEG (decode_image segment walk)."""
