@@ -523,8 +523,17 @@ _URL_SQL = """(
 def _canonical_url(url: Column) -> Column:
     """Scheme+host lowercased, www. and default ports stripped,
     fragment dropped, utm_* tracking params removed, dangling ?/& and
-    trailing path slash cleaned. Decomposed extract-then-rebuild (no
-    regex backreferences — Java and RE2 disagree on $1 vs \\1)."""
+    trailing path slashes cleaned. Decomposed extract-then-rebuild (no
+    regex backreferences — Java and RE2 disagree on $1 vs \\1).
+
+    Invariant (hypothesis-pinned, test_properties.py): idempotent —
+    canon(canon(u)) == canon(u) — and Spark == DuckDB on the fuzzed
+    scheme/host/port/path/query/fragment domain. Hence /+$ not /$
+    (a //-terminated path used to need two passes), and the utm strip
+    is anchored at a param boundary in three backreference-free
+    passes (&-anchored global, then the ?-anchored head with and
+    without a successor) so 'xutm_a=1' keys and 'next=utm_a=1' values
+    survive (r11 fuzz findings)."""
     nofrag = F.regexp_replace(url, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z]+)://", 1))
     host = F.lower(
@@ -532,12 +541,14 @@ def _canonical_url(url: Column) -> Column:
     host = F.regexp_replace(host, r":(443|80)$", "")
     host = F.regexp_replace(host, r"^www\.", "")
     path = F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
-    path = F.regexp_replace(path, r"/$", "")
+    path = F.regexp_replace(path, r"/+$", "")
     query = F.regexp_extract(nofrag, r"(\?[^#]*)", 1)
     # (?i): UTM_Source= survives a case-sensitive pattern while the
     # canonicalizer case-folds scheme/host — tracking params are
     # case-insensitive in the wild (review r10)
-    query = F.regexp_replace(query, r"(?i)utm_[a-z]+=[^&#]*&?", "")
+    query = F.regexp_replace(query, r"(?i)&utm_[a-z]+=[^&#]*", "")
+    query = F.regexp_replace(query, r"(?i)^\?utm_[a-z]+=[^&#]*&", "?")
+    query = F.regexp_replace(query, r"(?i)^\?utm_[a-z]+=[^&#]*$", "")
     query = F.regexp_replace(query, r"[?&]+$", "")
     return F.concat(scheme, F.lit("://"), host, path, query)
 
@@ -551,10 +562,13 @@ def _canonical_url_sql(url: str) -> str:
                ':(443|80)$', ''), '^www\\.', '')
         || regexp_replace(regexp_extract(
                regexp_replace({url}, '#.*$', ''),
-               '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/$', '')
-        || regexp_replace(regexp_replace(regexp_extract(
-               regexp_replace({url}, '#.*$', ''), '(\\?[^#]*)', 1),
-               '(?i)utm_[a-z]+=[^&#]*&?', '', 'g'), '[?&]+$', '')
+               '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/+$', '')
+        || regexp_replace(regexp_replace(regexp_replace(
+               regexp_replace(regexp_extract(
+                   regexp_replace({url}, '#.*$', ''), '(\\?[^#]*)', 1),
+                   '(?i)&utm_[a-z]+=[^&#]*', '', 'g'),
+               '(?i)^\\?utm_[a-z]+=[^&#]*&', '?'),
+               '(?i)^\\?utm_[a-z]+=[^&#]*$', ''), '[?&]+$', '')
     )"""
 
 
