@@ -25,17 +25,26 @@ TFIDF_TOP_K = 3
 
 def window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D15 depth: dense_rank / percent_rank / ntile / cume_dist /
-    first_value in one window pass."""
+    first_value in one window pass. percent_rank/cume_dist round on
+    the 1e6 integer grid, not via dround: their rationals (k/(n-1),
+    k/n) can land shortest-repr midpoints at the 7th decimal where
+    the decimal(18,6) cast diverges cross-engine, while grid()'s
+    half-integer argument is exactly representable so round() agrees
+    (the window_navigation / quality_probe lesson); m/1e6 is then the
+    same IEEE division in both engines."""
     o = tables.load(spark, sf_dir, "orders")
+    from mapreduce_go_spark.functions.num import grid
+
     w = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), "o_orderkey")
+    micro = lambda c: (grid(c, 10**6) / F.lit(1_000_000.0))  # noqa: E731
     return o.select(
         "o_custkey",
         "o_orderkey",
         F.dense_rank().over(w).alias("drank"),
-        dround(F.percent_rank().over(w), 6).alias("prank"),
+        micro(F.percent_rank().over(w)).alias("prank"),
         F.ntile(4).over(w).alias("quartile"),
-        dround(F.cume_dist().over(w), 6).alias("cdist"),
+        micro(F.cume_dist().over(w)).alias("cdist"),
         F.first_value(F.col("o_orderkey")).over(w).alias("top_order"),
     )
 
@@ -93,7 +102,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; idf = ln(N/df) on identical doubles. N rides the plan as
     a broadcast 1-row aggregate (no eager driver-side action — the query
     stays a single lazily-composable plan and the corpus scans once
-    per term pass, not once extra for the scalar)."""
+    per term pass, not once extra for the scalar). The tf x df join is
+    NOT force-broadcast: df is one row per distinct token, which grows
+    with the corpus (typos, URLs, ids) — a forced broadcast OOMs the
+    driver at exactly the scale this module documents; AQE still
+    broadcasts while it fits (the r10 tpch/dedup lesson)."""
     docs = tables.load(spark, sf_dir, "documents")
     n = docs.agg(F.count("*").cast("double").alias("n_docs"))
     tok = (
@@ -108,7 +121,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("tok"))
     return (
-        tf.join(F.broadcast(df), "tok")
+        tf.join(df, "tok")
         .crossJoin(F.broadcast(n))
         .withColumn(
             "tfidf",
@@ -170,9 +183,9 @@ ORACLES = {
     "window_stats": f"""
         SELECT o_custkey, o_orderkey,
                dense_rank() OVER w AS drank,
-               {dround_sql('percent_rank() OVER w', 6)} AS prank,
+               round(percent_rank() OVER w * 1000000) / 1000000.0 AS prank,
                ntile(4) OVER w AS quartile,
-               {dround_sql('cume_dist() OVER w', 6)} AS cdist,
+               round(cume_dist() OVER w * 1000000) / 1000000.0 AS cdist,
                first_value(o_orderkey) OVER w AS top_order
         FROM orders
         WINDOW w AS (PARTITION BY o_custkey

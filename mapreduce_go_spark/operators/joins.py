@@ -63,6 +63,25 @@ def _workspace_dir() -> str:
     )
 
 
+def session_scratch(spark: SparkSession) -> str:
+    """Per-application scratch directory under the workspace, removed
+    at interpreter exit. EVERY session-lifetime materialization
+    (bucketed layouts, the partitioned events copy, format-roundtrip
+    exports) must live under this path: before r11 the jsonl/orc/csv/
+    events_by_day copies were appId-tagged at the workspace ROOT and
+    never cleaned, so every pytest/bench/driver session leaked its
+    copies onto disk permanently."""
+    import atexit
+    import os
+    import shutil
+
+    base = os.path.join(_workspace_dir(), spark.sparkContext.applicationId)
+    if base not in _CLEANUP_REGISTERED:
+        _CLEANUP_REGISTERED.add(base)
+        atexit.register(shutil.rmtree, base, True)
+    return base
+
+
 # Canonical bucketed layouts — ONE bucketed copy per fact table,
 # carrying the union of columns every co-located join needs (scans
 # still prune to each query's subset). At 100 TB the bucketed layout
@@ -96,24 +115,18 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
     drops the stale catalog entry and rewrites instead of silently
     scanning an empty external table. The session's cache dir is
     removed at interpreter exit."""
-    import atexit
     import hashlib
     import os
-    import shutil
 
     tag = hashlib.md5(
         "|".join([sf_dir, key, *cols]).encode()).hexdigest()[:8]
     name = f"{table}_bucketed_{tag}"
-    base = os.path.join(_workspace_dir(), spark.sparkContext.applicationId)
-    path = os.path.join(base, name)
+    path = os.path.join(session_scratch(spark), name)
     files_ok = os.path.exists(os.path.join(path, "_SUCCESS"))
     if spark.catalog.tableExists(name) and files_ok:
         return spark.table(name)
     if spark.catalog.tableExists(name):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-    if base not in _CLEANUP_REGISTERED:
-        _CLEANUP_REGISTERED.add(base)
-        atexit.register(shutil.rmtree, base, True)
     (tables.load(spark, sf_dir, table).select(*cols)
      .write.bucketBy(BUCKETS, key).sortBy(key)
      .option("path", path).mode("overwrite").saveAsTable(name))

@@ -34,11 +34,10 @@ from mapreduce_go_spark.functions.num import dround, dround_sql
 def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Day-partitioned parquet copy of events (partition column
     event_date = to_date(ts)), written once per session."""
-    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.operators.joins import session_scratch
 
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_" \
-          f"{spark.sparkContext.applicationId}"
-    out = os.path.join(_workspace_dir(), f"events_by_day_{tag}")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(session_scratch(spark), f"events_by_day_{tag}")
     if not os.path.exists(os.path.join(out, "_SUCCESS")):
         ev = tables.load(spark, sf_dir, "events")
         (ev.withColumn("event_date", F.to_date("ts"))

@@ -159,12 +159,11 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the warc_sink_roundtrip discipline); JSONL is splittable so the
     re-read parallelizes per-split regardless of file count.
     """
-    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.operators.joins import session_scratch
 
     cols = ["doc_id", "lang", "source", "n_chars", "text"]
-    tag = (f"{os.path.basename(sf_dir.rstrip('/'))}_"
-           f"{spark.sparkContext.applicationId}")
-    out = os.path.join(_workspace_dir(), f"jsonl_{tag}")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(session_scratch(spark), f"jsonl_{tag}")
     if not os.path.exists(os.path.join(out, "_WRITTEN")):
         (tables.load(spark, sf_dir, "documents")
          .select(*cols)
@@ -186,13 +185,12 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     are splittable and carry min/max indexes, so the re-read
     parallelizes and filter-prunes like parquet; sources/io.read_orc
     is the library entry."""
-    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.operators.joins import session_scratch
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"]
-    tag = (f"{os.path.basename(sf_dir.rstrip('/'))}_"
-           f"{spark.sparkContext.applicationId}")
-    out = os.path.join(_workspace_dir(), f"orc_{tag}")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(session_scratch(spark), f"orc_{tag}")
     if not os.path.exists(os.path.join(out, "_WRITTEN")):
         (tables.load(spark, sf_dir, "orders")
          .select(*cols)
@@ -213,7 +211,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same derived string computed straight from the source table,
     so any mangling (lost quote, split field, header drift) fails the
     differential."""
-    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.operators.joins import session_scratch
 
     def derive(df: DataFrame) -> DataFrame:
         return df.select(
@@ -223,9 +221,8 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("n_chars").cast("string")).alias("tricky"),
         )
 
-    tag = (f"{os.path.basename(sf_dir.rstrip('/'))}_"
-           f"{spark.sparkContext.applicationId}")
-    out = os.path.join(_workspace_dir(), f"csv_{tag}")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(session_scratch(spark), f"csv_{tag}")
     opts = {"header": "true", "quote": '"', "escape": '"'}
     if not os.path.exists(os.path.join(out, "_WRITTEN")):
         (derive(tables.load(spark, sf_dir, "documents"))

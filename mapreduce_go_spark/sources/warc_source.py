@@ -130,12 +130,11 @@ def ensure_warc_files(spark, sf_dir: str) -> str:
     (bucket % WARC_CORRUPT_EVERY == 0) are written too — truncated
     mid-record exactly like the in-plan synthesis — so the source's
     skip/fail postures face real malformed archives."""
-    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.operators.joins import session_scratch
     from mapreduce_go_spark.operators.warc import WARC_BUCKET, make_warc
 
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_" \
-          f"{spark.sparkContext.applicationId}"
-    out = os.path.join(_workspace_dir(), f"warc_files_{tag}")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(session_scratch(spark), f"warc_files_{tag}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out
@@ -233,16 +232,15 @@ def warc_sink_roundtrip(spark, sf_dir: str):
     from mapreduce_go_spark import tables
     from mapreduce_go_spark.operators.warc import WARC_BUCKET
 
-    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.operators.joins import session_scratch
     from mapreduce_go_spark.session import ensure_package_on_workers
 
     # the writer kernel imports this package on EXECUTORS — ship it
     # (the driver's session may not share our sys.path; the verify
     # recipe's vanilla-session posture catches exactly this)
     ensure_package_on_workers(spark)
-    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_" \
-          f"{spark.sparkContext.applicationId}"
-    out = os.path.join(_workspace_dir(), f"warc_sink_{tag}")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = os.path.join(session_scratch(spark), f"warc_sink_{tag}")
     spark.dataSource.register(WarcDataSource)
     if not os.path.exists(os.path.join(out, "_WRITTEN")):
         docs = tables.load(spark, sf_dir, "documents").select(
