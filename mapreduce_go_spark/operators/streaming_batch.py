@@ -187,6 +187,38 @@ def purchase_click_attribution_outer(spark: SparkSession,
     )
 
 
+def user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(user, event_type) running profile: event count + exact
+    value total — the batch anchor of the transformWithState job
+    (streaming/jobs.user_type_profile_stream), Spark 4's successor to
+    applyInPandasWithState and the one streaming state API the §2.3
+    matrix didn't cover. The streaming twin carries the same totals in
+    a per-user MapState keyed by event_type; tests/test_streaming.py
+    pins its converged emission against exactly this answer.
+
+    Totals accumulate on the 1e6 integer grid (int64 sums are
+    associative, so batch partial-agg order, streaming micro-batch
+    arrival order, and the DuckDB oracle's hugeint sum all produce the
+    same integer), finalized as micro-units / 1e6 — the identical IEEE
+    division in every engine. Per-row |value*1e6| < 5e8 and per-group
+    row counts keep the int64 sum orders of magnitude under 2^63;
+    ANSI mode fails loudly if a rescale is ever needed.
+
+    100 TB shape: algebraic aggregate, map-side combine, one shuffle
+    on (user_id, event_type); the streaming twin's state is one tiny
+    (n, micro_total) tuple per (user, type) in a RocksDB store
+    partitioned by the group key."""
+    from mapreduce_go_spark.functions.num import grid
+
+    ev = tables.load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"),
+             (F.sum(grid(F.col("value"), 10**6)) / F.lit(1_000_000.0))
+             .alias("total"))
+    )
+
+
 def event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-static dimension-enrichment join
     (streaming/jobs.enriched_segment_counts): events joined to the
@@ -212,6 +244,7 @@ QUERIES = {
     "dedup_first_event": dedup_first_event,
     "purchase_click_attribution": purchase_click_attribution,
     "purchase_click_attribution_outer": purchase_click_attribution_outer,
+    "user_type_profile": user_type_profile,
 }
 
 ORACLES = {
@@ -290,5 +323,16 @@ ORACLES = {
           ON p.user_id = c.user_id
          AND c.ts <= p.ts
          AND c.ts > p.ts - INTERVAL 1 HOUR
+    """,
+    # int64 grid sum is associative -> DuckDB's hugeint sum of the
+    # same per-row integers matches Spark's long sum bit-for-bit; the
+    # /1e6 finalization is the identical IEEE division (hugeint ->
+    # double exact below 2^53)
+    "user_type_profile": """
+        SELECT user_id, event_type,
+               count(*) AS n,
+               sum(cast(round(value * 1000000) AS bigint)) / 1000000.0
+                   AS total
+        FROM events GROUP BY user_id, event_type
     """,
 }

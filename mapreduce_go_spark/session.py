@@ -79,19 +79,26 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
     file-distribution machinery is the cluster-correct fix (works the
     same on a real multi-node deployment, where sys.path tricks
     never could)."""
+    import tempfile
     import zipfile
 
     sc = spark.sparkContext
     if id(sc) in _SHIPPED_CONTEXTS:
         return
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
-    import tempfile
-
+    # Build in a unique temp file, then atomically publish under the
+    # fixed name: two concurrent sessions (pytest + bench, or the
+    # core-sensitivity pair) racing a direct write to the shared path
+    # could hand addPyFile a torn half-written zip; os.replace gives
+    # every reader either the old or the new complete archive.
     zpath = os.path.join(tempfile.gettempdir(),
                          "mapreduce_go_spark_pyfiles.zip")
-    with zipfile.ZipFile(zpath, "w") as z:
+    fd, tmp = tempfile.mkstemp(suffix=".zip",
+                               dir=tempfile.gettempdir())
+    os.close(fd)
+    with zipfile.ZipFile(tmp, "w") as z:
         for root, _dirs, files in os.walk(pkg_dir):
-            for f in files:
+            for f in sorted(files):
                 if not f.endswith(".py"):
                     continue
                 full = os.path.join(root, f)
@@ -100,5 +107,6 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
                     os.path.relpath(full, pkg_dir),
                 )
                 z.write(full, rel)
+    os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _SHIPPED_CONTEXTS.add(id(sc))

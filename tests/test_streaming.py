@@ -117,6 +117,99 @@ def test_stateful_user_stats_matches_batch(spark, sf_dir, staged):
     assert got == want
 
 
+class _FakeMapState:
+    """In-memory MapState double for driving the transformWithState
+    processor kernel without the (protobuf-gated) streaming runner."""
+
+    def __init__(self):
+        self.d = {}
+
+    def containsKey(self, key):
+        return key in self.d
+
+    def getValue(self, key):
+        return self.d[key]
+
+    def updateValue(self, key, value):
+        self.d[key] = value
+
+    def iterator(self):
+        return iter(sorted(self.d.items()))
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeMapState()
+
+    def getMapState(self, name, key_schema, value_schema,
+                    ttlDurationMs=None):
+        return self.state
+
+
+def test_tws_processor_kernel_converges_to_batch(spark, sf_dir):
+    """The transformWithState processor's state arithmetic, driven
+    directly through the StatefulProcessor contract with a fake
+    MapState: two arbitrary micro-batch splits of one user's rows
+    must converge to the batch anchor's (n, total) — order/batching
+    independence is exactly what the int64 grid accumulation buys.
+    This runs in every environment; the end-to-end engine run below
+    additionally needs protobuf."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    ev = (tables.load(spark, sf_dir, "events")
+          .select("user_id", "event_type", "value"))
+    uid = ev.select("user_id").first().user_id
+    pdf = ev.where(F.col("user_id") == uid).toPandas()
+
+    proc = jobs.UserTypeProfileProcessor()
+    proc.init(_FakeHandle())
+    # split into two "micro-batches", second delivered as two chunks;
+    # the LAST emission is the converged snapshot
+    cut = max(1, len(pdf) // 2)
+    list(proc.handleInputRows((uid,), iter([pdf.iloc[:cut]]), None))
+    final = list(proc.handleInputRows(
+        (uid,), iter([pdf.iloc[cut:cut + 1], pdf.iloc[cut + 1:]]),
+        None))[-1]
+
+    batch = streaming_batch.user_type_profile(spark, sf_dir).where(
+        F.col("user_id") == uid)
+    want = {(r.user_id, r.event_type): (r.n, r.total)
+            for r in batch.collect()}
+    assert isinstance(final, pd.DataFrame)
+    got = {(int(r.user_id), r.event_type): (int(r.n), float(r.total))
+           for r in final.itertuples()}
+    assert got == want
+
+
+def test_transform_with_state_profile_matches_batch(spark, sf_dir, staged):
+    """END-TO-END transformWithStateInPandas (RocksDB provider): the
+    converged update-mode emission per (user, type) must equal the
+    registered batch anchor. Auto-skips where the engine's
+    protobuf-encoded state protocol cannot start (tws_available)."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState Python runner requires "
+                    "protobuf, which is not baked into this container "
+                    "(jobs.tws_available); kernel covered by "
+                    "test_tws_processor_kernel_converges_to_batch")
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = jobs.run_to_memory_rocksdb(
+        spark, jobs.user_type_profile_stream(stream),
+        "t_tws_profile", "update")
+    got = {}
+    for r in out.collect():
+        cur = got.get((r.user_id, r.event_type))
+        if cur is None or r.n >= cur[0]:
+            got[(r.user_id, r.event_type)] = (r.n, r.total)
+    want = {(r.user_id, r.event_type): (r.n, r.total)
+            for r in streaming_batch.user_type_profile(
+                spark, sf_dir).collect()}
+    assert got == want
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, staged):
     """Purchases x clicks within 1 hour: streaming join result must
     equal the batch join on the same data."""

@@ -123,8 +123,11 @@ FILL_QUEUE = [
     "purchase_click_attribution_outer", "ann_lsh_multiprobe_topk",
     # registered in r11 (vs 25 freed — inside the budget): the
     # trained-coarse-quantizer IVF (kmeans-derived cells replace the
-    # fixture-label cells — VERDICT r10 item 2)
-    "ann_ivf_trained_topk",
+    # fixture-label cells — VERDICT r10 item 2) and the batch anchor
+    # of the transformWithState job (VERDICT r10 item 3; the
+    # streaming twin is protobuf-gated in this container —
+    # streaming/jobs.tws_available)
+    "ann_ivf_trained_topk", "user_type_profile",
 ]
 
 # REGISTRATION BUDGET (VERDICT r8 item 4): per round, register at

@@ -163,7 +163,8 @@ def main() -> None:
         ann_ivf_nprobe_topk, ann_ivf_trained_topk, ann_lsh_multiprobe_topk,
         ann_pq_topk, embedding_neardup_pairs_blocked)
     from mapreduce_go_spark.operators.streaming_batch import (
-        purchase_click_attribution, purchase_click_attribution_outer)
+        purchase_click_attribution, purchase_click_attribution_outer,
+        user_type_profile)
     from mapreduce_go_spark.operators.corpus import (
         bloom_decontaminate, quality_probe, strip_boilerplate_lines,
         unigram_logprob_filter, url_dedup)
@@ -181,7 +182,8 @@ def main() -> None:
     # union+write for documents/embeddings-only runs
     needs_events = (not only) or bool(
         only & {"purchase_click_attribution",
-                "purchase_click_attribution_outer"})
+                "purchase_click_attribution_outer",
+                "user_type_profile"})
     x1, xn = build_corpora(spark, args.base, args.out, args.factor,
                            with_events=needs_events)
     result = {"factor": args.factor, "base": args.base, "queries": {}}
@@ -220,6 +222,7 @@ def main() -> None:
                       purchase_click_attribution_outer),
                      ("ann_lsh_multiprobe_topk", ann_lsh_multiprobe_topk),
                      ("ann_ivf_trained_topk", ann_ivf_trained_topk),
+                     ("user_type_profile", user_type_profile),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
             continue
