@@ -207,6 +207,35 @@ def grid_norm(col: Column) -> Column:
     return F.sqrt(grid_dot(col, col))
 
 
+def make_centroid_assign(centroids: list[list[float]]):
+    """Factory for a pandas UDF assigning each embedding to its
+    nearest centroid by the exact 1e-12 grid distance — the
+    vectorized twin of kmeans._dist_array_sql's interpreted
+    aggregate(zip_with(...)) argmin (k x dim expression-tree walks
+    PER ROW; at k=8, dim=64 that is 512 interpreted element-ops per
+    vector — the dominant cost of the trained-IVF serving scan at
+    10x, measured r11).
+
+    Exactness: identical arithmetic to kmeans._kmeans_twin's assign —
+    per-element _grid((x-c)^2 * 1e12) summed as exact int64
+    (_grid_sum's overflow guard raises rather than wrapping), numpy
+    first-argmin == the SQL struct-order (d, i) tie-break == the
+    oracle's ORDER BY d, i. tests/test_simd.py pins equality against
+    the interpreted form on the real fixtures."""
+    C = np.asarray(centroids, dtype=np.float64)  # (k, dim)
+
+    @pandas_udf(IntegerType())
+    def assign(emb: pd.Series) -> pd.Series:
+        if not len(emb):
+            return pd.Series([], dtype="int32")
+        X = _check_finite(_stack(emb))           # (n, dim)
+        D = _grid_sum(((X[:, None, :] - C[None, :, :]) ** 2) * _SCALE,
+                      axis=-1)                   # (n, k) exact int64
+        return pd.Series(D.argmin(1).astype("int32"))
+
+    return assign
+
+
 def make_rolling_hash(base: int, mod: int, chunk: int = 1024):
     """Factory for a pandas UDF computing the per-character polynomial
     rolling hash acc = (acc * base + codepoint) % mod — the

@@ -212,3 +212,24 @@ def test_grid_sum_escalates_exactly_past_int64_bound():
     big = np.full((20000, 4), 5.0e14)  # 2e4 * 5e14 = 1e19 > 2^63
     with _pytest.raises(ValueError, match="overflow"):
         _grid_sum(big, axis=0)
+
+
+def test_centroid_assign_matches_interpreted(spark, sf_dir):
+    """make_centroid_assign (Arrow-vectorized nearest-centroid argmin)
+    must reproduce the interpreted array_min(struct(d, i)) form
+    exactly on the real embeddings, for BOTH codebooks the engine
+    trains (the default kmeans k=4 and the trained-IVF k=8) —
+    including the first-min tie-break."""
+    from mapreduce_go_spark.operators import kmeans
+    from mapreduce_go_spark.operators.similarity import IVF_TRAINED_K
+
+    emb = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    for k in (kmeans.K, IVF_TRAINED_K):
+        centroids = kmeans.kmeans_centroids(spark, sf_dir, k=k)
+        got = {r.vec_id: r.cluster
+               for r in kmeans._assign(emb, centroids).collect()}
+        want = {r.vec_id: r.cluster
+                for r in kmeans._assign_interpreted(
+                    emb, centroids).collect()}
+        assert got == want
