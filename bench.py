@@ -209,6 +209,10 @@ HEADLINE = [
     "domain_mix_temperature",
     "purchase_click_attribution_outer",
     "ann_lsh_multiprobe_topk",
+    # NEW in r11: trained-coarse-quantizer IVF and the
+    # transformWithState batch anchor
+    "ann_ivf_trained_topk",
+    "user_type_profile",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set
