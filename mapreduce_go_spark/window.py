@@ -40,6 +40,7 @@ _PRIORITY: list[str] = [
     "purchase_click_attribution_outer",  # FILL greens=0
     "ann_lsh_multiprobe_topk",  # FILL greens=0
     "ann_ivf_trained_topk",  # FILL greens=0
+    "user_type_profile",  # FILL greens=0
     "q4_order_priority",  # FILL greens=2
     "q6_forecast_revenue",  # FILL greens=2
     "q7_volume_shipping",  # FILL greens=2
@@ -59,5 +60,4 @@ _PRIORITY: list[str] = [
     "q22_global_sales_opportunity",  # FILL greens=2
     "ann_ivf_topk",  # FILL greens=2
     "audio_resample",  # FILL greens=2
-    "jpeg_resize",  # FILL greens=2
 ]

@@ -83,9 +83,12 @@ def test_driver_window_is_curated():
     # Families stay represented by the prefixes below (TPC-H by
     # q4-q22, near-dup by winnow, ANN by the ivf/lsh quartet incl.
     # the r11-registered trained-quantizer variant,
-    # streaming by sessionize + the purchase_ attribution pair,
+    # streaming by sessionize + the purchase_ attribution pair +
+    # user_type_profile (the transformWithState batch anchor, seated
+    # mid-r11 when its registration displaced the twice-green
+    # jpeg_resize refill),
     # LLM-pipeline by token_/domain_/contrastive_/pretrain_, media
-    # by audio_/jpeg_, vectorized-Python by zscore_arrow/
+    # by audio_, vectorized-Python by zscore_arrow/
     # arrow_text_stats/grouped_agg_mad, sources by warc/jsonl/orc/
     # csv, warehouse by scd2/merge, pruning by partition_/dpp_).
     families = ("wc", "indexer", "crash_",
@@ -94,7 +97,12 @@ def test_driver_window_is_curated():
                 "q19_", "q20_", "q21_", "q22_",
                 "join_inner_bucketed", "winnow_", "sessionize",
                 "pretrain_", "purchase_", "ann_", "token_",
-                "domain_", "audio_", "jpeg_",
+                "domain_", "audio_",
+                # jpeg_resize demoted mid-r11 (twice-green, rotation
+                # policy) when user_type_profile seated; media stays
+                # represented by audio_resample, the jpeg codec by its
+                # pytest family (test_multimodal/test_video)
+                "user_type_profile",
                 "warc_", "arrow_", "partition_", "dpp_", "zscore_",
                 "scd2_", "merge_", "jsonl_", "orc_", "csv_",
                 "contrastive_", "skew_", "grouped_agg_",
