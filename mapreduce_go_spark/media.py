@@ -106,8 +106,6 @@ _KINDS = {
     "afp": (_afp_batches, ("doc_id",)),
 }
 
-_CLEANUP_REGISTERED: set[str] = set()
-
 # media_table's check-then-write is driver-local: two threads of the
 # SAME session requesting the same kind before first materialization
 # would both miss _SUCCESS and overwrite each other mid-commit (png
@@ -133,23 +131,18 @@ def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     then a plain parquet scan — consumer operators never pay
     synthesis again (and bench's min-of-3 measures walk+decode, not
     fixture manufacture)."""
-    import atexit
     import hashlib
     import os
-    import shutil
 
-    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.operators.joins import session_scratch
 
     kernel, cols = _KINDS[kind]
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    base = os.path.join(_workspace_dir(),
-                        spark.sparkContext.applicationId)
-    path = os.path.join(base, f"media_{kind}_{tag}")
+    # session_scratch registers the per-application atexit cleanup
+    # once for every materialization family (r11 unification)
+    path = os.path.join(session_scratch(spark), f"media_{kind}_{tag}")
     with _media_lock(path):
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            if base not in _CLEANUP_REGISTERED:
-                _CLEANUP_REGISTERED.add(base)
-                atexit.register(shutil.rmtree, base, True)
             src = tables.load(spark, sf_dir, "documents").select(*cols)
             (tables.spread(src).mapInPandas(kernel, MEDIA_SCHEMA)
              .write.mode("overwrite").parquet(path))
