@@ -7,57 +7,57 @@ tests/test_registry.py asserts the window is the policy's
 fixpoint over the CORRECTNESS history up to _WINDOW_AS_OF.
 """
 
-_WINDOW_AS_OF = 10
+_WINDOW_AS_OF = 11
 
 _PRIORITY: list[str] = [
-    "wc",  # PERM greens=10
-    "indexer",  # PERM greens=10
-    "crash_payload",  # PERM greens=10
-    "join_inner_bucketed",  # ANCH greens=9
-    "pretrain_corpus",  # ANCH greens=6
-    "sessionize",  # ANCH greens=8
-    "winnow_overlap_pairs",  # ANCH greens=6
-    "warc_source_extract",  # HOLD greens=1
-    "arrow_text_stats",  # HOLD greens=1
-    "warc_sink_roundtrip",  # HOLD greens=1
-    "partition_pruned_daily",  # HOLD greens=1
-    "dpp_enriched_revenue",  # HOLD greens=1
-    "zscore_arrow",  # HOLD greens=1
-    "scd2_user_dim",  # HOLD greens=1
-    "merge_upsert_customers",  # HOLD greens=1
-    "jsonl_roundtrip",  # HOLD greens=1
-    "contrastive_pairs",  # HOLD greens=1
-    "skew_join_stats",  # HOLD greens=1
-    "grouped_agg_mad",  # HOLD greens=1
-    "orc_roundtrip",  # HOLD greens=1
-    "observed_pipeline_filter",  # HOLD greens=1
-    "recursive_ancestor_depth",  # HOLD greens=1
-    "csv_roundtrip",  # HOLD greens=1
-    "purchase_click_attribution",  # HOLD greens=1
-    "ann_ivf_nprobe_topk",  # HOLD greens=1
-    "token_chunks_overlap",  # FILL greens=0
-    "domain_mix_temperature",  # FILL greens=0
-    "purchase_click_attribution_outer",  # FILL greens=0
-    "ann_lsh_multiprobe_topk",  # FILL greens=0
-    "ann_ivf_trained_topk",  # FILL greens=0
-    "user_type_profile",  # FILL greens=0
-    "q4_order_priority",  # FILL greens=2
-    "q6_forecast_revenue",  # FILL greens=2
-    "q7_volume_shipping",  # FILL greens=2
-    "q9_product_type_profit",  # FILL greens=2
-    "q10_returned_items",  # FILL greens=2
-    "q11_important_stock",  # FILL greens=2
-    "q12_shipmode_priority",  # FILL greens=2
-    "q13_order_count_distribution",  # FILL greens=2
-    "q14_promo_effect",  # FILL greens=2
-    "q15_top_supplier",  # FILL greens=2
-    "q16_part_supplier_counts",  # FILL greens=2
-    "q17_small_quantity",  # FILL greens=2
-    "q18_large_orders",  # FILL greens=2
-    "q19_discounted_revenue",  # FILL greens=2
-    "q20_top_suppliers",  # FILL greens=2
-    "q21_waiting_orders",  # FILL greens=2
-    "q22_global_sales_opportunity",  # FILL greens=2
-    "ann_ivf_topk",  # FILL greens=2
-    "audio_resample",  # FILL greens=2
+    "wc",  # PERM greens=11
+    "indexer",  # PERM greens=11
+    "crash_payload",  # PERM greens=11
+    "join_inner_bucketed",  # ANCH greens=10
+    "pretrain_corpus",  # ANCH greens=7
+    "sessionize",  # ANCH greens=9
+    "winnow_overlap_pairs",  # ANCH greens=7
+    "token_chunks_overlap",  # HOLD greens=1
+    "domain_mix_temperature",  # HOLD greens=1
+    "purchase_click_attribution_outer",  # HOLD greens=1
+    "ann_lsh_multiprobe_topk",  # HOLD greens=1
+    "ann_ivf_trained_topk",  # HOLD greens=1
+    "user_type_profile",  # HOLD greens=1
+    "q4_order_priority",  # HOLD greens=3
+    "q6_forecast_revenue",  # HOLD greens=3
+    "q7_volume_shipping",  # HOLD greens=3
+    "q9_product_type_profit",  # HOLD greens=3
+    "q10_returned_items",  # HOLD greens=3
+    "q11_important_stock",  # HOLD greens=3
+    "q12_shipmode_priority",  # HOLD greens=3
+    "q13_order_count_distribution",  # HOLD greens=3
+    "q14_promo_effect",  # HOLD greens=3
+    "q15_top_supplier",  # HOLD greens=3
+    "q16_part_supplier_counts",  # HOLD greens=3
+    "q17_small_quantity",  # HOLD greens=3
+    "q18_large_orders",  # HOLD greens=3
+    "q19_discounted_revenue",  # HOLD greens=3
+    "q20_top_suppliers",  # HOLD greens=3
+    "q21_waiting_orders",  # HOLD greens=3
+    "q22_global_sales_opportunity",  # HOLD greens=3
+    "ann_ivf_topk",  # HOLD greens=3
+    "audio_resample",  # HOLD greens=3
+    "jpeg_resize",  # FILL greens=2
+    "dup_span_stats",  # FILL greens=2
+    "bm25_top_terms",  # FILL greens=2
+    "pii_stats",  # FILL greens=2
+    "cdc_dup_chunks",  # FILL greens=3
+    "local_supplier_volume_bucketed",  # FILL greens=2
+    "image_phash_pairs",  # FILL greens=2
+    "audio_fingerprint_pairs",  # FILL greens=2
+    "video_phash_pairs",  # FILL greens=2
+    "phash_dup_flags",  # FILL greens=2
+    "hll_distinct_tokens",  # FILL greens=2
+    "hist_quantiles",  # FILL greens=2
+    "kmeans_clusters",  # FILL greens=2
+    "zscore_pandas",  # FILL greens=2
+    "salted_skew_agg",  # FILL greens=2
+    "train_test_split",  # FILL greens=2
+    "dq_profile",  # FILL greens=2
+    "topk_per_group",  # FILL greens=2
 ]
