@@ -261,7 +261,8 @@ IVF_TRAINED_K = 8        # trained coarse-quantizer codebook size
 IVF_TRAINED_NPROBE = 2   # cells probed -> 2/8 of the table scanned
 
 
-def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str,
+                         sample_frac: float | None = None) -> DataFrame:
     """IVF with a TRAINED coarse quantizer — the production form of
     the family (VERDICT r10 item 2): ann_ivf_topk / ann_ivf_nprobe
     take their cells from the fixture `label` column; here the cells
@@ -286,8 +287,15 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern, registry.all_oracles).
 
     100 TB shape: training cost is ITERATIONS small jobs (the
-    synchronous-Lloyd's floor; at real scale train on a sample); the
-    codebook is k*dim literals (KBs — the broadcast analog);
+    synchronous-Lloyd's floor; at real scale pass sample_frac to
+    train on a deterministic xxhash64(vec_id) subsample — the scan
+    per iteration shrinks by 1/frac while assignment of the full
+    table is unchanged; recall floor vs full training pinned in
+    tests/test_approx.py); the trained codebook is a persistent
+    on-disk artifact (kmeans._codebook_disk_store), so fresh
+    processes — the driver bench included — load it instead of
+    retraining; the codebook is k*dim literals (KBs — the broadcast
+    analog);
     assignment is one narrow map pass; the probe list is
     N_QUERIES*nprobe rows broadcast; the candidate scan joins on the
     cell id — at scale the table is partitioned by cell, making each
@@ -296,7 +304,8 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_go_spark.operators.kmeans import (
         _assign, _dist_array_sql, kmeans_centroids)
 
-    centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K)
+    centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K,
+                                 sample_frac=sample_frac)
     raw = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
     assigned = _assign(_with_norm(raw), centroids)

@@ -67,3 +67,62 @@ def test_kmeans_twin_matches_independent_numpy(sf_dir):
         sf_dir, kmeans.K, kmeans.ITERATIONS)
     assert sizes == want_sizes
     assert (C == cent).all()
+
+
+def test_codebook_disk_cache_serves_fresh_process(spark, sf_dir):
+    """The on-disk codebook artifact (VERDICT r11 item 1) must let a
+    fresh process skip Lloyd's entirely: after training once, clear
+    the in-process cache and break table access — the centroids must
+    come back bit-identical from disk without touching Spark."""
+    c1 = kmeans.kmeans_centroids(spark, sf_dir)
+    kmeans._CODEBOOK_CACHE.clear()
+
+    def broken_load(*a, **kw):
+        raise AssertionError("disk-cached codebook must not re-scan")
+
+    orig = kmeans.tables.load
+    kmeans.tables.load = broken_load
+    try:
+        c2 = kmeans.kmeans_centroids(spark, sf_dir)
+    finally:
+        kmeans.tables.load = orig
+    assert c1 == c2  # exact float equality: float.hex round-trip
+
+
+def test_codebook_disk_load_rejects_key_mismatch(tmp_path):
+    """A stored codebook whose embedded key differs from the request
+    (hash-tag collision, hand-edited file, regenerated fixture) must
+    be treated as a miss, not served."""
+    key_a = ("/x", 4, 3, "full", "1:2")
+    key_b = ("/x", 4, 3, "full", "9:9")  # different content key
+    path = str(tmp_path / "cb.json")
+    kmeans._codebook_disk_store(path, key_a, [[1.5, -2.25]])
+    assert kmeans._codebook_disk_load(path, key_a) == [[1.5, -2.25]]
+    assert kmeans._codebook_disk_load(path, key_b) is None
+
+
+def test_codebook_disk_load_survives_corruption(tmp_path):
+    """Truncated/garbage artifacts degrade to a retrain, never an
+    exception or wrong data."""
+    path = str(tmp_path / "cb.json")
+    with open(path, "w") as f:
+        f.write('{"key": ["/x"], "centroids_hex": [["not-a-float"')
+    assert kmeans._codebook_disk_load(path, ("/x",)) is None
+
+
+def test_codebook_sampled_training_is_distinct_and_deterministic(
+        spark, sf_dir):
+    """sample_frac trains on a strict subset (different centroids than
+    full training at fixture scale) and is deterministic — two calls,
+    the second after clearing both cache tiers, agree exactly."""
+    import os
+
+    full = kmeans.kmeans_centroids(spark, sf_dir)
+    s1 = kmeans.kmeans_centroids(spark, sf_dir, sample_frac=0.5)
+    assert s1 != full
+    kmeans._CODEBOOK_CACHE.clear()
+    ck = (os.path.abspath(sf_dir), kmeans.K, kmeans.ITERATIONS,
+          repr(0.5), kmeans._embeddings_content_key(sf_dir))
+    os.remove(kmeans._codebook_disk_path(ck))
+    s2 = kmeans.kmeans_centroids(spark, sf_dir, sample_frac=0.5)
+    assert s1 == s2
