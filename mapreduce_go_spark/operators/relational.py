@@ -405,18 +405,32 @@ ORACLES = {
                event_type || '-' || cast(user_id AS varchar) AS tag
         FROM events
     """,
+    # variant_extract's `malformed` = "the parse failed", derived from
+    # the SAME grafted body the Spark side parses (NULL graft input or
+    # invalid JSON via json_valid) — NOT the generator's event_id % 97
+    # shortcut, which silently diverged from v.isNull() the moment
+    # props.$.k went missing or non-numeric (the SCALE.md r11 latent;
+    # pinned by tests/test_queries.py::
+    # test_variant_malformed_derivation_aligned). No `--` comments in
+    # oracle strings: registry collapses them to one line.
     "variant_extract": """
-        WITH g AS (
+        WITH g0 AS (
             SELECT event_id,
-                   (event_id % 97 = 0) AS malformed,
-                   '{"k": ' || json_extract_string(props, '$.k')
-                   || ', "tags": ["a' || (event_id % 3)
-                   || '", "b"], "meta": {"depth": ' || (event_id % 5)
-                   || ', "flag": '
-                   || CASE WHEN event_id % 2 = 0 THEN 'true'
-                           ELSE 'false' END
-                   || '}}' AS body
+                   CASE WHEN event_id % 97 = 0 THEN '{bad' ELSE
+                       '{"k": ' || json_extract_string(props, '$.k')
+                       || ', "tags": ["a' || (event_id % 3)
+                       || '", "b"], "meta": {"depth": ' || (event_id % 5)
+                       || ', "flag": '
+                       || CASE WHEN event_id % 2 = 0 THEN 'true'
+                               ELSE 'false' END
+                       || '}}'
+                   END AS body
             FROM events
+        ),
+        g AS (
+            SELECT event_id, body,
+                   (body IS NULL OR NOT json_valid(body)) AS malformed
+            FROM g0
         )
         SELECT event_id,
                CASE WHEN malformed THEN NULL ELSE

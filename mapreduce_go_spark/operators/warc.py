@@ -181,12 +181,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    # strlen = DuckDB BYTE length: body_len is the HTTP payload's
+    # byte count (len of the UTF-8 body the parser consumed), so the
+    # oracle must count bytes too — length(text) counts CHARACTERS
+    # and only coincided while fixture text was pure ASCII (the
+    # SCALE.md r11 latent; pinned by
+    # tests/test_warc.py::test_body_len_is_bytes_not_chars).
     "warc_extract": f"""
         SELECT doc_id // {WARC_BUCKET} AS bucket,
                doc_id,
                'http://corpus.invalid/doc/' || doc_id AS uri,
                200 AS http_status,
-               cast(length(text) AS int) AS body_len,
+               cast(strlen(text) AS int) AS body_len,
                md5(text) AS body_md5
         FROM documents
         WHERE (doc_id // {WARC_BUCKET}) % {WARC_CORRUPT_EVERY} <> 0

@@ -274,13 +274,14 @@ from mapreduce_go_spark.operators.warc import (  # noqa: E402
 
 ORACLES = {
     "warc_source_extract": _WARC_ORACLES["warc_extract"],
-    # sink never truncates: every doc round-trips
+    # sink never truncates: every doc round-trips. strlen (bytes,
+    # not characters) for the same reason as warc_extract's oracle.
     "warc_sink_roundtrip": f"""
         SELECT doc_id // {_WB} AS bucket,
                doc_id,
                'http://corpus.invalid/doc/' || doc_id AS uri,
                200 AS http_status,
-               cast(length(text) AS int) AS body_len,
+               cast(strlen(text) AS int) AS body_len,
                md5(text) AS body_md5
         FROM documents
     """,

@@ -47,3 +47,21 @@ def test_corrupt_bucket_truncates():
     with pytest.raises(ValueError):
         warc.parse_warc(warc.make_warc(warc.WARC_CORRUPT_EVERY * 2,
                                        [(50, "x" * 300)]))
+
+
+def test_body_len_is_bytes_not_chars(duck):
+    """The SCALE.md r11 latent, closed: body_len is the BYTE length of
+    the HTTP payload (what the parser consumed, what Content-Length
+    declared) — so for non-ASCII text the parser's value must differ
+    from the character count and must equal DuckDB strlen(), the
+    derivation the oracles now use."""
+    text = "héllo wörld — ¡señal! ✓"   # 23 chars, more bytes in UTF-8
+    recs = warc.parse_warc(warc.make_warc_record(7, text))
+    assert len(recs) == 1
+    got = len(recs[0]["body"])
+    assert got == len(text.encode("utf-8"))
+    assert got != len(text)
+    duck_bytes, duck_chars = duck.execute(
+        "SELECT strlen(?), length(?)", [text, text]).fetchone()
+    assert got == duck_bytes
+    assert duck_chars == len(text)
