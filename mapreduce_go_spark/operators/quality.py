@@ -957,29 +957,43 @@ def hll_distinct_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     # Registers + per-bucket distinct counts from ONE (source, tok)
     # dedup pass — n_exact is sum(cnt) per source, so the corpus is
-    # scanned and exploded once (ADVICE r10). The dense source list
-    # is a second scan but column-pruned to `source` only.
+    # scanned and exploded once (ADVICE r10). Missing buckets are
+    # filled ARITHMETICALLY from the sparse rows instead of a dense
+    # source x range(64) frame (which cost a second documents scan +
+    # distinct + crossJoin + join until r12 — the single-scan pin,
+    # tests/test_plans.py::test_hll_single_scan_of_documents):
+    #   - a present bucket always has r >= 1 (rho = tz + 1, and the
+    #     w = 0 case gets WBITS + 1), so v_zero = m - n_present;
+    #   - each missing bucket adds 2^-0 = 1.0 to Z, and the indicator
+    #     sum is exactly representable (docstring), so adding the
+    #     (m - n_present) ones as one term is bit-identical to the
+    #     dense interleaved sum;
+    #   - the register vector densifies via map lookup over
+    #     sequence(0, m-1) with coalesce 0.
+    # Membership is unchanged: a source with no letter tokens has no
+    # regs rows at all (the old form inner-filtered it via
+    # n_exact > 0).
     regs = _hll_registers_with_exact(docs, ("source",))
-    dense = (
-        docs.select("source").distinct()
-        .crossJoin(F.broadcast(
-            spark.range(HLL_M).select(F.col("id").alias("bucket"))))
-        .join(regs, ["source", "bucket"], "left")
-        .fillna(0, subset=["r", "cnt"])
-    )
-    summary = dense.groupBy("source").agg(
+    summary = regs.groupBy("source").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("bucket", "r"))).alias("rmap"),
+        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z_present"),
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum("cnt").alias("n_exact"),
+    ).select(
+        "source",
         F.array_join(
             F.transform(
-                F.sort_array(F.collect_list(F.struct("bucket", "r"))),
-                lambda s: s["r"].cast("string")),
+                F.sequence(F.lit(0), F.lit(HLL_M - 1)),
+                lambda b: F.coalesce(
+                    F.element_at(F.col("rmap"), b.cast("long")),
+                    F.lit(0)).cast("string")),
             ",").alias("registers"),
-        F.sum(F.pow(F.lit(2.0), -F.col("r"))).alias("z"),
-        F.sum((F.col("r") == 0).cast("int")).alias("v_zero"),
-        F.sum("cnt").alias("n_exact"),
-    # a source whose docs have no letter tokens had no exact-twin row
-    # under the old two-pass form and was inner-joined away — keep
-    # that membership rule (and its 0/0 guard) explicit
-    ).where(F.col("n_exact") > 0)
+        (F.col("z_present")
+         + (F.lit(HLL_M) - F.col("n_present")).cast("double")).alias("z"),
+        (F.lit(HLL_M) - F.col("n_present")).cast("bigint").alias("v_zero"),
+        "n_exact",
+    )
     est_raw, est = _hll_estimates(F.col("z"), F.col("v_zero"))
     return summary.select(
         "source", "registers", "v_zero",

@@ -466,3 +466,22 @@ def test_multiprobe_lsh_broadcasts_query_side(spark, sf_dir):
     p = plan_of(similarity.ann_lsh_multiprobe_topk(spark, sf_dir))
     assert "BroadcastHashJoin" in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_hll_single_scan_of_documents(spark, sf_dir):
+    """ee2b2ad's one-pass claim, pinned (VERDICT r11 item 4): the HLL
+    batch queries scan+explode the corpus ONCE — registers and the
+    exact distinct count ride the same deduped pass. Catalyst's
+    RemoveRedundantAggregates once silently stripped the shared dedup
+    and planned a second full scan; if a refactor reintroduces that,
+    this goes red."""
+    from mapreduce_go_spark.operators import quality
+
+    for q in (quality.hll_distinct_tokens, quality.hll_distinct_by_source):
+        p = plan_of(q(spark, sf_dir))
+        # one "Location: ... documents.parquet" detail line per scan
+        # node (the tree section's "Scan parquet (n)" lines carry no
+        # path, so count the detail blocks)
+        scans = [ln for ln in p.splitlines()
+                 if "Location:" in ln and "documents.parquet" in ln]
+        assert len(scans) == 1, (q.__name__, p)
