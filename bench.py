@@ -28,6 +28,13 @@ full-suite delta between rounds measures suite growth + host state,
 not regressions. Do not chase it; compare frozen-vs-frozen (history:
 r5 27.07 s, r9 29.49/31.66 s, r10 30.88 s — and the r11 reading
 recorded in SCALE.md under "frozen subset").
+
+Every run also emits `canary_wall` (added r12, VERDICT r11 item 8): the
+min-of-3 wall of a FIXED pure-CPU Spark job (32M xxhash64 partial-sum,
+no shuffle, no I/O, constant work every round). Boot-to-boot VM
+throughput varies ~2x on this host (the r11 tripwire fired on exactly
+that); divide any cross-boot total by the canary ratio before reading
+it as a code delta. The frozen subset stays the only code-comparable.
 """
 
 from __future__ import annotations
@@ -266,6 +273,22 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
 ]
 
 
+def canary_wall(spark) -> float:
+    """Min-of-3 wall of a fixed CPU-bound job: 32M xxhash64 values
+    partial-summed across 32 tasks — no shuffle, no file I/O, no
+    Python workers, identical work every invocation. A pure host-
+    throughput thermometer for normalizing cross-boot bench totals."""
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        # pmod bounds the summand: 32M full-range int64 hashes would
+        # overflow the ANSI sum(bigint)
+        spark.range(0, 32_000_000, 1, 32).selectExpr(
+            "sum(pmod(xxhash64(id), 1000000)) AS s").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
 def family_of(name: str) -> str:
     for fam, prefixes in FAMILIES:
         if any(name.startswith(p) for p in prefixes):
@@ -323,6 +346,7 @@ def main() -> None:
             except Exception:
                 pass
     queries[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    canary = canary_wall(spark)  # after warm-up: JIT settled
 
     timings: dict[str, float] = {}
     for name in names:
@@ -355,6 +379,7 @@ def main() -> None:
         "families": fams,
         "n_queries": len(timings),
         "repeats": repeats,
+        "canary_wall": canary,
         "r5_subset_total": r5_subset,
         "value": total,
     }))
@@ -368,6 +393,7 @@ def main() -> None:
         "families": fams,
         "n_queries": len(timings),
         "repeats": repeats,
+        "canary_wall": canary,
         "sf": sf_val,
     }))
 
