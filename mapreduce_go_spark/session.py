@@ -69,8 +69,10 @@ def _apply_sql_confs(spark: SparkSession, n_shuffle: int) -> None:
 _SHIPPED_CONTEXTS: set[int] = set()
 
 
-def ensure_package_on_workers(spark: SparkSession) -> None:
-    """Ship this package to executor Python workers via addPyFile.
+def ensure_package_on_workers(spark: SparkSession) -> str:
+    """Ship this package to executor Python workers via addPyFile;
+    returns the published zip path (callers that spawn NON-include
+    Python processes — see ensure_tws_python_env — reuse it).
 
     The driver may own a session whose workers don't share our
     sys.path (e.g. launched from another cwd); any query using a
@@ -84,7 +86,8 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
 
     sc = spark.sparkContext
     if id(sc) in _SHIPPED_CONTEXTS:
-        return
+        return os.path.join(tempfile.gettempdir(),
+                            "mapreduce_go_spark_pyfiles.zip")
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     # Build in a unique temp file, then atomically publish under the
     # fixed name: two concurrent sessions (pytest + bench, or the
@@ -107,6 +110,38 @@ def ensure_package_on_workers(spark: SparkSession) -> None:
                     os.path.relpath(full, pkg_dir),
                 )
                 z.write(full, rel)
+                # vendored top-level packages (google.protobuf for
+                # transformWithState) must ALSO sit at archive root:
+                # workers put the zip itself on sys.path, so only
+                # root-level names are importable as top-level modules
+                vprefix = os.path.join("mapreduce_go_spark", "vendor")
+                if rel.startswith(vprefix + os.sep):
+                    vrel = os.path.relpath(rel, vprefix)
+                    if os.sep in vrel:  # skip vendor/__init__.py itself
+                        z.write(full, vrel)
     os.replace(tmp, zpath)
     sc.addPyFile(zpath)
     _SHIPPED_CONTEXTS.add(id(sc))
+    return zpath
+
+
+def ensure_tws_python_env(spark: SparkSession) -> None:
+    """Make transformWithState's DEDICATED Python processes able to
+    import the vendored google.protobuf (and this package).
+
+    Those processes — the pre-init driver worker and the per-task
+    state workers — are NOT regular PythonRDD workers: they never
+    read the python-includes list from the worker protocol
+    (pyspark/sql/streaming/transform_with_state_driver_worker.py has
+    no includes handling), so addPyFile alone can't reach them. Their
+    PYTHONPATH is SPARK_HOME's pyspark plus the PythonFunction's
+    envVars — which snapshot sc.environment AT UDF-WRAP TIME. So:
+    publish the pyfiles zip, then put it on sc.environment's
+    PYTHONPATH BEFORE the transformWithState plan is built. A real
+    google.protobuf installation is unaffected (the zip only appends;
+    regular packages beat the zip's only when earlier on the path)."""
+    zpath = ensure_package_on_workers(spark)
+    env = spark.sparkContext.environment
+    parts = [p for p in env.get("PYTHONPATH", "").split(os.pathsep) if p]
+    if zpath not in parts:
+        env["PYTHONPATH"] = os.pathsep.join([*parts, zpath])

@@ -194,15 +194,22 @@ def tws_available() -> bool:
     driver<->worker state protocol is protobuf-encoded, and protobuf
     is NOT baked into this container (ImportError surfaces as
     STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE at query start).
-    The processor, plan wiring, and parity test below are real and
-    complete; the test auto-skips with this exact reason where the
-    dependency is absent — the multimodal decode-gate discipline
-    applied to a missing protocol library."""
-    try:
-        from google.protobuf import descriptor  # noqa: F401
-        return True
-    except ImportError:
-        return False
+
+    .. versionchanged:: r12
+       The gate now self-unlocks: mapreduce_go_spark.vendor ships a
+       clean-room minimal protobuf runtime (public wire spec; just
+       the surface StateMessage_pb2 + the state clients use), tried
+       when no real google.protobuf exists. A real installation
+       always wins (sys.path append, never prepend). Worker-side the
+       vendored tree rides the pyfiles zip at archive root
+       (session.ensure_package_on_workers). With the unlock, every
+       micro-batch is a live cross-implementation differential: the
+       JVM's protobuf parses what we encode and vice versa, and the
+       parity test still pins the converged state to the batch
+       anchor."""
+    from mapreduce_go_spark.vendor import ensure_protobuf
+
+    return ensure_protobuf()
 
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
@@ -226,14 +233,32 @@ class UserTypeProfileProcessor(StatefulProcessor):
             "per_type", "event_type string", "n bigint, m bigint")
 
     def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
         import pandas as pd
 
         from mapreduce_go_spark.functions.simd import _grid
 
         acc: dict[str, tuple[int, int]] = {}
         for pdf in rows:
-            micro = _grid(
-                pdf["value"].to_numpy(dtype="float64") * 1e6)
+            # Match the batch twin's NULL semantics BEFORE _grid
+            # (whose docstring requires pre-filtered input — NaN
+            # defeats its 2^51 check and casts to INT64_MIN,
+            # silently corrupting the total; ADVICE r11): n counts
+            # every row (count(*)), the total sums only non-null
+            # values (F.sum skips NULLs). Arrow->pandas collapses
+            # NULL and true NaN to NaN, so a real NaN — which the
+            # batch anchor would LOUDLY reject under ANSI — is
+            # treated as NULL here; ±Inf stays distinguishable and
+            # raises like the batch side's cast overflow.
+            v = pdf["value"].to_numpy(dtype="float64")
+            if np.isinf(v).any():
+                raise ValueError(
+                    "user_type_profile_stream: infinite value — the "
+                    "batch twin fails this row under ANSI; refusing "
+                    "to diverge silently")
+            ok = ~np.isnan(v)
+            micro = np.zeros(len(v), dtype=np.int64)
+            micro[ok] = _grid(v[ok] * 1e6)
             for et, sub in pd.DataFrame(
                     {"event_type": pdf["event_type"], "m": micro}
             ).groupby("event_type"):
@@ -264,6 +289,12 @@ def user_type_profile_stream(stream: DataFrame) -> DataFrame:
     user_type_profile query. Requires the RocksDB state store
     provider (run via run_to_memory_rocksdb) and a protobuf-capable
     Python runtime (tws_available)."""
+    from mapreduce_go_spark.session import ensure_tws_python_env
+
+    # BEFORE the plan is built: the transformWithState UDF snapshots
+    # sc.environment (incl. PYTHONPATH for its dedicated Python
+    # processes) at wrap time — see ensure_tws_python_env
+    ensure_tws_python_env(stream.sparkSession)
     return (
         stream.select("user_id", "event_type", "value")
         .groupBy("user_id")
@@ -284,6 +315,15 @@ def run_to_memory_rocksdb(spark: SparkSession, streaming_df: DataFrame,
     other streaming jobs in this module keep their provider."""
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
+    # transformWithState spawns DEDICATED Python processes (the
+    # pre-init driver worker + per-task workers) whose PYTHONPATH is
+    # SPARK_HOME's pyspark + the session's python includes — NOT this
+    # process' sys.path. Ship the pyfiles zip (which carries the
+    # vendored google.protobuf at archive root) so those processes
+    # can speak the state protocol.
+    from mapreduce_go_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
     spark.conf.set(
         key, "org.apache.spark.sql.execution.streaming.state."
              "RocksDBStateStoreProvider")

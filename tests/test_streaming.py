@@ -185,6 +185,37 @@ def test_tws_processor_kernel_converges_to_batch(spark, sf_dir):
     assert got == want
 
 
+def test_tws_processor_null_and_inf_values():
+    """NULL-value rows must follow the batch twin's semantics inside
+    the processor kernel (ADVICE r11): count(*) counts them, the
+    grid total skips them (F.sum skips NULLs) — they must NOT reach
+    _grid, whose NaN image casts to INT64_MIN and silently corrupts
+    the running total. Infinite values raise loudly, like the batch
+    side's ANSI cast."""
+    import numpy as np
+    import pandas as pd
+    import pytest as _pytest
+
+    proc = jobs.UserTypeProfileProcessor()
+    proc.init(_FakeHandle())
+    pdf = pd.DataFrame({
+        "user_id": [1, 1, 1, 1],
+        "event_type": ["a", "a", "a", "b"],
+        "value": [1.25, None, 2.5, None],
+    })
+    final = list(proc.handleInputRows((1,), iter([pdf]), None))[-1]
+    got = {r.event_type: (int(r.n), float(r.total))
+           for r in final.itertuples()}
+    assert got == {"a": (3, 3.75), "b": (1, 0.0)}, got
+
+    bad = pd.DataFrame({
+        "user_id": [1], "event_type": ["a"], "value": [np.inf]})
+    proc2 = jobs.UserTypeProfileProcessor()
+    proc2.init(_FakeHandle())
+    with _pytest.raises(ValueError, match="infinite"):
+        list(proc2.handleInputRows((1,), iter([bad]), None))
+
+
 def test_transform_with_state_profile_matches_batch(spark, sf_dir, staged):
     """END-TO-END transformWithStateInPandas (RocksDB provider): the
     converged update-mode emission per (user, type) must equal the
