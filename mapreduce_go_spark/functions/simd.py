@@ -228,10 +228,26 @@ def make_centroid_assign(centroids: list[list[float]]):
     def assign(emb: pd.Series) -> pd.Series:
         if not len(emb):
             return pd.Series([], dtype="int32")
-        X = _check_finite(_stack(emb))           # (n, dim)
-        D = _grid_sum(((X[:, None, :] - C[None, :, :]) ** 2) * _SCALE,
-                      axis=-1)                   # (n, k) exact int64
-        return pd.Series(D.argmin(1).astype("int32"))
+        mask = _valid_rows(emb)
+        if mask.all():
+            # fast path: int32 out (object Series forces per-element
+            # Arrow conversion — the grid_dot lesson)
+            X = _check_finite(_stack(emb))       # (n, dim)
+            D = _grid_sum(
+                ((X[:, None, :] - C[None, :, :]) ** 2) * _SCALE,
+                axis=-1)                         # (n, k) exact int64
+            return pd.Series(D.argmin(1).astype("int32"))
+        # NULL embedding -> NULL cluster, the same contract as the
+        # interpreted array_min form and every sibling kernel (a NULL
+        # used to reach _stack and crash the task — ADVICE r11)
+        out = np.full(len(emb), None, dtype=object)
+        if mask.any():
+            X = _check_finite(_stack(emb[mask]))
+            D = _grid_sum(
+                ((X[:, None, :] - C[None, :, :]) ** 2) * _SCALE,
+                axis=-1)
+            out[mask] = D.argmin(1).astype("int32")
+        return pd.Series(out, dtype=object)
 
     return assign
 

@@ -78,8 +78,13 @@ def _assign_interpreted(emb: DataFrame,
                         centroids: list[list[float]]) -> DataFrame:
     """The pure-SQL HOF form of _assign — kept as the differential
     reference for the vectorized kernel (tests/test_simd.py), the
-    make_rolling_hash discipline."""
-    best = f"array_min({_dist_array_sql(centroids)}).i"
+    make_rolling_hash discipline. NULL embedding -> NULL cluster,
+    explicitly: the bare array_min form happens to return 0 for a
+    NULL embedding (all-NULL distances tie-break to index 0), which
+    is an accident, not a semantic — both forms now null-propagate
+    like every sibling kernel (ADVICE r11)."""
+    best = (f"CASE WHEN embedding IS NULL THEN NULL "
+            f"ELSE array_min({_dist_array_sql(centroids)}).i END")
     return emb.selectExpr("*", f"{best} as cluster")
 
 

@@ -156,6 +156,24 @@ def test_null_rows_match_interpreted_and_nonfinite_raises(spark):
     assert keys[0] is not None and len(keys[0]) == sim.ND_BANDS
     assert keys[1] is None
 
+    # centroid assign: NULL embedding -> NULL cluster, matching the
+    # interpreted array_min form (which null-propagates) — it used to
+    # reach np.vstack and kill the task (ADVICE r11)
+    from mapreduce_go_spark.functions.simd import make_centroid_assign
+
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    ca = make_centroid_assign(cents)
+    emb2 = spark.createDataFrame(
+        [([0.9, 0.8],), (None,), ([0.1, -0.2],)],
+        "embedding array<double>")
+    got = [r.c for r in emb2.select(ca(F.col("embedding")).alias("c"))
+           .collect()]
+    assert got == [1, None, 0], got
+    from mapreduce_go_spark.operators import kmeans as km
+    interp = [r.cluster for r in
+              km._assign_interpreted(emb2, cents).collect()]
+    assert got == interp, (got, interp)
+
 
 def test_rolling_hash_matches_interpreted(spark, sf_dir):
     """Chunked-Horner rolling hash == the sequential per-character
