@@ -220,6 +220,8 @@ HEADLINE = [
     # transformWithState batch anchor
     "ann_ivf_trained_topk",
     "user_type_profile",
+    # NEW in r12: sampled-training IVF (the 100 TB codebook path)
+    "ann_ivf_sampled_topk",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -291,7 +291,8 @@ def kmeans_fit(spark: SparkSession, sf_dir: str,
     ).withColumn("centroid_norm", F.element_at(norm_map, F.col("cluster")))
 
 
-def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS):
+def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS,
+                 sample_frac: float | None = None):
     """Spark-free NumPy twin of kmeans_fit: same init, same grid
     distances (simd._grid — bit-identical rounding to Spark round()
     and DuckDB round()), same int64 sums (associative, so partial vs
@@ -299,19 +300,37 @@ def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS):
     Returns (centroids, sizes) after `iterations` rounds + final
     assignment. Reads the whole embeddings table — appropriate here:
     this builds the ORACLE (DuckDB reads every row too), it is not a
-    production path."""
+    production path.
+
+    sample_frac mirrors kmeans_centroids' deterministic
+    xxhash64(vec_id) training subsample bit-for-bit (the pure-Python
+    XXH64 twin in functions/xxhash.py, Spark parity pinned in
+    tests/test_xxhash.py): init and every Lloyd's round see only the
+    sampled rows, exactly like the Spark loop, so a LAZY oracle can
+    embed sampled-trained centroids too. `sizes` are then over the
+    TRAINING subset (the only set this twin's training saw); codebook
+    consumers (ann_ivf_sampled_topk's oracle) use only the centroids."""
     import os
 
     import pyarrow.parquet as pq
 
     from mapreduce_go_spark.functions.simd import _grid, _grid_sum
+    from mapreduce_go_spark.functions.xxhash import sample_mask
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy()
     order = np.argsort(ids, kind="stable")
+    ids = ids[order]
     X = np.asarray(t.take(order).column("embedding").to_pylist(),
                    dtype=np.float64)
+    if sample_frac is not None:
+        keep = np.asarray(sample_mask(ids, sample_frac, _SAMPLE_MOD))
+        X = X[keep]
+        if X.shape[0] < k:
+            raise ValueError(
+                f"kmeans twin: need >= {k} training vectors, sample "
+                f"has {X.shape[0]} (sample_frac={sample_frac})")
     C = X[:k].copy()
     XG = _grid(X * _SCALE)  # per-element grid image, summed per cluster
     # group-sum overflow guard (the _grid_sum bound, checked once for

@@ -340,6 +340,29 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str,
     return _topk(scored)
 
 
+IVF_SAMPLE_FRAC = 0.5    # ann_ivf_sampled_topk's training subsample
+
+
+def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_ivf_trained_topk on the 100 TB training path (VERDICT r11
+    item 6, SCALE.md): the coarse-quantizer codebook is trained on a
+    deterministic xxhash64(vec_id) half-sample instead of every row —
+    FAISS-style IVF trains on ~256 vectors/centroid, not the corpus —
+    while ASSIGNMENT of the full table and the probe/score stages are
+    unchanged. Each Lloyd's iteration scans 1/frac less data; at real
+    scale frac shrinks with the corpus so training cost is ~constant.
+
+    Still a full value-level differential: the sampling predicate has
+    a pure-Python XXH64 twin (functions/xxhash.py, Spark parity
+    pinned bit-for-bit), so the NumPy training twin reproduces the
+    sampled codebook exactly and the LAZY oracle embeds it as
+    literals — the ann_ivf_trained_topk pattern with the sample
+    folded in. Recall floor vs full training is pinned in
+    tests/test_approx.py."""
+    return ann_ivf_trained_topk(spark, sf_dir,
+                                sample_frac=IVF_SAMPLE_FRAC)
+
+
 EMB_DIM = 64        # fixture embedding dimensionality (TESTDATA.md)
 LSH_BITS = 6        # hyperplanes per band -> 64 buckets/band
 LSH_BANDS_E = 2     # bands; a query probes its bucket in each band
@@ -829,6 +852,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "ann_ivf_nprobe_topk": ann_ivf_nprobe_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
+    "ann_ivf_sampled_topk": ann_ivf_sampled_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_pq_topk": ann_pq_topk,
@@ -1271,16 +1295,20 @@ def _pq_oracle_lazy() -> str | None:
         return None  # no/corrupt fixtures: ann_pq_topk stays rows-only
 
 
-def _ivf_trained_oracle_sql(sf_dir: str) -> str:
-    """DuckDB twin of ann_ivf_trained_topk: embeds the NumPy twin's
-    centroids (bit-identical to the Spark training loop by the kmeans
-    grid discipline) as literals, re-derives the exact-grid
-    assignment, the per-query nprobe cell ranking (ORDER BY d, i —
-    the struct-order tie-break), and the shared product-grid
-    cosine top-k."""
+def _ivf_trained_oracle_sql(sf_dir: str,
+                            sample_frac: float | None = None) -> str:
+    """DuckDB twin of ann_ivf_trained_topk (and, with sample_frac, of
+    ann_ivf_sampled_topk): embeds the NumPy twin's centroids
+    (bit-identical to the Spark training loop by the kmeans grid
+    discipline; the sampled form also reproduces the xxhash64
+    training subsample via the pure-Python XXH64 twin) as literals,
+    re-derives the exact-grid assignment, the per-query nprobe cell
+    ranking (ORDER BY d, i — the struct-order tie-break), and the
+    shared product-grid cosine top-k."""
     from mapreduce_go_spark.operators.kmeans import _kmeans_twin
 
-    C, _sizes = _kmeans_twin(sf_dir, k=IVF_TRAINED_K)
+    C, _sizes = _kmeans_twin(sf_dir, k=IVF_TRAINED_K,
+                             sample_frac=sample_frac)
     k, dim = C.shape
     cb = ", ".join(
         f"({ci}, {j + 1}, {float(C[ci, j])!r})"
@@ -1357,5 +1385,19 @@ def _ivf_trained_oracle_lazy() -> str | None:
         return None
 
 
+def _ivf_sampled_oracle_lazy() -> str | None:
+    """LAZY oracle for ann_ivf_sampled_topk — the trained-IVF oracle
+    with the xxhash64 training subsample folded into the twin."""
+    import os
+
+    sf_dir = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        return _ivf_trained_oracle_sql(sf_dir,
+                                       sample_frac=IVF_SAMPLE_FRAC)
+    except Exception:
+        return None
+
+
 LAZY_ORACLES = {"ann_pq_topk": _pq_oracle_lazy,
-                "ann_ivf_trained_topk": _ivf_trained_oracle_lazy}
+                "ann_ivf_trained_topk": _ivf_trained_oracle_lazy,
+                "ann_ivf_sampled_topk": _ivf_sampled_oracle_lazy}
