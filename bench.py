@@ -220,8 +220,11 @@ HEADLINE = [
     # transformWithState batch anchor
     "ann_ivf_trained_topk",
     "user_type_profile",
-    # NEW in r12: sampled-training IVF (the 100 TB codebook path)
+    # NEW in r12: sampled-training IVF (the 100 TB codebook path),
+    # binary-quantization Hamming ANN, matryoshka two-stage retrieval
     "ann_ivf_sampled_topk",
+    "ann_binary_hamming_topk",
+    "matryoshka_two_stage_topk",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -363,6 +363,174 @@ def ann_ivf_sampled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 sample_frac=IVF_SAMPLE_FRAC)
 
 
+BQ_WORD_BITS = 32    # sign bits packed per bigint word (2 words = 64d)
+BQ_COARSE_C = 40     # Hamming-coarse candidates per query (4x TOP_K)
+
+
+def _sign_word_sql(word: int, col: str = "embedding") -> str:
+    """SQL for bigint word `word` of the sign-bit signature: bit j is
+    1 iff element (word*32 + j) > 0. Built as ONE SQL string (parsed
+    JVM-side, whole-stage codegen) — 64 Column objects through py4j
+    cost ~seconds of driver time per invocation (bench gotcha)."""
+    terms = " + ".join(
+        f"(CASE WHEN cast(element_at({col}, {word * BQ_WORD_BITS + j + 1})"
+        f" as double) > 0 THEN {1 << j}L ELSE 0L END)"
+        for j in range(BQ_WORD_BITS))
+    return f"({terms})"
+
+
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantization ANN: 1-bit sign quantization (bit j =
+    embedding[j] > 0 — the random-rotation-free form of e.g.
+    RaBitQ/BQ in production vector stores), Hamming-distance coarse
+    scan over the packed signatures, exact grid-cosine re-rank of the
+    top-BQ_COARSE_C candidates per query.
+
+    Why it scales: the coarse scan compares 16 BYTES per vector (two
+    bigint words) instead of 256 (64 float doubles) — at 100 TB the
+    packed words live as two columns in the bucketed layout (the
+    zorder_layout discipline), so the coarse pass is a 16x-narrower
+    columnar scan with the query signatures broadcast, emitting only
+    (q_id, c_id, hamming) ints; the full embeddings are touched only
+    for the C candidates per query that survive. Here the words are
+    derived in the scan projection (the fixture has no packed
+    column), which Catalyst keeps inside WholeStageCodegen.
+
+    Exactness: sign bits are identical cross-engine (`> 0` on the
+    same IEEE doubles), Hamming is integer, candidate selection
+    tie-breaks on (hamming, c_id) and the re-rank is the shared
+    grid-cosine _topk — the DuckDB oracle re-derives all three stages
+    (per-bit unnest instead of bit_count: the oracle needs identical
+    VALUES, not engine bit ops)."""
+    from pyspark.sql import Window
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    words = emb.selectExpr(
+        "vec_id",
+        f"{_sign_word_sql(0)} as w0",
+        f"{_sign_word_sql(1)} as w1",
+    )
+    qw = words.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id", "w0 as qw0", "w1 as qw1")
+    ham = (
+        F.broadcast(qw)
+        .crossJoin(words)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .selectExpr(
+            "q_id", "vec_id as c_id",
+            "bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) as hamming")
+    )
+    wnd = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    cand = (ham.withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") <= BQ_COARSE_C)
+            .select("q_id", "c_id"))
+    embn = _with_norm(emb)
+    q = embn.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = embn.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id", "c_id",
+            _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+            .alias("cos"),
+        )
+    )
+    return _topk(scored)
+
+
+MRL_DIM = 16         # matryoshka coarse prefix length (16 of 64 dims)
+MRL_COARSE_C = 40    # prefix-cosine candidates per query
+
+
+def matryoshka_two_stage_topk(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Matryoshka two-stage retrieval (Kusupati et al. 2022, the MRL
+    serving pattern): coarse top-MRL_COARSE_C per query by exact
+    cosine over the FIRST MRL_DIM dimensions only, then exact
+    full-dimension grid-cosine re-rank of the survivors.
+
+    Why it scales: MRL-trained embeddings front-load information, so
+    the coarse pass reads a 4x-narrower prefix — at 100 TB the prefix
+    is materialized as its own column in the bucketed layout (or the
+    parquet page skips trailing dims), making stage 1 a narrow
+    columnar scan with the query prefixes broadcast; stage 2 touches
+    full vectors only for C candidates per query. The fixture vectors
+    are near-random (worst case: the prefix carries only 1/4 of the
+    signal), so recall here is the floor, not the claim — the
+    SEMANTIC (exact prefix-cosine candidate set, exact re-rank) is
+    what the oracle value-checks.
+
+    Exactness: both stages are the shared 1e-12 grid cosine (prefix
+    norms from the same grid), candidate selection tie-breaks on
+    (cos DESC, c_id), re-rank is _topk — the oracle re-derives both
+    stages over embedding[1:MRL_DIM] list slices."""
+    from pyspark.sql import Window
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    pre = emb.select(
+        "vec_id", "embedding",
+        F.slice("embedding", 1, MRL_DIM).alias("prefix"),
+    )
+    pren = pre.withColumn("pnorm", grid_norm(F.col("prefix")))
+    qp = pren.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("prefix").alias("qp"),
+        F.col("pnorm").alias("qpn"),
+    )
+    cp = pren.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("prefix").alias("cp"),
+        F.col("pnorm").alias("cpn"),
+    )
+    coarse = (
+        F.broadcast(qp)
+        .crossJoin(cp)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            _cosine(F.col("qp"), F.col("cp"),
+                    F.col("qpn"), F.col("cpn")).alias("pcos"),
+        )
+    )
+    wnd = Window.partitionBy("q_id").orderBy(
+        F.col("pcos").desc_nulls_last(), "c_id")
+    cand = (coarse.withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") <= MRL_COARSE_C)
+            .select("q_id", "c_id"))
+    embn = _with_norm(emb)
+    q = embn.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = embn.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id", "c_id",
+            _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+            .alias("cos"),
+        )
+    )
+    return _topk(scored)
+
+
 EMB_DIM = 64        # fixture embedding dimensionality (TESTDATA.md)
 LSH_BITS = 6        # hyperplanes per band -> 64 buckets/band
 LSH_BANDS_E = 2     # bands; a query probes its bucket in each band
@@ -853,6 +1021,8 @@ QUERIES = {
     "ann_ivf_nprobe_topk": ann_ivf_nprobe_topk,
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_ivf_sampled_topk": ann_ivf_sampled_topk,
+    "ann_binary_hamming_topk": ann_binary_hamming_topk,
+    "matryoshka_two_stage_topk": matryoshka_two_stage_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_pq_topk": ann_pq_topk,
@@ -1193,6 +1363,106 @@ ORACLES["semantic_dedup_keep"] = _BLOCKED_SCORED_CTE + f"""
         SELECT e.vec_id, (d.vec_id IS NOT NULL) AS is_dup
         FROM embeddings e LEFT JOIN dups d USING (vec_id)
     """
+
+# shared exact-cosine tail over a (q_id, c_id) candidate CTE `cand`:
+# join back to norms, product-grid cosine, (cos DESC, c_id) top-k
+_CAND_RERANK_TAIL = f""",
+    pairs AS (
+        SELECT cd.q_id, cd.c_id,
+               nq.embedding AS qe, nc.embedding AS ce,
+               nq.norm AS qn, nc.norm AS cn
+        FROM cand cd
+        JOIN norms nq ON nq.vec_id = cd.q_id
+        JOIN norms nc ON nc.vec_id = cd.c_id
+    ),
+    elems AS (
+        SELECT q_id, c_id, qn, cn, unnest(qe) AS x, unnest(ce) AS y
+        FROM pairs
+    ),
+    scored AS (
+        SELECT q_id, c_id,
+               CASE WHEN any_value(qn) * any_value(cn) > 0 THEN
+                   (sum(cast(round(cast(x AS double) * cast(y AS double)
+                                   * 1e12) AS bigint)) / 1e12)
+                   / (any_value(qn) * any_value(cn))
+               END AS cos
+        FROM elems GROUP BY q_id, c_id
+    )
+    SELECT q_id, c_id, rk,
+           cast(round(cast(cos AS decimal(28,12)), 6) AS double) AS cos
+    FROM (SELECT q_id, c_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY cos DESC, c_id) AS rk
+          FROM scored)
+    WHERE rk <= {TOP_K}
+"""
+
+# binary-quantization ANN: per-bit sign unnest (identical VALUES to
+# Spark's packed-word bit_count — the oracle avoids engine bit ops),
+# Hamming coarse top-C with the (hamming, c_id) tie-break, shared
+# exact re-rank
+ORACLES["ann_binary_hamming_topk"] = _NORMS_SQL + f""",
+    bits AS (
+        SELECT vec_id, g.j AS j,
+               CASE WHEN cast(embedding[g.j] AS double) > 0
+                    THEN 1 ELSE 0 END AS b
+        FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(j)
+    ),
+    ham AS (
+        SELECT qb.vec_id AS q_id, cb.vec_id AS c_id,
+               sum(CASE WHEN qb.b <> cb.b THEN 1 ELSE 0 END) AS hamming
+        FROM bits qb
+        JOIN bits cb ON cb.j = qb.j AND cb.vec_id <> qb.vec_id
+        WHERE qb.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY hamming, c_id) AS rn
+            FROM ham)
+        WHERE rn <= {BQ_COARSE_C}
+    )""" + _CAND_RERANK_TAIL
+
+# matryoshka two-stage: prefix-slice cosine coarse top-C with the
+# (pcos DESC NULLS LAST, c_id) tie-break, shared exact re-rank
+ORACLES["matryoshka_two_stage_topk"] = _NORMS_SQL + f""",
+    pre AS (
+        SELECT vec_id, embedding[1:{MRL_DIM}] AS prefix,
+               sqrt((SELECT sum(cast(round(cast(x AS double)
+                                           * cast(x AS double)
+                                           * 1e12) AS bigint))
+                     FROM unnest(embedding[1:{MRL_DIM}]) AS u(x))
+                    / 1e12) AS pnorm
+        FROM embeddings
+    ),
+    pelems AS (
+        SELECT pq.q_id, pc.c_id, pq.qpn, pc.cpn,
+               unnest(pq.qp) AS x, unnest(pc.cp) AS y
+        FROM (SELECT vec_id AS q_id, prefix AS qp, pnorm AS qpn
+              FROM pre WHERE vec_id < {N_QUERIES}) pq
+        JOIN (SELECT vec_id AS c_id, prefix AS cp, pnorm AS cpn
+              FROM pre) pc ON pq.q_id <> pc.c_id
+    ),
+    pscored AS (
+        SELECT q_id, c_id,
+               CASE WHEN any_value(qpn) * any_value(cpn) > 0 THEN
+                   (sum(cast(round(cast(x AS double) * cast(y AS double)
+                                   * 1e12) AS bigint)) / 1e12)
+                   / (any_value(qpn) * any_value(cpn))
+               END AS pcos
+        FROM pelems GROUP BY q_id, c_id
+    ),
+    cand AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (
+                       PARTITION BY q_id
+                       ORDER BY pcos DESC NULLS LAST, c_id) AS rn
+            FROM pscored)
+        WHERE rn <= {MRL_COARSE_C}
+    )""" + _CAND_RERANK_TAIL
 
 
 def _pq_oracle_sql(sf_dir: str) -> str:

@@ -42,22 +42,22 @@ _PRIORITY: list[str] = [
     "q22_global_sales_opportunity",  # HOLD greens=3
     "ann_ivf_topk",  # HOLD greens=3
     "audio_resample",  # HOLD greens=3
-    "jpeg_resize",  # FILL greens=2
-    "dup_span_stats",  # FILL greens=2
-    "bm25_top_terms",  # FILL greens=2
-    "pii_stats",  # FILL greens=2
-    "cdc_dup_chunks",  # FILL greens=3
-    "local_supplier_volume_bucketed",  # FILL greens=2
-    "image_phash_pairs",  # FILL greens=2
-    "audio_fingerprint_pairs",  # FILL greens=2
-    "video_phash_pairs",  # FILL greens=2
-    "phash_dup_flags",  # FILL greens=2
-    "hll_distinct_tokens",  # FILL greens=2
-    "hist_quantiles",  # FILL greens=2
-    "kmeans_clusters",  # FILL greens=2
+    "warc_extract",  # FILL greens=2
+    "arrow_text_stats",  # FILL greens=2
+    "partition_pruned_daily",  # FILL greens=2
+    "dpp_enriched_revenue",  # FILL greens=2
     "zscore_pandas",  # FILL greens=2
-    "salted_skew_agg",  # FILL greens=2
-    "train_test_split",  # FILL greens=2
-    "dq_profile",  # FILL greens=2
-    "topk_per_group",  # FILL greens=2
+    "scd2_user_dim",  # FILL greens=2
+    "merge_upsert_customers",  # FILL greens=2
+    "jsonl_roundtrip",  # FILL greens=2
+    "orc_roundtrip",  # FILL greens=2
+    "csv_roundtrip",  # FILL greens=2
+    "contrastive_pairs",  # FILL greens=2
+    "skew_join_stats",  # FILL greens=2
+    "grouped_agg_mad",  # FILL greens=2
+    "observed_pipeline_filter",  # FILL greens=2
+    "recursive_ancestor_depth",  # FILL greens=2
+    "ann_ivf_sampled_topk",  # FILL greens=0
+    "ann_binary_hamming_topk",  # FILL greens=0
+    "matryoshka_two_stage_topk",  # FILL greens=0
 ]

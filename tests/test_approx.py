@@ -470,3 +470,54 @@ def test_ann_ivf_trained_sampled_codebook_recall_floor(spark, sf_dir):
     assert recall >= 0.4, recall
     for key in set(cos_tr) & set(cos_knn):
         assert cos_tr[key] == cos_knn[key], key
+
+
+def test_ann_binary_hamming_recall_floor_and_exact_scores(spark, sf_dir):
+    """Binary-quantization ANN: 1-bit sign signatures + Hamming
+    coarse top-40 must stay a useful candidate generator even on the
+    fixture's near-random vectors (the worst case for sign bits —
+    real embedding spaces are anisotropic and quantize better).
+    Measured 0.5625 recall@10 at sf0.01; 0.4 leaves fixture-scale
+    headroom. Scores shared with exact knn are identical — the
+    re-rank is the same grid cosine."""
+    from collections import defaultdict
+
+    from mapreduce_go_spark.operators import similarity
+
+    knn, bq = defaultdict(set), defaultdict(set)
+    cos_knn, cos_bq = {}, {}
+    for r in similarity.knn_cosine_topk(spark, sf_dir).collect():
+        knn[r.q_id].add(r.c_id)
+        cos_knn[(r.q_id, r.c_id)] = r.cos
+    for r in similarity.ann_binary_hamming_topk(spark, sf_dir).collect():
+        bq[r.q_id].add(r.c_id)
+        cos_bq[(r.q_id, r.c_id)] = r.cos
+    recall = sum(len(bq[q] & knn[q]) / len(knn[q]) for q in knn) / len(knn)
+    assert recall >= 0.4, recall
+    for key in set(cos_bq) & set(cos_knn):
+        assert cos_bq[key] == cos_knn[key], key
+
+
+def test_matryoshka_recall_floor_and_exact_scores(spark, sf_dir):
+    """Matryoshka two-stage: a 16/64 prefix carries only ~1/4 of the
+    signal on RANDOM vectors, so the fixture measures the recall
+    FLOOR of the serving pattern (MRL-trained embeddings front-load
+    information; real prefixes recall far higher). Measured 0.4375
+    recall@10 at sf0.01; assert 0.3. Re-rank scores shared with knn
+    are identical grid cosines."""
+    from collections import defaultdict
+
+    from mapreduce_go_spark.operators import similarity
+
+    knn, mr = defaultdict(set), defaultdict(set)
+    cos_knn, cos_mr = {}, {}
+    for r in similarity.knn_cosine_topk(spark, sf_dir).collect():
+        knn[r.q_id].add(r.c_id)
+        cos_knn[(r.q_id, r.c_id)] = r.cos
+    for r in similarity.matryoshka_two_stage_topk(spark, sf_dir).collect():
+        mr[r.q_id].add(r.c_id)
+        cos_mr[(r.q_id, r.c_id)] = r.cos
+    recall = sum(len(mr[q] & knn[q]) / len(knn[q]) for q in knn) / len(knn)
+    assert recall >= 0.3, recall
+    for key in set(cos_mr) & set(cos_knn):
+        assert cos_mr[key] == cos_knn[key], key

@@ -71,43 +71,23 @@ def test_driver_window_is_curated():
     assert names[:50] == registry._PRIORITY
     missing = [n for n in names[:50] if n not in _ORACLES]
     assert not missing, f"window queries without oracle: {missing}"
-    # r11 rotation (tools/rotation.py policy): the r9 first greens
-    # (bpe/multimodal/bmp/sliding/dedup_first/symspell/typo, the
-    # bucketed TPC-H twins, bloom/boilerplate/strip/quality/url pair/
-    # unigram, triangle/degree, hll/cms/window/weighted/variant)
-    # confirmed their second green in r10 and released 25 seats; the
-    # 4 late-r10 registrations seat (token_chunks_overlap,
-    # domain_mix_temperature, purchase_click_attribution_outer,
-    # ann_lsh_multiprobe_topk — never-verified names outrank the
-    # greens-refill) and the twice-green plain TPC-H pool refills.
-    # Families stay represented by the prefixes below (TPC-H by
-    # q4-q22, near-dup by winnow, ANN by the ivf/lsh quartet incl.
-    # the r11-registered trained-quantizer variant,
-    # streaming by sessionize + the purchase_ attribution pair +
-    # user_type_profile (the transformWithState batch anchor, seated
-    # mid-r11 when its registration displaced the twice-green
-    # jpeg_resize refill),
-    # LLM-pipeline by token_/domain_/contrastive_/pretrain_, media
-    # by audio_, vectorized-Python by zscore_arrow/
-    # arrow_text_stats/grouped_agg_mad, sources by warc/jsonl/orc/
-    # csv, warehouse by scd2/merge, pruning by partition_/dpp_).
-    families = ("wc", "indexer", "crash_",
-                "q4_", "q6_", "q7_", "q9_", "q10_", "q11_", "q12_",
-                "q13_", "q14_", "q15_", "q16_", "q17_", "q18_",
-                "q19_", "q20_", "q21_", "q22_",
-                "join_inner_bucketed", "winnow_", "sessionize",
-                "pretrain_", "purchase_", "ann_", "token_",
-                "domain_", "audio_",
-                # jpeg_resize demoted mid-r11 (twice-green, rotation
-                # policy) when user_type_profile seated; media stays
-                # represented by audio_resample, the jpeg codec by its
-                # pytest family (test_multimodal/test_video)
-                "user_type_profile",
-                "warc_", "arrow_", "partition_", "dpp_", "zscore_",
-                "scd2_", "merge_", "jsonl_", "orc_", "csv_",
-                "contrastive_", "skew_", "grouped_agg_",
-                "observed_", "recursive_")
-    for fam in families:
+    # Family representation is POLICY since r12 (rotation.py P6): the
+    # r12 round-open regeneration showed that once never-verified
+    # debt hits zero, the greens-pool refill concentrates seats in
+    # whichever families head FILL_QUEUE (14 families fell out of the
+    # window). The curated family list now lives in tools/rotation.py
+    # (FAMILIES — one source of truth); this test asserts the shipped
+    # window actually spans it.
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "rotation",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "rotation.py"))
+    rotation = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rotation)
+    for fam in rotation.FAMILIES:
         assert any(n.startswith(fam) for n in names[:50]), fam
 
 

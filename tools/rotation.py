@@ -31,6 +31,14 @@ POLICY (applied in order; deterministic):
       query-number order, (c) the builder's queued rotation names,
       (d) newest registrations. Never-verified count is the debt
       metric; it only shrinks via FILL.
+  P6. FAMILY REPRESENTATION: every curated family (FAMILIES below —
+      the same tuple tests/test_registry.py pins) keeps at least one
+      seat. Once the never-verified debt hits zero, P5's greens-pool
+      refill would otherwise concentrate seats in whichever families
+      head FILL_QUEUE (the r12 round-open regeneration dropped 14
+      families this way); P6 fills missing families FIRST, picking
+      the family member with the fewest cumulative greens (registry
+      order tie-break) so the freshest evidence rotates in.
 
 Run:  python tools/rotation.py          (prints the proposed window)
       python tools/rotation.py --write  (regenerates
@@ -128,7 +136,31 @@ FILL_QUEUE = [
     # streaming twin is protobuf-gated in this container —
     # streaming/jobs.tws_available)
     "ann_ivf_trained_topk", "user_type_profile",
+    # registered in r12 (vs 22 freed at round open — inside the
+    # budget): the sampled-training IVF (the 100 TB codebook path,
+    # VERDICT r11 item 6), binary-quantization Hamming ANN, and
+    # matryoshka two-stage retrieval
+    "ann_ivf_sampled_topk", "ann_binary_hamming_topk",
+    "matryoshka_two_stage_topk",
 ]
+
+# P6: the curated family prefixes — every family keeps >= 1 window
+# seat (tests/test_registry.py::test_driver_window_is_curated imports
+# this tuple; one source of truth). A prefix names a capability
+# family, not a single query: any member seats it.
+FAMILIES = (
+    "wc", "indexer", "crash_",
+    "q4_", "q6_", "q7_", "q9_", "q10_", "q11_", "q12_",
+    "q13_", "q14_", "q15_", "q16_", "q17_", "q18_",
+    "q19_", "q20_", "q21_", "q22_",
+    "join_inner_bucketed", "winnow_", "sessionize",
+    "pretrain_", "purchase_", "ann_", "token_",
+    "domain_", "audio_", "user_type_profile",
+    "warc_", "arrow_", "partition_", "dpp_", "zscore_",
+    "scd2_", "merge_", "jsonl_", "orc_", "csv_",
+    "contrastive_", "skew_", "grouped_agg_",
+    "observed_", "recursive_",
+)
 
 # REGISTRATION BUDGET (VERDICT r8 item 4): per round, register at
 # most as many NEW oracle-backed queries as the round frees seats
@@ -223,18 +255,41 @@ def propose(current_window: list[str],
 
     fills: list[str] = []
     seats = WINDOW - len(keep)
+    # P6 first: a missing curated family outranks every pool name —
+    # seat its least-verified oracle-backed member (registry-order
+    # tie-break). Deterministic in (keep, history, registry) only, so
+    # propose() stays idempotent (the fixpoint test re-runs it on its
+    # own output).
+    for fam in FAMILIES:
+        if len(fills) >= seats:
+            break
+        seated = keep + fills
+        if any(n.startswith(fam) for n in seated):
+            continue
+        cands = [n for n in all_names
+                 if n.startswith(fam) and n in oracled
+                 and n not in seated]
+        if cands:
+            fills.append(min(
+                cands,
+                key=lambda n: (greens.get(n, 0), all_names.index(n))))
     pool = [n for n in FILL_QUEUE if n in all_names and n in oracled
-            and greens.get(n, 0) == 0 and n not in keep]
+            and greens.get(n, 0) == 0 and n not in keep
+            and n not in fills]
     # cdc_dup_chunks has a prior green but was queued by r6 — allow
     # queued names with greens as the tail of the pool
     pool += [n for n in FILL_QUEUE if n in all_names and n in oracled
              and greens.get(n, 0) > 0 and n not in keep
-             and n not in pool]
+             and n not in fills and n not in pool]
     pool += [n for n in all_names  # P5(d): newest registrations
              if n in oracled and greens.get(n, 0) == 0
-             and n not in keep and n not in pool]
-    fills = pool[:seats]
-    return keep + fills, demoted
+             and n not in keep and n not in fills and n not in pool]
+    fills += pool[:seats - len(fills)]
+    window = keep + fills
+    # report only true exits (a P6 family pick may re-seat a name the
+    # keep-set released — that's a hold, not a demotion)
+    demoted = [n for n in demoted if n not in window]
+    return window, demoted
 
 
 def render_window(window: list[str], greens: dict[str, int],

@@ -160,9 +160,10 @@ def main() -> None:
         cms_heavy_hitters, decontaminate, hll_distinct_by_source,
         hll_distinct_tokens, repetition_stats)
     from mapreduce_go_spark.operators.similarity import (
-        ann_ivf_nprobe_topk, ann_ivf_sampled_topk, ann_ivf_trained_topk,
+        ann_binary_hamming_topk, ann_ivf_nprobe_topk,
+        ann_ivf_sampled_topk, ann_ivf_trained_topk,
         ann_lsh_multiprobe_topk, ann_pq_topk,
-        embedding_neardup_pairs_blocked)
+        embedding_neardup_pairs_blocked, matryoshka_two_stage_topk)
     from mapreduce_go_spark.operators.streaming_batch import (
         purchase_click_attribution, purchase_click_attribution_outer,
         user_type_profile)
@@ -224,6 +225,8 @@ def main() -> None:
                      ("ann_lsh_multiprobe_topk", ann_lsh_multiprobe_topk),
                      ("ann_ivf_trained_topk", ann_ivf_trained_topk),
                      ("ann_ivf_sampled_topk", ann_ivf_sampled_topk),
+                     ("ann_binary_hamming_topk", ann_binary_hamming_topk),
+                     ("matryoshka_two_stage_topk", matryoshka_two_stage_topk),
                      ("user_type_profile", user_type_profile),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
