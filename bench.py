@@ -225,6 +225,8 @@ HEADLINE = [
     "ann_ivf_sampled_topk",
     "ann_binary_hamming_topk",
     "matryoshka_two_stage_topk",
+    # NEW in r12: DSIR hashed-ngram importance selection
+    "dsir_importance_sample",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

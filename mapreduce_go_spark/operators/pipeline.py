@@ -539,6 +539,89 @@ def observed_pipeline_filter(spark: SparkSession, sf_dir: str,
     return kept.observe("pipeline_filter_metrics", *metrics)
 
 
+DSIR_BUCKETS = 128      # hashed-feature space (the paper's 10k at
+                        # corpus scale; 128 keeps fixture buckets dense)
+DSIR_TARGET_LANG = "en"  # target distribution: the English slice
+DSIR_KEEP = 100          # documents selected
+
+
+def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw
+    document by its hashed-n-gram importance under a target
+    distribution, select the top-importance subset. Features are
+    salted-md5-hashed unigram buckets (the paper hashes n-grams into
+    10k buckets; 128 keeps fixture buckets dense); the target here is
+    the corpus' English slice, the raw distribution is the whole
+    corpus; both are add-1 smoothed. Importance of a doc =
+    sum over tokens of ln(p_target(b)/p_raw(b)).
+
+    Selection is deterministic top-DSIR_KEEP by (weight, doc_id) —
+    the paper's Gumbel-resampling variant adds sampling noise on top
+    of exactly this statistic; the statistic is the checkable part.
+
+    Cross-engine exactness: bucket counts and totals are integers;
+    each ln() argument is an exact-int64 / exact-int64 double
+    division (identical IEEE result), ln is the correctly-rounded
+    libm call the green BM25/unigram queries rely on, snapped to the
+    1e-6 grid per BUCKET (128 longs) and summed per doc as int64 —
+    no double accumulation.
+
+    100 TB shape: both distributions aggregate to DSIR_BUCKETS=128
+    rows (broadcast); per-token scoring is a map-side broadcast join;
+    one shuffle for the per-doc sum; the global top-k rank filters on
+    a constant (WindowGroupLimit pushes the partial top-k map-side).
+    """
+    from mapreduce_go_spark.functions.num import grid
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (
+        tables.spread(docs)
+        .select("doc_id", "lang",
+                F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    bucket = (
+        F.conv(F.substring(
+            F.md5(F.concat(F.lit("dsir:"), F.col("tok"))), 1, 8), 16, 10)
+        .cast("long") % DSIR_BUCKETS
+    )
+    tb = tok.select("doc_id", "lang", bucket.alias("b"))
+    raw = tb.groupBy("b").agg(F.count("*").alias("cr"))
+    tgt = (tb.where(F.col("lang") == DSIR_TARGET_LANG)
+           .groupBy("b").agg(F.count("*").alias("ct")))
+    # dense 0..B-1 frame: a bucket absent from either side still
+    # carries its add-1 smoothing mass
+    frame = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
+    dist = (
+        frame.join(raw, "b", "left").join(tgt, "b", "left")
+        .select("b",
+                F.coalesce("cr", F.lit(0)).alias("cr"),
+                F.coalesce("ct", F.lit(0)).alias("ct"))
+    )
+    tot = dist.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    logratio = (
+        grid(F.log((F.col("ct") + 1).cast("double")
+                   / (F.col("tt") + DSIR_BUCKETS)), 10**6)
+        - grid(F.log((F.col("cr") + 1).cast("double")
+                     / (F.col("tr") + DSIR_BUCKETS)), 10**6)
+    )
+    ratio = (dist.crossJoin(F.broadcast(tot))
+             .select("b", logratio.alias("g")))
+    per_doc = (
+        tb.join(F.broadcast(ratio), "b")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_tokens"),
+             F.sum("g").alias("logw_micro"))
+    )
+    win = Window.orderBy(F.col("logw_micro").desc(), "doc_id")
+    return (
+        per_doc.withColumn("rn", F.row_number().over(win))
+        .select("doc_id", "n_tokens", "logw_micro",
+                (F.col("rn") <= DSIR_KEEP).alias("selected"))
+    )
+
+
 QUERIES = {
     "observed_pipeline_filter": observed_pipeline_filter,
     "contrastive_pairs": contrastive_pairs,
@@ -552,6 +635,7 @@ QUERIES = {
     "pack_sequences": pack_sequences,
     "dq_orphan_lineitems": dq_orphan_lineitems,
     "dq_profile": dq_profile,
+    "dsir_importance_sample": dsir_importance_sample,
 }
 
 _TOKS = ("len(list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'),"
@@ -708,11 +792,61 @@ def _retrieval_sql() -> str:
     """
 
 
+# salted md5 nibble-fold -> bucket 0..DSIR_BUCKETS-1 (the _BUCKET_SQL
+# device with the dsir salt and a parametric modulus)
+_DSIR_BUCKET_SQL = (
+    "(list_reduce(list_prepend(cast(0 AS bigint),"
+    " list_transform(regexp_split_to_array("
+    "substring(md5('dsir:' || tok), 1, 8), ''),"
+    " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
+    f" (acc, v) -> acc * 16 + v) % {DSIR_BUCKETS})"
+)
+
 ORACLES = {
     # the observation is metadata-only: rows are the plain filter
     "observed_pipeline_filter": f"""
         SELECT doc_id, lang, source, n_chars
         FROM documents WHERE n_chars >= {OBS_MIN_CHARS}
+    """,
+    "dsir_importance_sample": f"""
+        WITH tok AS (
+            SELECT doc_id, lang, t AS tok FROM (
+                SELECT doc_id, lang, unnest(regexp_split_to_array(
+                    text, '{NON_LETTER_RE}')) AS t FROM documents)
+            WHERE t <> ''
+        ),
+        tb AS (SELECT doc_id, lang, {_DSIR_BUCKET_SQL} AS b FROM tok),
+        frame AS (SELECT g.b FROM generate_series(
+            0, {DSIR_BUCKETS - 1}) g(b)),
+        raw AS (SELECT b, count(*) AS cr FROM tb GROUP BY b),
+        tgt AS (SELECT b, count(*) AS ct FROM tb
+                WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b),
+        dist AS (
+            SELECT f.b, coalesce(r.cr, 0) AS cr, coalesce(t.ct, 0) AS ct
+            FROM frame f LEFT JOIN raw r USING (b)
+            LEFT JOIN tgt t USING (b)
+        ),
+        tot AS (SELECT cast(sum(cr) AS bigint) AS tr,
+                       cast(sum(ct) AS bigint) AS tt FROM dist),
+        ratio AS (
+            SELECT b,
+                   cast(round(ln(cast(ct + 1 AS double)
+                                 / (tt + {DSIR_BUCKETS}))
+                              * 1000000) AS bigint)
+                 - cast(round(ln(cast(cr + 1 AS double)
+                                 / (tr + {DSIR_BUCKETS}))
+                              * 1000000) AS bigint) AS g
+            FROM dist CROSS JOIN tot
+        ),
+        per_doc AS (
+            SELECT doc_id, count(*) AS n_tokens,
+                   cast(sum(g) AS bigint) AS logw_micro
+            FROM tb JOIN ratio USING (b) GROUP BY doc_id
+        )
+        SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens, logw_micro,
+               (row_number() OVER (ORDER BY logw_micro DESC, doc_id)
+                    <= {DSIR_KEEP}) AS selected
+        FROM per_doc
     """,
     "token_chunks_overlap": f"""
         WITH t AS (

@@ -328,3 +328,25 @@ def test_domain_mix_temperature_quota_laws(spark, sf_dir):
         if c < avg and s in quota:
             assert quota[s] / budget > c / total, (
                 s, quota[s] / budget, c / total)
+
+
+def test_dsir_selection_skews_toward_target(spark, sf_dir):
+    """DSIR's whole point: the selected subset should over-represent
+    the target distribution (lang='en') relative to its base rate —
+    otherwise the importance weights are noise. Measured at sf0.01:
+    61/100 selected are en vs a 43.6% base rate. Also pins the
+    selection size invariant (exactly DSIR_KEEP selected when the
+    corpus has more than DSIR_KEEP token-bearing docs)."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators.pipeline import (
+        DSIR_KEEP, DSIR_TARGET_LANG, dsir_importance_sample)
+
+    res = dsir_importance_sample(spark, sf_dir)
+    docs = tables.load(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = res.join(docs, "doc_id").collect()
+    n_docs = len(joined)
+    sel = [r for r in joined if r.selected]
+    assert len(sel) == min(DSIR_KEEP, n_docs)
+    base = sum(r.lang == DSIR_TARGET_LANG for r in joined) / n_docs
+    rate = sum(r.lang == DSIR_TARGET_LANG for r in sel) / len(sel)
+    assert rate > base, (rate, base)

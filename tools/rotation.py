@@ -141,7 +141,7 @@ FILL_QUEUE = [
     # VERDICT r11 item 6), binary-quantization Hamming ANN, and
     # matryoshka two-stage retrieval
     "ann_ivf_sampled_topk", "ann_binary_hamming_topk",
-    "matryoshka_two_stage_topk",
+    "matryoshka_two_stage_topk", "dsir_importance_sample",
 ]
 
 # P6: the curated family prefixes — every family keeps >= 1 window

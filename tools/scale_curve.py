@@ -173,7 +173,8 @@ def main() -> None:
     from mapreduce_go_spark.operators.graph import triangle_counts
     from mapreduce_go_spark.operators.advanced import recursive_ancestor_depth
     from mapreduce_go_spark.operators.pipeline import (
-        observed_pipeline_filter, token_chunks_overlap)
+        dsir_importance_sample, observed_pipeline_filter,
+        token_chunks_overlap)
     from mapreduce_go_spark.operators.quality import domain_mix_temperature
     from mapreduce_go_spark.operators.video import (mjpeg_frame_sample,
                                                     video_phash_pairs)
@@ -227,6 +228,7 @@ def main() -> None:
                      ("ann_ivf_sampled_topk", ann_ivf_sampled_topk),
                      ("ann_binary_hamming_topk", ann_binary_hamming_topk),
                      ("matryoshka_two_stage_topk", matryoshka_two_stage_topk),
+                     ("dsir_importance_sample", dsir_importance_sample),
                      ("user_type_profile", user_type_profile),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
