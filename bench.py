@@ -225,8 +225,11 @@ HEADLINE = [
     "ann_ivf_sampled_topk",
     "ann_binary_hamming_topk",
     "matryoshka_two_stage_topk",
-    # NEW in r12: DSIR hashed-ngram importance selection
+    # NEW in r12: DSIR hashed-ngram importance selection and the
+    # transformWithState ListState / event-time-timer batch anchors
     "dsir_importance_sample",
+    "user_recent_events",
+    "idle_user_flush",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -219,6 +219,80 @@ def user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RECENT_K = 5                      # last-K events kept per user
+IDLE_GAP_MS = 6 * 3600 * 1000     # idle-flush gap (6 hours)
+FLUSH_DELAY_MS = 2 * 3600 * 1000  # == streaming/jobs.WATERMARK ("2 hours")
+
+
+def user_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user last-RECENT_K events by (ts, event_id) — the batch
+    anchor of the transformWithState ListState job
+    (streaming/jobs.user_recent_events_stream): the streaming twin
+    keeps exactly this top-K in a per-user ListState, trimmed on
+    every micro-batch, so its converged snapshot must equal this
+    window query regardless of how the input was micro-batched
+    (the top-K-by-total-order merge is associative).
+
+    v_micro is the 1e6-grid image of value (NULL propagates) — the
+    same integer the streaming state carries, so parity is exact.
+
+    100 TB shape: one shuffle on user_id; the rank filter compares
+    against a CONSTANT so WindowGroupLimit keeps only K rows per user
+    per map partition ahead of the exchange; streaming state is K
+    tiny tuples per user in RocksDB."""
+    from pyspark.sql import Window
+
+    from mapreduce_go_spark.functions.num import grid
+
+    ev = tables.load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type",
+                  grid(F.col("value"), 10**6).alias("v_micro"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= RECENT_K)
+        .select("user_id", "rk", "event_id", "event_type", "v_micro")
+    )
+
+
+def idle_user_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users the event-time idle TIMER has flushed by end-of-stream —
+    the batch anchor of the transformWithState timer job
+    (streaming/jobs.idle_user_flush_stream). The streaming twin
+    re-arms a per-user timer at last_event + IDLE_GAP_MS on every
+    batch; a timer fires when the event-time watermark (final value:
+    max(ts) - FLUSH_DELAY_MS, the job's withWatermark delay) passes
+    it, emitting the user's running (n, m_micro, last_ms) aggregate.
+    So the DETERMINISTIC converged output is exactly: every user
+    whose last event is older than max(ts) - delay - gap, carrying
+    their full aggregate — which is this query. (Boundary is
+    millisecond-floored like the engine's timer arithmetic; fixture
+    user idle gaps are minutes-to-hours apart, so the sub-ms floor
+    can never flip membership.)
+
+    100 TB shape: algebraic per-user aggregate (map-side combine, one
+    shuffle), the max(ts) scalar broadcast; streaming state is one
+    (n, m, last_ms) tuple + one registered timer per user."""
+    from mapreduce_go_spark.functions.num import grid
+
+    ev = tables.load(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.sum(grid(F.col("value"), 10**6)), F.lit(0))
+        .alias("m_micro"),
+        F.max("ts").alias("last_ts"),
+    )
+    mx = ev.agg(F.expr("unix_micros(max(ts)) div 1000").alias("max_ms"))
+    return (
+        per.crossJoin(F.broadcast(mx))
+        .where(F.expr("unix_micros(last_ts) div 1000")
+               + F.lit(IDLE_GAP_MS) < F.col("max_ms") - FLUSH_DELAY_MS)
+        .select("user_id", "n", "m_micro",
+                F.expr("unix_micros(last_ts) div 1000").alias("last_ms"))
+    )
+
+
 def event_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the stream-static dimension-enrichment join
     (streaming/jobs.enriched_segment_counts): events joined to the
@@ -245,9 +319,37 @@ QUERIES = {
     "purchase_click_attribution": purchase_click_attribution,
     "purchase_click_attribution_outer": purchase_click_attribution_outer,
     "user_type_profile": user_type_profile,
+    "user_recent_events": user_recent_events,
+    "idle_user_flush": idle_user_flush,
 }
 
 ORACLES = {
+    "user_recent_events": f"""
+        SELECT user_id, rk, event_id, event_type, v_micro FROM (
+            SELECT user_id, event_id, event_type,
+                   cast(round(value * 1000000) AS bigint) AS v_micro,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC)
+                       AS rk
+            FROM events)
+        WHERE rk <= {RECENT_K}
+    """,
+    "idle_user_flush": f"""
+        WITH per AS (
+            SELECT user_id, count(*) AS n,
+                   coalesce(sum(cast(round(value * 1000000) AS bigint)),
+                            0) AS m_micro,
+                   max(ts) AS last_ts
+            FROM events GROUP BY user_id
+        ),
+        mx AS (SELECT epoch_us(max(ts)) // 1000 AS max_ms FROM events)
+        SELECT user_id, cast(n AS bigint) AS n,
+               cast(m_micro AS bigint) AS m_micro,
+               epoch_us(last_ts) // 1000 AS last_ms
+        FROM per CROSS JOIN mx
+        WHERE epoch_us(last_ts) // 1000 + {IDLE_GAP_MS}
+                  < max_ms - {FLUSH_DELAY_MS}
+    """,
     "event_enrichment": f"""
         SELECT c_mktsegment, event_type, count(*) AS n,
                {dsum_sql('value')} AS total

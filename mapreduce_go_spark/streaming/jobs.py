@@ -307,6 +307,186 @@ def user_type_profile_stream(stream: DataFrame) -> DataFrame:
     )
 
 
+RECENT_SCHEMA = ("user_id bigint, rk bigint, event_id bigint, "
+                 "event_type string, v_micro bigint, seen bigint")
+FLUSH_SCHEMA = "user_id bigint, n bigint, m_micro bigint, last_ms bigint"
+
+
+def _values_to_micro(pdf):
+    """Shared NULL/Inf discipline for event values inside a
+    StatefulProcessor (the UserTypeProfileProcessor rules): NULL/NaN
+    rows carry no grid value (None), ±Inf raises like the batch
+    side's ANSI cast. Returns (micro int64 array, ok mask)."""
+    import numpy as np
+
+    from mapreduce_go_spark.functions.simd import _grid
+
+    v = pdf["value"].to_numpy(dtype="float64")
+    if np.isinf(v).any():
+        raise ValueError(
+            "transformWithState kernel: infinite value — the batch "
+            "twin fails this row under ANSI; refusing to diverge "
+            "silently")
+    ok = ~np.isnan(v)
+    micro = np.zeros(len(v), dtype=np.int64)
+    micro[ok] = _grid(v[ok] * 1e6)
+    return micro, ok
+
+
+def _ts_ms(pdf):
+    """Event timestamps as int64 epoch-ms (the engine's timer unit).
+    Arrow hands the worker naive datetime64 in session time (UTC)."""
+    import pandas as pd
+
+    return (pd.to_datetime(pdf["ts"], utc=True).astype("int64")
+            // 1_000_000)
+
+
+class UserRecentEventsProcessor(StatefulProcessor):
+    """StatefulProcessor for the ListState twin of
+    operators.streaming_batch.user_recent_events: a per-user ListState
+    holds the last RECENT_K events by (ts, event_id); every batch
+    merges the new rows, trims to K, and emits the converged snapshot
+    tagged with a monotone `seen` counter (ValueState) so update-mode
+    sinks can identify the final snapshot per user. Top-K under a
+    total order is an associative merge, so the converged snapshot is
+    micro-batch-split invariant — exactly the batch window query."""
+
+    def init(self, handle) -> None:
+        from mapreduce_go_spark.operators.streaming_batch import RECENT_K
+
+        self._k = RECENT_K
+        self._recent = handle.getListState(
+            "recent",
+            "ts_us bigint, event_id bigint, event_type string, "
+            "v_micro bigint")
+        self._seen = handle.getValueState("seen", "n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        cur = ([tuple(r) for r in self._recent.get()]
+               if self._recent.exists() else [])
+        seen = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            micro, ok = _values_to_micro(pdf)
+            ts_us = (pd.to_datetime(pdf["ts"], utc=True)
+                     .astype("int64") // 1_000)
+            seen += len(pdf)
+            cur.extend(
+                (int(t), int(e), str(et),
+                 int(m) if k else None)
+                for t, e, et, m, k in zip(
+                    ts_us, pdf["event_id"], pdf["event_type"],
+                    micro, ok))
+        cur.sort(key=lambda r: (r[0], r[1]), reverse=True)
+        cur = cur[:self._k]
+        self._recent.put(cur)
+        self._seen.update((seen,))
+        yield pd.DataFrame(
+            [(key[0], i + 1, e, et, vm, seen)
+             for i, (t, e, et, vm) in enumerate(cur)],
+            columns=["user_id", "rk", "event_id", "event_type",
+                     "v_micro", "seen"])
+
+    def close(self) -> None:
+        pass
+
+
+class IdleUserFlushProcessor(StatefulProcessor):
+    """StatefulProcessor for the event-time TIMER twin of
+    operators.streaming_batch.idle_user_flush: per-user ValueState
+    (n, m_micro, last_ms) plus one registered timer at
+    last_ms + IDLE_GAP_MS, re-armed on every batch with input. When
+    the watermark passes a timer, handleExpiredTimer emits the
+    user's running aggregate (state is NOT cleared, so a later flush
+    supersedes an earlier one and the max-n emission per user is the
+    converged value). At end-of-stream the watermark rests at
+    max(ts) - delay, so the set of flushed users is deterministic —
+    the batch anchor computes exactly that set."""
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._agg = handle.getValueState(
+            "agg", "n bigint, m bigint, last_ms bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, m, last_ms = (self._agg.get() if self._agg.exists()
+                         else (0, 0, -1))
+        got = False
+        for pdf in rows:
+            if not len(pdf):
+                continue
+            got = True
+            micro, _ok = _values_to_micro(pdf)
+            ms = _ts_ms(pdf)
+            n += len(pdf)
+            m += int(micro.sum())
+            last_ms = max(last_ms, int(ms.max()))
+        if got:
+            from mapreduce_go_spark.operators.streaming_batch import (
+                IDLE_GAP_MS)
+
+            self._agg.update((n, m, last_ms))
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(last_ms + IDLE_GAP_MS)
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import pandas as pd
+
+        if self._agg.exists():
+            n, m, last_ms = self._agg.get()
+            yield pd.DataFrame(
+                [(key[0], n, m, last_ms)],
+                columns=["user_id", "n", "m_micro", "last_ms"])
+
+    def close(self) -> None:
+        pass
+
+
+def user_recent_events_stream(stream: DataFrame) -> DataFrame:
+    """transformWithState ListState surface: per-user last-K events,
+    batch anchor operators.streaming_batch.user_recent_events."""
+    from mapreduce_go_spark.session import ensure_tws_python_env
+
+    ensure_tws_python_env(stream.sparkSession)
+    return (
+        stream.select("user_id", "ts", "event_id", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            UserRecentEventsProcessor(),
+            outputStructType=RECENT_SCHEMA,
+            outputMode="update",
+            timeMode="none",
+        )
+    )
+
+
+def idle_user_flush_stream(stream: DataFrame) -> DataFrame:
+    """transformWithState event-time TIMER surface: idle users flush
+    their running aggregate when the watermark passes
+    last_event + IDLE_GAP_MS; batch anchor
+    operators.streaming_batch.idle_user_flush."""
+    from mapreduce_go_spark.session import ensure_tws_python_env
+
+    ensure_tws_python_env(stream.sparkSession)
+    return (
+        stream.withWatermark("ts", WATERMARK)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            IdleUserFlushProcessor(),
+            outputStructType=FLUSH_SCHEMA,
+            outputMode="update",
+            timeMode="eventTime",
+        )
+    )
+
+
 def run_to_memory_rocksdb(spark: SparkSession, streaming_df: DataFrame,
                           name: str, output_mode: str) -> DataFrame:
     """run_to_memory with the RocksDB state store provider set for the

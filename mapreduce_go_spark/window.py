@@ -57,7 +57,7 @@ _PRIORITY: list[str] = [
     "grouped_agg_mad",  # FILL greens=2
     "observed_pipeline_filter",  # FILL greens=2
     "recursive_ancestor_depth",  # FILL greens=2
-    "ann_ivf_sampled_topk",  # FILL greens=0
-    "ann_binary_hamming_topk",  # FILL greens=0
-    "matryoshka_two_stage_topk",  # FILL greens=0
+    "user_recent_events",  # FILL greens=0
+    "idle_user_flush",  # FILL greens=0
+    "dsir_importance_sample",  # FILL greens=0
 ]

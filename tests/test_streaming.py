@@ -1435,3 +1435,194 @@ def test_stream_stream_outer_join_emission_rule(spark, sf_dir, staged):
     # the withheld tail is real (the fixture has purchases inside the
     # final horizon) — otherwise this test degenerates to plain parity
     assert len([r for r in brows if r[2] is None and r[3] >= wm]) > 0
+
+
+class _FakeListState:
+    def __init__(self):
+        self.rows, self._set = [], False
+
+    def exists(self):
+        return self._set
+
+    def get(self):
+        return iter(self.rows)
+
+    def put(self, rows):
+        self.rows, self._set = list(rows), True
+
+    def appendValue(self, row):
+        self.rows.append(row)
+        self._set = True
+
+    def appendList(self, rows):
+        self.rows.extend(rows)
+        self._set = True
+
+    def clear(self):
+        self.rows, self._set = [], False
+
+
+class _FakeValueState:
+    def __init__(self):
+        self.v = None
+
+    def exists(self):
+        return self.v is not None
+
+    def get(self):
+        return self.v
+
+    def update(self, v):
+        self.v = v
+
+    def clear(self):
+        self.v = None
+
+
+class _FakeStateHandle(_FakeHandle):
+    """_FakeHandle extended with ListState, ValueState and timers —
+    enough surface to drive the r12 processors' kernels without the
+    streaming runner."""
+
+    def __init__(self):
+        super().__init__()
+        self.lists, self.values, self.timers = {}, {}, set()
+
+    def getListState(self, name, schema, ttlDurationMs=None):
+        return self.lists.setdefault(name, _FakeListState())
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.values.setdefault(name, _FakeValueState())
+
+    def registerTimer(self, ms):
+        self.timers.add(ms)
+
+    def deleteTimer(self, ms):
+        self.timers.discard(ms)
+
+    def listTimers(self):
+        return iter(sorted(self.timers))
+
+
+def test_recent_events_kernel_converges_to_batch(spark, sf_dir):
+    """ListState kernel: arbitrary micro-batch splits of one user's
+    rows converge to the batch anchor's last-K window — top-K under a
+    total order is an associative merge."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    ev = (tables.load(spark, sf_dir, "events")
+          .select("user_id", "ts", "event_id", "event_type", "value"))
+    uid = ev.select("user_id").first().user_id
+    pdf = (ev.where(F.col("user_id") == uid)
+           # deliver in event_id order — NOT time order — to prove
+           # arrival order cannot matter
+           .orderBy("event_id").toPandas())
+
+    proc = jobs.UserRecentEventsProcessor()
+    proc.init(_FakeStateHandle())
+    cut = max(1, len(pdf) // 3)
+    list(proc.handleInputRows((uid,), iter([pdf.iloc[:cut]]), None))
+    final = list(proc.handleInputRows(
+        (uid,), iter([pdf.iloc[cut:cut + 1], pdf.iloc[cut + 1:]]),
+        None))[-1]
+
+    want = [(r.rk, r.event_id, r.event_type, r.v_micro)
+            for r in streaming_batch.user_recent_events(spark, sf_dir)
+            .where(F.col("user_id") == uid).orderBy("rk").collect()]
+    got = [(int(r.rk), int(r.event_id), r.event_type, int(r.v_micro))
+           for r in final.itertuples()]
+    assert isinstance(final, pd.DataFrame)
+    assert got == want
+    assert int(final["seen"].iloc[0]) == len(pdf)
+
+
+def test_idle_flush_kernel_timer_lifecycle():
+    """Timer kernel semantics: input re-arms the single idle timer at
+    last_ms + IDLE_GAP_MS (older timers deleted); expiry emits the
+    RUNNING aggregate without clearing state, so a later flush
+    supersedes an earlier one."""
+    import pandas as pd
+
+    from mapreduce_go_spark.operators.streaming_batch import IDLE_GAP_MS
+
+    h = _FakeStateHandle()
+    proc = jobs.IdleUserFlushProcessor()
+    proc.init(h)
+    t0 = 1_700_000_000_000
+    pdf1 = pd.DataFrame({
+        "user_id": [7, 7],
+        "ts": pd.to_datetime([t0, t0 + 60_000], unit="ms"),
+        "value": [1.25, 2.5],
+    })
+    assert list(proc.handleInputRows((7,), iter([pdf1]), None)) == []
+    assert h.timers == {t0 + 60_000 + IDLE_GAP_MS}
+
+    flush1 = list(proc.handleExpiredTimer((7,), None, None))[-1]
+    assert [tuple(r) for r in flush1.itertuples(index=False)] == [
+        (7, 2, 3_750_000, t0 + 60_000)]
+
+    # more input re-arms: the old timer is deleted, state keeps growing
+    pdf2 = pd.DataFrame({
+        "user_id": [7],
+        "ts": pd.to_datetime([t0 + 120_000], unit="ms"),
+        "value": [None],
+    })
+    list(proc.handleInputRows((7,), iter([pdf2]), None))
+    assert h.timers == {t0 + 120_000 + IDLE_GAP_MS}
+    flush2 = list(proc.handleExpiredTimer((7,), None, None))[-1]
+    assert [tuple(r) for r in flush2.itertuples(index=False)] == [
+        (7, 3, 3_750_000, t0 + 120_000)]  # NULL: counted, not summed
+
+
+def test_tws_recent_events_matches_batch(spark, sf_dir, staged):
+    """END-TO-END transformWithState ListState (RocksDB provider):
+    the max-`seen` snapshot per user must equal the registered batch
+    anchor. Auto-skips where the protobuf state protocol can't start."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf "
+                    "(jobs.tws_available); kernel covered above")
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = jobs.run_to_memory_rocksdb(
+        spark, jobs.user_recent_events_stream(stream),
+        "t_tws_recent", "update")
+    rows = out.collect()
+    last_seen = {}
+    for r in rows:
+        if r.user_id not in last_seen or r.seen > last_seen[r.user_id]:
+            last_seen[r.user_id] = r.seen
+    got = sorted(
+        (r.user_id, r.rk, r.event_id, r.event_type, r.v_micro)
+        for r in rows if r.seen == last_seen[r.user_id])
+    want = sorted(
+        (r.user_id, r.rk, r.event_id, r.event_type, r.v_micro)
+        for r in streaming_batch.user_recent_events(
+            spark, sf_dir).collect())
+    assert got == want
+
+
+def test_tws_idle_flush_matches_batch(spark, sf_dir, staged):
+    """END-TO-END transformWithState event-time timers (RocksDB
+    provider): the set of users the idle timer flushed by
+    end-of-stream — and their max-n flushed aggregates — must equal
+    the registered batch anchor (which computes exactly the
+    deterministic final-watermark flush set)."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf "
+                    "(jobs.tws_available); kernel covered above")
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    out = jobs.run_to_memory_rocksdb(
+        spark, jobs.idle_user_flush_stream(stream),
+        "t_tws_idle", "update")
+    got = {}
+    for r in out.collect():
+        cur = got.get(r.user_id)
+        if cur is None or r.n >= cur[0]:
+            got[r.user_id] = (r.n, r.m_micro, r.last_ms)
+    want = {r.user_id: (r.n, r.m_micro, r.last_ms)
+            for r in streaming_batch.idle_user_flush(
+                spark, sf_dir).collect()}
+    assert got == want

@@ -165,7 +165,8 @@ def main() -> None:
         ann_lsh_multiprobe_topk, ann_pq_topk,
         embedding_neardup_pairs_blocked, matryoshka_two_stage_topk)
     from mapreduce_go_spark.operators.streaming_batch import (
-        purchase_click_attribution, purchase_click_attribution_outer,
+        idle_user_flush, purchase_click_attribution,
+        purchase_click_attribution_outer, user_recent_events,
         user_type_profile)
     from mapreduce_go_spark.operators.corpus import (
         bloom_decontaminate, quality_probe, strip_boilerplate_lines,
@@ -186,7 +187,8 @@ def main() -> None:
     needs_events = (not only) or bool(
         only & {"purchase_click_attribution",
                 "purchase_click_attribution_outer",
-                "user_type_profile"})
+                "user_type_profile", "user_recent_events",
+                "idle_user_flush"})
     x1, xn = build_corpora(spark, args.base, args.out, args.factor,
                            with_events=needs_events)
     result = {"factor": args.factor, "base": args.base, "queries": {}}
@@ -230,6 +232,8 @@ def main() -> None:
                      ("matryoshka_two_stage_topk", matryoshka_two_stage_topk),
                      ("dsir_importance_sample", dsir_importance_sample),
                      ("user_type_profile", user_type_profile),
+                     ("user_recent_events", user_recent_events),
+                     ("idle_user_flush", idle_user_flush),
                      ("pretrain_corpus", pretrain_corpus)]:
         if only and name not in only:
             continue
