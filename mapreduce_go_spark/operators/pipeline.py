@@ -569,9 +569,15 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: both distributions aggregate to DSIR_BUCKETS=128
     rows (broadcast); per-token scoring is a map-side broadcast join;
-    one shuffle for the per-doc sum; the global top-k rank filters on
-    a constant (WindowGroupLimit pushes the partial top-k map-side).
-    """
+    one shuffle for the per-doc sum. Because every document is
+    emitted (score + flag), a global rank would drag the whole scored
+    corpus through one partition — instead the K-th (weight, doc_id)
+    is found with orderBy().limit(K) (TakeOrderedAndProject:
+    per-partition top-K, then a K-row merge) and broadcast as a
+    threshold; the flag is a map-side comparison reproducing the
+    rank's (weight DESC, doc_id ASC) tie-break exactly
+    (tests/test_plans.py pins the TakeOrderedAndProject + no-Window
+    shape)."""
     from mapreduce_go_spark.functions.num import grid
 
     docs = tables.load(spark, sf_dir, "documents")
@@ -614,11 +620,23 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_tokens"),
              F.sum("g").alias("logw_micro"))
     )
-    win = Window.orderBy(F.col("logw_micro").desc(), "doc_id")
+    kth = (
+        per_doc.orderBy(F.col("logw_micro").desc(), "doc_id")
+        .limit(DSIR_KEEP)
+        # the K-th element in (w DESC, id ASC) order == the min under
+        # (w ASC, -id ASC) among the kept K
+        .agg(F.min(F.struct(
+            F.col("logw_micro").alias("w"),
+            (-F.col("doc_id")).alias("nd"))).alias("kth"))
+    )
     return (
-        per_doc.withColumn("rn", F.row_number().over(win))
-        .select("doc_id", "n_tokens", "logw_micro",
-                (F.col("rn") <= DSIR_KEEP).alias("selected"))
+        per_doc.crossJoin(F.broadcast(kth))
+        .select(
+            "doc_id", "n_tokens", "logw_micro",
+            ((F.col("logw_micro") > F.col("kth.w"))
+             | ((F.col("logw_micro") == F.col("kth.w"))
+                & (F.col("doc_id") <= -F.col("kth.nd"))))
+            .alias("selected"))
     )
 
 

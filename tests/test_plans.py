@@ -485,3 +485,34 @@ def test_hll_single_scan_of_documents(spark, sf_dir):
         scans = [ln for ln in p.splitlines()
                  if "Location:" in ln and "documents.parquet" in ln]
         assert len(scans) == 1, (q.__name__, p)
+
+
+def test_binary_hamming_coarse_is_windowgrouplimit(spark, sf_dir):
+    """ann_binary_hamming_topk's coarse stage emits N_table x
+    N_QUERIES (q_id, c_id, hamming) rows; the constant rn <=
+    BQ_COARSE_C filter must fire WindowGroupLimit so each map
+    partition forwards only C rows per query to the q_id exchange —
+    without it the full candidate score set shuffles, which is the
+    difference between a bounded and an O(table) exchange at 100 TB.
+    Same pin for matryoshka's prefix-cosine coarse stage."""
+    for q in (similarity.ann_binary_hamming_topk,
+              similarity.matryoshka_two_stage_topk):
+        p = plan_of(q(spark, sf_dir))
+        assert "WindowGroupLimit" in p, (q.__name__, p)
+        assert "CartesianProduct" not in p, (q.__name__, p)
+
+
+def test_dsir_selection_avoids_global_window(spark, sf_dir):
+    """dsir_importance_sample emits EVERY document (score + flag), so
+    a global rank would drag the whole scored corpus through one
+    partition. The plan must instead find the K-th weight via
+    TakeOrderedAndProject (per-partition top-K) and broadcast it as a
+    threshold — no Window node at all — and the per-token scoring
+    join against the 128-row ratio relation must be broadcast."""
+    from mapreduce_go_spark.operators import pipeline as pl
+
+    p = plan_of(pl.dsir_importance_sample(spark, sf_dir))
+    assert "BroadcastHashJoin" in p, p
+    assert "TakeOrderedAndProject" in p, p
+    assert "Window" not in p, p
+    assert "CartesianProduct" not in p, p
