@@ -230,6 +230,8 @@ HEADLINE = [
     "dsir_importance_sample",
     "user_recent_events",
     "idle_user_flush",
+    # NEW in r12: reciprocal-rank-fusion hybrid retrieval
+    "hybrid_rrf_topk",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -531,6 +531,141 @@ def matryoshka_two_stage_topk(spark: SparkSession, sf_dir: str
     return _topk(scored)
 
 
+RRF_K0 = 60      # RRF dampening constant (Cormack et al. 2009)
+RRF_POOL = 20    # top-k pool fused from each retrieval system
+RRF_TOP = 10     # fused ranks emitted per query
+RRF_PROBE = 5    # rarest query terms probed into the inverted index
+
+
+def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack,
+    Clarke & Büttcher 2009 — the fusion rule hybrid search engines
+    default to): two independent systems each rank candidates for a
+    query — dense (exact grid-cosine over embeddings) and lexical
+    (unigram Jaccard between the query document's token set and each
+    candidate's) — and their top-RRF_POOL lists fuse by
+    score = Σ 1/(RRF_K0 + rank), final top-RRF_TOP per query.
+    Queries are the docs with doc_id < N_QUERIES (the fixture's
+    vec_id ≡ doc_id makes the two systems address the same corpus).
+
+    Exactness: both per-system ranks are integer (cosine the shared
+    grid-cosine, Jaccard an int/int double division — identical IEEE
+    both engines), tie-broken on c_id; the fused score is the same
+    two-term double sum in the same order; final tie-break on c_id.
+
+    100 TB shape: the dense pool is any ANN variant in this module
+    (brute force here — smallest differential). The lexical pool is
+    generate-and-verify (the module's dedup discipline): each query
+    probes only its RRF_PROBE RAREST terms' posting lists (rank by
+    (df, tok) — integers and ASCII strings, cross-engine exact; the
+    WAND-family selective-term heuristic), then the exact FULL-token
+    Jaccard is verified per candidate pair via the broadcast
+    candidate set — joining every shared token's posting list (where
+    all 8 queries share 'the' with the whole corpus) is the
+    O(corpus·q_tokens) blowup this avoids: under a Zipf vocabulary a
+    query's rarest terms are selective, and the fixture's degenerate
+    31-token vocabulary is the worst case (posting lists ≈ corpus)
+    yet stays correct. Both pools are WindowGroupLimit-bounded at
+    RRF_POOL per query before their exchanges; fusion touches
+    ≤ 2·RRF_POOL rows per query. Measured: probing took the 10x
+    curve from 3.55x (all-token join) to 1.62x."""
+    from pyspark.sql import Window
+
+    from mapreduce_go_spark.functions.text import NON_LETTER_RE
+
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    wd = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc_nulls_last(), "c_id")
+    dense = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id",
+                _cosine(F.col("qe"), F.col("ce"),
+                        F.col("qn"), F.col("cn")).alias("cos"))
+        .withColumn("rd", F.row_number().over(wd))
+        .where(F.col("rd") <= RRF_POOL)
+        .select("q_id", "c_id", "rd")
+    )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id",
+                    F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    qt = toks.where(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("q_id"), "tok")
+    # candidate generation: each query probes its RRF_PROBE rarest
+    # terms' posting lists ((df, tok) rank — cross-engine exact)
+    dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    wp = Window.partitionBy("q_id").orderBy("df", "tok")
+    qprobe = (
+        qt.join(dfreq, "tok")
+        .withColumn("pr", F.row_number().over(wp))
+        .where(F.col("pr") <= RRF_PROBE)
+        .select("q_id", "tok")
+    )
+    cand = (
+        F.broadcast(qprobe)
+        .join(toks.select(F.col("doc_id").alias("c_id"), "tok"), "tok")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+    # verify: exact FULL-token intersection, but only for candidate
+    # pairs — candidate tokens ride the broadcast pair set
+    inter = (
+        F.broadcast(cand)
+        .join(toks.select(F.col("doc_id").alias("c_id"), "tok"), "c_id")
+        .join(F.broadcast(qt), ["q_id", "tok"])
+        .groupBy("q_id", "c_id")
+        .agg(F.count("*").alias("i"))
+    )
+    wl = Window.partitionBy("q_id").orderBy(F.col("jac").desc(), "c_id")
+    lex = (
+        inter
+        .join(F.broadcast(sizes.select(F.col("doc_id").alias("q_id"),
+                                       F.col("sz").alias("qsz"))), "q_id")
+        .join(sizes.select(F.col("doc_id").alias("c_id"),
+                           F.col("sz").alias("csz")), "c_id")
+        .select("q_id", "c_id",
+                (F.col("i").cast("double")
+                 / (F.col("qsz") + F.col("csz") - F.col("i")))
+                .alias("jac"))
+        .withColumn("rl", F.row_number().over(wl))
+        .where(F.col("rl") <= RRF_POOL)
+        .select("q_id", "c_id", "rl")
+    )
+
+    fused = dense.join(lex, ["q_id", "c_id"], "full_outer")
+    score = (
+        F.coalesce(F.lit(1.0) / (F.lit(RRF_K0) + F.col("rd")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(RRF_K0) + F.col("rl")), F.lit(0.0))
+    )
+    wf = Window.partitionBy("q_id").orderBy(F.col("rrf").desc(), "c_id")
+    return (
+        fused.select("q_id", "c_id", score.alias("rrf"))
+        .withColumn("rrf_rank", F.row_number().over(wf))
+        .where(F.col("rrf_rank") <= RRF_TOP)
+        .select("q_id", "c_id", "rrf_rank",
+                F.round(F.col("rrf").cast(_DEC), 6).cast("double")
+                .alias("rrf"))
+    )
+
+
 EMB_DIM = 64        # fixture embedding dimensionality (TESTDATA.md)
 LSH_BITS = 6        # hyperplanes per band -> 64 buckets/band
 LSH_BANDS_E = 2     # bands; a query probes its bucket in each band
@@ -1023,6 +1158,7 @@ QUERIES = {
     "ann_ivf_sampled_topk": ann_ivf_sampled_topk,
     "ann_binary_hamming_topk": ann_binary_hamming_topk,
     "matryoshka_two_stage_topk": matryoshka_two_stage_topk,
+    "hybrid_rrf_topk": hybrid_rrf_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_pq_topk": ann_pq_topk,
@@ -1396,6 +1532,80 @@ _CAND_RERANK_TAIL = f""",
           FROM scored)
     WHERE rk <= {TOP_K}
 """
+
+# hybrid RRF: the dense pool from the shared product-grid cosine,
+# the lexical pool from distinct-unigram Jaccard, fused by
+# 1/(k0+rank) sums — same op order as the Spark side
+ORACLES["hybrid_rrf_topk"] = _pair_cos_sql(
+    f"vec_id < {N_QUERIES}", "q_id <> c_id") + f""",
+    dense AS (
+        SELECT q_id, c_id, rd FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC NULLS LAST,
+                                               c_id) AS rd
+            FROM scored)
+        WHERE rd <= {RRF_POOL}
+    ),
+    toks AS (
+        SELECT DISTINCT doc_id, t AS tok FROM (
+            SELECT doc_id, unnest(regexp_split_to_array(
+                text, '[^a-zA-Z]+')) AS t FROM documents)
+        WHERE t <> ''
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY 1),
+    dfreq AS (SELECT tok, count(*) AS df FROM toks GROUP BY 1),
+    qprobe AS (
+        SELECT q_id, tok FROM (
+            SELECT qt.doc_id AS q_id, qt.tok,
+                   row_number() OVER (PARTITION BY qt.doc_id
+                                      ORDER BY d.df, qt.tok) AS pr
+            FROM toks qt JOIN dfreq d USING (tok)
+            WHERE qt.doc_id < {N_QUERIES})
+        WHERE pr <= {RRF_PROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT qp.q_id, ct.doc_id AS c_id
+        FROM qprobe qp JOIN toks ct USING (tok)
+        WHERE ct.doc_id <> qp.q_id
+    ),
+    inter AS (
+        SELECT cd.q_id, cd.c_id, count(*) AS i
+        FROM cand cd
+        JOIN toks ct ON ct.doc_id = cd.c_id
+        JOIN toks qt ON qt.doc_id = cd.q_id AND qt.tok = ct.tok
+        GROUP BY 1, 2
+    ),
+    lex AS (
+        SELECT q_id, c_id, rl FROM (
+            SELECT i.q_id, i.c_id,
+                   row_number() OVER (
+                       PARTITION BY i.q_id
+                       ORDER BY cast(i.i AS double)
+                                / (sq.sz + sc.sz - i.i) DESC,
+                                i.c_id) AS rl
+            FROM inter i
+            JOIN sizes sq ON sq.doc_id = i.q_id
+            JOIN sizes sc ON sc.doc_id = i.c_id)
+        WHERE rl <= {RRF_POOL}
+    ),
+    fused AS (
+        SELECT coalesce(d.q_id, l.q_id) AS q_id,
+               coalesce(d.c_id, l.c_id) AS c_id,
+               coalesce(1.0 / ({RRF_K0} + d.rd), 0)
+                   + coalesce(1.0 / ({RRF_K0} + l.rl), 0) AS rrf
+        FROM dense d FULL OUTER JOIN lex l
+          ON d.q_id = l.q_id AND d.c_id = l.c_id
+    )
+    SELECT q_id, c_id, rrf_rank,
+           cast(round(cast(rrf AS decimal(28,12)), 6) AS double) AS rrf
+    FROM (SELECT q_id, c_id, rrf,
+                 row_number() OVER (PARTITION BY q_id
+                                    ORDER BY rrf DESC, c_id)
+                     AS rrf_rank
+          FROM fused)
+    WHERE rrf_rank <= {RRF_TOP}
+    """
 
 # binary-quantization ANN: per-bit sign unnest (identical VALUES to
 # Spark's packed-word bit_count — the oracle avoids engine bit ops),

@@ -521,3 +521,26 @@ def test_matryoshka_recall_floor_and_exact_scores(spark, sf_dir):
     assert recall >= 0.3, recall
     for key in set(cos_mr) & set(cos_knn):
         assert cos_mr[key] == cos_knn[key], key
+
+
+def test_hybrid_rrf_fuses_both_systems(spark, sf_dir):
+    """RRF sanity: the fused top-10 must actually draw on both
+    systems — some fused hits come from the dense top-10 and some do
+    not (lexically promoted), for the query set as a whole. Measured
+    at sf0.01: 37/80 fused hits are dense-top-10 members. Also pins
+    rank shape: exactly RRF_TOP rows per query, ranks 1..RRF_TOP."""
+    from collections import defaultdict
+
+    from mapreduce_go_spark.operators import similarity
+
+    rows = similarity.hybrid_rrf_topk(spark, sf_dir).collect()
+    dense = defaultdict(set)
+    for r in similarity.knn_cosine_topk(spark, sf_dir).collect():
+        dense[r.q_id].add(r.c_id)
+    per_q = defaultdict(list)
+    for r in rows:
+        per_q[r.q_id].append(r.rrf_rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, similarity.RRF_TOP + 1)), q
+    in_dense = sum(1 for r in rows if r.c_id in dense[r.q_id])
+    assert 0 < in_dense < len(rows), in_dense

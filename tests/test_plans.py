@@ -516,3 +516,14 @@ def test_dsir_selection_avoids_global_window(spark, sf_dir):
     assert "TakeOrderedAndProject" in p, p
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
+
+
+def test_hybrid_rrf_pools_are_bounded(spark, sf_dir):
+    """hybrid_rrf_topk's three rank stages (dense pool, lexical pool,
+    fused top-k) all filter on constants — WindowGroupLimit must
+    bound each before its exchange, and no stage may be a cartesian.
+    The lexical sizes join on the candidate side stays SMJ (both
+    sides unbounded at scale — the no-force-broadcast policy)."""
+    p = plan_of(similarity.hybrid_rrf_topk(spark, sf_dir))
+    assert p.count("WindowGroupLimit") >= 3, p
+    assert "CartesianProduct" not in p, p
