@@ -333,13 +333,26 @@ def _values_to_micro(pdf):
     return micro, ok
 
 
-def _ts_ms(pdf):
-    """Event timestamps as int64 epoch-ms (the engine's timer unit).
-    Arrow hands the worker naive datetime64 in session time (UTC)."""
+def _ts_ns(pdf):
+    """Event timestamps as an int64 epoch-NANOSECOND Series. Arrow
+    hands the worker naive datetime64 in session time (UTC) — but
+    the RESOLUTION is a pandas-version detail (datetime64[ns]
+    classically, datetime64[us] under pandas-2 Arrow conversions, in
+    which case a bare astype(int64) would be silently 1000x off), so
+    pin ns explicitly where as_unit exists."""
     import pandas as pd
 
-    return (pd.to_datetime(pdf["ts"], utc=True).astype("int64")
-            // 1_000_000)
+    ts = pd.to_datetime(pdf["ts"], utc=True)
+    try:
+        ts = ts.dt.as_unit("ns")
+    except AttributeError:  # pandas < 2: always ns already
+        pass
+    return ts.astype("int64")
+
+
+def _ts_ms(pdf):
+    """Event timestamps as int64 epoch-ms (the engine's timer unit)."""
+    return _ts_ns(pdf) // 1_000_000
 
 
 class UserRecentEventsProcessor(StatefulProcessor):
@@ -372,8 +385,7 @@ class UserRecentEventsProcessor(StatefulProcessor):
             if not len(pdf):
                 continue
             micro, ok = _values_to_micro(pdf)
-            ts_us = (pd.to_datetime(pdf["ts"], utc=True)
-                     .astype("int64") // 1_000)
+            ts_us = _ts_ns(pdf) // 1_000
             seen += len(pdf)
             cur.extend(
                 (int(t), int(e), str(et),
