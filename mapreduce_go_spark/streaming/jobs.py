@@ -50,7 +50,8 @@ def _stage_events_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str,
-                  staged_dir: str | None = None) -> DataFrame:
+                  staged_dir: str | None = None,
+                  max_files_per_trigger: int | None = None) -> DataFrame:
     """readStream over the events fixture with the same nanos->micros
     normalization tables.load applies to the batch side.
 
@@ -71,7 +72,13 @@ def events_stream(spark: SparkSession, sf_dir: str,
     # schema from the batch reader, pre-conversion
     raw_schema = spark.read.parquet(
         os.path.join(sf_dir, "events.parquet")).schema
-    stream = spark.readStream.schema(raw_schema).parquet(src)
+    reader = spark.readStream.schema(raw_schema)
+    if max_files_per_trigger is not None:
+        # one staged file per micro-batch — the multi-batch harness
+        # for split-invariance e2e tests (files drain in path order)
+        reader = reader.option("maxFilesPerTrigger",
+                               str(max_files_per_trigger))
+    stream = reader.parquet(src)
     ts_type = dict(stream.dtypes).get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn(

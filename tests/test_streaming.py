@@ -1626,3 +1626,82 @@ def test_tws_idle_flush_matches_batch(spark, sf_dir, staged):
             for r in streaming_batch.idle_user_flush(
                 spark, sf_dir).collect()}
     assert got == want
+
+
+@pytest.fixture(scope="module")
+def staged_3batch(sf_dir, tmp_path_factory):
+    """events split into three TIME-ORDERED staged files (path order
+    == arrival order) so maxFilesPerTrigger=1 yields a genuine
+    multi-batch stream with a progressively advancing watermark."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("mrgs_stream3")
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n = t.num_rows
+    for i, (lo, hi) in enumerate(
+            ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n))):
+        pq.write_table(t.slice(lo, hi - lo),
+                       str(d / f"part-{i:03d}.parquet"))
+    return str(d)
+
+
+def test_tws_recent_events_multibatch_converges(spark, sf_dir,
+                                                staged_3batch):
+    """Split invariance END-TO-END: three time-ordered micro-batches
+    must converge to the same batch anchor the single-batch run
+    produces — the ListState top-K merge is associative, so HOW the
+    stream was chopped cannot show in the max-`seen` snapshot."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    stream = jobs.events_stream(spark, sf_dir, staged_3batch,
+                                max_files_per_trigger=1)
+    out = jobs.run_to_memory_rocksdb(
+        spark, jobs.user_recent_events_stream(stream),
+        "t_tws_recent3", "update")
+    rows = out.collect()
+    last_seen = {}
+    for r in rows:
+        if r.user_id not in last_seen or r.seen > last_seen[r.user_id]:
+            last_seen[r.user_id] = r.seen
+    got = sorted(
+        (r.user_id, r.rk, r.event_id, r.event_type, r.v_micro)
+        for r in rows if r.seen == last_seen[r.user_id])
+    want = sorted(
+        (r.user_id, r.rk, r.event_id, r.event_type, r.v_micro)
+        for r in streaming_batch.user_recent_events(
+            spark, sf_dir).collect())
+    assert got == want
+
+
+def test_tws_idle_flush_multibatch_final_set(spark, sf_dir,
+                                             staged_3batch):
+    """Timer semantics under real micro-batching: mid-stream flushes
+    happen (users idle relative to an INTERMEDIATE watermark who then
+    receive more events — their early flush rows carry partial
+    aggregates), but every ANCHOR user's final flush must carry the
+    FULL aggregate: their last re-armed timer fires after all their
+    events arrived, and max-n per user selects it. The anchor set
+    must be exactly covered; non-anchor users may or may not have
+    mid-stream rows (watermark-schedule dependent) and are not
+    compared."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    stream = jobs.events_stream(spark, sf_dir, staged_3batch,
+                                max_files_per_trigger=1)
+    out = jobs.run_to_memory_rocksdb(
+        spark, jobs.idle_user_flush_stream(stream),
+        "t_tws_idle3", "update")
+    got = {}
+    for r in out.collect():
+        cur = got.get(r.user_id)
+        if cur is None or r.n >= cur[0]:
+            got[r.user_id] = (r.n, r.m_micro, r.last_ms)
+    want = {r.user_id: (r.n, r.m_micro, r.last_ms)
+            for r in streaming_batch.idle_user_flush(
+                spark, sf_dir).collect()}
+    missing = {u for u in want if u not in got}
+    assert not missing, missing
+    wrong = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
+    assert not wrong, wrong

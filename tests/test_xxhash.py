@@ -46,3 +46,21 @@ def test_sample_mask_matches_spark_predicate(spark, sf_dir):
         mask = sample_mask(ids, frac, mod)
         kept_twin = {i for i, m in zip(ids, mask) if m}
         assert kept_twin == kept_spark, (frac, mod)
+
+
+def test_xxh64_long_matches_spark_random_batch(spark):
+    """200 deterministic pseudo-random longs (md5-derived, no RNG),
+    full-range including negatives, compared against Spark in one
+    job — the breadth pass behind the adversarial constants."""
+    import hashlib
+
+    vals = []
+    for i in range(200):
+        b = hashlib.md5(f"xxh-{i}".encode()).digest()[:8]
+        v = int.from_bytes(b, "little", signed=True)
+        vals.append(v)
+    df = spark.createDataFrame([(v,) for v in vals], "v: long")
+    got = {r.v: r.h for r in
+           df.select("v", F.xxhash64("v").alias("h")).collect()}
+    for v in vals:
+        assert xxh64_long(v) == got[v], v
