@@ -62,6 +62,9 @@ class WarcDataSource(DataSource):
     def writer(self, schema, overwrite: bool) -> "WarcWriter":
         return WarcWriter(self.options)
 
+    def simpleStreamReader(self, schema) -> "WarcStreamReader":
+        return WarcStreamReader(self.options)
+
 
 class WarcReader(DataSourceReader):
     def __init__(self, options) -> None:
@@ -121,6 +124,80 @@ class WarcReader(DataSourceReader):
                 ("uri", pa.string()), ("http_status", pa.int32()),
                 ("body_len", pa.int32()), ("body_md5", pa.string()),
             ]))
+
+
+def _archive_rows(fname: str, on_corrupt: str):
+    """Parse ONE .warc archive into plain row tuples matching
+    WARC_SOURCE_SCHEMA — the scalar twin of WarcReader.read's Arrow
+    path, shared by the streaming reader (whose Simple API returns
+    tuples and runs driver-side)."""
+    from mapreduce_go_spark.operators.warc import parse_warc
+
+    bucket = int(os.path.basename(fname).split("=")[1].split(".")[0])
+    payload = open(fname, "rb").read()
+    try:
+        records = parse_warc(payload)
+    except ValueError:
+        if on_corrupt == "skip":
+            return
+        raise
+    for rec in records:
+        uri = rec["headers"].get("WARC-Target-URI", "")
+        body = rec["body"]
+        yield (bucket, int(uri.rsplit("/", 1)[-1]), uri,
+               rec["http_status"], len(body),
+               hashlib.md5(body).hexdigest())
+
+
+from pyspark.sql.datasource import (  # noqa: E402
+    SimpleDataSourceStreamReader,
+)
+
+
+class WarcStreamReader(SimpleDataSourceStreamReader):
+    """readStream.format("warc"): replays a directory of .warc
+    archives as a stream, one archive per micro-batch — the shape a
+    live crawl ingest has (new dumps arriving in a landing
+    directory). Offset = {"i": count of archives consumed} over the
+    SORTED path list, so offsets are total-ordered and
+    readBetweenOffsets replays any committed range byte-identically
+    (exactly-once on recovery — pinned in tests/test_sources.py).
+
+    Scale posture: the Simple stream-reader API reads driver-side
+    (prefetch) — right for archive-at-a-time tailing where a batch is
+    one bounded file; a partition-parallel backfill over a large
+    landing directory is the BATCH reader's job (one InputPartition
+    per archive), and the two share the same parser and postures."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires option 'path'")
+        self.on_corrupt = options.get("on_corrupt", "fail")
+
+    def _files(self) -> list[str]:
+        # re-globbed per call: new archives landing between
+        # micro-batches are picked up, already-consumed prefixes are
+        # stable because names sort and landing is append-only
+        return sorted(glob.glob(os.path.join(self.path, "*.warc")))
+
+    def initialOffset(self) -> dict:
+        return {"i": 0}
+
+    def read(self, start: dict):
+        files = self._files()
+        i = start["i"]
+        if i >= len(files):
+            return iter(()), {"i": i}
+        return iter(list(_archive_rows(files[i], self.on_corrupt))), \
+            {"i": i + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        out = []
+        for f in files[start["i"]:end["i"]]:
+            out.extend(_archive_rows(f, self.on_corrupt))
+        return iter(out)
 
 
 def ensure_warc_files(spark, sf_dir: str) -> str:

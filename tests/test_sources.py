@@ -181,3 +181,58 @@ def test_warc_sink_roundtrip_complete(spark, sf_dir):
         assert r["body_md5"] == want_md5
         assert r["body_len"] == want_len
         assert r["http_status"] == 200
+
+
+def test_warc_stream_reader_offset_discipline(spark, sf_dir):
+    """The Simple stream reader's offset contract, driven directly:
+    read() consumes exactly one archive per call and advances the
+    offset; past the end it returns an empty iterator with an
+    unchanged offset; readBetweenOffsets replays any committed range
+    identically to the original reads (the exactly-once recovery
+    property the engine relies on)."""
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcStreamReader, ensure_warc_files)
+
+    path = ensure_warc_files(spark, sf_dir)
+    rdr = WarcStreamReader({"path": path, "on_corrupt": "skip"})
+    off = rdr.initialOffset()
+    assert off == {"i": 0}
+    chunks, offsets = [], [off]
+    while True:
+        it, nxt = rdr.read(offsets[-1])
+        rows = list(it)
+        if nxt == offsets[-1]:
+            assert rows == []
+            break
+        chunks.append(rows)
+        offsets.append(nxt)
+    assert len(chunks) >= 2  # multiple archives -> multiple batches
+    # replay any single step and the full range byte-identically
+    for k in range(len(chunks)):
+        assert list(rdr.readBetweenOffsets(
+            offsets[k], offsets[k + 1])) == chunks[k]
+    assert list(rdr.readBetweenOffsets(offsets[0], offsets[-1])) == [
+        r for ch in chunks for r in ch]
+
+
+def test_warc_stream_matches_batch(spark, sf_dir):
+    """END-TO-END streaming Python DataSource (the Spark 4 surface
+    the batch reader/writer pair didn't cover): draining
+    readStream.format("warc") must produce exactly the batch
+    connector's rows — same parser, same skip posture, archive-at-a-
+    time micro-batches."""
+    from mapreduce_go_spark.sources import warc_source
+    from mapreduce_go_spark.streaming.jobs import run_to_memory
+
+    path = warc_source.ensure_warc_files(spark, sf_dir)
+    spark.dataSource.register(warc_source.WarcDataSource)
+    stream = (spark.readStream.format("warc")
+              .option("path", path)
+              .option("on_corrupt", "skip")
+              .load())
+    got = sorted(tuple(r) for r in run_to_memory(
+        spark, stream, "t_warc_stream", "append").collect())
+    want = sorted(
+        tuple(r) for r in
+        warc_source.warc_source_extract(spark, sf_dir).collect())
+    assert got == want
