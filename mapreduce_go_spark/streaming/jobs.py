@@ -507,7 +507,8 @@ def idle_user_flush_stream(stream: DataFrame) -> DataFrame:
 
 
 def run_to_memory_rocksdb(spark: SparkSession, streaming_df: DataFrame,
-                          name: str, output_mode: str) -> DataFrame:
+                          name: str, output_mode: str,
+                          checkpoint_dir: str | None = None) -> DataFrame:
     """run_to_memory with the RocksDB state store provider set for the
     query's lifetime (transformWithState refuses the default
     HDFS-backed provider) and the previous conf restored after — the
@@ -527,7 +528,8 @@ def run_to_memory_rocksdb(spark: SparkSession, streaming_df: DataFrame,
         key, "org.apache.spark.sql.execution.streaming.state."
              "RocksDBStateStoreProvider")
     try:
-        return run_to_memory(spark, streaming_df, name, output_mode)
+        return run_to_memory(spark, streaming_df, name, output_mode,
+                             checkpoint_dir=checkpoint_dir)
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -1160,11 +1162,17 @@ def read_decon_flags(spark: SparkSession, out_dir: str) -> DataFrame:
 
 
 def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
-                  name: str, output_mode: str) -> DataFrame:
+                  name: str, output_mode: str,
+                  checkpoint_dir: str | None = None) -> DataFrame:
     """Execute a streaming plan to completion against the staged input
-    (file source drains fully) and return the sink contents."""
-    q = (streaming_df.writeStream.outputMode(output_mode)
-         .format("memory").queryName(name).start())
+    (file source drains fully) and return the sink contents.
+    checkpoint_dir makes the run durable — the hook the state-source
+    introspection tests use to read the finished query's state back
+    via spark.read.format("statestore")."""
+    w = streaming_df.writeStream.outputMode(output_mode)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
     finally:

@@ -1705,3 +1705,110 @@ def test_tws_idle_flush_multibatch_final_set(spark, sf_dir,
     assert not missing, missing
     wrong = {u: (got[u], want[u]) for u in want if got[u] != want[u]}
     assert not wrong, wrong
+
+
+def test_statestore_reader_exposes_tws_mapstate(spark, sf_dir, staged,
+                                                tmp_path):
+    """Spark 4 state data source (format('statestore')): the RocksDB
+    MapState a finished transformWithState checkpoint holds is
+    batch-readable, and its contents must equal the registered batch
+    anchor EXACTLY — state introspection is how a 100 TB operator
+    debugs a live stateful pipeline without replaying it."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    ckpt = str(tmp_path / "ckpt_map")
+    jobs.run_to_memory_rocksdb(
+        spark, jobs.user_type_profile_stream(stream),
+        "t_ss_map", "update", checkpoint_dir=ckpt)
+    st = (spark.read.format("statestore").option("path", ckpt)
+          .option("stateVarName", "per_type").load())
+    got = {(r.key.user_id, r.user_map_key.event_type):
+           (r.user_map_value.n, r.user_map_value.m / 1e6)
+           for r in st.collect()}
+    want = {(r.user_id, r.event_type): (r.n, r.total)
+            for r in streaming_batch.user_type_profile(
+                spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_statestore_reader_exposes_tws_liststate(spark, sf_dir, staged,
+                                                 tmp_path):
+    """State introspection of the ListState job: the persisted
+    last-K lists (stateVarName 'recent') must reproduce the batch
+    anchor rows, and the 'seen' ValueState must hold each user's
+    total event count."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    ckpt = str(tmp_path / "ckpt_list")
+    jobs.run_to_memory_rocksdb(
+        spark, jobs.user_recent_events_stream(stream),
+        "t_ss_list", "update", checkpoint_dir=ckpt)
+    st = (spark.read.format("statestore").option("path", ckpt)
+          .option("stateVarName", "recent").load())
+    lists = defaultdict(list)
+    for r in st.collect():
+        v = r.list_element
+        lists[r.key.user_id].append(
+            (v.ts_us, v.event_id, v.event_type, v.v_micro))
+    got = sorted(
+        (u, i + 1, e, et, vm)
+        for u, rows in lists.items()
+        for i, (t, e, et, vm) in enumerate(
+            sorted(rows, key=lambda x: (x[0], x[1]), reverse=True)))
+    want = sorted(
+        (r.user_id, r.rk, r.event_id, r.event_type, r.v_micro)
+        for r in streaming_batch.user_recent_events(
+            spark, sf_dir).collect())
+    assert got == want
+
+    seen = (spark.read.format("statestore").option("path", ckpt)
+            .option("stateVarName", "seen").load())
+    got_seen = {r.key.user_id: r.value.n for r in seen.collect()}
+    want_seen = {r.user_id: r.n for r in
+                 tables.load(spark, sf_dir, "events")
+                 .groupBy("user_id").agg(F.count("*").alias("n"))
+                 .collect()}
+    assert got_seen == want_seen
+
+
+def test_statestore_reader_exposes_tws_timers(spark, sf_dir, staged,
+                                              tmp_path):
+    """Timer introspection: after the idle-flush stream drains, the
+    registered-timer listing must show exactly one timer per
+    UNFLUSHED user at last_ms + IDLE_GAP_MS (a fired timer is
+    consumed by the engine; an un-fired one persists in the
+    checkpoint) — the operational 'who is the stream still waiting
+    on' view."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators.streaming_batch import IDLE_GAP_MS
+
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    ckpt = str(tmp_path / "ckpt_timer")
+    jobs.run_to_memory_rocksdb(
+        spark, jobs.idle_user_flush_stream(stream),
+        "t_ss_timer", "update", checkpoint_dir=ckpt)
+    timers = (spark.read.format("statestore").option("path", ckpt)
+              .option("readRegisteredTimers", "true").load())
+    got = {r.key.user_id: r.expiration_timestamp_ms
+           for r in timers.collect()}
+    flushed = {r.user_id for r in
+               streaming_batch.idle_user_flush(spark, sf_dir).collect()}
+    want = {r.user_id: r.last_ms + IDLE_GAP_MS
+            for r in tables.load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.expr("unix_micros(max(ts)) div 1000")
+                 .alias("last_ms"))
+            .collect() if r.user_id not in flushed}
+    assert got == want
