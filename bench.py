@@ -230,8 +230,10 @@ HEADLINE = [
     "dsir_importance_sample",
     "user_recent_events",
     "idle_user_flush",
-    # NEW in r12: reciprocal-rank-fusion hybrid retrieval
+    # NEW in r12: reciprocal-rank-fusion hybrid retrieval and the
+    # Arrow-optimized UDTF twin
     "hybrid_rrf_topk",
+    "sentence_split_udtf_arrow",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

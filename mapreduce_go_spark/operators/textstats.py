@@ -208,6 +208,32 @@ def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+def sentence_split_udtf_arrow(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The SAME SplitSentences table function on Spark 4's
+    ARROW-OPTIMIZED UDTF path (udtf(..., useArrow=True): rows cross
+    the Python boundary as Arrow batches instead of pickled tuples —
+    the UDTF analog of pandas-vs-row UDFs). Registered as its own
+    query so the differential pins that the Arrow evaluation computes
+    the IDENTICAL table (same oracle as sentence_split_udtf); a
+    semantics drift between the two runners (string trimming, None
+    handling, row order within a document) would split the twins."""
+    from pyspark.sql.functions import udtf
+
+    tables.load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "mrgs_udtf_docs_arrow")
+    spark.udtf.register(
+        "mrgs_split_sentences_arrow",
+        udtf(SplitSentences,
+             returnType="sent_no: int, sentence: string",
+             useArrow=True))
+    return spark.sql("""
+        SELECT d.doc_id, t.sent_no, t.sentence
+        FROM mrgs_udtf_docs_arrow d,
+             LATERAL mrgs_split_sentences_arrow(d.text) t
+    """)
+
+
 def _marker_count(toks: Column, markers: tuple[str, ...]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda w: F.array_contains(arr, w)))
@@ -351,6 +377,7 @@ QUERIES = {
     "bpe_token_stats": bpe_token_stats,
     "bpe_subword_tokens": bpe_subword_tokens,
     "sentence_split_udtf": sentence_split_udtf,
+    "sentence_split_udtf_arrow": sentence_split_udtf_arrow,
     "lang_id": lang_id,
     "quality_score": quality_score,
     "doc_fingerprint": doc_fingerprint,
@@ -478,3 +505,6 @@ ORACLES["arrow_text_stats"] = """
                AS letter_ratio_micro
     FROM documents
 """
+
+# the Arrow-optimized UDTF twin computes the identical table
+ORACLES["sentence_split_udtf_arrow"] = ORACLES["sentence_split_udtf"]

@@ -149,6 +149,7 @@ FILL_QUEUE = [
     "user_recent_events", "idle_user_flush", "dsir_importance_sample",
     "ann_ivf_sampled_topk", "ann_binary_hamming_topk",
     "matryoshka_two_stage_topk", "hybrid_rrf_topk",
+    "sentence_split_udtf_arrow",
 ]
 
 # P6: the curated family prefixes — every family keeps >= 1 window
