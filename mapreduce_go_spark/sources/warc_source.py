@@ -34,6 +34,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -64,6 +65,9 @@ class WarcDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> "WarcStreamReader":
         return WarcStreamReader(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> "WarcStreamWriter":
+        return WarcStreamWriter(self.options)
 
 
 class WarcReader(DataSourceReader):
@@ -294,6 +298,86 @@ class WarcWriter(DataSourceWriter):
                 for d, t in docs:
                     f.write(make_warc_record(d, t))
         return WriterCommitMessage()
+
+
+class WarcEpochCommit(WriterCommitMessage):
+    """Per-task commit message for the streaming sink: the staged
+    (bucket, path) pairs this task produced. Must be picklable — it
+    travels task -> driver."""
+
+    def __init__(self, files):
+        self.files = list(files)
+
+
+class WarcStreamWriter(DataSourceStreamWriter):
+    """writeStream.format("warc"): epoch-versioned archive dumps —
+    micro-batch N lands as <path>/epoch=<N>/bucket=<b>.warc. The
+    Spark streaming-sink commit protocol done the durable way: tasks
+    write to a private _staging area and report paths in their commit
+    message; commit(messages, batchId) publishes them under the epoch
+    directory with an atomic rename and is IDEMPOTENT (a replayed
+    epoch after driver failover re-publishes the same files instead
+    of duplicating — pinned in tests/test_sources.py); abort removes
+    the stage. Input schema: (bucket, doc_id, text), the batch sink's
+    contract; callers repartition by bucket for bucket-complete
+    archives per epoch."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc stream sink requires option 'path'")
+
+    def write(self, iterator) -> WarcEpochCommit:
+        from pyspark import TaskContext
+
+        from mapreduce_go_spark.operators.warc import make_warc_record
+
+        ctx = TaskContext.get()
+        stage = os.path.join(self.path, "_staging")
+        os.makedirs(stage, exist_ok=True)
+        by_bucket: dict[int, list] = {}
+        for row in iterator:
+            by_bucket.setdefault(int(row["bucket"]), []).append(
+                (int(row["doc_id"]), row["text"]))
+        out = []
+        for b, docs in sorted(by_bucket.items()):
+            docs.sort()
+            # attempt id disambiguates speculative/retried tasks; the
+            # loser's orphan stays in _staging and is never published
+            fname = os.path.join(
+                stage, f"a{ctx.taskAttemptId()}-bucket={b}.warc")
+            with open(fname, "wb") as f:
+                for d, t in docs:
+                    f.write(make_warc_record(d, t))
+            out.append((b, fname))
+        return WarcEpochCommit(out)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        final = os.path.join(self.path, f"epoch={batchId}")
+        tmp = final + ".inprogress"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+        for msg in messages:
+            if msg is None:
+                continue
+            for b, staged in msg.files:
+                shutil.copy(staged, os.path.join(tmp, f"bucket={b}.warc"))
+                os.remove(staged)
+        # idempotent publish: a replayed epoch replaces, never appends
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(tmp, final)
+
+    def abort(self, messages, batchId: int) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for _b, staged in msg.files:
+                try:
+                    os.remove(staged)
+                except OSError:
+                    pass
 
 
 def warc_sink_roundtrip(spark, sf_dir: str):

@@ -236,3 +236,90 @@ def test_warc_stream_matches_batch(spark, sf_dir):
         tuple(r) for r in
         warc_source.warc_source_extract(spark, sf_dir).collect())
     assert got == want
+
+
+def test_warc_stream_writer_epoch_dumps(spark, sf_dir, tmp_path):
+    """END-TO-END streaming Python DataSource WRITER (the last cell
+    of the connector matrix): documents streamed two files at a time
+    land as epoch-versioned archive dumps (<out>/epoch=<N>/
+    bucket=<b>.warc); each committed epoch strict-reads back through
+    the batch connector, and the union over epochs is exactly the
+    corpus (every doc exactly once — the stage-then-publish commit
+    protocol's guarantee)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark.operators.warc import WARC_BUCKET
+    from mapreduce_go_spark.session import ensure_package_on_workers
+    from mapreduce_go_spark.sources import warc_source
+    from mapreduce_go_spark.streaming.jobs import documents_stream
+
+    ensure_package_on_workers(spark)
+    staged = tmp_path / "docs_staged"
+    staged.mkdir()
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"])
+    t = t.take(pc.sort_indices(t, sort_keys=[("doc_id", "ascending")]))
+    n = t.num_rows
+    pq.write_table(t.slice(0, n // 2), str(staged / "part-000.parquet"))
+    pq.write_table(t.slice(n // 2), str(staged / "part-001.parquet"))
+
+    spark.dataSource.register(warc_source.WarcDataSource)
+    out = str(tmp_path / "warc_epochs")
+    sdf = (documents_stream(spark, str(staged),
+                            spark.read.parquet(str(staged)).schema)
+           .select((F.col("doc_id") / WARC_BUCKET).cast("long")
+                   .alias("bucket"), "doc_id", "text")
+           .repartition("bucket"))
+    q = (sdf.writeStream.format("warc").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    epochs = sorted(_glob.glob(os.path.join(out, "epoch=*")))
+    assert len(epochs) == 2, epochs
+    got = []
+    for ep in epochs:
+        rows = (spark.read.format("warc").option("path", ep)
+                .option("on_corrupt", "fail").load().collect())
+        got.extend((r.doc_id, r.body_len, r.body_md5) for r in rows)
+    assert sorted(r[0] for r in got) == sorted(
+        t.column("doc_id").to_pylist())  # every doc exactly once
+    import hashlib
+    want = {d: hashlib.md5(x.encode()).hexdigest()
+            for d, x in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist())}
+    for d, _ln, md5 in got:
+        assert md5 == want[d], d
+    assert not _glob.glob(os.path.join(out, "_staging", "*.warc"))
+
+
+def test_warc_stream_writer_commit_is_idempotent(tmp_path):
+    """A replayed epoch (driver failover re-runs a committed batch)
+    must REPLACE the epoch directory, never duplicate into it."""
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcEpochCommit, WarcStreamWriter)
+
+    w = WarcStreamWriter({"path": str(tmp_path)})
+    stage = tmp_path / "_staging"
+    stage.mkdir()
+
+    def mk(msgid):
+        p = stage / f"a{msgid}-bucket=0.warc"
+        p.write_bytes(b"payload-" + str(msgid).encode())
+        return WarcEpochCommit([(0, str(p))])
+
+    w.commit([mk(1)], batchId=7)
+    first = (tmp_path / "epoch=7" / "bucket=0.warc").read_bytes()
+    w.commit([mk(2)], batchId=7)  # replay with a new attempt's stage
+    files = sorted(p.name for p in (tmp_path / "epoch=7").iterdir())
+    assert files == ["bucket=0.warc"], files
+    assert (tmp_path / "epoch=7" / "bucket=0.warc").read_bytes() != first
