@@ -22,6 +22,12 @@ SAMPLE = {
     "grouped_agg_mad": "pandas GROUPED_AGG UDAF via remote python workers",
     "bloom_decontaminate": "broadcast sketch + python kernel cross-JVM",
     "skew_join_stats": "spread + sort-merge join across executors",
+    # r12: the trained-codebook disk artifact must be readable from a
+    # driver that trains while executors assign (grid_dot pandas
+    # kernels remote), and the RRF fusion's broadcast candidate
+    # set + full-outer fuse must survive a second JVM
+    "ann_ivf_sampled_topk": "disk codebook + remote Arrow assign kernels",
+    "hybrid_rrf_topk": "broadcast probe/candidate sets + full-outer fuse",
 }
 
 
