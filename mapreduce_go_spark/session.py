@@ -64,6 +64,12 @@ def _apply_sql_confs(spark: SparkSession, n_shuffle: int) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    # WarcReader implements pushFilters (archive pruning); with this
+    # flag false Spark REFUSES the read outright rather than skipping
+    # pushdown, so every connector entry point must arm it (the warc
+    # query functions also set it — the driver's vanilla session
+    # never passes through here)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
 _SHIPPED_CONTEXTS: set[int] = set()

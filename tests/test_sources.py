@@ -323,3 +323,40 @@ def test_warc_stream_writer_commit_is_idempotent(tmp_path):
     files = sorted(p.name for p in (tmp_path / "epoch=7").iterdir())
     assert files == ["bucket=0.warc"], files
     assert (tmp_path / "epoch=7" / "bucket=0.warc").read_bytes() != first
+
+
+def test_warc_reader_filter_pushdown_prunes_archives(spark, sf_dir):
+    """Spark 4.1 Python DataSource filter pushdown: a bucket
+    predicate must shrink partitions() to just the matching archives
+    (whole-file pruning — the connector's partition-pruning analog),
+    absorb the pushed filter, and produce exactly the rows the
+    unpruned read + row filter produces."""
+    from pyspark.sql.datasource import EqualTo, GreaterThan, In
+
+    from mapreduce_go_spark.sources import warc_source
+    from mapreduce_go_spark.sources.warc_source import WarcReader
+
+    path = warc_source.ensure_warc_files(spark, sf_dir)
+    all_files = len(WarcReader({"path": path,
+                                "on_corrupt": "skip"}).partitions())
+    assert all_files > 2
+
+    r = WarcReader({"path": path, "on_corrupt": "skip"})
+    rest = list(r.pushFilters([EqualTo(("bucket",), 3)]))
+    assert rest == []          # fully absorbed
+    assert len(r.partitions()) == 1
+
+    r2 = WarcReader({"path": path, "on_corrupt": "skip"})
+    rest2 = list(r2.pushFilters([In(("bucket",), (1, 2)),
+                                 GreaterThan(("doc_id",), 5)]))
+    assert len(rest2) == 1     # doc_id predicate stays with Spark
+    assert len(r2.partitions()) == 2
+
+    # end-to-end value parity: pruned read == unpruned read + filter
+    spark.dataSource.register(warc_source.WarcDataSource)
+    base = (spark.read.format("warc").option("path", path)
+            .option("on_corrupt", "skip").load())
+    got = sorted(tuple(x) for x in
+                 base.where("bucket = 3").collect())
+    want = sorted(tuple(x) for x in base.collect() if x.bucket == 3)
+    assert got == want and got
