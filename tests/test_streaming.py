@@ -1812,3 +1812,155 @@ def test_statestore_reader_exposes_tws_timers(spark, sf_dir, staged,
                  .alias("last_ms"))
             .collect() if r.user_id not in flushed}
     assert got == want
+
+
+def test_streaming_query_listener_metrics(spark, sf_dir, staged_3batch):
+    """Observability surface: a StreamingQueryListener attached for a
+    transformWithState run must report, across progress events,
+    exactly the fixture's input rows and a live stateOperators
+    section (rows updated > 0) — the numbers an operator's dashboard
+    is built from."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"rows": 0, "state_updated": 0, "progress": 0}
+
+    class L(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            pass
+
+        def onQueryProgress(self, e):
+            p = e.progress
+            events["progress"] += 1
+            events["rows"] += p.numInputRows
+            for so in p.stateOperators:
+                events["state_updated"] += so.numRowsUpdated
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    listener = L()
+    spark.streams.addListener(listener)
+    try:
+        stream = jobs.events_stream(spark, sf_dir, staged_3batch,
+                                    max_files_per_trigger=1)
+        jobs.run_to_memory_rocksdb(
+            spark, jobs.user_type_profile_stream(stream),
+            "t_listener", "update")
+        # progress events are delivered asynchronously
+        import time
+
+        deadline = time.time() + 30
+        import duckdb
+
+        want = duckdb.connect().execute(
+            f"select count(*) from '{sf_dir}/events.parquet'"
+        ).fetchone()[0]
+        while events["rows"] < want and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        spark.streams.removeListener(listener)
+    assert events["rows"] == want, events
+    assert events["progress"] >= 3, events    # one per staged file
+    assert events["state_updated"] > 0, events
+
+
+def test_tws_restart_with_evolved_processor(spark, sf_dir, tmp_path):
+    """Checkpoint restart + state evolution: run the ListState job on
+    the first half of the events, stop, land the second half, restart
+    from the SAME checkpoint with an EVOLVED processor that declares
+    an additional state variable ('restarts' ValueState — a new
+    RocksDB column family materializing mid-lifetime). The carried
+    ListState must merge with the new data to the full batch anchor,
+    proving (a) offsets and state survive restart, (b) adding a state
+    variable is a compatible evolution."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    staged = tmp_path / "evolve_staged"
+    staged.mkdir()
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    t = t.take(pc.sort_indices(t, sort_keys=[("ts", "ascending")]))
+    n = t.num_rows
+    pq.write_table(t.slice(0, n // 2), str(staged / "part-000.parquet"))
+
+    ckpt = str(tmp_path / "evolve_ckpt")
+    sink = str(tmp_path / "evolve_out")
+
+    def drain_to_parquet(sdf):
+        # memory sinks cannot recover from a checkpoint; a parquet
+        # sink (append) is the restartable kind
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        from mapreduce_go_spark.session import ensure_package_on_workers
+
+        ensure_package_on_workers(spark)
+        spark.conf.set(
+            key, "org.apache.spark.sql.execution.streaming.state."
+                 "RocksDBStateStoreProvider")
+        try:
+            q = (sdf.writeStream.outputMode("append").format("parquet")
+                 .option("path", sink)
+                 .option("checkpointLocation", ckpt).start())
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    stream = jobs.events_stream(spark, sf_dir, str(staged))
+    drain_to_parquet(jobs.user_recent_events_stream(stream))
+
+    class EvolvedProcessor(jobs.UserRecentEventsProcessor):
+        def init(self, handle):
+            super().init(handle)
+            self._restarts = handle.getValueState("restarts", "n bigint")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if not self._restarts.exists():
+                self._restarts.update((1,))
+            yield from super().handleInputRows(key, rows, timerValues)
+
+    pq.write_table(t.slice(n // 2), str(staged / "part-001.parquet"))
+    from mapreduce_go_spark.session import ensure_tws_python_env
+
+    ensure_tws_python_env(spark)
+    from pyspark.sql import functions as F  # noqa: F401
+
+    sdf = (jobs.events_stream(spark, sf_dir, str(staged))
+           .select("user_id", "ts", "event_id", "event_type", "value")
+           .groupBy("user_id")
+           .transformWithStateInPandas(
+               EvolvedProcessor(),
+               outputStructType=jobs.RECENT_SCHEMA,
+               outputMode="update",
+               timeMode="none"))
+    drain_to_parquet(sdf)
+
+    rows = spark.read.parquet(sink).collect()
+    last_seen = {}
+    for r in rows:
+        if r.user_id not in last_seen or r.seen > last_seen[r.user_id]:
+            last_seen[r.user_id] = r.seen
+    got = sorted(
+        (r.user_id, r.rk, r.event_id, r.event_type, r.v_micro)
+        for r in rows if r.seen == last_seen[r.user_id])
+    want = sorted(
+        (r.user_id, r.rk, r.event_id, r.event_type, r.v_micro)
+        for r in streaming_batch.user_recent_events(
+            spark, sf_dir).collect())
+    assert got == want
+    # the evolved variable exists in the checkpoint and is populated
+    st = (spark.read.format("statestore").option("path", ckpt)
+          .option("stateVarName", "restarts").load())
+    assert st.count() > 0
