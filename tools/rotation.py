@@ -136,16 +136,18 @@ FILL_QUEUE = [
     # streaming twin is protobuf-gated in this container —
     # streaming/jobs.tws_available)
     "ann_ivf_trained_topk", "user_type_profile",
-    # registered in r12 (6 new vs 18 freed at round open — inside the
+    # registered in r12 (8 new vs 18 freed at round open — inside the
     # budget). Only 3 seats remain after the P6 family fills, so the
     # order below picks which 3 seat NOW and which carry one round of
     # never-verified debt to r13 (when the 17 r11-first-green TPC-H
     # holds confirm and release). Seated first: the transformWithState
     # ListState / event-time-timer anchors (the round's new streaming
     # surface — nothing else driver-checks it) and DSIR (new operator
-    # family in pipeline.py). Queued: the ANN trio, whose module
-    # already has 7 driver-green siblings sharing the same _topk /
-    # grid-cosine scaffolding, so a seat adds the least new signal.
+    # family in pipeline.py). Queued: the ANN trio + hybrid RRF,
+    # whose module already has 7 driver-green siblings sharing the
+    # same _topk / grid-cosine scaffolding, and the Arrow-UDTF twin
+    # of an already-green query — the seats that add the least new
+    # signal.
     "user_recent_events", "idle_user_flush", "dsir_importance_sample",
     "ann_ivf_sampled_topk", "ann_binary_hamming_topk",
     "matryoshka_two_stage_topk", "hybrid_rrf_topk",
