@@ -234,6 +234,8 @@ HEADLINE = [
     # Arrow-optimized UDTF twin
     "hybrid_rrf_topk",
     "sentence_split_udtf_arrow",
+    # NEW in r12: exact prefix-filtered set-similarity join
+    "ngram_jaccard_pairs_prefix",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -161,6 +161,75 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ngram_jaccard_pairs_prefix(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """ngram_jaccard_pairs computed the PPJoin way (Xiao et al. 2008
+    prefix filtering): an EXACT sub-quadratic set-similarity join —
+    the zero-recall-loss alternative to the MinHash/SimHash candidate
+    generators in this module. Same output, same oracle, different
+    candidate algebra:
+
+    - order every document's shingle set by ascending document
+      frequency (rarest first; (df, shingle) — integers + strings,
+      cross-engine total);
+    - PREFIX each set to its first |x| - ceil(t*|x|) + 1 elements.
+      The prefix lemma: if J(A,B) >= t, the overlap is >= t*max(|A|,
+      |B|) >= ceil(t*|A|), but two disjoint prefixes cap the overlap
+      at ceil(t*|A|) - 1 — so every qualifying pair shares a PREFIX
+      shingle and the prefix inverted-index join is a strict superset
+      of the answer (pinned in tests/test_properties.py);
+    - verify candidates exactly: per-pair array_intersect over the
+      per-doc sorted shingle arrays (bounded per doc — the
+      bounded-holder discipline), same dround'ed Jaccard and
+      threshold as the plain query.
+
+    Why it scales where the plain join degrades: the full inverted
+    index pays O(df^2) pairs on every COMMON shingle; the prefix
+    index only posts each document under its ~(1-t)|x| RAREST
+    shingles, so hot shingles (every doc sharing 'the quick fox')
+    post only the docs for which they are locally rare. 10x curve
+    measured alongside the plain form in SCALE.md."""
+    from pyspark.sql import Window
+
+    docs = tables.load(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    wp = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(wp))
+        .where(F.col("pos")
+               <= F.col("n_sh")
+               - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1)
+        .select("doc_id", "shingle")
+    )
+    cand = (
+        prefix.select(F.col("doc_id").alias("d1"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("d2"), "shingle"),
+              "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("ss"))
+    return (
+        cand.join(sets.select(F.col("doc_id").alias("d1"),
+                              F.col("ss").alias("s1")), "d1")
+        .join(sets.select(F.col("doc_id").alias("d2"),
+                          F.col("ss").alias("s2")), "d2")
+        .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
+        .withColumn(
+            "jaccard",
+            dround(F.col("inter")
+                   / (F.size("s1") + F.size("s2") - F.col("inter")), 6))
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("d1", "d2", "jaccard")
+    )
+
+
 def _minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One md5 per shingle; the 12 permutations are derived
     arithmetically: split the md5 into two 56-bit halves (a, b) and
@@ -1133,6 +1202,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_exact": dedup_exact,
     "ngram_jaccard_pairs": ngram_jaccard_pairs,
+    "ngram_jaccard_pairs_prefix": ngram_jaccard_pairs_prefix,
     "minhash_signatures": minhash_signatures,
     "dedup_minhash_pairs": dedup_minhash_pairs,
     "dedup_minhash_pairs_capped": dedup_minhash_pairs_capped,
@@ -1665,3 +1735,6 @@ ORACLES = {
         FROM ham WHERE hamming <= {HAMMING_MAX}
     """,
 }
+
+# the prefix-filtered form computes the identical pair set
+ORACLES["ngram_jaccard_pairs_prefix"] = ORACLES["ngram_jaccard_pairs"]

@@ -670,3 +670,52 @@ def test_url_canonicalizer_cross_engine_and_idempotent(spark, duck, urls):
     assert got == want, list(zip(urls, got, want))
     twice = [(u, r.c, r.c2) for u, r in zip(urls, rows) if r.c != r.c2]
     assert not twice, twice
+
+
+def test_prefix_filter_candidates_superset_lemma():
+    """The PPJoin prefix lemma, fuzzed Spark-free: for random small
+    set families and t=0.5, every pair with J(A,B) >= t shares an
+    element of both prefixes (first |x| - ceil(t|x|) + 1 elements in
+    the global rarity order) — candidate generation is EXACT, never
+    lossy. This is the property ngram_jaccard_pairs_prefix's
+    correctness rests on."""
+    import math
+    from hypothesis import given, settings, strategies as st
+
+    t = 0.5
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.frozensets(st.integers(0, 30),
+                                  min_size=1, max_size=12),
+                    min_size=2, max_size=8))
+    def check(sets):
+        # global order: ascending document frequency, then value
+        from collections import Counter
+        df = Counter(x for s in sets for x in s)
+        order = lambda x: (df[x], x)
+
+        def prefix(s):
+            srt = sorted(s, key=order)
+            return set(srt[:len(s) - math.ceil(t * len(s)) + 1])
+
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                a, b = sets[i], sets[j]
+                jac = len(a & b) / len(a | b)
+                if jac >= t:
+                    assert prefix(a) & prefix(b), (a, b)
+
+    check()
+
+
+def test_prefix_join_equals_plain_jaccard_join(spark, sf_dir):
+    """The prefix-filtered form must return EXACTLY the plain
+    inverted-index form's pairs on the fixtures (same values too) —
+    the whole point of an exact candidate algebra."""
+    from mapreduce_go_spark.operators import dedup
+
+    plain = sorted(map(tuple,
+                       dedup.ngram_jaccard_pairs(spark, sf_dir).collect()))
+    pref = sorted(map(tuple, dedup.ngram_jaccard_pairs_prefix(
+        spark, sf_dir).collect()))
+    assert plain == pref and plain

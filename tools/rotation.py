@@ -151,7 +151,7 @@ FILL_QUEUE = [
     "user_recent_events", "idle_user_flush", "dsir_importance_sample",
     "ann_ivf_sampled_topk", "ann_binary_hamming_topk",
     "matryoshka_two_stage_topk", "hybrid_rrf_topk",
-    "sentence_split_udtf_arrow",
+    "sentence_split_udtf_arrow", "ngram_jaccard_pairs_prefix",
 ]
 
 # P6: the curated family prefixes — every family keeps >= 1 window

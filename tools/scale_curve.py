@@ -151,7 +151,8 @@ def main() -> None:
     from mapreduce_go_spark.operators.audio import (audio_features,
                                                     audio_fingerprint_pairs)
     from mapreduce_go_spark.operators.dedup import (
-        dedup_verified_pairs, simhash_neardup_pairs_capped,
+        dedup_verified_pairs, ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix, simhash_neardup_pairs_capped,
         strip_dup_spans)
     from mapreduce_go_spark.operators.multimodal import (image_phash_pairs,
                                                          phash_dup_flags)
@@ -202,6 +203,9 @@ def main() -> None:
                      ("decontaminate", decontaminate),
                      ("ann_pq_topk", ann_pq_topk),
                      ("strip_dup_spans", strip_dup_spans),
+                     ("ngram_jaccard_pairs", ngram_jaccard_pairs),
+                     ("ngram_jaccard_pairs_prefix",
+                      ngram_jaccard_pairs_prefix),
                      ("audio_features", audio_features),
                      ("mjpeg_frame_sample", mjpeg_frame_sample),
                      ("image_phash_pairs", image_phash_pairs),
