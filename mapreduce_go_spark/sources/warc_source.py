@@ -222,23 +222,41 @@ class WarcStreamReader(SimpleDataSourceStreamReader):
 
     def _files(self) -> list[str]:
         # re-globbed per call: new archives landing between
-        # micro-batches are picked up, already-consumed prefixes are
-        # stable because names sort and landing is append-only
+        # micro-batches are picked up. The consumed prefix is stable
+        # ONLY if new names sort after old ones (the standard
+        # file-source landing contract; note bucket=10 < bucket=3
+        # lexicographically — zero-pad rotation names). The offset
+        # carries the last consumed name so a violation fails loudly
+        # instead of silently replaying the wrong archives.
         return sorted(glob.glob(os.path.join(self.path, "*.warc")))
+
+    @staticmethod
+    def _check_cursor(files: list[str], off: dict) -> None:
+        i = off["i"]
+        last = off.get("last")
+        if i > 0 and (i > len(files)
+                      or os.path.basename(files[i - 1]) != last):
+            raise ValueError(
+                f"warc stream: landing order changed under the offset "
+                f"(expected consumed file #{i} to be {last!r}) — a new "
+                f"archive sorted BEFORE the cursor; landing names must "
+                f"be lexicographically increasing")
 
     def initialOffset(self) -> dict:
         return {"i": 0}
 
     def read(self, start: dict):
         files = self._files()
+        self._check_cursor(files, start)
         i = start["i"]
         if i >= len(files):
-            return iter(()), {"i": i}
+            return iter(()), dict(start)
         return iter(list(_archive_rows(files[i], self.on_corrupt))), \
-            {"i": i + 1}
+            {"i": i + 1, "last": os.path.basename(files[i])}
 
     def readBetweenOffsets(self, start: dict, end: dict):
         files = self._files()
+        self._check_cursor(files, end)
         out = []
         for f in files[start["i"]:end["i"]]:
             out.extend(_archive_rows(f, self.on_corrupt))

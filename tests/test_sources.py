@@ -360,3 +360,35 @@ def test_warc_reader_filter_pushdown_prunes_archives(spark, sf_dir):
                  base.where("bucket = 3").collect())
     want = sorted(tuple(x) for x in base.collect() if x.bucket == 3)
     assert got == want and got
+
+
+def test_warc_stream_reader_detects_landing_order_violation(
+        spark, sf_dir, tmp_path):
+    """A new archive whose name sorts BEFORE the consumed cursor
+    would silently shift every committed offset to different files —
+    the reader must refuse loudly instead (the offset carries the
+    last consumed name)."""
+    import os
+    import shutil
+
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcStreamReader, ensure_warc_files)
+
+    src = ensure_warc_files(spark, sf_dir)
+    d = tmp_path / "landing"
+    d.mkdir()
+    files = sorted(f for f in os.listdir(src) if f.endswith('.warc'))
+    shutil.copy(os.path.join(src, files[2]), d / files[2])
+    shutil.copy(os.path.join(src, files[3]), d / files[3])
+
+    rdr = WarcStreamReader({"path": str(d), "on_corrupt": "skip"})
+    _rows, off1 = rdr.read(rdr.initialOffset())
+    assert off1["last"] == files[2]
+    # a well-ordered landing (sorts after the cursor) is fine
+    list(rdr.read(off1)[0])
+    # an out-of-order landing (sorts before the cursor) must fail
+    shutil.copy(os.path.join(src, files[0]), d / files[0])
+    with pytest.raises(ValueError, match="landing order"):
+        rdr.read(off1)
+    with pytest.raises(ValueError, match="landing order"):
+        list(rdr.readBetweenOffsets(rdr.initialOffset(), off1))
