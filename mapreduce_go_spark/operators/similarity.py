@@ -568,7 +568,8 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     yet stays correct. Both pools are WindowGroupLimit-bounded at
     RRF_POOL per query before their exchanges; fusion touches
     ≤ 2·RRF_POOL rows per query. Measured: probing took the 10x
-    curve from 3.55x (all-token join) to 1.62x."""
+    curve from 3.55x (all-token join) to 1.3-1.6x
+    (session-dependent; both dedicated min-of-3 reads in SCALE.md)."""
     from pyspark.sql import Window
 
     from mapreduce_go_spark.functions.text import NON_LETTER_RE
