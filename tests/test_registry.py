@@ -88,7 +88,8 @@ def test_driver_window_is_curated():
     rotation = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(rotation)
     for fam in rotation.FAMILIES:
-        assert any(n.startswith(fam) for n in names[:50]), fam
+        assert any(rotation.in_family(n, fam)
+                   for n in names[:50]), fam
 
 
 def test_driver_window_matches_rotation_tool():

@@ -25,20 +25,22 @@ POLICY (applied in order; deterministic):
       releasable. Demoted queries keep their oracles and the full
       differential in tests/test_queries.py — only the driver
       window rotates.
-  P5. FILL: open seats go to registered-but-never-driver-verified
-      queries, priority order: (a) any SURVEY §2 family with zero
-      cumulative greens (none since r6), (b) the TPC-H backlog in
-      query-number order, (c) the builder's queued rotation names,
-      (d) newest registrations. Never-verified count is the debt
-      metric; it only shrinks via FILL.
+  P5. FILL, debt first (r13 — VERDICT r12 item 1): open seats go
+      FIRST to registered-but-never-driver-verified queries
+      (FILL_QUEUE order, then newest registrations) — the
+      registration budget bounds this debt to the seats freed per
+      round, so all of it always fits. Never-verified count is the
+      debt metric; it only shrinks via FILL.
   P6. FAMILY REPRESENTATION: every curated family (FAMILIES below —
       the same tuple tests/test_registry.py pins) keeps at least one
       seat. Once the never-verified debt hits zero, P5's greens-pool
       refill would otherwise concentrate seats in whichever families
       head FILL_QUEUE (the r12 round-open regeneration dropped 14
-      families this way); P6 fills missing families FIRST, picking
-      the family member with the fewest cumulative greens (registry
-      order tie-break) so the freshest evidence rotates in.
+      families this way); P6 fills missing families after the debt,
+      picking the family member with the fewest cumulative greens
+      (registry order tie-break) so the freshest evidence rotates
+      in. Remaining seats refill from the greens pool in FILL_QUEUE
+      order.
 
 Run:  python tools/rotation.py          (prints the proposed window)
       python tools/rotation.py --write  (regenerates
@@ -157,7 +159,14 @@ FILL_QUEUE = [
 # P6: the curated family prefixes — every family keeps >= 1 window
 # seat (tests/test_registry.py::test_driver_window_is_curated imports
 # this tuple; one source of truth). A prefix names a capability
-# family, not a single query: any member seats it.
+# family, not a single query: any member seats it. An entry may be a
+# TUPLE of prefixes — one capability with several query spellings
+# (r13: the Python-DataSource format roundtrips jsonl/orc/csv are one
+# connector capability, and SCD2 + MERGE are one warehouse-
+# maintenance capability; the min-greens pick rule then rotates the
+# family's single seat among its members round-robin, which verifies
+# each spelling periodically instead of pinning three near-identical
+# seats forever).
 FAMILIES = (
     "wc", "indexer", "crash_",
     "q4_", "q6_", "q7_", "q9_", "q10_", "q11_", "q12_",
@@ -167,10 +176,19 @@ FAMILIES = (
     "pretrain_", "purchase_", "ann_", "token_",
     "domain_", "audio_", "user_type_profile",
     "warc_", "arrow_", "partition_", "dpp_", "zscore_",
-    "scd2_", "merge_", "jsonl_", "orc_", "csv_",
+    ("scd2_", "merge_"), ("jsonl_", "orc_", "csv_"),
     "contrastive_", "skew_", "grouped_agg_",
     "observed_", "recursive_",
 )
+
+
+def family_prefixes(fam) -> tuple:
+    """Normalize a FAMILIES entry to its tuple of prefixes."""
+    return fam if isinstance(fam, tuple) else (fam,)
+
+
+def in_family(name: str, fam) -> bool:
+    return any(name.startswith(p) for p in family_prefixes(fam))
 
 # REGISTRATION BUDGET (VERDICT r8 item 4): per round, register at
 # most as many NEW oracle-backed queries as the round frees seats
@@ -265,19 +283,32 @@ def propose(current_window: list[str],
 
     fills: list[str] = []
     seats = WINDOW - len(keep)
-    # P6 first: a missing curated family outranks every pool name —
-    # seat its least-verified oracle-backed member (registry-order
-    # tie-break). Deterministic in (keep, history, registry) only, so
-    # propose() stays idempotent (the fixpoint test re-runs it on its
-    # own output).
+    # DEBT FIRST (r13, VERDICT r12 item 1): never-driver-verified
+    # names are the hard verification debt — the registration budget
+    # bounds their count to seats freed per round, so seating ALL of
+    # them before family re-representation both drains the debt in
+    # one round and still leaves P6 enough seats (the r12 order — P6
+    # before debt — left 3 of 6 zero-green registrations unseated
+    # while re-seating greens=4 TPC-H rows).
+    debt = [n for n in FILL_QUEUE if n in all_names and n in oracled
+            and greens.get(n, 0) == 0 and n not in keep]
+    debt += [n for n in all_names  # newest registrations not queued
+             if n in oracled and greens.get(n, 0) == 0
+             and n not in keep and n not in debt]
+    fills += debt[:seats]
+    # P6 second: a missing curated family outranks every green pool
+    # name — seat its least-verified oracle-backed member
+    # (registry-order tie-break). Deterministic in (keep, history,
+    # registry) only, so propose() stays idempotent (the fixpoint
+    # test re-runs it on its own output).
     for fam in FAMILIES:
         if len(fills) >= seats:
             break
         seated = keep + fills
-        if any(n.startswith(fam) for n in seated):
+        if any(in_family(n, fam) for n in seated):
             continue
         cands = [n for n in all_names
-                 if n.startswith(fam) and n in oracled
+                 if in_family(n, fam) and n in oracled
                  and n not in seated]
         if cands:
             fills.append(min(
