@@ -36,6 +36,14 @@ N_MINHASH = 12          # permutations
 LSH_BANDS = 4           # bands -> candidate if all rows in any band agree
 LSH_ROWS = N_MINHASH // LSH_BANDS
 JACCARD_THRESHOLD = 0.5
+# Rational twin of the threshold for the PPJoin cut-offs: the double
+# product ceil(t * n) can round one ULP above an exact integer for a
+# non-dyadic t (e.g. 0.55), silently shortening the prefix and
+# voiding the zero-recall-loss lemma. All prefix/length/positional
+# arithmetic uses int64 (N*n + D-1) div D instead, which is exact for
+# every rational threshold.
+JACCARD_T_NUM, JACCARD_T_DEN = 1, 2
+assert JACCARD_T_NUM / JACCARD_T_DEN == JACCARD_THRESHOLD
 SHINGLE_N = 3
 MINHASH_MOD = 2 ** 56   # affine-family modulus; a,b < 2^56 so
                         # a + 11*b < 2^60 — no bigint overflow
@@ -178,10 +186,20 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession,
       at ceil(t*|A|) - 1 — so every qualifying pair shares a PREFIX
       shingle and the prefix inverted-index join is a strict superset
       of the answer (pinned in tests/test_properties.py);
+    - prune survivors with the LENGTH filter (J >= t forces
+      t*max(|x|,|y|) <= min(|x|,|y|)) and the POSITIONAL filter
+      (the first common token bounds the remaining overlap by
+      1 + min(|x|-p1, |y|-p2), which must reach
+      alpha = ceil(t/(1+t)*(|x|+|y|))) — Xiao et al.'s full filter
+      set, both recall-lossless (fuzzed in tests/test_properties.py);
     - verify candidates exactly: per-pair array_intersect over the
       per-doc sorted shingle arrays (bounded per doc — the
       bounded-holder discipline), same dround'ed Jaccard and
       threshold as the plain query.
+
+    All cut-offs compute in int64 via (N*n + D-1) div D on the
+    rational threshold (JACCARD_T_NUM/JACCARD_T_DEN) — exact for any
+    rational t where the double product can misround.
 
     Why it scales where the plain join degrades: the full inverted
     index pays O(df^2) pairs on every COMMON shingle; the prefix
@@ -196,20 +214,44 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession,
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     wp = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    N, D = JACCARD_T_NUM, JACCARD_T_DEN
+    # integer-exact ceil(t*n) = (N*n + D-1) div D — the double form
+    # F.ceil(t * n) can land one ULP above an exact integer for a
+    # non-dyadic t and shorten the prefix by one (ADVICE r12).
     prefix = (
         sh.join(dfreq, "shingle")
         .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(wp))
-        .where(F.col("pos")
-               <= F.col("n_sh")
-               - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1)
-        .select("doc_id", "shingle")
+        .where(F.col("pos") <= F.col("n_sh")
+               - F.expr(f"({N} * n_sh + {D - 1}) div {D}") + 1)
+        .select("doc_id", "shingle", "pos", "n_sh")
     )
     cand = (
-        prefix.select(F.col("doc_id").alias("d1"), "shingle")
-        .join(prefix.select(F.col("doc_id").alias("d2"), "shingle"),
+        prefix.select(F.col("doc_id").alias("d1"), "shingle",
+                      F.col("pos").alias("p1"),
+                      F.col("n_sh").alias("n1"))
+        .join(prefix.select(F.col("doc_id").alias("d2"), "shingle",
+                            F.col("pos").alias("p2"),
+                            F.col("n_sh").alias("n2")),
               "shingle")
         .where(F.col("d1") < F.col("d2"))
+        # length filter (Xiao et al. §3.1): J >= t forces
+        # t*max(|x|,|y|) <= min(|x|,|y|) — integer-exact as
+        # N*max <= D*min.
+        .where(F.lit(N) * F.greatest("n1", "n2")
+               <= F.lit(D) * F.least("n1", "n2"))
+        # positional filter (§3.2): the FIRST common token of a
+        # qualifying pair sits inside both prefixes at (p1, p2), and
+        # every other common token ranks after it in BOTH rarity
+        # orders, so overlap <= 1 + min(n1-p1, n2-p2). Qualifying
+        # needs overlap >= alpha = ceil(N*(n1+n2)/(D+N)) (J >= t
+        # <=> inter >= t/(1+t)*(n1+n2)). Keeping any occurrence
+        # that passes is a superset of the exact first-token rule —
+        # recall stays total (fuzzed in tests/test_properties.py).
+        .where(F.lit(1) + F.least(F.col("n1") - F.col("p1"),
+                                  F.col("n2") - F.col("p2"))
+               >= F.expr(f"({N} * (n1 + n2) + {D + N - 1}) "
+                         f"div {D + N}"))
         .select("d1", "d2")
         .distinct()
     )

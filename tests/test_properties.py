@@ -673,16 +673,18 @@ def test_url_canonicalizer_cross_engine_and_idempotent(spark, duck, urls):
 
 
 def test_prefix_filter_candidates_superset_lemma():
-    """The PPJoin prefix lemma, fuzzed Spark-free: for random small
-    set families and t=0.5, every pair with J(A,B) >= t shares an
-    element of both prefixes (first |x| - ceil(t|x|) + 1 elements in
-    the global rarity order) — candidate generation is EXACT, never
-    lossy. This is the property ngram_jaccard_pairs_prefix's
-    correctness rests on."""
-    import math
+    """The PPJoin candidate algebra, fuzzed Spark-free with the SAME
+    integer arithmetic the Spark plan uses ((N*n + D-1) div D, not
+    math.ceil over doubles — ADVICE r12): for random small set
+    families, every pair with J(A,B) >= t (a) shares an element of
+    both prefixes, (b) passes the length filter
+    N*max(|x|,|y|) <= D*min(|x|,|y|), and (c) has a shared prefix
+    occurrence whose positional bound 1 + min(|x|-p1, |y|-p2)
+    reaches alpha = ceil(N*(|x|+|y|))/(D+N)) — the full Xiao et al.
+    filter set is EXACT, never lossy. Fuzzed at t=0.5 (the shipped
+    threshold) and t=0.55 (non-dyadic — the misrounding regime the
+    integer form exists for)."""
     from hypothesis import given, settings, strategies as st
-
-    t = 0.5
 
     @settings(max_examples=200, deadline=None)
     @given(st.lists(st.frozensets(st.integers(0, 30),
@@ -694,16 +696,30 @@ def test_prefix_filter_candidates_superset_lemma():
         df = Counter(x for s in sets for x in s)
         order = lambda x: (df[x], x)
 
-        def prefix(s):
-            srt = sorted(s, key=order)
-            return set(srt[:len(s) - math.ceil(t * len(s)) + 1])
+        for N, D in ((1, 2), (11, 20)):
+            t = N / D
 
-        for i in range(len(sets)):
-            for j in range(i + 1, len(sets)):
-                a, b = sets[i], sets[j]
-                jac = len(a & b) / len(a | b)
-                if jac >= t:
-                    assert prefix(a) & prefix(b), (a, b)
+            def prefix_pos(s):
+                srt = sorted(s, key=order)
+                cut = len(s) - (N * len(s) + D - 1) // D + 1
+                return {x: p for p, x in enumerate(srt[:cut], 1)}
+
+            for i in range(len(sets)):
+                for j in range(i + 1, len(sets)):
+                    a, b = sets[i], sets[j]
+                    jac = len(a & b) / len(a | b)
+                    if jac < t:
+                        continue
+                    pa, pb = prefix_pos(a), prefix_pos(b)
+                    shared = set(pa) & set(pb)
+                    assert shared, (a, b, t)
+                    assert (N * max(len(a), len(b))
+                            <= D * min(len(a), len(b))), (a, b, t)
+                    alpha = (N * (len(a) + len(b)) + D + N - 1) \
+                        // (D + N)
+                    assert any(
+                        1 + min(len(a) - pa[w], len(b) - pb[w])
+                        >= alpha for w in shared), (a, b, t)
 
     check()
 
