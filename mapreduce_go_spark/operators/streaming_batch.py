@@ -265,11 +265,15 @@ def idle_user_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     max(ts) - FLUSH_DELAY_MS, the job's withWatermark delay) passes
     it, emitting the user's running (n, m_micro, last_ms) aggregate.
     So the DETERMINISTIC converged output is exactly: every user
-    whose last event is older than max(ts) - delay - gap, carrying
-    their full aggregate — which is this query. (Boundary is
-    millisecond-floored like the engine's timer arithmetic; fixture
-    user idle gaps are minutes-to-hours apart, so the sub-ms floor
-    can never flip membership.)
+    whose last event is at-or-older-than max(ts) - delay - gap,
+    carrying their full aggregate — which is this query. (Boundary
+    is millisecond-floored like the engine's timer arithmetic;
+    fixture user idle gaps are minutes-to-hours apart, so the sub-ms
+    floor can never flip membership. Equality is INCLUSIVE: the
+    engine fires a timer when watermark == its expiry timestamp —
+    probed end-to-end in tests/test_streaming.py::
+    test_tws_idle_flush_boundary_equality_is_inclusive — so the
+    filter below is <=, not <.)
 
     100 TB shape: algebraic per-user aggregate (map-side combine, one
     shuffle), the max(ts) scalar broadcast; streaming state is one
@@ -287,7 +291,7 @@ def idle_user_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per.crossJoin(F.broadcast(mx))
         .where(F.expr("unix_micros(last_ts) div 1000")
-               + F.lit(IDLE_GAP_MS) < F.col("max_ms") - FLUSH_DELAY_MS)
+               + F.lit(IDLE_GAP_MS) <= F.col("max_ms") - FLUSH_DELAY_MS)
         .select("user_id", "n", "m_micro",
                 F.expr("unix_micros(last_ts) div 1000").alias("last_ms"))
     )
@@ -348,7 +352,7 @@ ORACLES = {
                epoch_us(last_ts) // 1000 AS last_ms
         FROM per CROSS JOIN mx
         WHERE epoch_us(last_ts) // 1000 + {IDLE_GAP_MS}
-                  < max_ms - {FLUSH_DELAY_MS}
+                  <= max_ms - {FLUSH_DELAY_MS}
     """,
     "event_enrichment": f"""
         SELECT c_mktsegment, event_type, count(*) AS n,

@@ -179,7 +179,8 @@ def _archive_rows(fname: str, on_corrupt: str):
     from mapreduce_go_spark.operators.warc import parse_warc
 
     bucket = int(os.path.basename(fname).split("=")[1].split(".")[0])
-    payload = open(fname, "rb").read()
+    with open(fname, "rb") as fh:
+        payload = fh.read()
     try:
         records = parse_warc(payload)
     except ValueError:
@@ -380,12 +381,23 @@ class WarcStreamWriter(DataSourceStreamWriter):
     of duplicating — pinned in tests/test_sources.py); abort removes
     the stage. Input schema: (bucket, doc_id, text), the batch sink's
     contract; callers repartition by bucket for bucket-complete
-    archives per epoch."""
+    archives per epoch. The contract is ENFORCED, not just
+    documented (ADVICE r12): commit raises if two tasks staged the
+    same bucket (a silently-overwriting split bucket means the
+    caller skipped the repartition), and write caps its per-task
+    buffer at maxBufferRows (default 1_000_000 ~ hundreds of MB of
+    text; override via the sink option) with a loud error naming the
+    contract instead of holding an unbounded partition in Python
+    memory."""
+
+    MAX_BUFFER_ROWS = 1_000_000
 
     def __init__(self, options) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc stream sink requires option 'path'")
+        self.max_buffer_rows = int(
+            options.get("maxBufferRows", self.MAX_BUFFER_ROWS))
 
     def write(self, iterator) -> WarcEpochCommit:
         from pyspark import TaskContext
@@ -396,7 +408,16 @@ class WarcStreamWriter(DataSourceStreamWriter):
         stage = os.path.join(self.path, "_staging")
         os.makedirs(stage, exist_ok=True)
         by_bucket: dict[int, list] = {}
+        n = 0
         for row in iterator:
+            n += 1
+            if n > self.max_buffer_rows:
+                raise ValueError(
+                    "warc stream sink: task buffered more than "
+                    f"{self.max_buffer_rows} rows — repartition the "
+                    "stream by 'bucket' before writeStream (the "
+                    "sink's documented contract) or raise the "
+                    "maxBufferRows sink option")
             by_bucket.setdefault(int(row["bucket"]), []).append(
                 (int(row["doc_id"]), row["text"]))
         out = []
@@ -415,6 +436,24 @@ class WarcStreamWriter(DataSourceStreamWriter):
     def commit(self, messages, batchId: int) -> None:
         import shutil
 
+        # A bucket staged by two tasks means the caller skipped the
+        # repartition-by-bucket contract; publishing would silently
+        # keep only the last copy (ADVICE r12) — fail the batch
+        # instead, before anything lands under the epoch dir.
+        staged_by_bucket: dict[int, list] = {}
+        for msg in messages:
+            if msg is None:
+                continue
+            for b, staged in msg.files:
+                staged_by_bucket.setdefault(b, []).append(staged)
+        dups = sorted(b for b, fs in staged_by_bucket.items()
+                      if len(fs) > 1)
+        if dups:
+            raise ValueError(
+                f"warc stream sink: buckets {dups} were staged by "
+                f"more than one task in epoch {batchId} — publishing "
+                "would drop data. Repartition the stream by 'bucket' "
+                "before writeStream (the sink's contract).")
         final = os.path.join(self.path, f"epoch={batchId}")
         tmp = final + ".inprogress"
         shutil.rmtree(tmp, ignore_errors=True)

@@ -424,7 +424,10 @@ class IdleUserFlushProcessor(StatefulProcessor):
     supersedes an earlier one and the max-n emission per user is the
     converged value). At end-of-stream the watermark rests at
     max(ts) - delay, so the set of flushed users is deterministic —
-    the batch anchor computes exactly that set."""
+    the batch anchor computes exactly that set. Expiry at exact
+    equality (timer == watermark) FIRES — probed end-to-end in
+    tests/test_streaming.py, which is why the anchor's filter is
+    <=."""
 
     def init(self, handle) -> None:
         self._handle = handle

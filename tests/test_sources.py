@@ -325,6 +325,46 @@ def test_warc_stream_writer_commit_is_idempotent(tmp_path):
     assert (tmp_path / "epoch=7" / "bucket=0.warc").read_bytes() != first
 
 
+def test_warc_stream_writer_commit_rejects_split_bucket(tmp_path):
+    """Two tasks staging the SAME bucket in one epoch means the
+    caller skipped the repartition-by-bucket contract; publishing
+    would keep only the last copy (silent data loss — ADVICE r12).
+    commit must fail the batch loudly and publish nothing."""
+    import pytest
+
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcEpochCommit, WarcStreamWriter)
+
+    w = WarcStreamWriter({"path": str(tmp_path)})
+    stage = tmp_path / "_staging"
+    stage.mkdir()
+
+    def mk(task, bucket):
+        p = stage / f"a{task}-bucket={bucket}.warc"
+        p.write_bytes(b"x")
+        return WarcEpochCommit([(bucket, str(p))])
+
+    with pytest.raises(ValueError, match="(?i)repartition.*bucket"):
+        w.commit([mk(1, 0), mk(2, 0)], batchId=3)
+    assert not (tmp_path / "epoch=3").exists()
+
+
+def test_warc_stream_writer_buffer_is_bounded(tmp_path):
+    """A caller that skips the repartition contract must hit a loud
+    bounded-memory error, not an unbounded per-task Python dict
+    (VERDICT r12): the writer caps buffered rows at the
+    maxBufferRows sink option."""
+    import pytest
+
+    from mapreduce_go_spark.sources.warc_source import WarcStreamWriter
+
+    w = WarcStreamWriter({"path": str(tmp_path), "maxBufferRows": "5"})
+    rows = ({"bucket": i % 3, "doc_id": i, "text": "t"}
+            for i in range(10))
+    with pytest.raises(ValueError, match="(?i)repartition.*bucket"):
+        w.write(iter(rows))
+
+
 def test_warc_reader_filter_pushdown_prunes_archives(spark, sf_dir):
     """Spark 4.1 Python DataSource filter pushdown: a bucket
     predicate must shrink partitions() to just the matching archives

@@ -1628,6 +1628,57 @@ def test_tws_idle_flush_matches_batch(spark, sf_dir, staged):
     assert got == want
 
 
+def test_tws_idle_flush_boundary_equality_is_inclusive(
+        spark, tmp_path):
+    """Pin the ENGINE's timer-expiry comparison at exact equality
+    (ADVICE r12): a user whose timer lands exactly ON the final
+    watermark (last_ms + IDLE_GAP_MS == max_ms - FLUSH_DELAY_MS)
+    must flush — Spark's event-time timer expiry is INCLUSIVE — and
+    the batch anchor's <= filter must agree on the same synthetic
+    input. A third user one gap past the watermark must NOT flush in
+    either form."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+
+    T0 = dt.datetime(2024, 1, 1)
+    H = dt.timedelta(hours=1)
+    # max holder at T0+10h with WATERMARK "2 hours" puts the final
+    # watermark at exactly T0+8h; IDLE_GAP_MS is 6h, so user 102's
+    # timer (T0+2h + 6h) sits exactly ON it and 101's strictly below
+    rows = [(1, T0 + 1 * H, 101), (2, T0 + 2 * H, 102),
+            (3, T0 + 10 * H, 999)]
+    t = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * 3, pa.string()),
+        "value": pa.array([1.0] * 3, pa.float64()),
+        "props": pa.array(["{}"] * 3, pa.string()),
+    })
+    d_anchor = tmp_path / "boundary_fixture"  # batch-anchor layout
+    d_anchor.mkdir()
+    pq.write_table(t, str(d_anchor / "events.parquet"))
+    d_stream = tmp_path / "boundary_staged"   # stream source dir
+    d_stream.mkdir()
+    pq.write_table(t, str(d_stream / "part-000.parquet"))
+
+    stream = jobs.events_stream(spark, str(d_anchor), str(d_stream))
+    out = jobs.run_to_memory_rocksdb(
+        spark, jobs.idle_user_flush_stream(stream),
+        "t_tws_boundary", "update")
+    flushed = sorted({r.user_id for r in out.collect()})
+    assert flushed == [101, 102], flushed
+
+    anchor = sorted(r.user_id for r in streaming_batch
+                    .idle_user_flush(spark, str(d_anchor)).collect())
+    assert anchor == [101, 102], anchor
+
+
 @pytest.fixture(scope="module")
 def staged_3batch(sf_dir, tmp_path_factory):
     """events split into three TIME-ORDERED staged files (path order
