@@ -28,6 +28,7 @@ _PRIORITY: list[str] = [
     "hybrid_rrf_topk",  # FILL greens=0
     "sentence_split_udtf_arrow",  # FILL greens=0
     "ngram_jaccard_pairs_prefix",  # FILL greens=0
+    "bpe_subword_tokens",  # FILL greens=0
     "q4_order_priority",  # FILL greens=4
     "q6_forecast_revenue",  # FILL greens=4
     "q7_volume_shipping",  # FILL greens=4
@@ -52,7 +53,6 @@ _PRIORITY: list[str] = [
     "user_type_profile",  # FILL greens=2
     "arrow_text_stats",  # FILL greens=3
     "partition_pruned_daily",  # FILL greens=3
-    "dpp_enriched_revenue",  # FILL greens=3
     "scd2_user_dim",  # FILL greens=3
     "jsonl_roundtrip",  # FILL greens=3
     "contrastive_pairs",  # FILL greens=3

@@ -175,7 +175,9 @@ FAMILIES = (
     "join_inner_bucketed", "winnow_", "sessionize",
     "pretrain_", "purchase_", "ann_", "token_",
     "domain_", "audio_", "user_type_profile",
-    "warc_", "arrow_", "partition_", "dpp_", "zscore_",
+    # static + dynamic partition pruning are ONE SURVEY operator row
+    # (§2 D2) — one capability family, two query spellings
+    "warc_", "arrow_", ("partition_", "dpp_"), "zscore_",
     ("scd2_", "merge_"), ("jsonl_", "orc_", "csv_"),
     "contrastive_", "skew_", "grouped_agg_",
     "observed_", "recursive_",
@@ -211,10 +213,12 @@ EXEMPT = {
         "design; its deterministic oracle-checked twin is "
         "hist_quantiles (seated r8); accuracy pinned vs exact_median "
         "in tests/test_approx.py",
-    "bpe_subword_tokens": "iterative BPE training is not SQL-"
-        "expressible (merge order is stateful); pinned by Sennrich "
-        "worked-example unit tests; its countable surface "
-        "bpe_token_stats is oracle-backed and queued r9",
+    # bpe_subword_tokens GRADUATED r13 (VERDICT r12 item 3): the
+    # trained merge table is deterministic, so textstats'
+    # _bpe_oracle_lazy embeds the per-word subtoken counts as SQL
+    # literals — the kmeans/PQ LAZY_ORACLES pattern. The approx pair
+    # above stays: engine-internal sketch RNG is genuinely
+    # un-oracle-able.
 }
 
 WINDOW = 50
