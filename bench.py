@@ -236,6 +236,9 @@ HEADLINE = [
     "sentence_split_udtf_arrow",
     # NEW in r12: exact prefix-filtered set-similarity join
     "ngram_jaccard_pairs_prefix",
+    # NEW in r13: the ANN recall dashboard (runs every variant plus
+    # the brute-force anchor in one plan — priced accordingly)
+    "ann_recall_dashboard",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
+from mapreduce_go_spark.functions.num import dround, dround_sql
 from mapreduce_go_spark.functions.simd import (
     grid_dot, grid_norm, make_band_keys,
 )
@@ -1151,6 +1152,55 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(rerank)
 
 
+#: Every approximate variant the dashboard scores against the
+#: brute-force anchor. hybrid_rrf_topk retrieves by a DIFFERENT
+#: objective (dense + lexical fusion), so its number reads as
+#: dense-agreement rather than recall — included because a silent
+#: drop there is just as much a regression signal.
+ANN_RECALL_VARIANTS = (
+    "ann_ivf_topk", "ann_ivf_nprobe_topk", "ann_ivf_trained_topk",
+    "ann_ivf_sampled_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk",
+    "ann_pq_topk", "ann_binary_hamming_topk",
+    "matryoshka_two_stage_topk", "hybrid_rrf_topk",
+)
+
+
+def ann_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of EVERY approximate variant against the brute-force
+    cosine anchor, as one relational dashboard row per variant
+    (VERDICT r12 item 7): per-variant recall was pinned only in
+    scattered pytest thresholds (tests/test_approx.py); this makes a
+    recall regression a CORRECTNESS failure. The variant top-k sets
+    join the anchor's (q_id, c_id) pairs — both sides deterministic
+    (every variant breaks ties on (score DESC, c_id)) — so
+    n_hits/n_anchor is exact, not a sampled estimate.
+
+    100 TB shape: each variant is its own already-scale-shaped plan;
+    the comparison adds one BROADCAST of the anchor's K*N_QUERIES
+    pairs (constant-size) and a 10-group aggregate — no new shuffle
+    of anything data-sized."""
+    anchor = knn_cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    n_anchor = anchor.agg(F.count("*").alias("n_anchor"))
+    rows = None
+    for name in ANN_RECALL_VARIANTS:
+        v = QUERIES[name](spark, sf_dir).select(
+            F.lit(name).alias("variant"), "q_id", "c_id")
+        rows = v if rows is None else rows.unionByName(v)
+    marked = rows.join(
+        F.broadcast(anchor.withColumn("hit", F.lit(1))),
+        ["q_id", "c_id"], "left")
+    return (
+        marked.groupBy("variant")
+        .agg(F.count("*").alias("n_returned"),
+             F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint")
+             .alias("n_hits"))
+        .crossJoin(F.broadcast(n_anchor))
+        .withColumn("recall",
+                    dround(F.col("n_hits") / F.col("n_anchor"), 6))
+        .select("variant", "n_returned", "n_hits", "n_anchor", "recall")
+    )
+
+
 QUERIES = {
     "knn_cosine_topk": knn_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -1163,6 +1213,7 @@ QUERIES = {
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_pq_topk": ann_pq_topk,
+    "ann_recall_dashboard": ann_recall_dashboard,
     "embedding_neardup_pairs": embedding_neardup_pairs,
     "embedding_neardup_pairs_blocked": embedding_neardup_pairs_blocked,
     "quantize_embeddings": quantize_embeddings,
@@ -1879,6 +1930,53 @@ def _ivf_sampled_oracle_lazy() -> str | None:
         return None
 
 
+def _recall_oracle_lazy() -> str | None:
+    """LAZY oracle for ann_recall_dashboard: COMPOSED from the ten
+    variant oracles plus the anchor's — each already proven
+    hash-equal to its Spark twin — wrapped as derived tables and
+    joined/aggregated exactly like the Spark plan. The three
+    artifact-backed variants re-evaluate their own lazy thunks here
+    (registry memoizes THIS thunk per process+sf, so that cost is
+    paid once). Any sub-thunk failure degrades the dashboard to
+    rows-only."""
+    oracles = dict(ORACLES)
+    try:
+        for name, thunk in (
+                ("ann_pq_topk", _pq_oracle_lazy),
+                ("ann_ivf_trained_topk", _ivf_trained_oracle_lazy),
+                ("ann_ivf_sampled_topk", _ivf_sampled_oracle_lazy)):
+            sql = thunk()
+            if sql is None:
+                return None
+            oracles[name] = sql
+    except Exception:
+        return None
+    union = " UNION ALL ".join(
+        f"SELECT '{name}' AS variant, q_id, c_id FROM ({oracles[name]})"
+        for name in ANN_RECALL_VARIANTS)
+    return f"""
+    WITH anchor AS (
+        SELECT q_id, c_id FROM ({oracles["knn_cosine_topk"]})
+    ),
+    v AS ({union}),
+    n AS (SELECT count(*) AS n_anchor FROM anchor),
+    hits AS (
+        SELECT v.variant, count(*) AS n_returned,
+               sum(CASE WHEN a.q_id IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_hits
+        FROM v LEFT JOIN anchor a
+            ON a.q_id = v.q_id AND a.c_id = v.c_id
+        GROUP BY v.variant
+    )
+    SELECT variant, cast(n_returned AS bigint) AS n_returned,
+           cast(n_hits AS bigint) AS n_hits,
+           cast(n_anchor AS bigint) AS n_anchor,
+           {dround_sql('n_hits * 1.0 / n_anchor', 6)} AS recall
+    FROM hits CROSS JOIN n
+    """
+
+
 LAZY_ORACLES = {"ann_pq_topk": _pq_oracle_lazy,
                 "ann_ivf_trained_topk": _ivf_trained_oracle_lazy,
-                "ann_ivf_sampled_topk": _ivf_sampled_oracle_lazy}
+                "ann_ivf_sampled_topk": _ivf_sampled_oracle_lazy,
+                "ann_recall_dashboard": _recall_oracle_lazy}

@@ -29,6 +29,7 @@ _PRIORITY: list[str] = [
     "sentence_split_udtf_arrow",  # FILL greens=0
     "ngram_jaccard_pairs_prefix",  # FILL greens=0
     "bpe_subword_tokens",  # FILL greens=0
+    "ann_recall_dashboard",  # FILL greens=0
     "q4_order_priority",  # FILL greens=4
     "q6_forecast_revenue",  # FILL greens=4
     "q7_volume_shipping",  # FILL greens=4
@@ -51,7 +52,6 @@ _PRIORITY: list[str] = [
     "domain_mix_sample",  # FILL greens=1
     "audio_features",  # FILL greens=2
     "user_type_profile",  # FILL greens=2
-    "arrow_text_stats",  # FILL greens=3
     "partition_pruned_daily",  # FILL greens=3
     "scd2_user_dim",  # FILL greens=3
     "jsonl_roundtrip",  # FILL greens=3
