@@ -566,7 +566,10 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(corpus·q_tokens) blowup this avoids: under a Zipf vocabulary a
     query's rarest terms are selective, and the fixture's degenerate
     31-token vocabulary is the worst case (posting lists ≈ corpus)
-    yet stays correct. Both pools are WindowGroupLimit-bounded at
+    yet stays correct. The selective regime is MEASURED (r13,
+    tests/test_zipf.py on the deterministic Zipf corpus from
+    tools/zipf_fixture.py): the probe touches 132 posting rows where
+    the all-token join touches 73,811 — a 559x reduction. Both pools are WindowGroupLimit-bounded at
     RRF_POOL per query before their exchanges; fusion touches
     ≤ 2·RRF_POOL rows per query. Measured: probing took the 10x
     curve from 3.55x (all-token join) to 1.3-1.6x
