@@ -82,13 +82,19 @@ def build_corpora(spark, base: str, out: str, factor: int,
         # digit suffix would be invisible to it, measured as exactly
         # 10x-inflated buckets): ~58% of 3-gram shingles change, so
         # copies fall below the 0.5 Jaccard threshold and do NOT form
-        # giant LSH buckets.
+        # giant LSH buckets. Past k=26 the single-char suffix would
+        # leave a-z and become a separator (the same invisibility
+        # trap) — switch to a two-LETTER suffix there; k<=26 keeps
+        # the original spelling so 10x corpora are bit-identical to
+        # the r12 runs.
+        suffix = (chr(96 + k) if k <= 26 else
+                  chr(96 + (k - 1) // 26) + chr(97 + (k - 1) % 26))
         toks = F.split(F.col("text"), " ")
         perturbed = F.array_join(
             F.transform(
                 toks,
                 lambda x, i: F.when((i + F.lit(k)) % 4 == 0,
-                                    F.concat(x, F.lit(chr(96 + k))))
+                                    F.concat(x, F.lit(suffix)))
                 .otherwise(x),
             ),
             " ",
@@ -104,13 +110,18 @@ def build_corpora(spark, base: str, out: str, factor: int,
         # deterministically (norm-preserving). A small jitter would NOT
         # flip sign-projection bits — the 10 copies would pile into the
         # same LSH buckets, trip the degenerate-bucket cap and make the
-        # 10x run artificially cheap (measured: 0 candidates).
+        # 10x run artificially cheap (measured: 0 candidates). Past
+        # k=63 a plain rotate-by-k repeats (k and k+64 would be
+        # IDENTICAL vectors — rotation ≡ mod dim and the +64 parity
+        # term is even), so fold k//64 in as an extra half-dim
+        # rotation; k<64 is unchanged.
+        rot = k + 32 * (k // 64)
         dim = F.size(F.col("embedding"))
         jit = F.transform(
             F.col("embedding"),
             lambda x, j: (
                 F.element_at(F.col("embedding"),
-                             ((j + F.lit(k)) % dim) + 1)
+                             ((j + F.lit(rot)) % dim) + 1)
                 * F.when((j + F.col("vec_id") + F.lit(k)) % 2 == 0,
                          F.lit(-1.0)).otherwise(F.lit(1.0))
             ).cast("float"),
