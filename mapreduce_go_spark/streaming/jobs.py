@@ -288,6 +288,63 @@ class UserTypeProfileProcessor(StatefulProcessor):
         pass
 
 
+class TtlUserCountProcessor(StatefulProcessor):
+    """ValueState with a TTL configuration — the one state-variable
+    option the e2e matrix didn't exercise (getValueState's
+    ttlDurationMs; SPARK-49564's StateTTLConfig rides the same
+    protobuf command stream the vendored runtime encodes, so this is
+    also a live wire-format pin for that path). The TTL here is
+    deliberately GENEROUS (10 min >> any test run): eviction cannot
+    fire, so the converged per-user counts must equal the batch
+    count exactly — the test pins the TTL-bearing protocol and the
+    state surviving micro-batches, NOT eviction timing (processing-
+    time eviction is wall-clock-dependent and has no deterministic
+    batch anchor, which is why no registered query uses TTL).
+
+    Operational trap (measured r13): processing-time mode re-arms
+    state cleanup every wall-clock tick, so such a query NEVER
+    self-drains — processAllAvailable and Trigger.AvailableNow both
+    schedule 'No new data but cleaning up state' batches forever.
+    Run it via run_to_memory_drained, which detects the drained
+    source from the progress stream and stops the query."""
+
+    TTL_MS = 600_000
+
+    def init(self, handle) -> None:
+        self._n = handle.getValueState("n", "n bigint",
+                                       ttlDurationMs=self.TTL_MS)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n = self._n.get()[0] if self._n.exists() else 0
+        for pdf in rows:
+            n += len(pdf)
+        self._n.update((n,))
+        yield pd.DataFrame([(key[0], n)], columns=["user_id", "n"])
+
+    def close(self) -> None:
+        pass
+
+
+def ttl_user_count_stream(stream: DataFrame) -> DataFrame:
+    """transformWithState with a TTL-configured ValueState; TTL
+    requires processing-time mode (engine rule), timers unused."""
+    from mapreduce_go_spark.session import ensure_tws_python_env
+
+    ensure_tws_python_env(stream.sparkSession)
+    return (
+        stream.select("user_id", "ts")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            TtlUserCountProcessor(),
+            outputStructType="user_id bigint, n bigint",
+            outputMode="update",
+            timeMode="processingTime",
+        )
+    )
+
+
 def user_type_profile_stream(stream: DataFrame) -> DataFrame:
     """D21/§2.3 completion: the transformWithState(InPandas) surface —
     Spark 4's arbitrary-state API (SPARK-49564: named state variables,
@@ -511,11 +568,15 @@ def idle_user_flush_stream(stream: DataFrame) -> DataFrame:
 
 def run_to_memory_rocksdb(spark: SparkSession, streaming_df: DataFrame,
                           name: str, output_mode: str,
-                          checkpoint_dir: str | None = None) -> DataFrame:
+                          checkpoint_dir: str | None = None,
+                          drained: bool = False) -> DataFrame:
     """run_to_memory with the RocksDB state store provider set for the
     query's lifetime (transformWithState refuses the default
     HDFS-backed provider) and the previous conf restored after — the
-    other streaming jobs in this module keep their provider."""
+    other streaming jobs in this module keep their provider.
+    drained=True routes through run_to_memory_drained (required for
+    processing-time time mode, where neither processAllAvailable nor
+    AvailableNow ever settles — see run_to_memory)."""
     key = "spark.sql.streaming.stateStore.providerClass"
     prev = spark.conf.get(key, None)
     # transformWithState spawns DEDICATED Python processes (the
@@ -531,6 +592,9 @@ def run_to_memory_rocksdb(spark: SparkSession, streaming_df: DataFrame,
         key, "org.apache.spark.sql.execution.streaming.state."
              "RocksDBStateStoreProvider")
     try:
+        if drained:
+            return run_to_memory_drained(spark, streaming_df, name,
+                                         output_mode)
         return run_to_memory(spark, streaming_df, name, output_mode,
                              checkpoint_dir=checkpoint_dir)
     finally:
@@ -1171,13 +1235,57 @@ def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
     (file source drains fully) and return the sink contents.
     checkpoint_dir makes the run durable — the hook the state-source
     introspection tests use to read the finished query's state back
-    via spark.read.format("statestore")."""
+    via spark.read.format("statestore").
+
+    NOT usable for processing-time time mode (TTL'd state): there
+    the engine re-arms state cleanup on every wall-clock tick, so
+    BOTH processAllAvailable and Trigger.AvailableNow schedule
+    "No new data but cleaning up state" batches forever (measured
+    r13: 60+ cleanup batches and counting at sf0.001). Use
+    run_to_memory_drained for those jobs."""
     w = streaming_df.writeStream.outputMode(output_mode)
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.format("memory").queryName(name).start()
     try:
         q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
+                          name: str, output_mode: str,
+                          timeout_s: float = 180.0) -> DataFrame:
+    """run_to_memory for PROCESSING-TIME time-mode jobs (TTL'd
+    state), which never self-drain (see run_to_memory): start the
+    query, poll its progress until some batch has consumed input AND
+    a LATER batch reports numInputRows == 0 (the source is drained —
+    everything after is wall-clock state cleanup, which emits no
+    processor output), then stop it. The sink then holds exactly the
+    data batches' emissions, which is what the batch-anchor parity
+    checks compare."""
+    import time as _time
+
+    q = (streaming_df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    try:
+        deadline = _time.time() + timeout_s
+        consumed = False
+        while _time.time() < deadline:
+            for p in q.recentProgress:
+                n = p.get("numInputRows", 0)
+                if n and n > 0:
+                    consumed = True
+                elif consumed and n == 0:
+                    break
+            else:
+                _time.sleep(1.0)
+                continue
+            break
+        else:
+            raise TimeoutError(
+                f"{name}: source not drained within {timeout_s}s")
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")

@@ -1628,6 +1628,36 @@ def test_tws_idle_flush_matches_batch(spark, sf_dir, staged):
     assert got == want
 
 
+def test_tws_ttl_state_roundtrips_and_survives_batches(
+        spark, sf_dir, staged_3batch):
+    """TTL-configured ValueState end-to-end (the last unexercised
+    state-variable option): the TTL config must round-trip the
+    protobuf state protocol (vendored runtime included) and, with a
+    generous TTL, the state must survive all micro-batches — max-n
+    per user equals the plain batch count. Eviction TIMING is
+    deliberately untested (wall-clock-dependent; see the processor
+    docstring)."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    stream = jobs.events_stream(spark, sf_dir, staged_3batch,
+                                max_files_per_trigger=1)
+    out = jobs.run_to_memory_rocksdb(
+        spark, jobs.ttl_user_count_stream(stream),
+        "t_tws_ttl", "update", drained=True)
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    got = {}
+    for r in out.collect():
+        got[r.user_id] = max(got.get(r.user_id, 0), r.n)
+    ev = tables.load(spark, sf_dir, "events")
+    want = {r.user_id: r.n for r in
+            ev.groupBy("user_id").agg(F.count("*").alias("n"))
+            .collect()}
+    assert got == want
+
+
 def test_tws_idle_flush_boundary_equality_is_inclusive(
         spark, tmp_path):
     """Pin the ENGINE's timer-expiry comparison at exact equality
