@@ -594,7 +594,8 @@ def run_to_memory_rocksdb(spark: SparkSession, streaming_df: DataFrame,
     try:
         if drained:
             return run_to_memory_drained(spark, streaming_df, name,
-                                         output_mode)
+                                         output_mode,
+                                         checkpoint_dir=checkpoint_dir)
         return run_to_memory(spark, streaming_df, name, output_mode,
                              checkpoint_dir=checkpoint_dir)
     finally:
@@ -1256,7 +1257,8 @@ def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
 
 def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
                           name: str, output_mode: str,
-                          timeout_s: float = 180.0) -> DataFrame:
+                          timeout_s: float = 180.0,
+                          checkpoint_dir: str | None = None) -> DataFrame:
     """run_to_memory for PROCESSING-TIME time-mode jobs (TTL'd
     state), which never self-drain (see run_to_memory): start the
     query, poll its progress until some batch has consumed input AND
@@ -1267,8 +1269,10 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
     checks compare."""
     import time as _time
 
-    q = (streaming_df.writeStream.outputMode(output_mode)
-         .format("memory").queryName(name).start())
+    w = streaming_df.writeStream.outputMode(output_mode)
+    if checkpoint_dir is not None:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.format("memory").queryName(name).start()
     try:
         deadline = _time.time() + timeout_s
         consumed = False

@@ -1813,6 +1813,34 @@ def test_statestore_reader_exposes_tws_mapstate(spark, sf_dir, staged,
     assert got == want
 
 
+def test_statestore_reader_exposes_ttl_valuestate(spark, sf_dir,
+                                                  staged, tmp_path):
+    """State introspection of a TTL-configured ValueState: the state
+    source exposes it with the SAME (key, value) layout as a plain
+    ValueState — the TTL bookkeeping is internal — and the persisted
+    counts must equal the batch anchor (TTL generous, no eviction
+    possible)."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    ckpt = str(tmp_path / "ckpt_ttl")
+    jobs.run_to_memory_rocksdb(
+        spark, jobs.ttl_user_count_stream(stream),
+        "t_ss_ttl", "update", checkpoint_dir=ckpt, drained=True)
+    st = (spark.read.format("statestore").option("path", ckpt)
+          .option("stateVarName", "n").load())
+    got = {r.key.user_id: r.value.n for r in st.collect()}
+    ev = tables.load(spark, sf_dir, "events")
+    want = {r.user_id: r.n for r in
+            ev.groupBy("user_id").agg(F.count("*").alias("n"))
+            .collect()}
+    assert got == want
+
+
 def test_statestore_reader_exposes_tws_liststate(spark, sf_dir, staged,
                                                  tmp_path):
     """State introspection of the ListState job: the persisted
