@@ -237,8 +237,10 @@ HEADLINE = [
     # NEW in r12: exact prefix-filtered set-similarity join
     "ngram_jaccard_pairs_prefix",
     # NEW in r13: the ANN recall dashboard (runs every variant plus
-    # the brute-force anchor in one plan — priced accordingly)
+    # the brute-force anchor in one plan — priced accordingly) and
+    # the ANN-densed hybrid (the swap-in the RRF docstring promises)
     "ann_recall_dashboard",
+    "hybrid_rrf_ann_topk",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

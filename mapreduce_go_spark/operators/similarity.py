@@ -576,8 +576,6 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (session-dependent; both dedicated min-of-3 reads in SCALE.md)."""
     from pyspark.sql import Window
 
-    from mapreduce_go_spark.functions.text import NON_LETTER_RE
-
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
@@ -602,6 +600,20 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rd") <= RRF_POOL)
         .select("q_id", "c_id", "rd")
     )
+
+    return _rrf_lex_and_fuse(spark, sf_dir, dense)
+
+
+def _rrf_lex_and_fuse(spark: SparkSession, sf_dir: str,
+                      dense: DataFrame) -> DataFrame:
+    """Shared hybrid-retrieval tail: the selective-probe lexical pool
+    plus the RRF fusion, over ANY (q_id, c_id, rd) dense pool —
+    hybrid_rrf_topk passes the brute-force anchor, the _ann variant
+    the binary-Hamming candidate rank. One copy (review discipline):
+    a probe or fusion change lands once for both."""
+    from pyspark.sql import Window
+
+    from mapreduce_go_spark.functions.text import NON_LETTER_RE
 
     docs = tables.load(spark, sf_dir, "documents")
     toks = (
@@ -669,6 +681,61 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("rrf").cast(_DEC), 6).cast("double")
                 .alias("rrf"))
     )
+
+
+def hybrid_rrf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hybrid_rrf_topk with its documented ANN swap-in EXERCISED:
+    the dense pool comes from the binary-Hamming coarse scan (16
+    bytes/vector, candidates top-BQ_COARSE_C per query) with an
+    exact grid-cosine rank over just those candidates — the plan a
+    100 TB hybrid deployment actually runs, where a brute-force
+    dense pool is unaffordable. Lexical pool and fusion are the
+    shared tail (_rrf_lex_and_fuse), so the two registrations
+    differ ONLY in the dense pool — the differential the swap-in
+    claim needed."""
+    from pyspark.sql import Window
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    words = emb.selectExpr(
+        "vec_id",
+        f"{_sign_word_sql(0)} as w0",
+        f"{_sign_word_sql(1)} as w1",
+    )
+    qw = words.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id", "w0 as qw0", "w1 as qw1")
+    wnd = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    cand = (
+        F.broadcast(qw)
+        .crossJoin(words)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .selectExpr(
+            "q_id", "vec_id as c_id",
+            "bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) as hamming")
+        .withColumn("rn", F.row_number().over(wnd))
+        .where(F.col("rn") <= BQ_COARSE_C)
+        .select("q_id", "c_id")
+    )
+    embn = _with_norm(emb)
+    q = embn.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
+    c = embn.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"), F.col("norm").alias("cn"))
+    wd = Window.partitionBy("q_id").orderBy(
+        F.col("cos").desc_nulls_last(), "c_id")
+    dense = (
+        F.broadcast(cand)
+        .join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .select("q_id", "c_id",
+                _cosine(F.col("qe"), F.col("ce"),
+                        F.col("qn"), F.col("cn")).alias("cos"))
+        .withColumn("rd", F.row_number().over(wd))
+        .where(F.col("rd") <= RRF_POOL)
+        .select("q_id", "c_id", "rd")
+    )
+    return _rrf_lex_and_fuse(spark, sf_dir, dense)
 
 
 EMB_DIM = 64        # fixture embedding dimensionality (TESTDATA.md)
@@ -1165,6 +1232,7 @@ ANN_RECALL_VARIANTS = (
     "ann_ivf_sampled_topk", "ann_lsh_topk", "ann_lsh_multiprobe_topk",
     "ann_pq_topk", "ann_binary_hamming_topk",
     "matryoshka_two_stage_topk", "hybrid_rrf_topk",
+    "hybrid_rrf_ann_topk",
 )
 
 
@@ -1213,6 +1281,7 @@ QUERIES = {
     "ann_binary_hamming_topk": ann_binary_hamming_topk,
     "matryoshka_two_stage_topk": matryoshka_two_stage_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
+    "hybrid_rrf_ann_topk": hybrid_rrf_ann_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_lsh_multiprobe_topk": ann_lsh_multiprobe_topk,
     "ann_pq_topk": ann_pq_topk,
@@ -1588,20 +1657,10 @@ _CAND_RERANK_TAIL = f""",
     WHERE rk <= {TOP_K}
 """
 
-# hybrid RRF: the dense pool from the shared product-grid cosine,
-# the lexical pool from distinct-unigram Jaccard, fused by
-# 1/(k0+rank) sums — same op order as the Spark side
-ORACLES["hybrid_rrf_topk"] = _pair_cos_sql(
-    f"vec_id < {N_QUERIES}", "q_id <> c_id") + f""",
-    dense AS (
-        SELECT q_id, c_id, rd FROM (
-            SELECT q_id, c_id,
-                   row_number() OVER (PARTITION BY q_id
-                                      ORDER BY cos DESC NULLS LAST,
-                                               c_id) AS rd
-            FROM scored)
-        WHERE rd <= {RRF_POOL}
-    ),
+# hybrid RRF: the lexical pool + fusion tail is ONE constant shared
+# by both hybrid oracles (mirrors the Spark-side _rrf_lex_and_fuse
+# split) — it expects a `dense(q_id, c_id, rd)` CTE upstream
+_RRF_LEX_FUSE_SQL = f""",
     toks AS (
         SELECT DISTINCT doc_id, t AS tok FROM (
             SELECT doc_id, unnest(regexp_split_to_array(
@@ -1661,6 +1720,76 @@ ORACLES["hybrid_rrf_topk"] = _pair_cos_sql(
           FROM fused)
     WHERE rrf_rank <= {RRF_TOP}
     """
+
+# brute-force dense pool (the anchor form)
+ORACLES["hybrid_rrf_topk"] = _pair_cos_sql(
+    f"vec_id < {N_QUERIES}", "q_id <> c_id") + f""",
+    dense AS (
+        SELECT q_id, c_id, rd FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC NULLS LAST,
+                                               c_id) AS rd
+            FROM scored)
+        WHERE rd <= {RRF_POOL}
+    )""" + _RRF_LEX_FUSE_SQL
+
+# ANN-densed hybrid: the binary-Hamming coarse stages (b-prefixed
+# CTE names — the lexical tail has its own `cand`) feed the exact
+# candidate cosine, ranked to the same RRF_POOL dense pool
+ORACLES["hybrid_rrf_ann_topk"] = _NORMS_SQL + f""",
+    bbits AS (
+        SELECT vec_id, g.j AS j,
+               CASE WHEN cast(embedding[g.j] AS double) > 0
+                    THEN 1 ELSE 0 END AS b
+        FROM embeddings CROSS JOIN generate_series(1, {EMB_DIM}) g(j)
+    ),
+    bham AS (
+        SELECT qb.vec_id AS q_id, cb.vec_id AS c_id,
+               sum(CASE WHEN qb.b <> cb.b THEN 1 ELSE 0 END) AS hamming
+        FROM bbits qb
+        JOIN bbits cb ON cb.j = qb.j AND cb.vec_id <> qb.vec_id
+        WHERE qb.vec_id < {N_QUERIES}
+        GROUP BY 1, 2
+    ),
+    bcand AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY hamming, c_id) AS rn
+            FROM bham)
+        WHERE rn <= {BQ_COARSE_C}
+    ),
+    bpairs AS (
+        SELECT cd.q_id, cd.c_id,
+               nq.embedding AS qe, nc.embedding AS ce,
+               nq.norm AS qn, nc.norm AS cn
+        FROM bcand cd
+        JOIN norms nq ON nq.vec_id = cd.q_id
+        JOIN norms nc ON nc.vec_id = cd.c_id
+    ),
+    belems AS (
+        SELECT q_id, c_id, qn, cn, unnest(qe) AS x, unnest(ce) AS y
+        FROM bpairs
+    ),
+    bscored AS (
+        SELECT q_id, c_id,
+               CASE WHEN any_value(qn) * any_value(cn) > 0 THEN
+                   (sum(cast(round(cast(x AS double) * cast(y AS double)
+                                   * 1e12) AS bigint)) / 1e12)
+                   / (any_value(qn) * any_value(cn))
+               END AS cos
+        FROM belems GROUP BY q_id, c_id
+    ),
+    dense AS (
+        SELECT q_id, c_id, rd FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC NULLS LAST,
+                                               c_id) AS rd
+            FROM bscored)
+        WHERE rd <= {RRF_POOL}
+    )""" + _RRF_LEX_FUSE_SQL
 
 # binary-quantization ANN: per-bit sign unnest (identical VALUES to
 # Spark's packed-word bit_count — the oracle avoids engine bit ops),

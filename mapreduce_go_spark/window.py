@@ -30,6 +30,7 @@ _PRIORITY: list[str] = [
     "ngram_jaccard_pairs_prefix",  # FILL greens=0
     "bpe_subword_tokens",  # FILL greens=0
     "ann_recall_dashboard",  # FILL greens=0
+    "hybrid_rrf_ann_topk",  # FILL greens=0
     "q4_order_priority",  # FILL greens=4
     "q6_forecast_revenue",  # FILL greens=4
     "q7_volume_shipping",  # FILL greens=4
@@ -57,7 +58,6 @@ _PRIORITY: list[str] = [
     "jsonl_roundtrip",  # FILL greens=3
     "contrastive_pairs",  # FILL greens=3
     "skew_join_stats",  # FILL greens=3
-    "grouped_agg_mad",  # FILL greens=3
     "observed_pipeline_filter",  # FILL greens=3
     "recursive_ancestor_depth",  # FILL greens=3
 ]

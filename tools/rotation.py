@@ -154,11 +154,14 @@ FILL_QUEUE = [
     "ann_ivf_sampled_topk", "ann_binary_hamming_topk",
     "matryoshka_two_stage_topk", "hybrid_rrf_topk",
     "sentence_split_udtf_arrow", "ngram_jaccard_pairs_prefix",
-    # registered in r13 (2 new vs 12 freed at round open — inside the
+    # registered in r13 (3 new vs 12 freed at round open — inside the
     # budget): bpe_subword_tokens graduates off the rows-only
-    # exemption (LAZY oracle), and the ANN recall dashboard makes a
-    # recall regression a CORRECTNESS failure (VERDICT r12 item 7)
+    # exemption (LAZY oracle), the ANN recall dashboard makes a
+    # recall regression a CORRECTNESS failure (VERDICT r12 item 7),
+    # and the ANN-densed hybrid exercises hybrid_rrf_topk's
+    # documented swap-in point (binary-Hamming dense pool)
     "bpe_subword_tokens", "ann_recall_dashboard",
+    "hybrid_rrf_ann_topk",
 ]
 
 # P6: the curated family prefixes — every family keeps >= 1 window
@@ -182,11 +185,13 @@ FAMILIES = (
     "domain_", "audio_", "user_type_profile",
     # static + dynamic partition pruning are ONE SURVEY operator row
     # (§2 D2) — one capability family, two query spellings; likewise
-    # the pandas-UDF / mapInArrow / applyInArrow kernels are one
-    # §2.3 vectorized-Python surface
-    "warc_", ("zscore_", "arrow_"), ("partition_", "dpp_"),
+    # the pandas scalar UDF / mapInArrow / applyInArrow / pandas
+    # GROUPED_AGG UDAF kernels are one §2.3 vectorized-Python
+    # surface
+    "warc_", ("zscore_", "arrow_", "grouped_agg_"),
+    ("partition_", "dpp_"),
     ("scd2_", "merge_"), ("jsonl_", "orc_", "csv_"),
-    "contrastive_", "skew_", "grouped_agg_",
+    "contrastive_", "skew_",
     "observed_", "recursive_",
 )
 
