@@ -169,6 +169,61 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
+    """PPJoin candidate generation over a (doc_id, shingle) set
+    relation: prefix + length + positional filters, distinct (d1, d2)
+    with d1 < d2. ONE copy — the registered query's verify join and
+    the Zipf-regime candidate measurements (tests/test_zipf.py) both
+    consume it, so the measured candidate counts are always counts of
+    the shipped plan (r13 review)."""
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    wp = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    N, D = JACCARD_T_NUM, JACCARD_T_DEN
+    # integer-exact ceil(t*n) = (N*n + D-1) div D — the double form
+    # F.ceil(t * n) can land one ULP above an exact integer for a
+    # non-dyadic t and shorten the prefix by one (ADVICE r12).
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn("pos", F.row_number().over(wp))
+        .where(F.col("pos") <= F.col("n_sh")
+               - F.expr(f"({N} * n_sh + {D - 1}) div {D}") + 1)
+        .select("doc_id", "shingle", "pos", "n_sh")
+    )
+    return (
+        prefix.select(F.col("doc_id").alias("d1"), "shingle",
+                      F.col("pos").alias("p1"),
+                      F.col("n_sh").alias("n1"))
+        .join(prefix.select(F.col("doc_id").alias("d2"), "shingle",
+                            F.col("pos").alias("p2"),
+                            F.col("n_sh").alias("n2")),
+              "shingle")
+        .where(F.col("d1") < F.col("d2"))
+        # length filter (Xiao et al. §3.1): J >= t forces
+        # t*max(|x|,|y|) <= min(|x|,|y|) — integer-exact as
+        # N*max <= D*min.
+        .where(F.lit(N) * F.greatest("n1", "n2")
+               <= F.lit(D) * F.least("n1", "n2"))
+        # positional filter (§3.2): the FIRST common token of a
+        # qualifying pair sits inside both prefixes at (p1, p2), and
+        # every other common token ranks after it in BOTH rarity
+        # orders, so overlap <= 1 + min(n1-p1, n2-p2). Qualifying
+        # needs overlap >= alpha = ceil(N*(n1+n2)/(D+N)) (J >= t
+        # <=> inter >= t/(1+t)*(n1+n2)). Keeping any occurrence
+        # that passes is a superset of the exact first-token rule —
+        # recall stays total (fuzzed in tests/test_properties.py).
+        .where(F.lit(1) + F.least(F.col("n1") - F.col("p1"),
+                                  F.col("n2") - F.col("p2"))
+               >= F.expr(f"({N} * (n1 + n2) + {D + N - 1}) "
+                         f"div {D + N}"))
+        .select("d1", "d2")
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs_prefix(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """ngram_jaccard_pairs computed the PPJoin way (Xiao et al. 2008
@@ -207,54 +262,9 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession,
     shingles, so hot shingles (every doc sharing 'the quick fox')
     post only the docs for which they are locally rare. 10x curve
     measured alongside the plain form in SCALE.md."""
-    from pyspark.sql import Window
-
     docs = tables.load(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
-    wp = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    N, D = JACCARD_T_NUM, JACCARD_T_DEN
-    # integer-exact ceil(t*n) = (N*n + D-1) div D — the double form
-    # F.ceil(t * n) can land one ULP above an exact integer for a
-    # non-dyadic t and shorten the prefix by one (ADVICE r12).
-    prefix = (
-        sh.join(dfreq, "shingle")
-        .join(sizes, "doc_id")
-        .withColumn("pos", F.row_number().over(wp))
-        .where(F.col("pos") <= F.col("n_sh")
-               - F.expr(f"({N} * n_sh + {D - 1}) div {D}") + 1)
-        .select("doc_id", "shingle", "pos", "n_sh")
-    )
-    cand = (
-        prefix.select(F.col("doc_id").alias("d1"), "shingle",
-                      F.col("pos").alias("p1"),
-                      F.col("n_sh").alias("n1"))
-        .join(prefix.select(F.col("doc_id").alias("d2"), "shingle",
-                            F.col("pos").alias("p2"),
-                            F.col("n_sh").alias("n2")),
-              "shingle")
-        .where(F.col("d1") < F.col("d2"))
-        # length filter (Xiao et al. §3.1): J >= t forces
-        # t*max(|x|,|y|) <= min(|x|,|y|) — integer-exact as
-        # N*max <= D*min.
-        .where(F.lit(N) * F.greatest("n1", "n2")
-               <= F.lit(D) * F.least("n1", "n2"))
-        # positional filter (§3.2): the FIRST common token of a
-        # qualifying pair sits inside both prefixes at (p1, p2), and
-        # every other common token ranks after it in BOTH rarity
-        # orders, so overlap <= 1 + min(n1-p1, n2-p2). Qualifying
-        # needs overlap >= alpha = ceil(N*(n1+n2)/(D+N)) (J >= t
-        # <=> inter >= t/(1+t)*(n1+n2)). Keeping any occurrence
-        # that passes is a superset of the exact first-token rule —
-        # recall stays total (fuzzed in tests/test_properties.py).
-        .where(F.lit(1) + F.least(F.col("n1") - F.col("p1"),
-                                  F.col("n2") - F.col("p2"))
-               >= F.expr(f"({N} * (n1 + n2) + {D + N - 1}) "
-                         f"div {D + N}"))
-        .select("d1", "d2")
-        .distinct()
-    )
+    cand = _ppjoin_candidates(sh)
     sets = sh.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("shingle")).alias("ss"))
     return (

@@ -604,13 +604,15 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rrf_lex_and_fuse(spark, sf_dir, dense)
 
 
-def _rrf_lex_and_fuse(spark: SparkSession, sf_dir: str,
-                      dense: DataFrame) -> DataFrame:
-    """Shared hybrid-retrieval tail: the selective-probe lexical pool
-    plus the RRF fusion, over ANY (q_id, c_id, rd) dense pool —
-    hybrid_rrf_topk passes the brute-force anchor, the _ann variant
-    the binary-Hamming candidate rank. One copy (review discipline):
-    a probe or fusion change lands once for both."""
+def _lex_probe_frames(spark: SparkSession, sf_dir: str
+                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(toks, qt, qprobe) for the selective-term lexical pool: the
+    distinct (doc_id, tok) relation, the query-side tokens, and each
+    query's RRF_PROBE rarest terms ((df, tok) rank — cross-engine
+    exact). ONE copy — the fusion tail and the Zipf selectivity
+    measurement (tests/test_zipf.py) both consume it, so the
+    measured posting-row counts are counts of the shipped probe
+    (r13 review)."""
     from pyspark.sql import Window
 
     from mapreduce_go_spark.functions.text import NON_LETTER_RE
@@ -622,11 +624,8 @@ def _rrf_lex_and_fuse(spark: SparkSession, sf_dir: str,
         .where(F.col("tok") != "")
         .distinct()
     )
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     qt = toks.where(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("q_id"), "tok")
-    # candidate generation: each query probes its RRF_PROBE rarest
-    # terms' posting lists ((df, tok) rank — cross-engine exact)
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
     wp = Window.partitionBy("q_id").orderBy("df", "tok")
     qprobe = (
@@ -635,6 +634,20 @@ def _rrf_lex_and_fuse(spark: SparkSession, sf_dir: str,
         .where(F.col("pr") <= RRF_PROBE)
         .select("q_id", "tok")
     )
+    return toks, qt, qprobe
+
+
+def _rrf_lex_and_fuse(spark: SparkSession, sf_dir: str,
+                      dense: DataFrame) -> DataFrame:
+    """Shared hybrid-retrieval tail: the selective-probe lexical pool
+    plus the RRF fusion, over ANY (q_id, c_id, rd) dense pool —
+    hybrid_rrf_topk passes the brute-force anchor, the _ann variant
+    the binary-Hamming candidate rank. One copy (review discipline):
+    a probe or fusion change lands once for both."""
+    from pyspark.sql import Window
+
+    toks, qt, qprobe = _lex_probe_frames(spark, sf_dir)
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
     cand = (
         F.broadcast(qprobe)
         .join(toks.select(F.col("doc_id").alias("c_id"), "tok"), "tok")
@@ -2062,22 +2075,42 @@ def _ivf_sampled_oracle_lazy() -> str | None:
         return None
 
 
+#: Per-(name, sf) memo for the artifact-backed thunks: the recall
+#: dashboard composes their SQL AND registry.all_oracles() evaluates
+#: each individually, so without a shared memo the heavy twins (IVF
+#: k-means training) would run twice per process (r13 review).
+_SUB_THUNK_MEMO: dict[tuple[str, str], str | None] = {}
+
+
+def _memo_thunk(name, thunk):
+    def run() -> str | None:
+        import os
+
+        key = (name, os.environ.get("TEST_SF_DIR",
+                                    "/root/testdata/sf0.01"))
+        if key not in _SUB_THUNK_MEMO:
+            _SUB_THUNK_MEMO[key] = thunk()
+        return _SUB_THUNK_MEMO[key]
+    return run
+
+
 def _recall_oracle_lazy() -> str | None:
     """LAZY oracle for ann_recall_dashboard: COMPOSED from the ten
     variant oracles plus the anchor's — each already proven
     hash-equal to its Spark twin — wrapped as derived tables and
     joined/aggregated exactly like the Spark plan. The three
-    artifact-backed variants re-evaluate their own lazy thunks here
-    (registry memoizes THIS thunk per process+sf, so that cost is
-    paid once). Any sub-thunk failure degrades the dashboard to
-    rows-only."""
+    artifact-backed variants' thunks are memoized per (name, sf)
+    module-side — registry._LAZY_MEMO only covers its own top-level
+    evaluations, so without this the IVF k-means twin would train
+    TWICE per collection (r13 review). Any sub-thunk failure
+    degrades the dashboard to rows-only."""
     oracles = dict(ORACLES)
     try:
         for name, thunk in (
                 ("ann_pq_topk", _pq_oracle_lazy),
                 ("ann_ivf_trained_topk", _ivf_trained_oracle_lazy),
                 ("ann_ivf_sampled_topk", _ivf_sampled_oracle_lazy)):
-            sql = thunk()
+            sql = _memo_thunk(name, thunk)()
             if sql is None:
                 return None
             oracles[name] = sql
@@ -2108,7 +2141,11 @@ def _recall_oracle_lazy() -> str | None:
     """
 
 
-LAZY_ORACLES = {"ann_pq_topk": _pq_oracle_lazy,
-                "ann_ivf_trained_topk": _ivf_trained_oracle_lazy,
-                "ann_ivf_sampled_topk": _ivf_sampled_oracle_lazy,
-                "ann_recall_dashboard": _recall_oracle_lazy}
+LAZY_ORACLES = {
+    "ann_pq_topk": _memo_thunk("ann_pq_topk", _pq_oracle_lazy),
+    "ann_ivf_trained_topk": _memo_thunk("ann_ivf_trained_topk",
+                                        _ivf_trained_oracle_lazy),
+    "ann_ivf_sampled_topk": _memo_thunk("ann_ivf_sampled_topk",
+                                        _ivf_sampled_oracle_lazy),
+    "ann_recall_dashboard": _recall_oracle_lazy,
+}

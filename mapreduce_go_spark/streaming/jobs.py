@@ -1277,6 +1277,13 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
         deadline = _time.time() + timeout_s
         consumed = False
         while _time.time() < deadline:
+            if not q.isActive:
+                # surface the real failure instead of spinning into a
+                # misleading not-drained timeout (r13 review)
+                exc = q.exception()
+                if exc is not None:
+                    raise exc
+                break  # terminated cleanly (shouldn't happen, but done)
             for p in q.recentProgress:
                 n = p.get("numInputRows", 0)
                 if n and n > 0:

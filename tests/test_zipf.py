@@ -69,32 +69,20 @@ def test_rare_term_probe_is_selective_under_zipf(spark, zipf_dir):
     the all-token candidate join touches. On the 31-token fixture
     the two are comparable (documented worst case); under Zipf the
     probe must win by >= 10x — this measured ratio IS the 100 TB
-    argument recorded in similarity.hybrid_rrf_topk's docstring."""
-    from pyspark.sql import Window
-
+    argument recorded in similarity.hybrid_rrf_topk's docstring.
+    The probe frames come from the SHIPPED helper
+    (similarity._lex_probe_frames), so this measures the production
+    plan, not a test replica."""
     from mapreduce_go_spark.operators.similarity import (
-        N_QUERIES, RRF_PROBE)
+        _lex_probe_frames)
 
-    toks = _toks(spark, zipf_dir).cache()
-    try:
-        dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
-        qt = toks.where(F.col("doc_id") < N_QUERIES).select(
-            F.col("doc_id").alias("q_id"), "tok")
-        wp = Window.partitionBy("q_id").orderBy("df", "tok")
-        qprobe = (
-            qt.join(dfreq, "tok")
-            .withColumn("pr", F.row_number().over(wp))
-            .where(F.col("pr") <= RRF_PROBE)
-            .select("q_id", "tok")
-        )
-        postings = toks.select(F.col("doc_id").alias("c_id"), "tok")
-        probed = qprobe.join(postings, "tok").count()
-        all_rows = qt.join(postings, "tok").count()
-        assert probed * 10 <= all_rows, (probed, all_rows)
-        print(f"\nzipf probe selectivity: probed={probed} "
-              f"all={all_rows} ratio={all_rows / probed:.1f}x")
-    finally:
-        toks.unpersist()
+    toks, qt, qprobe = _lex_probe_frames(spark, zipf_dir)
+    postings = toks.select(F.col("doc_id").alias("c_id"), "tok")
+    probed = qprobe.join(postings, "tok").count()
+    all_rows = qt.join(postings, "tok").count()
+    assert probed * 10 <= all_rows, (probed, all_rows)
+    print(f"\nzipf probe selectivity: probed={probed} "
+          f"all={all_rows} ratio={all_rows / probed:.1f}x")
 
 
 def test_ppjoin_matches_plain_join_under_zipf(spark, zipf_dir):
@@ -103,8 +91,6 @@ def test_ppjoin_matches_plain_join_under_zipf(spark, zipf_dir):
     the plain inverted-index join's pairs on the Zipf corpus (the
     clone pairs guarantee a non-trivial answer), with a measured
     candidate-count drop."""
-    from pyspark.sql import Window
-
     from mapreduce_go_spark.operators import dedup
 
     plain = sorted(map(tuple, dedup.ngram_jaccard_pairs(
@@ -115,43 +101,22 @@ def test_ppjoin_matches_plain_join_under_zipf(spark, zipf_dir):
     assert len(plain) >= 30, len(plain)  # the seeded clone pairs
 
     # candidate volumes: plain pays df^2 over every shared shingle;
-    # the prefix index only posts rare-ranked shingles
+    # the prefix index only posts rare-ranked shingles. The filtered
+    # candidates come from the SHIPPED _ppjoin_candidates helper, so
+    # the measured drop is the production plan's.
     from mapreduce_go_spark import tables
     from mapreduce_go_spark.operators.dedup import (
-        JACCARD_T_DEN as D, JACCARD_T_NUM as N, _shingles)
+        _ppjoin_candidates, _shingles)
 
     sh = _shingles(tables.load(spark, zipf_dir, "documents")).cache()
     try:
-        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-        dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         plain_cand = (
             sh.select(F.col("doc_id").alias("d1"), "shingle")
             .join(sh.select(F.col("doc_id").alias("d2"), "shingle"),
                   "shingle")
             .where(F.col("d1") < F.col("d2"))
             .select("d1", "d2").distinct().count())
-        wp = Window.partitionBy("doc_id").orderBy("df", "shingle")
-        prefix = (
-            sh.join(dfreq, "shingle").join(sizes, "doc_id")
-            .withColumn("pos", F.row_number().over(wp))
-            .where(F.col("pos") <= F.col("n_sh")
-                   - F.expr(f"({N} * n_sh + {D - 1}) div {D}") + 1)
-            .select("doc_id", "shingle", "pos", "n_sh"))
-        pref_cand = (
-            prefix.select(F.col("doc_id").alias("d1"), "shingle",
-                          F.col("pos").alias("p1"),
-                          F.col("n_sh").alias("n1"))
-            .join(prefix.select(F.col("doc_id").alias("d2"), "shingle",
-                                F.col("pos").alias("p2"),
-                                F.col("n_sh").alias("n2")), "shingle")
-            .where(F.col("d1") < F.col("d2"))
-            .where(F.lit(N) * F.greatest("n1", "n2")
-                   <= F.lit(D) * F.least("n1", "n2"))
-            .where(F.lit(1) + F.least(F.col("n1") - F.col("p1"),
-                                      F.col("n2") - F.col("p2"))
-                   >= F.expr(f"({N} * (n1 + n2) + {D + N - 1}) "
-                             f"div {D + N}"))
-            .select("d1", "d2").distinct().count())
+        pref_cand = _ppjoin_candidates(sh).count()
         assert pref_cand * 3 <= plain_cand, (pref_cand, plain_cand)
         print(f"\nzipf ppjoin candidates: plain={plain_cand} "
               f"prefix+len+pos={pref_cand} "

@@ -111,19 +111,27 @@ def build_corpora(spark, base: str, out: str, factor: int,
         # flip sign-projection bits — the 10 copies would pile into the
         # same LSH buckets, trip the degenerate-bucket cap and make the
         # 10x run artificially cheap (measured: 0 candidates). Past
-        # k=63 a plain rotate-by-k repeats (k and k+64 would be
-        # IDENTICAL vectors — rotation ≡ mod dim and the +64 parity
-        # term is even), so fold k//64 in as an extra half-dim
-        # rotation; k<64 is unchanged.
-        rot = k + 32 * (k // 64)
+        # k=63 rotate-by-k repeats mod dim and any linear-in-k parity
+        # term is blind to +64 (even), so an EXTRA sign pattern keyed
+        # on k//64 flips half the dimensions for the second lap —
+        # copies k and k+64 share a rotation only when their lap
+        # patterns differ, so no two of the 100 copies are identical
+        # (the r13 review caught the first fix, k + 32*(k//64), still
+        # colliding k+32 with k+64: rotation ≡ mod 64 and parity both
+        # matched). k<64 is bit-identical to the r12 corpora.
+        lap = k // 64
         dim = F.size(F.col("embedding"))
         jit = F.transform(
             F.col("embedding"),
             lambda x, j: (
                 F.element_at(F.col("embedding"),
-                             ((j + F.lit(rot)) % dim) + 1)
+                             ((j + F.lit(k)) % dim) + 1)
                 * F.when((j + F.col("vec_id") + F.lit(k)) % 2 == 0,
                          F.lit(-1.0)).otherwise(F.lit(1.0))
+                * F.when(F.lit(lap) % 2 == 1,
+                         F.when(j % 4 < 2, F.lit(-1.0))
+                         .otherwise(F.lit(1.0)))
+                .otherwise(F.lit(1.0))
             ).cast("float"),
         )
         emb_parts.append(
