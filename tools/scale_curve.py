@@ -183,8 +183,8 @@ def main() -> None:
         ann_binary_hamming_topk, ann_ivf_nprobe_topk,
         ann_ivf_sampled_topk, ann_ivf_trained_topk,
         ann_lsh_multiprobe_topk, ann_pq_topk,
-        embedding_neardup_pairs_blocked, hybrid_rrf_topk,
-        matryoshka_two_stage_topk)
+        embedding_neardup_pairs_blocked, hybrid_rrf_ann_topk,
+        hybrid_rrf_topk, matryoshka_two_stage_topk)
     from mapreduce_go_spark.operators.streaming_batch import (
         idle_user_flush, purchase_click_attribution,
         purchase_click_attribution_outer, user_recent_events,
@@ -256,6 +256,7 @@ def main() -> None:
                      ("matryoshka_two_stage_topk", matryoshka_two_stage_topk),
                      ("dsir_importance_sample", dsir_importance_sample),
                      ("hybrid_rrf_topk", hybrid_rrf_topk),
+                     ("hybrid_rrf_ann_topk", hybrid_rrf_ann_topk),
                      ("user_type_profile", user_type_profile),
                      ("user_recent_events", user_recent_events),
                      ("idle_user_flush", idle_user_flush),
