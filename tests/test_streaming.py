@@ -1813,6 +1813,38 @@ def test_statestore_reader_exposes_tws_mapstate(spark, sf_dir, staged,
     assert got == want
 
 
+def test_drained_runner_surfaces_processor_error(spark, sf_dir,
+                                                 staged):
+    """run_to_memory_drained must re-raise a failed query's own
+    exception promptly instead of spinning into a misleading
+    'source not drained' TimeoutError (r13 review): a processor
+    that throws in handleInputRows surfaces its message within the
+    poll loop's first passes (the failing class ships by value via
+    cloudpickle — subclassing a jobs processor keeps the worker
+    imports resolvable)."""
+    if not jobs.tws_available():
+        pytest.skip("transformWithState needs protobuf")
+    import time as _time
+
+    class Boom(jobs.TtlUserCountProcessor):
+        def handleInputRows(self, key, rows, timerValues):
+            raise RuntimeError("boom-sentinel")
+
+    from mapreduce_go_spark.session import ensure_tws_python_env
+
+    stream = jobs.events_stream(spark, sf_dir, staged)
+    ensure_tws_python_env(spark)
+    sdf = (stream.select("user_id", "ts").groupBy("user_id")
+           .transformWithStateInPandas(
+               Boom(), outputStructType="user_id bigint, n bigint",
+               outputMode="update", timeMode="processingTime"))
+    t0 = _time.time()
+    with pytest.raises(Exception, match="boom-sentinel"):
+        jobs.run_to_memory_rocksdb(spark, sdf, "t_tws_boom",
+                                   "update", drained=True)
+    assert _time.time() - t0 < 120, "took the timeout path"
+
+
 def test_statestore_reader_exposes_ttl_valuestate(spark, sf_dir,
                                                   staged, tmp_path):
     """State introspection of a TTL-configured ValueState: the state
