@@ -61,13 +61,24 @@ class WarcDataSource(DataSource):
         return WarcReader(self.options)
 
     def writer(self, schema, overwrite: bool) -> "WarcWriter":
-        return WarcWriter(self.options)
+        return WarcWriter(self.options, overwrite)
 
     def simpleStreamReader(self, schema) -> "WarcStreamReader":
         return WarcStreamReader(self.options)
 
     def streamWriter(self, schema, overwrite: bool) -> "WarcStreamWriter":
         return WarcStreamWriter(self.options)
+
+
+def _parse_doc_id(uri: str) -> int | None:
+    """The connector's doc-id contract: the URI's final path segment
+    is the numeric document id. None for records that don't carry one
+    (warcinfo/request records, ordinary page URIs) — callers decide
+    skip-vs-fail per their on_corrupt posture."""
+    try:
+        return int(uri.rsplit("/", 1)[-1])
+    except ValueError:
+        return None
 
 
 class WarcReader(DataSourceReader):
@@ -121,10 +132,18 @@ class WarcReader(DataSourceReader):
 
         from mapreduce_go_spark.operators.warc import parse_warc
 
+        if partition is None:
+            # pyspark substitutes [None] when partitions() returns []
+            # (plan_data_source_read.py) — reachable through our own
+            # bucket pushdown pruning every archive (e.g. bucket=999,
+            # or contradictory EqualTo filters intersecting to the
+            # empty set). An empty result, not a crash (r13 review).
+            return
         fname = partition.value
         bucket = int(os.path.basename(fname).split("=")[1]
                      .split(".")[0])
-        payload = open(fname, "rb").read()
+        with open(fname, "rb") as fh:
+            payload = fh.read()
         try:
             records = parse_warc(payload)
         except ValueError:
@@ -142,12 +161,25 @@ class WarcReader(DataSourceReader):
         doc_ids, uris, statuses, lens, md5s = [], [], [], [], []
         for rec in records:
             uri = rec["headers"].get("WARC-Target-URI", "")
-            doc_ids.append(int(uri.rsplit("/", 1)[-1]))
+            doc_id = _parse_doc_id(uri)
+            if doc_id is None:
+                # structurally valid record without a numeric doc-id
+                # URI (warcinfo/request records, real-world page
+                # URIs): honor the on_corrupt posture instead of an
+                # uncaught int() ValueError (r13 review)
+                if self.on_corrupt == "skip":
+                    continue
+                raise ValueError(
+                    f"warc record without a numeric doc-id URI tail: "
+                    f"{uri!r} in {fname}")
+            doc_ids.append(doc_id)
             uris.append(uri)
             statuses.append(rec["http_status"])
             body = rec["body"]
             lens.append(len(body))
             md5s.append(hashlib.md5(body).hexdigest())
+        if not doc_ids:
+            return
         yield pa.record_batch(
             [pa.array([bucket] * len(doc_ids), pa.int64()),
              pa.array(doc_ids, pa.int64()),
@@ -189,8 +221,15 @@ def _archive_rows(fname: str, on_corrupt: str):
         raise
     for rec in records:
         uri = rec["headers"].get("WARC-Target-URI", "")
+        doc_id = _parse_doc_id(uri)
+        if doc_id is None:
+            if on_corrupt == "skip":
+                continue
+            raise ValueError(
+                f"warc record without a numeric doc-id URI tail: "
+                f"{uri!r} in {fname}")
         body = rec["body"]
-        yield (bucket, int(uri.rsplit("/", 1)[-1]), uri,
+        yield (bucket, doc_id, uri,
                rec["http_status"], len(body),
                hashlib.md5(body).hexdigest())
 
@@ -323,42 +362,88 @@ def warc_source_extract(spark, sf_dir: str):
 
 
 class WarcWriter(DataSourceWriter):
-    """The sink half: df.write.format("warc") — each task writes one
-    conforming multi-record archive per bucket it holds (callers
-    repartition by bucket for bucket-complete files; the task id
-    disambiguates otherwise). Input schema: (bucket, doc_id, text).
+    """The sink half: df.write.format("warc") — each task STAGES one
+    conforming multi-record archive per bucket it holds under
+    <path>/_staging and reports (bucket, staged path); the driver's
+    commit() REJECTS a bucket staged by two tasks (the caller skipped
+    the repartition-by-bucket contract — publishing would keep only
+    one copy; the same ADVICE r12 guard the stream sink got, now on
+    the batch path), honors mode("overwrite") by clearing the
+    pre-existing bucket archives, and publishes each archive with an
+    atomic rename; abort() discards the stage, so a failed job never
+    leaves a truncated archive at a final path (r13 review — the
+    previous form wrote final paths directly from tasks, so its
+    'abort discards' claim was false and mode was ignored). In
+    append mode a re-published bucket replaces that bucket's archive
+    (per-bucket upsert). Input schema: (bucket, doc_id, text).
     The reference analog is F9's formatted text sink
     (mr/worker.go:146-153 one file per reduce task) — here the file
     format is a real archive standard and the commit protocol is
-    Spark's (abort discards, commit finalizes)."""
+    Spark's, implemented stage-then-publish like the stream sink."""
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool = False) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc sink requires option 'path'")
+        self.overwrite = overwrite
 
-    def write(self, iterator) -> WriterCommitMessage:
+    def write(self, iterator) -> "WarcEpochCommit":
         from pyspark import TaskContext
 
         from mapreduce_go_spark.operators.warc import make_warc_record
 
-        os.makedirs(self.path, exist_ok=True)
+        ctx = TaskContext.get()
+        stage = os.path.join(self.path, "_staging")
+        os.makedirs(stage, exist_ok=True)
         by_bucket: dict[int, list] = {}
         for row in iterator:
             by_bucket.setdefault(int(row["bucket"]), []).append(
                 (int(row["doc_id"]), row["text"]))
-        # contract: the caller repartitions by bucket, so exactly one
-        # task owns each bucket and bucket=<b>.warc is collision-free
-        # (TaskContext available for a -p<id> suffix if a future
-        # caller relaxes that)
-        assert TaskContext.get() is not None
+        out = []
         for b, docs in sorted(by_bucket.items()):
             docs.sort()
-            fname = os.path.join(self.path, f"bucket={b}.warc")
+            # attempt id disambiguates speculative/retried tasks; a
+            # loser's orphan stays in _staging, never published
+            fname = os.path.join(
+                stage, f"a{ctx.taskAttemptId()}-bucket={b}.warc")
             with open(fname, "wb") as f:
                 for d, t in docs:
                     f.write(make_warc_record(d, t))
-        return WriterCommitMessage()
+            out.append((b, fname))
+        return WarcEpochCommit(out)
+
+    def commit(self, messages) -> None:
+        staged_by_bucket: dict[int, list] = {}
+        for msg in messages:
+            if msg is None:
+                continue
+            for b, staged in msg.files:
+                staged_by_bucket.setdefault(b, []).append(staged)
+        dups = sorted(b for b, fs in staged_by_bucket.items()
+                      if len(fs) > 1)
+        if dups:
+            raise ValueError(
+                f"warc sink: buckets {dups} were staged by more than "
+                "one task — publishing would drop data. Repartition "
+                "the frame by 'bucket' before write (the sink's "
+                "contract).")
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path,
+                                              "bucket=*.warc")):
+                os.remove(old)
+        for b, fs in staged_by_bucket.items():
+            os.replace(fs[0],
+                       os.path.join(self.path, f"bucket={b}.warc"))
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is None:
+                continue
+            for _b, staged in msg.files:
+                try:
+                    os.remove(staged)
+                except OSError:
+                    pass
 
 
 class WarcEpochCommit(WriterCommitMessage):
@@ -462,8 +547,10 @@ class WarcStreamWriter(DataSourceStreamWriter):
             if msg is None:
                 continue
             for b, staged in msg.files:
-                shutil.copy(staged, os.path.join(tmp, f"bucket={b}.warc"))
-                os.remove(staged)
+                # rename, not copy+remove: same filesystem (both under
+                # <path>), and metadata-only publish halves the
+                # commit's disk traffic (r13 review)
+                os.replace(staged, os.path.join(tmp, f"bucket={b}.warc"))
         # idempotent publish: a replayed epoch replaces, never appends
         shutil.rmtree(final, ignore_errors=True)
         os.replace(tmp, final)

@@ -49,6 +49,10 @@ def _stage_events_dir(sf_dir: str) -> str:
     return d
 
 
+#: events.parquet raw schema per sf_dir (invariant; see events_stream)
+_RAW_SCHEMA_CACHE: dict = {}
+
+
 def events_stream(spark: SparkSession, sf_dir: str,
                   staged_dir: str | None = None,
                   max_files_per_trigger: int | None = None) -> DataFrame:
@@ -62,17 +66,20 @@ def events_stream(spark: SparkSession, sf_dir: str,
     (review r10). Callers that loop should still stage once and pass
     `staged_dir` explicitly."""
     import atexit
-    import shutil
 
     tables._ensure_confs(spark)
     if staged_dir is None:
         staged_dir = _stage_events_dir(sf_dir)
         atexit.register(shutil.rmtree, staged_dir, True)
     src = staged_dir
-    # schema from the batch reader, pre-conversion
-    raw_schema = spark.read.parquet(
-        os.path.join(sf_dir, "events.parquet")).schema
-    reader = spark.readStream.schema(raw_schema)
+    # schema from the batch reader, pre-conversion — cached per
+    # sf_dir: it is invariant, and looping callers otherwise pay a
+    # driver file-listing + parquet footer read per stream (r13
+    # review)
+    if sf_dir not in _RAW_SCHEMA_CACHE:
+        _RAW_SCHEMA_CACHE[sf_dir] = spark.read.parquet(
+            os.path.join(sf_dir, "events.parquet")).schema
+    reader = spark.readStream.schema(_RAW_SCHEMA_CACHE[sf_dir])
     if max_files_per_trigger is not None:
         # one staged file per micro-batch — the multi-batch harness
         # for split-invariance e2e tests (files drain in path order)
@@ -1275,7 +1282,7 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
     q = w.format("memory").queryName(name).start()
     try:
         deadline = _time.time() + timeout_s
-        consumed = False
+        drained = False
         while _time.time() < deadline:
             if not q.isActive:
                 # surface the real failure instead of spinning into a
@@ -1283,18 +1290,21 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
                 exc = q.exception()
                 if exc is not None:
                     raise exc
-                break  # terminated cleanly (shouldn't happen, but done)
-            for p in q.recentProgress:
-                n = p.get("numInputRows", 0)
-                if n and n > 0:
-                    consumed = True
-                elif consumed and n == 0:
-                    break
-            else:
-                _time.sleep(1.0)
-                continue
-            break
-        else:
+                drained = True  # terminated cleanly
+                break
+            # A zero-input batch alone proves the drain for a STATIC
+            # staged source (every file is visible from the start, and
+            # the engine prefers data batches over cleanup batches) —
+            # requiring a prior input>0 sighting would race the
+            # recentProgress ring: continuous cleanup batches can
+            # evict the data-batch entry before the first poll
+            # (r13 review; the ring keeps ~100 entries).
+            if any(p.get("numInputRows", 0) == 0
+                   for p in q.recentProgress):
+                drained = True
+                break
+            _time.sleep(1.0)
+        if not drained:
             raise TimeoutError(
                 f"{name}: source not drained within {timeout_s}s")
     finally:

@@ -325,6 +325,117 @@ def test_warc_stream_writer_commit_is_idempotent(tmp_path):
     assert (tmp_path / "epoch=7" / "bucket=0.warc").read_bytes() != first
 
 
+def test_warc_reader_empty_prune_returns_zero_rows(spark, sf_dir):
+    """Pushdown that prunes EVERY archive (bucket=987654) must yield
+    an empty result, not a crash: pyspark substitutes [None] when
+    partitions() returns [], and read(None) used to raise
+    AttributeError (r13 review)."""
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcDataSource, WarcReader, _arm_pushdown, ensure_warc_files)
+
+    path = ensure_warc_files(spark, sf_dir)
+    _arm_pushdown(spark)
+    spark.dataSource.register(WarcDataSource)
+    df = (spark.read.format("warc").option("path", path)
+          .option("on_corrupt", "skip").load()
+          .where("bucket = 987654"))
+    assert df.count() == 0
+    # and the unit-level contract directly
+    r = WarcReader({"path": path, "on_corrupt": "skip"})
+    assert list(r.read(None)) == []
+
+
+def test_warc_reader_skip_tolerates_non_docid_records(tmp_path):
+    """A structurally VALID record whose URI has no numeric doc-id
+    tail (warcinfo/request records, real page URIs) honors the
+    on_corrupt posture instead of crashing the task with an uncaught
+    int() ValueError (r13 review): skip drops the record, fail names
+    the URI."""
+    import pytest
+
+    from pyspark.sql.datasource import InputPartition
+
+    from mapreduce_go_spark.operators.warc import make_warc_record
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcReader, _archive_rows)
+
+    good = make_warc_record(7, "payload")
+    odd = make_warc_record(8, "other").replace(
+        b"WARC-Target-URI: http://corpus.invalid/doc/8",
+        b"WARC-Target-URI: http://corpus.invalid/page.html")
+    f = tmp_path / "bucket=0.warc"
+    f.write_bytes(good + odd)
+
+    r = WarcReader({"path": str(tmp_path), "on_corrupt": "skip"})
+    batches = list(r.read(InputPartition(str(f))))
+    assert sum(b.num_rows for b in batches) == 1
+    assert batches[0].column("doc_id").to_pylist() == [7]
+    rows = list(_archive_rows(str(f), "skip"))
+    assert [row[1] for row in rows] == [7]
+
+    strict = WarcReader({"path": str(tmp_path), "on_corrupt": "fail"})
+    with pytest.raises(ValueError, match="page.html"):
+        list(strict.read(InputPartition(str(f))))
+    with pytest.raises(ValueError, match="page.html"):
+        list(_archive_rows(str(f), "fail"))
+
+
+def test_warc_batch_writer_commit_rejects_split_bucket(tmp_path):
+    """The batch sink gets the same split-bucket guard as the stream
+    sink (r13 review — it previously let the last task's archive
+    silently win): commit raises and publishes nothing."""
+    import pytest
+
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcEpochCommit, WarcWriter)
+
+    w = WarcWriter({"path": str(tmp_path)})
+    stage = tmp_path / "_staging"
+    stage.mkdir()
+
+    def mk(task, bucket):
+        p = stage / f"a{task}-bucket={bucket}.warc"
+        p.write_bytes(b"x")
+        return WarcEpochCommit([(bucket, str(p))])
+
+    with pytest.raises(ValueError, match="(?i)repartition.*bucket"):
+        w.commit([mk(1, 2), mk(2, 2)])
+    assert not (tmp_path / "bucket=2.warc").exists()
+
+
+def test_warc_batch_writer_overwrite_clears_stale_buckets(
+        spark, tmp_path):
+    """mode('overwrite') must actually overwrite: buckets from a
+    previous write that the new frame does not carry are removed
+    (r13 review — the flag was previously ignored, silently
+    appending)."""
+    import glob as _glob
+    import os
+
+    from mapreduce_go_spark.sources.warc_source import WarcDataSource
+    from mapreduce_go_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    spark.dataSource.register(WarcDataSource)
+    out = str(tmp_path / "sink")
+
+    def frame(buckets):
+        rows = [(b, 10 * b + i, f"text-{b}-{i}")
+                for b in buckets for i in range(2)]
+        return (spark.createDataFrame(
+            rows, "bucket bigint, doc_id bigint, text string")
+            .repartition("bucket"))
+
+    frame([0, 1, 2]).write.format("warc").option("path", out) \
+        .mode("append").save()
+    assert len(_glob.glob(out + "/bucket=*.warc")) == 3
+    frame([0]).write.format("warc").option("path", out) \
+        .mode("overwrite").save()
+    files = sorted(os.path.basename(p) for p in
+                   _glob.glob(out + "/bucket=*.warc"))
+    assert files == ["bucket=0.warc"], files
+
+
 def test_warc_stream_writer_commit_rejects_split_bucket(tmp_path):
     """Two tasks staging the SAME bucket in one epoch means the
     caller skipped the repartition-by-bucket contract; publishing
