@@ -30,7 +30,7 @@ def entry(spark: SparkSession) -> DataFrame:
     Wordcount over the documents corpus — the reference's canonical
     workload (/root/reference/mrapps/wc.go), per SURVEY §7.1.
     """
-    session._apply_sql_confs(spark, session.DEFAULT_SHUFFLE_PARTITIONS)
+    session._apply_sql_confs(spark, session.default_shuffle_partitions())
     return wordcount(spark, "/root/testdata/sf0.001")
 
 

@@ -336,6 +336,15 @@ def main() -> None:
     if only == "frozen":
         names = [n for n in FROZEN_R5 if n in queries]
         repeats = 3  # dedicated cross-round basis keeps min-of-3
+        if not names:
+            # same empty-names guard as the name-filter branch: a
+            # partial registry must emit the error line, not
+            # IndexError in the warm-up (r13 review)
+            print(json.dumps({
+                "metric": "headline_queries_total_wall", "value": 0,
+                "unit": "sec", "error": "frozen subset empty",
+                "queries": {}, "sf": sf}))
+            return
     elif only:
         wanted = [n for n in only.split(",") if n]
         unknown = [n for n in wanted if n not in queries]
@@ -366,18 +375,30 @@ def main() -> None:
                     "noop").mode("overwrite").save()
             except Exception:
                 pass
-    queries[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    try:
+        queries[names[0]](spark, sf_dir).write.format("noop").mode(
+            "overwrite").save()
+    except Exception:
+        pass  # the timed loop will report the failure per-query
     canary = canary_wall(spark)  # after warm-up: JIT settled
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(repeats):  # min-of-N drops transient JIT/GC noise
-            t0 = time.perf_counter()
-            df = queries[name](spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(repeats):  # min-of-N drops JIT/GC noise
+                t0 = time.perf_counter()
+                df = queries[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as e:  # noqa: BLE001 — one bad query must
+            # not discard the whole run's measurements (r13 review:
+            # the driver would record a null BENCH line)
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"# ERROR timing {name}: {errors[name]}",
+                  file=sys.stderr)
         # drop persisted relations between queries: accumulated cache
         # blocks from persist()-using operators (phash_dup_flags) are
         # pure heap/GC pressure for every LATER query's timing — the
@@ -402,6 +423,7 @@ def main() -> None:
         "repeats": repeats,
         "canary_wall": canary,
         "r5_subset_total": r5_subset,
+        **({"errors": errors} if errors else {}),
         "value": total,
     }))
     # short FINAL summary line — must fit in the driver's 2000-byte
@@ -415,6 +437,7 @@ def main() -> None:
         "n_queries": len(timings),
         "repeats": repeats,
         "canary_wall": canary,
+        **({"n_errors": len(errors)} if errors else {}),
         "sf": sf_val,
     }))
 

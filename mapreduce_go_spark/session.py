@@ -22,7 +22,19 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+def default_shuffle_partitions() -> int:
+    """$SPARK_GRAFT_CPUS read at CALL time — an import-time snapshot
+    could disagree with get_spark's own call-time env read when the
+    variable is set between import and session build (r13 review)."""
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+#: Conf marker: set when a caller PINNED shuffle partitions via the
+#: get_spark argument — tables._ensure_confs then leaves the value
+#: alone instead of resetting it to $SPARK_GRAFT_CPUS on every load()
+#: (r13 review: the explicit argument only held until the first
+#: table load otherwise).
+_PIN_KEY = "spark.mapreduce_go_spark.shufflePartitions.pinned"
 
 
 def get_spark(app_name: str = "mapreduce_go_spark",
@@ -34,11 +46,13 @@ def get_spark(app_name: str = "mapreduce_go_spark",
     semantics (timezone, AQE) are consistent either way.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    n_shuffle = shuffle_partitions or default_shuffle_partitions()
 
     active = SparkSession.getActiveSession()
     if active is not None:
         _apply_sql_confs(active, n_shuffle)
+        if shuffle_partitions is not None:
+            active.conf.set(_PIN_KEY, "true")
         return active
 
     builder = (
@@ -56,14 +70,24 @@ def get_spark(app_name: str = "mapreduce_go_spark",
     )
     spark = builder.getOrCreate()
     _apply_sql_confs(spark, n_shuffle)
+    if shuffle_partitions is not None:
+        spark.conf.set(_PIN_KEY, "true")
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
 
 def _apply_sql_confs(spark: SparkSession, n_shuffle: int) -> None:
+    """The ONE conf list (tables._ensure_confs delegates here — two
+    hand-maintained lists had already drifted, r13 review)."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    # events.parquet stores TIMESTAMP(NANOS), which the vectorized
+    # reader otherwise rejects (PARQUET_TYPE_ILLEGAL)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # WarcReader implements pushFilters (archive pruning); with this
     # flag false Spark REFUSES the read outright rather than skipping
     # pushdown, so every connector entry point must arm it (the warc
@@ -72,7 +96,7 @@ def _apply_sql_confs(spark: SparkSession, n_shuffle: int) -> None:
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
 
-_SHIPPED_CONTEXTS: set[int] = set()
+_SHIPPED_CONTEXTS: set[str] = set()
 
 
 def ensure_package_on_workers(spark: SparkSession) -> str:
@@ -91,7 +115,10 @@ def ensure_package_on_workers(spark: SparkSession) -> str:
     import zipfile
 
     sc = spark.sparkContext
-    if id(sc) in _SHIPPED_CONTEXTS:
+    # keyed by applicationId, not id(sc): a stopped context's address
+    # can be reused by a NEW context, which would silently skip the
+    # addPyFile and fail every worker-side import (r13 review)
+    if sc.applicationId in _SHIPPED_CONTEXTS:
         return os.path.join(tempfile.gettempdir(),
                             "mapreduce_go_spark_pyfiles.zip")
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
@@ -127,7 +154,7 @@ def ensure_package_on_workers(spark: SparkSession) -> str:
                         z.write(full, vrel)
     os.replace(tmp, zpath)
     sc.addPyFile(zpath)
-    _SHIPPED_CONTEXTS.add(id(sc))
+    _SHIPPED_CONTEXTS.add(sc.applicationId)
     return zpath
 
 

@@ -27,28 +27,33 @@ SMALL_DIMS = ("region", "nation")
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _ensure_confs(spark: SparkSession) -> None:
-    """Runtime confs every query depends on, applied idempotently so
-    the engine behaves identically under the driver's own session:
-    - UTC session timezone (oracle comparability);
-    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which the
-      vectorized reader otherwise rejects (PARQUET_TYPE_ILLEGAL).
-    """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # The driver may hand us a stock session (200 static shuffle
-    # partitions): turn on AQE + coalescing so partitioning adapts to
-    # actual data sizes, and bound the static count by the core count.
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions",
-        os.environ.get("SPARK_GRAFT_CPUS", "32"),
-    )
-    from mapreduce_go_spark.session import ensure_package_on_workers
+#: sessions (by applicationId) whose confs are already applied — a
+#: load_all() otherwise re-issued ~80 redundant conf RPCs (r13 review)
+_CONFED_SESSIONS: set[str] = set()
 
+
+def _ensure_confs(spark: SparkSession) -> None:
+    """Runtime confs every query depends on, applied ONCE per session
+    so the engine behaves identically under the driver's own stock
+    session (200 static shuffle partitions, no AQE tuning, no
+    nanosAsLong). Delegates to session._apply_sql_confs — the single
+    conf list (r13 review: two hand-maintained lists had drifted) —
+    except that a shuffle-partition count PINNED by an explicit
+    get_spark(shuffle_partitions=N) argument is left alone instead
+    of being reset to $SPARK_GRAFT_CPUS."""
+    from mapreduce_go_spark.session import (
+        _PIN_KEY, _apply_sql_confs, default_shuffle_partitions,
+        ensure_package_on_workers)
+
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CONFED_SESSIONS:
+        return
+    pinned = spark.conf.get(_PIN_KEY, None)
+    n_shuffle = (int(spark.conf.get("spark.sql.shuffle.partitions"))
+                 if pinned else default_shuffle_partitions())
+    _apply_sql_confs(spark, n_shuffle)
     ensure_package_on_workers(spark)
+    _CONFED_SESSIONS.add(app_id)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
