@@ -294,6 +294,26 @@ FAMILIES: list[tuple[str, tuple[str, ...]]] = [
 ]
 
 
+# Recorded idle-boot canary reference (VERDICT r13 item 5): the
+# project's idle-host readings cluster at 0.111-0.113 s (r12 official,
+# r13 frozen-subset session, BENCH_r13's driver run); the two known
+# degraded-host readings were 0.164 and 0.333 s. The threshold sits
+# between the clusters: a run whose canary exceeds FACTOR x the idle
+# reference is flagged `canary_degraded` in BOTH JSON lines so the
+# cross-round comparison never needs per-round human normalization.
+CANARY_IDLE_REF = 0.111
+CANARY_DEGRADED_FACTOR = 1.35
+
+
+def canary_degraded(canary: float,
+                    idle_ref: float = CANARY_IDLE_REF,
+                    factor: float = CANARY_DEGRADED_FACTOR) -> bool:
+    """True when a measured canary wall says the host is NOT in the
+    idle-reference throughput regime, i.e. totals from this run must
+    be canary-normalized before any cross-round reading."""
+    return canary > idle_ref * factor
+
+
 def canary_wall(spark) -> float:
     """Min-of-3 wall of a fixed CPU-bound job: 32M xxhash64 values
     partial-summed across 32 tasks — no shuffle, no file I/O, no
@@ -412,6 +432,11 @@ def main() -> None:
     for n, t in timings.items():
         fams[family_of(n)] = round(fams.get(family_of(n), 0.0) + t, 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    degraded = canary_degraded(canary)
+    # A run with ANY errored query is PARTIAL: its totals shrank by
+    # the missing queries and must never be compared as a faster
+    # total (ADVICE r13) — both lines carry the explicit flag.
+    partial = bool(errors)
     # full line: per-query detail first, totals LAST (tail-safe order)
     print(json.dumps({
         "metric": "headline_queries_total_wall",
@@ -422,8 +447,11 @@ def main() -> None:
         "n_queries": len(timings),
         "repeats": repeats,
         "canary_wall": canary,
+        "canary_degraded": degraded,
+        "canary_threshold": round(CANARY_IDLE_REF *
+                                  CANARY_DEGRADED_FACTOR, 3),
         "r5_subset_total": r5_subset,
-        **({"errors": errors} if errors else {}),
+        **({"errors": errors, "partial": True} if partial else {}),
         "value": total,
     }))
     # short FINAL summary line — must fit in the driver's 2000-byte
@@ -437,7 +465,9 @@ def main() -> None:
         "n_queries": len(timings),
         "repeats": repeats,
         "canary_wall": canary,
-        **({"n_errors": len(errors)} if errors else {}),
+        "canary_degraded": degraded,
+        **({"n_errors": len(errors), "partial": True}
+           if partial else {}),
         "sf": sf_val,
     }))
 

@@ -449,6 +449,112 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _topk(scored)
 
 
+IVF_HAM_NPROBE = 3   # cells the composed variant probes — one MORE
+                     # than ann_ivf_trained_topk's 2: the 16-byte
+                     # Hamming scan makes each probed cell ~16x
+                     # cheaper than a float scan, so the composition
+                     # spends some of that saving on a wider probe
+                     # (recall knob; floor pinned in test_retrieval)
+
+
+def _ivf_hamming_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, c_id) Hamming-coarse candidates restricted to the
+    trained-IVF probed cells — the composition VERDICT r13 item 1
+    names, shared by ann_ivf_hamming_topk and hybrid_rrf_ann_topk's
+    dense pool. Stages: (1) trained coarse quantizer (the SAME k=8
+    full-training codebook artifact ann_ivf_trained_topk loads —
+    kmeans._codebook_disk_store, trained at most once per fixture);
+    (2) every vector assigned to its cell and sign-packed into two
+    bigint words; (3) per query, probe the IVF_HAM_NPROBE nearest
+    cells by exact grid distance; (4) Hamming scan over ONLY the
+    probed cells' packed words, top-BQ_COARSE_C per query on the
+    (hamming, c_id) tie-break.
+
+    100 TB shape: this replaces the registry's last full linear
+    dense scan (ann_binary_hamming_topk's deliberate 16-byte/vector
+    pass, SCALE.md's named margin) with a cell-pruned one — at scale
+    the table is partitioned by cell with (w0, w1) as narrow columns
+    in the bucketed layout, so the coarse pass reads
+    nprobe/k of the table at 16 bytes/vector; everything downstream
+    (exact re-rank) is unchanged and candidate-bounded."""
+    from pyspark.sql import Window
+
+    from mapreduce_go_spark.operators.kmeans import (
+        _assign, _dist_array_sql, kmeans_centroids)
+
+    centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K)
+    raw = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    assigned = _assign(raw, centroids)
+    words = assigned.selectExpr(
+        "vec_id", "cluster",
+        f"{_sign_word_sql(0)} as w0",
+        f"{_sign_word_sql(1)} as w1",
+    )
+    probed = raw.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id",
+        f"explode(transform(slice(array_sort({_dist_array_sql(centroids)}),"
+        f" 1, {IVF_HAM_NPROBE}), s -> s.i)) as cluster",
+    )
+    qw = words.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id", "w0 as qw0", "w1 as qw1")
+    ham = (
+        F.broadcast(probed)
+        .join(words, "cluster")  # cell-pruned: only probed cells scan
+        .join(F.broadcast(qw), "q_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .selectExpr(
+            "q_id", "vec_id as c_id",
+            "bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) as hamming")
+    )
+    wnd = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    return (ham.withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") <= BQ_COARSE_C)
+            .select("q_id", "c_id"))
+
+
+def ann_ivf_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-Hamming ANN composed with the trained-IVF cell layout
+    (VERDICT r13 item 1): ann_binary_hamming_topk's coarse stage is a
+    full 16-byte/vector linear scan — correct, but the one plan whose
+    100 TB story pointed at a layout it didn't use. Here the Hamming
+    scan runs only over the IVF_HAM_NPROBE probed cells of the
+    trained k=IVF_TRAINED_K quantizer (see _ivf_hamming_cand), then
+    the exact grid-cosine re-rank of the survivors is unchanged —
+    candidates are a subset of ann_ivf_trained_topk's probed-cell
+    members, Hamming-filtered to BQ_COARSE_C per query.
+
+    Exactness: cell assignment and probe ranking are exact int64 grid
+    comparisons (the kmeans discipline — centroids bit-identical to
+    the NumPy twin), sign bits and Hamming are integers, tie-breaks
+    on (hamming, c_id), re-rank is the shared _topk — so the LAZY
+    oracle embeds the twin's centroids and re-derives every stage
+    value-exactly (_ivf_hamming_oracle_sql)."""
+    cand = _ivf_hamming_cand(spark, sf_dir)
+    embn = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    q = embn.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = embn.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    scored = (
+        F.broadcast(cand)
+        .join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id", "c_id",
+            _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+            .alias("cos"),
+        )
+    )
+    return _topk(scored)
+
+
 MRL_DIM = 16         # matryoshka coarse prefix length (16 of 64 dims)
 MRL_COARSE_C = 40    # prefix-cosine candidates per query
 
@@ -2089,7 +2195,14 @@ def _memo_thunk(name, thunk):
         key = (name, os.environ.get("TEST_SF_DIR",
                                     "/root/testdata/sf0.01"))
         if key not in _SUB_THUNK_MEMO:
-            _SUB_THUNK_MEMO[key] = thunk()
+            sql = thunk()
+            if sql is None:
+                # Do NOT memoize a miss (mirrors registry.all_oracles):
+                # a transient fixture miss must stay retryable, not pin
+                # the oracle (and the dashboard's) to rows-only for the
+                # whole process (ADVICE r13).
+                return None
+            _SUB_THUNK_MEMO[key] = sql
         return _SUB_THUNK_MEMO[key]
     return run
 

@@ -427,13 +427,30 @@ class WarcWriter(DataSourceWriter):
                 "one task — publishing would drop data. Repartition "
                 "the frame by 'bucket' before write (the sink's "
                 "contract).")
-        if self.overwrite:
-            for old in glob.glob(os.path.join(self.path,
-                                              "bucket=*.warc")):
-                os.remove(old)
+        # Publish FIRST (os.replace overwrites in place), THEN remove
+        # only the stale buckets the new write does not cover: the old
+        # delete-everything-then-publish order lost the previous data
+        # without its replacement if the driver died between the two
+        # loops (ADVICE r13).
+        published = set()
         for b, fs in staged_by_bucket.items():
             os.replace(fs[0],
                        os.path.join(self.path, f"bucket={b}.warc"))
+            published.add(f"bucket={b}.warc")
+        if self.overwrite:
+            for old in glob.glob(os.path.join(self.path,
+                                              "bucket=*.warc")):
+                if os.path.basename(old) not in published:
+                    os.remove(old)
+        # Orphaned stage entries from loser/failed attempts are never
+        # published; sweep them after a successful commit so repeated
+        # writes don't accumulate them (ADVICE r13).
+        stage = os.path.join(self.path, "_staging")
+        for leftover in glob.glob(os.path.join(stage, "*.warc")):
+            try:
+                os.remove(leftover)
+            except OSError:
+                pass
 
     def abort(self, messages) -> None:
         for msg in messages:

@@ -576,7 +576,8 @@ def idle_user_flush_stream(stream: DataFrame) -> DataFrame:
 def run_to_memory_rocksdb(spark: SparkSession, streaming_df: DataFrame,
                           name: str, output_mode: str,
                           checkpoint_dir: str | None = None,
-                          drained: bool = False) -> DataFrame:
+                          drained: bool = False,
+                          staged_dir: str | None = None) -> DataFrame:
     """run_to_memory with the RocksDB state store provider set for the
     query's lifetime (transformWithState refuses the default
     HDFS-backed provider) and the previous conf restored after — the
@@ -602,7 +603,8 @@ def run_to_memory_rocksdb(spark: SparkSession, streaming_df: DataFrame,
         if drained:
             return run_to_memory_drained(spark, streaming_df, name,
                                          output_mode,
-                                         checkpoint_dir=checkpoint_dir)
+                                         checkpoint_dir=checkpoint_dir,
+                                         staged_dir=staged_dir)
         return run_to_memory(spark, streaming_df, name, output_mode,
                              checkpoint_dir=checkpoint_dir)
     finally:
@@ -1265,7 +1267,8 @@ def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
 def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
                           name: str, output_mode: str,
                           timeout_s: float = 180.0,
-                          checkpoint_dir: str | None = None) -> DataFrame:
+                          checkpoint_dir: str | None = None,
+                          staged_dir: str | None = None) -> DataFrame:
     """run_to_memory for PROCESSING-TIME time-mode jobs (TTL'd
     state), which never self-drain (see run_to_memory): start the
     query, poll its progress until some batch has consumed input AND
@@ -1273,9 +1276,26 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
     everything after is wall-clock state cleanup, which emits no
     processor output), then stop it. The sink then holds exactly the
     data batches' emissions, which is what the batch-anchor parity
-    checks compare."""
+    checks compare.
+
+    Drain rule (ADVICE r13): a single zero-input batch 0 can also
+    mean the staged dir was EMPTY or still being populated when the
+    query started — a silently-empty sink a parity assert would then
+    misattribute. So pass `staged_dir` when you have it (the runner
+    raises up-front if it holds no files — the static-source
+    contract says everything is visible before start), and the loop
+    additionally requires either a prior input>0 sighting
+    (accumulated across OUR polls, immune to recentProgress ring
+    eviction) or two CONSECUTIVE zero-input entries before declaring
+    the source drained."""
     import time as _time
 
+    if staged_dir is not None and not any(
+            not e.startswith(("_", ".")) for e in os.listdir(staged_dir)):
+        raise ValueError(
+            f"{name}: staged source dir {staged_dir!r} holds no data "
+            "files — the static-source drain contract requires the "
+            "stage to be fully populated before start")
     w = streaming_df.writeStream.outputMode(output_mode)
     if checkpoint_dir is not None:
         w = w.option("checkpointLocation", checkpoint_dir)
@@ -1283,6 +1303,7 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
     try:
         deadline = _time.time() + timeout_s
         drained = False
+        saw_input = False
         while _time.time() < deadline:
             if not q.isActive:
                 # surface the real failure instead of spinning into a
@@ -1292,15 +1313,20 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
                     raise exc
                 drained = True  # terminated cleanly
                 break
-            # A zero-input batch alone proves the drain for a STATIC
-            # staged source (every file is visible from the start, and
-            # the engine prefers data batches over cleanup batches) —
-            # requiring a prior input>0 sighting would race the
-            # recentProgress ring: continuous cleanup batches can
-            # evict the data-batch entry before the first poll
-            # (r13 review; the ring keeps ~100 entries).
-            if any(p.get("numInputRows", 0) == 0
-                   for p in q.recentProgress):
+            # Accumulate the input>0 sighting ourselves: requiring it
+            # from the CURRENT ring alone would race recentProgress
+            # eviction — continuous cleanup batches can push the data
+            # batch out before a poll (r13 review; ring ~100 entries).
+            progress = list(q.recentProgress)
+            zeros = [p.get("numInputRows", 0) == 0 for p in progress]
+            saw_input = saw_input or not all(zeros)
+            if saw_input and any(zeros):
+                drained = True
+                break
+            # No input ever sighted: demand two CONSECUTIVE zero-input
+            # batches, so a lone batch-0 zero (empty-at-start race)
+            # doesn't stop the query the instant it begins.
+            if any(a and b for a, b in zip(zeros, zeros[1:])):
                 drained = True
                 break
             _time.sleep(1.0)

@@ -248,6 +248,33 @@ def test_bench_summary_line_fits_driver_tail():
         "families": fams,
         "n_queries": 9999,
         "repeats": 3,
+        "canary_wall": 99.999,
+        "canary_degraded": True,
+        "n_errors": 9999,
+        "partial": True,
         "sf": 0.1,
     })
     assert len(worst) < 1500, (len(worst), worst)
+
+
+def test_bench_canary_degraded_flags_slow_host():
+    """VERDICT r13 item 5: the degraded-host guard is automated — a
+    canary wall in the idle-reference regime passes, the two known
+    degraded readings (0.164, 0.333 — SCALE.md r13 close) are
+    flagged, and the threshold is a written constant, not a
+    per-round human judgment."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    assert not bench.canary_degraded(0.111)  # idle reference itself
+    assert not bench.canary_degraded(0.113)  # r13 driver reading
+    assert bench.canary_degraded(0.164)      # known degraded read
+    assert bench.canary_degraded(0.333)      # known degraded read
+    # the threshold is written down and sits between the clusters
+    thr = bench.CANARY_IDLE_REF * bench.CANARY_DEGRADED_FACTOR
+    assert 0.113 < thr < 0.164

@@ -436,6 +436,39 @@ def test_warc_batch_writer_overwrite_clears_stale_buckets(
     assert files == ["bucket=0.warc"], files
 
 
+def test_warc_batch_writer_overwrite_publishes_before_delete(tmp_path):
+    """ADVICE r13: the overwrite commit must publish the staged files
+    FIRST (os.replace overwrites in place) and only then remove stale
+    buckets the new write does not cover — the old order deleted
+    every pre-existing bucket before publishing anything, so a driver
+    crash between the loops lost the old data without its
+    replacement. Pin the ordering observably: a bucket the new write
+    DOES cover is never unlinked (its inode content is atomically
+    replaced), and loser-attempt orphans in _staging are swept by a
+    successful commit."""
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcEpochCommit, WarcWriter)
+
+    w = WarcWriter({"path": str(tmp_path)}, overwrite=True)
+    stage = tmp_path / "_staging"
+    stage.mkdir()
+    # pre-existing published buckets 0 and 1
+    (tmp_path / "bucket=0.warc").write_bytes(b"old-0")
+    (tmp_path / "bucket=1.warc").write_bytes(b"old-1")
+    # new write covers only bucket 0; a loser attempt left an orphan
+    staged = stage / "a7-bucket=0.warc"
+    staged.write_bytes(b"new-0")
+    orphan = stage / "a3-bucket=0.warc"
+    orphan.write_bytes(b"loser")
+
+    w.commit([WarcEpochCommit([(0, str(staged))])])
+
+    assert (tmp_path / "bucket=0.warc").read_bytes() == b"new-0"
+    assert not (tmp_path / "bucket=1.warc").exists()  # stale: removed
+    assert not orphan.exists()  # orphans swept after commit
+    assert not staged.exists()
+
+
 def test_warc_stream_writer_commit_rejects_split_bucket(tmp_path):
     """Two tasks staging the SAME bucket in one epoch means the
     caller skipped the repartition-by-bucket contract; publishing

@@ -1643,7 +1643,8 @@ def test_tws_ttl_state_roundtrips_and_survives_batches(
                                 max_files_per_trigger=1)
     out = jobs.run_to_memory_rocksdb(
         spark, jobs.ttl_user_count_stream(stream),
-        "t_tws_ttl", "update", drained=True)
+        "t_tws_ttl", "update", drained=True,
+        staged_dir=str(staged_3batch))
     from pyspark.sql import functions as F
 
     from mapreduce_go_spark import tables
@@ -1813,6 +1814,21 @@ def test_statestore_reader_exposes_tws_mapstate(spark, sf_dir, staged,
     assert got == want
 
 
+def test_drained_runner_rejects_empty_staged_dir(spark, tmp_path):
+    """ADVICE r13: an empty staged dir makes batch 0 report
+    numInputRows == 0, which the drain rule would read as 'drained'
+    and silently return an empty sink a parity assert would then
+    misattribute. With staged_dir passed, the runner must refuse
+    up-front — before even starting the query (so no streaming df is
+    needed to pin the guard)."""
+    d = tmp_path / "empty_stage"
+    d.mkdir()
+    (d / "_placeholder").write_text("")  # hidden entries don't count
+    with pytest.raises(ValueError, match="no data files"):
+        jobs.run_to_memory_drained(spark, None, "t_empty_stage",
+                                   "update", staged_dir=str(d))
+
+
 def test_drained_runner_surfaces_processor_error(spark, sf_dir,
                                                  staged):
     """run_to_memory_drained must re-raise a failed query's own
@@ -1862,7 +1878,8 @@ def test_statestore_reader_exposes_ttl_valuestate(spark, sf_dir,
     ckpt = str(tmp_path / "ckpt_ttl")
     jobs.run_to_memory_rocksdb(
         spark, jobs.ttl_user_count_stream(stream),
-        "t_ss_ttl", "update", checkpoint_dir=ckpt, drained=True)
+        "t_ss_ttl", "update", checkpoint_dir=ckpt, drained=True,
+        staged_dir=staged)
     st = (spark.read.format("statestore").option("path", ckpt)
           .option("stateVarName", "n").load())
     got = {r.key.user_id: r.value.n for r in st.collect()}
