@@ -241,6 +241,10 @@ HEADLINE = [
     # the ANN-densed hybrid (the swap-in the RRF docstring promises)
     "ann_recall_dashboard",
     "hybrid_rrf_ann_topk",
+    # NEW in r14: binary-Hamming composed with the trained-IVF cell
+    # layout — the cell-pruned coarse scan that retires the registry's
+    # last full-table dense scan (also now hybrid_rrf_ann_topk's pool)
+    "ann_ivf_hamming_topk",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

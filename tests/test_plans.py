@@ -502,6 +502,24 @@ def test_binary_hamming_coarse_is_windowgrouplimit(spark, sf_dir):
         assert "CartesianProduct" not in p, (q.__name__, p)
 
 
+def test_ivf_hamming_coarse_is_cell_pruned(spark, sf_dir):
+    """ann_ivf_hamming_topk (and the hybrid riding its candidates)
+    exists to retire the registry's last full-table dense scan: the
+    plain binary-Hamming coarse stage is a BroadcastNestedLoopJoin of
+    all vectors against the broadcast query side. The composed plan
+    must have NO nested-loop join anywhere — its coarse stage reaches
+    the packed words through equi-joins on the probed cell id (the
+    partition-prunable shape at 100 TB) — while keeping the
+    WindowGroupLimit bound on the candidate rank and zero
+    cartesians."""
+    for q in (similarity.ann_ivf_hamming_topk,
+              similarity.hybrid_rrf_ann_topk):
+        p = plan_of(q(spark, sf_dir))
+        assert "BroadcastNestedLoopJoin" not in p, (q.__name__, p)
+        assert "WindowGroupLimit" in p, (q.__name__, p)
+        assert "CartesianProduct" not in p, (q.__name__, p)
+
+
 def test_dsir_selection_avoids_global_window(spark, sf_dir):
     """dsir_importance_sample emits EVERY document (score + flag), so
     a global rank would drag the whole scored corpus through one

@@ -162,6 +162,12 @@ FILL_QUEUE = [
     # documented swap-in point (binary-Hamming dense pool)
     "bpe_subword_tokens", "ann_recall_dashboard",
     "hybrid_rrf_ann_topk",
+    # registered in r14 (1 new vs the r13-cohort releases — inside
+    # the budget): binary-Hamming composed with the trained-IVF cell
+    # layout (VERDICT r13 item 1) — the cell-pruned coarse scan that
+    # retires the last full-table dense scan; hybrid_rrf_ann_topk's
+    # dense pool swaps onto its candidates the same round
+    "ann_ivf_hamming_topk",
 ]
 
 # P6: the curated family prefixes — every family keeps >= 1 window
