@@ -98,12 +98,30 @@ def _afp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA])
 
 
+def _img_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """kind='img': the mixed-format image corpus (PNG/GIF/BMP rotated
+    with REAL baseline JPEGs since r14, plus the every-11th truncated
+    corrupt row) — the media_features corpus
+    (multimodal.make_media_payload)."""
+    from mapreduce_go_spark.operators.multimodal import make_media_payload
+
+    for pdf in batches:
+        out = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            src = text.encode() if isinstance(text, str) else (
+                bytes(text) if text is not None else b"")
+            out.append({"doc_id": doc_id, "src": src,
+                        "payload": make_media_payload(int(doc_id), src)})
+        yield pd.DataFrame(out, columns=[f.name for f in MEDIA_SCHEMA])
+
+
 #: kind -> (synthesis kernel, input columns)
 _KINDS = {
     "avi": (_avi_batches, ("doc_id", "text")),
     "vph": (_vph_batches, ("doc_id",)),
     "png": (_png_batches, ("doc_id",)),
     "afp": (_afp_batches, ("doc_id",)),
+    "img": (_img_batches, ("doc_id", "text")),
 }
 
 # media_table's check-then-write is driver-local: two threads of the

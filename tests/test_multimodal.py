@@ -31,9 +31,24 @@ def test_decode_real_image_files(fname, fmt, w, h, ch):
 
 def test_decode_roundtrips_synthesized_payloads():
     body = bytes(range(200))
+    # make_jpeg builds a 3-component header stand-in (test helper):
+    # multi-component JPEGs are header-only since r14 — luma is
+    # honestly NULL, not the retired 64-byte-prefix summary
     feat = multimodal.decode_image(multimodal.make_jpeg(123, 45, body))
     assert (feat["format"], feat["width"], feat["height"]) == ("jpeg", 123, 45)
-    assert feat["mean_luma"] == float(sum(body[:64]) % 256)
+    assert feat["mean_luma"] is None
+    # a single-component codec-real JPEG decodes to TRUE pixel luma
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg as jpeg_codec
+
+    px = np.frombuffer((body * 8)[:40 * 30],
+                       dtype=np.uint8).reshape(30, 40)
+    data, recon = jpeg_codec.encode_gray(px, return_recon=True)
+    feat = multimodal.decode_image(data)
+    assert (feat["format"], feat["width"], feat["height"],
+            feat["channels"]) == ("jpeg", 40, 30, 1)
+    assert feat["mean_luma"] == int(recon.sum(dtype="uint64")) / recon.size
     # GIF is decoded through REAL LZW + the identity grayscale
     # palette: luma is the true mean of the cycled index raster, and
     # the flat-LZW container size is closed-form
@@ -263,7 +278,8 @@ def test_media_features_schema_and_determinism(spark, sf_dir):
     fmts = {r[2] for r in a}
     assert fmts == {"png", "gif", "bmp", "jpeg", "corrupt"}  # all parsers + errors ran
     parsed = [r for r in a if r[2] != "corrupt"]
-    assert all(16 <= r[3] < 256 and 16 <= r[4] < 256 for r in parsed)
+    # jpeg rows use the codec-exercise dims (8..63); the rest 16..255
+    assert all(8 <= r[3] < 256 and 8 <= r[4] < 256 for r in parsed)
     assert all(r[3] is None and r[4] is None
                for r in a if r[2] == "corrupt")
 
