@@ -467,6 +467,50 @@ IVF_HAM_NPROBE = 3   # cells the composed variant probes — one MORE
                      # (recall knob; floor pinned in test_retrieval)
 
 
+import threading as _threading
+
+_IVF_LAYOUT_LOCK = _threading.Lock()
+
+
+def _ivf_layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (vec_id, cluster, w0, w1) CELL LAYOUT the composed
+    IVF-Hamming variants ride: every vector's trained-cell assignment
+    plus its packed sign words, materialized ONCE per session as
+    parquet PARTITIONED BY cluster (the joins._bucketed_table /
+    media.media_table amortization discipline — keyed by
+    applicationId + the embeddings content key, self-healing on a
+    vanished path). This is the deployment shape made literal: at
+    100 TB assignment + sign-packing is the one-time layout step, and
+    a query's probe is a partition-pruned scan of nprobe/k of the
+    table at 16 bytes/vector — the Zipf x100 sweep (SCALE.md r14)
+    measured the per-query re-derivation of exactly this layout as
+    the composed hybrid's dominant residual, so fixture queries now
+    price only what deployments pay per query."""
+    import hashlib
+    import os
+
+    from mapreduce_go_spark.operators.joins import session_scratch
+    from mapreduce_go_spark.operators.kmeans import (
+        _assign, _embeddings_content_key, kmeans_centroids)
+
+    centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K)
+    tag = hashlib.md5("|".join(
+        [os.path.abspath(sf_dir), str(IVF_TRAINED_K),
+         _embeddings_content_key(sf_dir)]).encode()).hexdigest()[:8]
+    path = os.path.join(session_scratch(spark), f"ivf_layout_{tag}")
+    with _IVF_LAYOUT_LOCK:
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            raw = tables.load(spark, sf_dir, "embeddings").select(
+                "vec_id", "embedding")
+            (_assign(raw, centroids).selectExpr(
+                "vec_id", "cluster",
+                f"{_sign_word_sql(0)} as w0",
+                f"{_sign_word_sql(1)} as w1")
+             .write.mode("overwrite").partitionBy("cluster")
+             .parquet(path))
+    return spark.read.parquet(path)
+
+
 def _ivf_hamming_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(q_id, c_id) Hamming-coarse candidates restricted to the
     trained-IVF probed cells — the composition VERDICT r13 item 1
@@ -482,25 +526,21 @@ def _ivf_hamming_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: this replaces the registry's last full linear
     dense scan (ann_binary_hamming_topk's deliberate 16-byte/vector
-    pass, SCALE.md's named margin) with a cell-pruned one — at scale
-    the table is partitioned by cell with (w0, w1) as narrow columns
-    in the bucketed layout, so the coarse pass reads
-    nprobe/k of the table at 16 bytes/vector; everything downstream
-    (exact re-rank) is unchanged and candidate-bounded."""
+    pass, SCALE.md's named margin) with a cell-pruned one — the
+    layout table IS partitioned by cell with (w0, w1) as narrow
+    columns (_ivf_layout_table), so the coarse pass reads nprobe/k of
+    the table at 16 bytes/vector through a partition-pruned scan;
+    everything downstream (exact re-rank) is unchanged and
+    candidate-bounded."""
     from pyspark.sql import Window
 
     from mapreduce_go_spark.operators.kmeans import (
-        _assign, _dist_array_sql, kmeans_centroids)
+        _dist_array_sql, kmeans_centroids)
 
     centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K)
+    words = _ivf_layout_table(spark, sf_dir)
     raw = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
-    assigned = _assign(raw, centroids)
-    words = assigned.selectExpr(
-        "vec_id", "cluster",
-        f"{_sign_word_sql(0)} as w0",
-        f"{_sign_word_sql(1)} as w1",
-    )
     probed = raw.where(F.col("vec_id") < N_QUERIES).selectExpr(
         "vec_id as q_id",
         f"explode(transform(slice(array_sort({_dist_array_sql(centroids)}),"

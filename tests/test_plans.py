@@ -518,6 +518,11 @@ def test_ivf_hamming_coarse_is_cell_pruned(spark, sf_dir):
         assert "BroadcastNestedLoopJoin" not in p, (q.__name__, p)
         assert "WindowGroupLimit" in p, (q.__name__, p)
         assert "CartesianProduct" not in p, (q.__name__, p)
+        # the coarse scan reads the cluster-partitioned layout table
+        # (_ivf_layout_table) and the broadcast probe list DYNAMICALLY
+        # prunes its partitions — the literal 100 TB claim, in the
+        # plan: only nprobe/k of the sign words are ever read
+        assert "dynamicpruningexpression(cluster" in p, (q.__name__, p)
 
 
 def test_dsir_selection_avoids_global_window(spark, sf_dir):

@@ -177,10 +177,10 @@ def main() -> None:
                                                          phash_dup_flags)
     from mapreduce_go_spark.operators.pipeline import pretrain_corpus
     from mapreduce_go_spark.operators.quality import (
-        cms_heavy_hitters, decontaminate, hll_distinct_by_source,
-        hll_distinct_tokens, repetition_stats)
+        bm25_search, cms_heavy_hitters, decontaminate,
+        hll_distinct_by_source, hll_distinct_tokens, repetition_stats)
     from mapreduce_go_spark.operators.similarity import (
-        ann_binary_hamming_topk, ann_ivf_nprobe_topk,
+        ann_binary_hamming_topk, ann_ivf_hamming_topk, ann_ivf_nprobe_topk,
         ann_ivf_sampled_topk, ann_ivf_trained_topk,
         ann_lsh_multiprobe_topk, ann_pq_topk,
         embedding_neardup_pairs_blocked, hybrid_rrf_ann_topk,
@@ -253,6 +253,8 @@ def main() -> None:
                      ("ann_ivf_trained_topk", ann_ivf_trained_topk),
                      ("ann_ivf_sampled_topk", ann_ivf_sampled_topk),
                      ("ann_binary_hamming_topk", ann_binary_hamming_topk),
+                     ("ann_ivf_hamming_topk", ann_ivf_hamming_topk),
+                     ("bm25_search", bm25_search),
                      ("matryoshka_two_stage_topk", matryoshka_two_stage_topk),
                      ("dsir_importance_sample", dsir_importance_sample),
                      ("hybrid_rrf_topk", hybrid_rrf_topk),
