@@ -143,6 +143,22 @@ def _media_lock(path: str) -> _threading.Lock:
         return _MEDIA_LOCKS.setdefault(path, _threading.Lock())
 
 
+def materialize_once(path: str, build) -> None:
+    """The check-then-write protocol every session-materialized
+    fixture table shares (media_table here,
+    similarity._ivf_layout_table): PER-PATH lock (a single global
+    lock made a png encode block an unrelated wav encode — ADVICE
+    r10) + _SUCCESS check, self-healing on a vanished path. `build`
+    runs exactly once per live path; cross-session safety is
+    structural (callers embed applicationId in the path via
+    session_scratch)."""
+    import os
+
+    with _media_lock(path):
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            build()
+
+
 def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """The encoded-media corpus for `kind` at `sf_dir`: (doc_id, src,
     payload). Materialized distributed on first request this session,
@@ -159,9 +175,11 @@ def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     # session_scratch registers the per-application atexit cleanup
     # once for every materialization family (r11 unification)
     path = os.path.join(session_scratch(spark), f"media_{kind}_{tag}")
-    with _media_lock(path):
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            src = tables.load(spark, sf_dir, "documents").select(*cols)
-            (tables.spread(src).mapInPandas(kernel, MEDIA_SCHEMA)
-             .write.mode("overwrite").parquet(path))
+
+    def build() -> None:
+        src = tables.load(spark, sf_dir, "documents").select(*cols)
+        (tables.spread(src).mapInPandas(kernel, MEDIA_SCHEMA)
+         .write.mode("overwrite").parquet(path))
+
+    materialize_once(path, build)
     return spark.read.parquet(path)

@@ -291,9 +291,19 @@ def kmeans_fit(spark: SparkSession, sf_dir: str,
     ).withColumn("centroid_norm", F.element_at(norm_map, F.col("cluster")))
 
 
+#: Memo for _kmeans_twin results, keyed like _CODEBOOK_CACHE
+#: (training config + embeddings content key): five oracle builders
+#: share the trained twin per collection (trained/sampled/hamming/
+#: hybrid + the dashboard's probe counts), and re-reading + retraining
+#: per builder is exactly the duplicated work the r13 memo fix
+#: removed at the SQL layer (r14 review).
+_TWIN_CACHE: dict[tuple, tuple] = {}
+
+
 def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS,
                  sample_frac: float | None = None):
-    """Spark-free NumPy twin of kmeans_fit: same init, same grid
+    """Spark-free NumPy twin of kmeans_fit (memoized per training
+    config + fixture content key — see _TWIN_CACHE): same init, same grid
     distances (simd._grid — bit-identical rounding to Spark round()
     and DuckDB round()), same int64 sums (associative, so partial vs
     single-level totals agree), same float64 centroid updates.
@@ -317,6 +327,13 @@ def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS,
     from mapreduce_go_spark.functions.simd import _grid, _grid_sum
     from mapreduce_go_spark.functions.xxhash import sample_mask
 
+    ck = (os.path.abspath(sf_dir), k, iterations,
+          "full" if sample_frac is None else repr(float(sample_frac)),
+          _embeddings_content_key(sf_dir))
+    cached = _TWIN_CACHE.get(ck)
+    if cached is not None:
+        C, sizes = cached
+        return C.copy(), dict(sizes)
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"])
     ids = t.column("vec_id").to_numpy()
@@ -357,6 +374,7 @@ def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS,
     a = assign(C)
     sizes = {ci: int((a == ci).sum()) for ci in range(k)
              if (a == ci).any()}
+    _TWIN_CACHE[ck] = (C.copy(), dict(sizes))
     return C, sizes
 
 

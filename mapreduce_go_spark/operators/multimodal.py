@@ -606,12 +606,16 @@ def decode_image(payload: bytes) -> dict:
     color type, BMP bits-per-pixel). Raises ValueError on truncated/
     unknown payloads the way a real decoder would.
 
-    PNG goes all the way to PIXELS (decode_png_pixels: IDAT inflate +
-    unfilter), so mean_luma is the TRUE mean of the decoded samples —
-    an exact integer-sum / count double, identical across engines. For
-    GIF/LZW, BMP pixel arrays and JPEG entropy streams (which would
-    need a codec library) mean_luma still summarizes the pixel-data
-    byte prefix — documented stand-in, not a fake decode."""
+    ALL FOUR formats decode to PIXELS for mean_luma — an exact
+    integer-sum / count double, identical across engines: PNG via
+    IDAT inflate + unfilter, GIF via real LZW + palette mapping, BMP
+    via the raw bottom-up pixel array, and (r14) single-component
+    baseline JPEG via the from-scratch entropy decoder
+    (functions/jpeg.decode_gray). The one exception is a
+    MULTI-component JPEG (the committed real color fixture): header
+    metadata parses as always, but mean_luma is honestly NULL — the
+    codec is single-component; the retired byte-prefix summary is
+    gone."""
     if payload is None or len(payload) < 16:
         raise ValueError("truncated payload")
     if payload[:8] == PNG_MAGIC:

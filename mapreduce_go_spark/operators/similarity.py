@@ -467,11 +467,6 @@ IVF_HAM_NPROBE = 3   # cells the composed variant probes — one MORE
                      # (recall knob; floor pinned in test_retrieval)
 
 
-import threading as _threading
-
-_IVF_LAYOUT_LOCK = _threading.Lock()
-
-
 def _ivf_layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (vec_id, cluster, w0, w1) CELL LAYOUT the composed
     IVF-Hamming variants ride: every vector's trained-cell assignment
@@ -489,6 +484,7 @@ def _ivf_layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import os
 
+    from mapreduce_go_spark.media import materialize_once
     from mapreduce_go_spark.operators.joins import session_scratch
     from mapreduce_go_spark.operators.kmeans import (
         _assign, _embeddings_content_key, kmeans_centroids)
@@ -498,16 +494,18 @@ def _ivf_layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         [os.path.abspath(sf_dir), str(IVF_TRAINED_K),
          _embeddings_content_key(sf_dir)]).encode()).hexdigest()[:8]
     path = os.path.join(session_scratch(spark), f"ivf_layout_{tag}")
-    with _IVF_LAYOUT_LOCK:
-        if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            raw = tables.load(spark, sf_dir, "embeddings").select(
-                "vec_id", "embedding")
-            (_assign(raw, centroids).selectExpr(
-                "vec_id", "cluster",
-                f"{_sign_word_sql(0)} as w0",
-                f"{_sign_word_sql(1)} as w1")
-             .write.mode("overwrite").partitionBy("cluster")
-             .parquet(path))
+
+    def build() -> None:
+        raw = tables.load(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding")
+        (_assign(raw, centroids).selectExpr(
+            "vec_id", "cluster",
+            f"{_sign_word_sql(0)} as w0",
+            f"{_sign_word_sql(1)} as w1")
+         .write.mode("overwrite").partitionBy("cluster")
+         .parquet(path))
+
+    materialize_once(path, build)
     return spark.read.parquet(path)
 
 

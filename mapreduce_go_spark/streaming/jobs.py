@@ -1264,6 +1264,32 @@ def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def _drained_from_ring(zeros: list[bool],
+                       saw_input: bool) -> tuple[bool, bool]:
+    """The drain decision over one recentProgress snapshot (`zeros` =
+    per-batch numInputRows == 0, ring order), pure so the boundary
+    cases are unit-testable. `saw_input` accumulates across POLLS:
+    requiring the input sighting from the current ring alone would
+    race ring eviction — continuous cleanup batches can push the data
+    batch out before a poll (r13 review; ring ~100 entries).
+
+    The deciding zero must be the TRAILING entry: a zero anywhere in
+    the ring can PRECEDE the first data batch (stage still populating
+    at start), so 'input seen and any zero' would stop the query
+    mid-drain with staged files unprocessed (r14 review). A trailing
+    zero after an input sighting means no files remained at that
+    moment — the static-source drain. With no input ever sighted, two
+    consecutive trailing zeros are required, so a lone batch-0 zero
+    (empty-at-start race) doesn't stop the query the instant it
+    begins."""
+    saw_input = saw_input or (bool(zeros) and not all(zeros))
+    if saw_input and zeros and zeros[-1]:
+        return True, saw_input
+    if len(zeros) >= 2 and zeros[-1] and zeros[-2]:
+        return True, saw_input
+    return False, saw_input
+
+
 def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
                           name: str, output_mode: str,
                           timeout_s: float = 180.0,
@@ -1313,21 +1339,10 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
                     raise exc
                 drained = True  # terminated cleanly
                 break
-            # Accumulate the input>0 sighting ourselves: requiring it
-            # from the CURRENT ring alone would race recentProgress
-            # eviction — continuous cleanup batches can push the data
-            # batch out before a poll (r13 review; ring ~100 entries).
             progress = list(q.recentProgress)
             zeros = [p.get("numInputRows", 0) == 0 for p in progress]
-            saw_input = saw_input or not all(zeros)
-            if saw_input and any(zeros):
-                drained = True
-                break
-            # No input ever sighted: demand two CONSECUTIVE zero-input
-            # batches, so a lone batch-0 zero (empty-at-start race)
-            # doesn't stop the query the instant it begins.
-            if any(a and b for a, b in zip(zeros, zeros[1:])):
-                drained = True
+            drained, saw_input = _drained_from_ring(zeros, saw_input)
+            if drained:
                 break
             _time.sleep(1.0)
         if not drained:

@@ -1814,6 +1814,29 @@ def test_statestore_reader_exposes_tws_mapstate(spark, sf_dir, staged,
     assert got == want
 
 
+def test_drain_decision_requires_trailing_zero():
+    """r14 review: a zero-input entry that PRECEDES the first data
+    batch (stage still populating at query start) must not count as
+    the drain — only a TRAILING zero after an input sighting does;
+    and with no input ever sighted, two consecutive trailing zeros
+    are required (empty source), never a lone batch-0 zero."""
+    d = jobs._drained_from_ring
+    # mid-drain: batch0 zero (pre-populate race), batch1 consumed a
+    # file, more files pending -> NOT drained
+    assert d([True, False], False) == (False, True)
+    # the genuine drain: input seen, trailing zero
+    assert d([True, False, True], False) == (True, True)
+    assert d([False, True], False) == (True, True)
+    # input seen on an EARLIER poll (ring may have evicted it)
+    assert d([True], True) == (True, True)
+    # lone batch-0 zero: not drained yet
+    assert d([True], False) == (False, False)
+    # empty source: two consecutive trailing zeros
+    assert d([True, True], False) == (True, False)
+    # no progress at all
+    assert d([], False) == (False, False)
+
+
 def test_drained_runner_rejects_empty_staged_dir(spark, tmp_path):
     """ADVICE r13: an empty staged dir makes batch 0 report
     numInputRows == 0, which the drain rule would read as 'drained'
