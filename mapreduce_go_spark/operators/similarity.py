@@ -1442,6 +1442,13 @@ def ann_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = tables.load(spark, sf_dir, "embeddings")
     base.persist()
     _with_norm(base).persist()
+    # Deliberately NOT cached: the hybrids' lexical (doc_id, tok)
+    # relation. Measured (r14): caching it makes the two hybrids
+    # SLOWER (5.6 -> 7.9 s at sf0.1) — the InMemoryRelation breaks
+    # whole-stage codegen and its columnar->row hand-off per consumer
+    # costs more than the saved explode+distinct shuffle at fixture
+    # scale. The embeddings/norm persists above are the ones that pay
+    # (measured 12.9 -> 9.8 s for the whole dashboard).
     anchor = knn_cosine_topk(spark, sf_dir).select("q_id", "c_id")
     n_anchor = anchor.agg(F.count("*").alias("n_anchor"))
     rows = None
