@@ -51,6 +51,7 @@ from mapreduce_go_spark.functions.text import NON_LETTER_RE
 from mapreduce_go_spark.operators.quality import (
     DECON_EVAL_MOD,
     DECON_N,
+    _DECON_SHINGLES_CTES,
     _TOKS_SQL,
     _grams_sql,
     _toks,
@@ -122,7 +123,13 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     again in tests). Probe is mapper-only: BLOOM_K array_contains
     against the broadcast bit array inside one codegen stage."""
     docs = tables.load(spark, sf_dir, "documents")
-    ev = eval_shingles_df(spark, sf_dir)
+    # ev feeds TWO lineages (the bit build and the exact-hit join) —
+    # unpersisted, the eval-side documents scan + shingle explode +
+    # distinct ran twice per query (r14 review; the double-scan class
+    # ADVICE r10 removed from hll_distinct_by_source). The relation
+    # is small (distinct eval shingles: ~1.5k at sf0.01, ~14k at
+    # sf0.1), so the cache hand-off costs less than the re-derivation.
+    ev = eval_shingles_df(spark, sf_dir).persist()
     filt = bloom_filter_bits(ev)
     train = decon_shingles_df(
         docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0))
@@ -140,7 +147,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("is_eval"), F.lit(0)).alias("is_eval"),
         )
     )
-    return (
+    verdicts = (
         probed.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -154,6 +161,25 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("bloom_hits") - F.col("exact_hits"))
             .alias("n_false_pos"),
             (F.col("n_missed") == 0).alias("sound"),
+        )
+    )
+    # Membership invariant (r14 review, the r10 cleaning-family rule):
+    # a train doc with fewer than DECON_N tokens has zero shingles and
+    # silently vanished from the screen — a downstream inner join on
+    # the verdict would drop a doc that provably contains no leakage.
+    # Join back with zero-filled counts and sound=true.
+    train_ids = docs.where(
+        F.col("doc_id") % DECON_EVAL_MOD != 0).select("doc_id")
+    zero = F.lit(0).cast("long")
+    return (
+        train_ids.join(verdicts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", zero).alias("n_shingles"),
+            F.coalesce("bloom_hits", zero).alias("bloom_hits"),
+            F.coalesce("exact_hits", zero).alias("exact_hits"),
+            F.coalesce("n_false_pos", zero).alias("n_false_pos"),
+            F.coalesce("sound", F.lit(True)).alias("sound"),
         )
     )
 
@@ -539,7 +565,10 @@ def _canonical_url(url: Column) -> Column:
     host = F.lower(
         F.regexp_extract(nofrag, r"^[A-Za-z]+://([^/?#]*)", 1))
     host = F.regexp_replace(host, r":(443|80)$", "")
-    host = F.regexp_replace(host, r"^www\.", "")
+    # (www\.)+ not www\.: a single-prefix strip is NOT idempotent on
+    # stacked real-crawl hosts like www.www.example.com (r14 review,
+    # reproduced live against the hypothesis invariant)
+    host = F.regexp_replace(host, r"^(www\.)+", "")
     path = F.regexp_extract(nofrag, r"^[A-Za-z]+://[^/?#]*([^?#]*)", 1)
     path = F.regexp_replace(path, r"/+$", "")
     query = F.regexp_extract(nofrag, r"(\?[^#]*)", 1)
@@ -559,7 +588,7 @@ def _canonical_url_sql(url: str) -> str:
         || regexp_replace(regexp_replace(lower(regexp_extract(
                regexp_replace({url}, '#.*$', ''),
                '^[A-Za-z]+://([^/?#]*)', 1)),
-               ':(443|80)$', ''), '^www\\.', '')
+               ':(443|80)$', ''), '^(www\\.)+', '')
         || regexp_replace(regexp_extract(
                regexp_replace({url}, '#.*$', ''),
                '^[A-Za-z]+://[^/?#]*([^?#]*)', 1), '/+$', '')
@@ -647,10 +676,28 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("nat_micro").alias("sum_micro"),
     )
     nll = F.round(F.col("sum_micro") / F.col("n_tokens")).cast("long")
-    return per_doc.select(
+    scored = per_doc.select(
         "doc_id", "n_tokens",
         nll.alias("nll_micro"),
         (nll <= NLL_KEEP_MAX_MICRO).alias("keep_head"),
+    )
+    # Membership invariant (the r10 cleaning-family rule, extended
+    # here by the r14 review): a doc with ZERO letter tokens has no
+    # per_tok rows, so without the join-back it silently vanished
+    # from the verdict relation — and a downstream inner join on the
+    # verdict would drop it from the corpus unjudged. Unjudgeable
+    # docs keep an explicit row: n_tokens 0, NULL score, keep_head
+    # true (the filter never judged them; dropping is a judgment).
+    return (
+        tables.load(spark, sf_dir, "documents").select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long")
+            .alias("n_tokens"),
+            "nll_micro",
+            F.coalesce("keep_head", F.lit(True)).alias("keep_head"),
+        )
     )
 
 
@@ -670,14 +717,9 @@ QUERIES = {
 
 LAZY_ORACLES = {"quality_probe": _probe_oracle_lazy}
 
-_SHINGLES_SQL = f"""
-    toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
-    sh AS (
-        SELECT DISTINCT doc_id,
-               unnest({_grams_sql('ts', DECON_N)}) AS shingle
-        FROM toks
-    )
-"""
+# the toks/sh derivation is quality._DECON_SHINGLES_CTES — ONE copy
+# shared with the exact decontaminate oracle it twins (r14 review)
+_SHINGLES_SQL = _DECON_SHINGLES_CTES
 
 _LINES_SQL = f"""
     toks AS (SELECT doc_id, {_TOKS_SQL} AS ts FROM documents),
@@ -753,15 +795,26 @@ ORACLES = {
                    THEN 1 ELSE 0 END AS is_eval
             FROM train
         )
-        SELECT doc_id,
-               cast(count(*) AS bigint) AS n_shingles,
-               cast(sum(maybe) AS bigint) AS bloom_hits,
-               cast(sum(is_eval) AS bigint) AS exact_hits,
-               cast(sum(maybe) - sum(is_eval) AS bigint)
-                   AS n_false_pos,
-               (sum(CASE WHEN is_eval = 1 AND maybe = 0
-                         THEN 1 ELSE 0 END) = 0) AS sound
-        FROM probed GROUP BY doc_id
+        , verdicts AS (
+            SELECT doc_id,
+                   cast(count(*) AS bigint) AS n_shingles,
+                   cast(sum(maybe) AS bigint) AS bloom_hits,
+                   cast(sum(is_eval) AS bigint) AS exact_hits,
+                   cast(sum(maybe) - sum(is_eval) AS bigint)
+                       AS n_false_pos,
+                   (sum(CASE WHEN is_eval = 1 AND maybe = 0
+                             THEN 1 ELSE 0 END) = 0) AS sound
+            FROM probed GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(n_shingles, 0) AS n_shingles,
+               coalesce(bloom_hits, 0) AS bloom_hits,
+               coalesce(exact_hits, 0) AS exact_hits,
+               coalesce(n_false_pos, 0) AS n_false_pos,
+               coalesce(sound, true) AS sound
+        FROM (SELECT doc_id FROM documents
+              WHERE doc_id % {DECON_EVAL_MOD} <> 0) d
+        LEFT JOIN verdicts USING (doc_id)
     """,
     "boilerplate_line_stats": f"""
         WITH {_LINES_SQL},
@@ -820,11 +873,12 @@ ORACLES = {
                    sum(nat_micro) AS sum_micro
             FROM per_tok GROUP BY doc_id
         )
-        SELECT doc_id, cast(n_tokens AS bigint) AS n_tokens,
+        SELECT d.doc_id,
+               cast(coalesce(n_tokens, 0) AS bigint) AS n_tokens,
                cast(round(sum_micro / n_tokens) AS bigint) AS nll_micro,
-               (cast(round(sum_micro / n_tokens) AS bigint)
-                    <= {NLL_KEEP_MAX_MICRO}) AS keep_head
-        FROM per_doc
+               coalesce(cast(round(sum_micro / n_tokens) AS bigint)
+                            <= {NLL_KEEP_MAX_MICRO}, true) AS keep_head
+        FROM documents d LEFT JOIN per_doc USING (doc_id)
     """,
     "url_canonicalize": f"""
         SELECT doc_id, {_URL_SQL} AS url,

@@ -339,11 +339,17 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source weighted corpus sampling (the Pile/Dolma-style
     mixture step): each source s gets rate 5+5*(idx(s)%10) percent,
-    selected by deterministic hash bucket, zero shuffle."""
+    selected by deterministic hash bucket, zero shuffle. A source
+    name with NO digit run has no configured rate: try_cast yields
+    NULL and the NULL-strict `bucket < rate` excludes it — identical
+    in DuckDB's TRY_CAST twin. (Plain cast('' as long) under the
+    session's ANSI mode ABORTED the whole query on such a source —
+    r14 review, reproduced live.)"""
     from mapreduce_go_spark.operators.pipeline import _BUCKET_SPARK
 
     docs = tables.load(spark, sf_dir, "documents")
-    src_idx = F.regexp_extract(F.col("source"), "([0-9]+)", 1).cast("long")
+    src_idx = F.regexp_extract(F.col("source"), "([0-9]+)", 1) \
+        .try_cast("long")
     rate = 5 + 5 * (src_idx % 10)
     bucket = _BUCKET_SPARK(F.col("doc_id"))
     return (
@@ -1115,8 +1121,12 @@ def _dup_frac_sql(g: str) -> str:
     )
 
 
-_DECON_SHINGLES_SQL = f"""
-    WITH toks AS (
+# WITH-less fragment: corpus.py's bloom_decontaminate oracle splices
+# the SAME toks/sh derivation into its own WITH list — one copy, so a
+# DECON_N or tokenizer change cannot silently diverge the twins
+# (r14 review; the _HLL_FOLD_SQL single-copy discipline from r10)
+_DECON_SHINGLES_CTES = f"""
+    toks AS (
         SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
     ),
     sh AS (
@@ -1125,6 +1135,8 @@ _DECON_SHINGLES_SQL = f"""
         FROM toks
     )
 """
+
+_DECON_SHINGLES_SQL = "\n    WITH " + _DECON_SHINGLES_CTES.lstrip()
 
 ORACLES = {
     "repetition_stats": f"""
@@ -1362,8 +1374,8 @@ def _domain_mix_sql() -> str:
     return f"""
         WITH base AS (
             SELECT doc_id, source,
-                   5 + 5 * (cast(regexp_extract(source, '[0-9]+')
-                                 AS bigint) % 10) AS rate,
+                   5 + 5 * (try_cast(regexp_extract(source, '[0-9]+')
+                                     AS bigint) % 10) AS rate,
                    {_BUCKET_SQL.format(col='doc_id')} AS bucket
             FROM documents
         )

@@ -305,3 +305,69 @@ def test_url_canonicalize_strips_mixed_case_utm(spark):
     out = [r.c for r in
            df.select(_canonical_url(F.col("url")).alias("c")).collect()]
     assert out[0] == out[1] == out[2], out
+
+
+def test_url_canonical_idempotent_on_stacked_www(spark):
+    """r14 review (reproduced live): '^www\\.' stripped only ONE
+    leading prefix, so canon() was not idempotent on real-crawl
+    stacked hosts (www.www.example.com) and url_dedup split their
+    groups. '^(www\\.)+' strips them all in one pass."""
+    from mapreduce_go_spark.operators.corpus import _canonical_url
+
+    df = spark.createDataFrame(
+        [(1, "HTTPS://WWW.www.Example.COM:443/Path/"),
+         (2, "https://example.com/Path"),
+         (3, "http://www.www.www.x.com/p")],
+        "doc_id long, url string")
+    out = [r.c for r in
+           df.select(_canonical_url(F.col("url")).alias("c")).collect()]
+    assert out[0] == out[1] == "https://example.com/Path", out
+    assert out[2] == "http://x.com/p", out
+
+
+def test_domain_mix_rate_tolerates_digitless_source(spark):
+    """r14 review (reproduced live): under the session's default ANSI
+    mode, a source name with no digit run made cast('' as long) abort
+    the whole domain_mix_sample query; try_cast yields NULL and the
+    NULL-strict sampling predicate excludes the source instead."""
+    df = spark.createDataFrame([("web",), ("src3",)], "source string")
+    idx = F.regexp_extract(F.col("source"), "([0-9]+)", 1) \
+        .try_cast("long")
+    rows = {r.source: r.idx
+            for r in df.select("source", idx.alias("idx")).collect()}
+    assert rows == {"web": None, "src3": 3}
+
+
+def test_cleaning_verdicts_preserve_corpus_membership(spark,
+                                                      monkeypatch):
+    """r14 review: unigram_logprob_filter dropped docs with zero
+    letter tokens and bloom_decontaminate dropped train docs with
+    fewer than DECON_N tokens — both now emit an explicit unjudged
+    row (zero counts, keep/sound true) so a downstream inner join on
+    the verdict can never silently change corpus membership (the r10
+    cleaning-family invariant)."""
+    from mapreduce_go_spark import tables as tables_mod
+    from mapreduce_go_spark.operators.quality import DECON_EVAL_MOD
+
+    assert 1 % DECON_EVAL_MOD != 0 and 2 % DECON_EVAL_MOD != 0
+    tiny = spark.createDataFrame(
+        [(1, "1234 !!"),                      # zero letter tokens
+         (2, "only four letter tokens"),      # < DECON_N shingles
+         (3, "six letter tokens are just enough here")],
+        "doc_id long, text string")
+    monkeypatch.setattr(tables_mod, "load",
+                        lambda spark_, sf_, name: tiny)
+
+    uni = {r.doc_id: r for r in
+           corpus.unigram_logprob_filter(spark, "ignored").collect()}
+    assert set(uni) == {1, 2, 3}
+    assert (uni[1].n_tokens, uni[1].nll_micro, uni[1].keep_head) == \
+        (0, None, True)
+    assert uni[2].n_tokens == 4 and uni[2].nll_micro is not None
+
+    bl = {r.doc_id: r for r in
+          corpus.bloom_decontaminate(spark, "ignored").collect()}
+    assert set(bl) == {1, 2, 3}
+    assert (bl[1].n_shingles, bl[1].sound) == (0, True)
+    assert (bl[2].n_shingles, bl[2].sound) == (0, True)
+    assert bl[3].n_shingles > 0

@@ -613,8 +613,12 @@ def _fuzz_urls(draw):
     ?/&/&&, and fragments (incl. ?- and /-bearing ones)."""
     scheme = draw(st.sampled_from(
         ["http", "https", "HTTP", "HTTPS", "HtTpS", "ftp"]))
-    www = draw(st.sampled_from(["", "www.", "WWW.", "WwW."]))
-    label = st.text(alphabet="abcXZ019-", min_size=1, max_size=6)
+    # stacked prefixes + a 'w'-bearing label alphabet: the r14 review
+    # found canon() non-idempotent on www.www.* hosts precisely
+    # because this alphabet had no 'w' to ever form one
+    www = draw(st.sampled_from(["", "www.", "WWW.", "WwW.",
+                                "www.www.", "WWW.www."]))
+    label = st.text(alphabet="abcwXZ019-", min_size=1, max_size=6)
     host = ".".join(draw(st.lists(label, min_size=1, max_size=3)))
     port = draw(st.sampled_from(["", ":80", ":443", ":8080", ":8443"]))
     seg = st.text(alphabet="aBc019._~%-", min_size=0, max_size=6)
