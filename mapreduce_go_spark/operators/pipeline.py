@@ -27,11 +27,21 @@ _BUCKET_SPARK = lambda col: (  # noqa: E731
     F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
     .cast("long") % 100
 )
-_BUCKET_SQL = ("(list_reduce(list_prepend(cast(0 AS bigint),"
-               " list_transform(regexp_split_to_array("
-               "substring(md5(cast({col} AS varchar)), 1, 8), ''),"
-               " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
-               " (acc, v) -> acc * 16 + v) % 100)")
+
+
+def _md5_fold_sql(expr: str, n: int = 8, mod=None) -> str:
+    """md5({expr}) first-n hex nibbles folded to a bigint, optionally
+    % mod — ONE derivation (built on dedup's shared _HEX2INT device)
+    for every oracle-side bucket/sign/key in this module. The r14
+    review found FOUR hand-expanded copies of this byte-sensitive
+    fold here; an escaping fix applied to one but not the others
+    would silently break only that oracle's cross-engine parity."""
+    from mapreduce_go_spark.operators.dedup import _HEX2INT
+
+    core = _HEX2INT.format(expr=f"substring(md5({expr}), 1, {n})")
+    return f"({core} % {mod})" if mod is not None else f"({core})"
+
+_BUCKET_SQL = _md5_fold_sql("cast({col} AS varchar)", 8, 100)
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -737,11 +747,7 @@ def _pretrain_sql() -> str:
 
 # DuckDB twin of the FH bucket/sign md5-prefix arithmetic (the same
 # hex fold quality's oracles use), over a chunk-token expression.
-_FH_FOLD = ("(list_reduce(list_prepend(cast(0 AS bigint),"
-            " list_transform(regexp_split_to_array(substring(md5("
-            "{prefix} || tok), 1, 8), ''),"
-            " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
-            " (acc, v) -> acc * 16 + v) % {mod})")
+_FH_FOLD = _md5_fold_sql("{prefix} || tok", 8, "{mod}")
 
 
 def _retrieval_sql() -> str:
@@ -812,13 +818,7 @@ def _retrieval_sql() -> str:
 
 # salted md5 nibble-fold -> bucket 0..DSIR_BUCKETS-1 (the _BUCKET_SQL
 # device with the dsir salt and a parametric modulus)
-_DSIR_BUCKET_SQL = (
-    "(list_reduce(list_prepend(cast(0 AS bigint),"
-    " list_transform(regexp_split_to_array("
-    "substring(md5('dsir:' || tok), 1, 8), ''),"
-    " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
-    f" (acc, v) -> acc * 16 + v) % {DSIR_BUCKETS})"
-)
+_DSIR_BUCKET_SQL = _md5_fold_sql("'dsir:' || tok", 8, DSIR_BUCKETS)
 
 ORACLES = {
     # the observation is metadata-only: rows are the plain filter
@@ -958,10 +958,11 @@ ORACLES = {
 }
 
 
-ORACLES["weighted_sample_per_source"] = """
+ORACLES["weighted_sample_per_source"] = f"""
     WITH keyed AS (
         SELECT source, doc_id, n_chars,
-               ln(((list_reduce(list_prepend(cast(0 AS bigint), list_transform(regexp_split_to_array(substring(md5('ws:' || cast(doc_id AS varchar)), 1, 13), ''), c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))), (acc, v) -> acc * 16 + v)) + 1) / 4503599627370497.0)
+               ln(({_md5_fold_sql("'ws:' || cast(doc_id AS varchar)", 13)} + 1)
+                  / 4503599627370497.0)
                    / cast(greatest(n_chars, 1) AS double) AS key
         FROM documents
     ),

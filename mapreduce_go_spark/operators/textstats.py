@@ -61,7 +61,11 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").alias("n_chars"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
-        dround(tok_chars / F.size(toks), 6).alias("mean_tok_len"),
+        # NULL, not ANSI DIVIDE_BY_ZERO, for a doc with no letter
+        # tokens — the oracle's len(toks)=0 division is NULL (r14
+        # review, reproduced live on a digits-only doc)
+        dround(F.when(F.size(toks) > 0, tok_chars / F.size(toks)), 6)
+        .alias("mean_tok_len"),
     )
 
 
@@ -91,7 +95,10 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(ws).alias("n_ws_tokens"),
         F.size(bpe_toks).alias("n_bpe_tokens"),
-        dround(F.size(bpe_toks).cast("double") / F.size(ws), 6)
+        # same NULL-not-crash guard as bpe_subword_tokens' ratio: a
+        # whitespace-only doc has n_ws_tokens=0 (r14 review)
+        dround(F.when(F.size(ws) > 0,
+                      F.size(bpe_toks).cast("double") / F.size(ws)), 6)
         .alias("fertility"),
     )
 
@@ -275,9 +282,17 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tables.load(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
     n_tok = F.size(toks)
-    stop_ratio = _marker_count(toks, STOPWORDS) / n_tok
+    # NULL ratios (and hence NULL quality, by NULL propagation
+    # through the linear blend) for docs the score cannot judge —
+    # zero letter tokens / empty text. Unguarded, the session's ANSI
+    # mode aborted the WHOLE query (and corpus_clean/pretrain_corpus
+    # joining it) with DIVIDE_BY_ZERO where the oracle defines a
+    # NULL-quality row (r14 review, reproduced live).
+    stop_ratio = F.when(n_tok > 0,
+                        _marker_count(toks, STOPWORDS) / n_tok)
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
-    alpha_ratio = alpha_chars / F.length("text")
+    alpha_ratio = F.when(F.length("text") > 0,
+                         alpha_chars / F.length("text"))
     len_sat = F.least(F.length("text") / F.lit(2000.0), F.lit(1.0))
     score = 0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_sat
     return docs.select(
@@ -342,16 +357,24 @@ def _arrow_stats_batches(batches):
         # pc.round defaults to HALF_TO_EVEN (banker's); the repo grid
         # convention (and DuckDB) round half AWAY from zero, and the
         # fixture hits true half-integers (105/128 * 1e6 = 820312.5)
+        # NULL letter_ratio for empty docs: 0.0/0.0 is NaN and the
+        # int64 cast of NaN kills the Python worker where the oracle
+        # defines a NULL row (r14 review, reproduced live). Divide by
+        # a masked denominator, then null out the masked rows.
+        nz = pc.greater(n_chars, 0)
+        den = pc.if_else(nz, n_chars, pa.scalar(1, n_chars.type))
         ratio = pc.round(pc.divide(
             pc.multiply(pc.cast(n_letters, pa.float64()), 1_000_000.0),
-            pc.cast(n_chars, pa.float64())),
+            pc.cast(den, pa.float64())),
             round_mode="half_towards_infinity")
+        ratio_i = pc.if_else(nz, pc.cast(ratio, pa.int64()),
+                             pa.scalar(None, pa.int64()))
         yield pa.RecordBatch.from_arrays(
             [batch.column("doc_id"),
              pc.cast(n_tokens, pa.int64()),
              pc.cast(n_letters, pa.int64()),
              pc.cast(n_chars, pa.int64()),
-             pc.cast(ratio, pa.int64())],
+             ratio_i],
             ["doc_id", "n_tokens", "n_letters", "n_chars",
              "letter_ratio_micro"])
 

@@ -92,3 +92,38 @@ def test_unicode_letter_semantics(spark):
     assert {w for w in words if any(c in w for c in "²٤٥_😀2")} == set()
     # the Arabic-Indic digit splits a͏٤b into two tokens
     assert {"a", "b"} <= words
+
+
+def test_text_stats_tolerate_degenerate_docs(spark, monkeypatch):
+    """r14 review (all four reproduced live): a digits-only, empty,
+    or whitespace-only document made token_stats / bpe_token_stats /
+    quality_score abort under the session's ANSI mode
+    (DIVIDE_BY_ZERO) and killed arrow_text_stats' Python worker (NaN
+    -> int64 cast), while every oracle defines NULL for the
+    unjudgeable ratio. The fixtures carry no such docs, which is why
+    these survived thirteen rounds — pin them on a synthetic tiny
+    corpus."""
+    from mapreduce_go_spark import tables as tables_mod
+    from mapreduce_go_spark.operators import textstats as ts
+
+    tiny = spark.createDataFrame(
+        [(1, "12345 678!"), (2, ""), (3, "  \t  "),
+         (4, "plain words here")],
+        "doc_id long, text string")
+    monkeypatch.setattr(tables_mod, "load",
+                        lambda spark_, sf_, name: tiny)
+
+    r = {x.doc_id: x for x in ts.token_stats(spark, "i").collect()}
+    assert r[1].mean_tok_len is None and r[4].mean_tok_len is not None
+
+    r = {x.doc_id: x for x in ts.bpe_token_stats(spark, "i").collect()}
+    assert r[3].fertility is None and r[4].fertility is not None
+
+    r = {x.doc_id: x for x in ts.quality_score(spark, "i").collect()}
+    assert r[1].stop_ratio is None and r[1].quality is None
+    assert r[2].alpha_ratio is None and r[2].quality is None
+    assert r[4].quality is not None
+
+    r = {x.doc_id: x for x in ts.arrow_text_stats(spark, "i").collect()}
+    assert r[2].letter_ratio_micro is None
+    assert r[4].letter_ratio_micro is not None
