@@ -126,6 +126,34 @@ _SHINGLES_SQL = f"""
 """
 
 
+def _exact_jaccard_tail(inter: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Shared verify tail over a (d1, d2, inter) relation + per-doc
+    set sizes: the dround'ed jaccard column and the EXACT rational
+    threshold D*inter >= N*(union) in int64 — NOT the rounded double
+    (a rounding-promoted J in [t - 5e-7, t) passed the dround >= t
+    test but is outside the PPJoin filter lemmas, so the plain and
+    prefix forms could diverge on such a pair; r14 review). One copy:
+    ngram_jaccard_pairs and dedup_verified_pairs (the production
+    path) both run it, so a jaccard/threshold change lands once.
+
+    No broadcast hint on sizes: one row PER DOCUMENT — corpus-sized,
+    a forced broadcast would OOM the driver at the very scale this is
+    the production path for; AQE broadcasts while it fits (r10)."""
+    sa = sizes.select(F.col("doc_id").alias("d1"),
+                      F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("d2"),
+                      F.col("n_sh").alias("nb"))
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn("jaccard", dround(F.col("inter") / union, 6))
+        .where(F.lit(JACCARD_T_DEN) * F.col("inter")
+               >= F.lit(JACCARD_T_NUM) * union)
+        .select("d1", "d2", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact near-dup pairs: word-3-gram Jaccard >= 0.5, d1 < d2.
 
@@ -144,29 +172,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("nb"))
-    # no broadcast hint on sizes: it is one row PER DOCUMENT — corpus-
-    # sized, so a forced broadcast would override the engine's size
-    # threshold and OOM the driver at the very scale this query is
-    # the production path for. AQE broadcasts it while it fits and
-    # falls back to a shuffle join when it doesn't (review r10).
-    return (
-        inter.join(sa, "d1")
-        .join(sb, "d2")
-        .withColumn(
-            # dround, not plain round: a raw-double round diverges
-            # across engines at .xx5 boundaries and would flip the
-            # >= threshold filter differently per engine.
-            "jaccard",
-            dround(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("d1", "d2", "jaccard")
-    )
+    return _exact_jaccard_tail(inter, sizes)
 
 
 def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
@@ -176,8 +182,6 @@ def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
     the Zipf-regime candidate measurements (tests/test_zipf.py) both
     consume it, so the measured candidate counts are always counts of
     the shipped plan (r13 review)."""
-    from pyspark.sql import Window
-
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     wp = Window.partitionBy("doc_id").orderBy("df", "shingle")
@@ -273,11 +277,14 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession,
         .join(sets.select(F.col("doc_id").alias("d2"),
                           F.col("ss").alias("s2")), "d2")
         .withColumn("inter", F.size(F.array_intersect("s1", "s2")))
-        .withColumn(
-            "jaccard",
-            dround(F.col("inter")
-                   / (F.size("s1") + F.size("s2") - F.col("inter")), 6))
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .withColumn("union",
+                    F.size("s1") + F.size("s2") - F.col("inter"))
+        .withColumn("jaccard", dround(F.col("inter") / F.col("union"), 6))
+        # the EXACT rational threshold (see _exact_jaccard_tail): the
+        # filter lemmas guarantee recall for J >= t exactly, so the
+        # verify must test exactly that, not the rounded double
+        .where(F.lit(JACCARD_T_DEN) * F.col("inter")
+               >= F.lit(JACCARD_T_NUM) * F.col("union"))
         .select("d1", "d2", "jaccard")
     )
 
@@ -436,29 +443,7 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("inter"))
     )
-    sa = sizes.select(F.col("doc_id").alias("d1"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("d2"), F.col("n_sh").alias("nb"))
-    # no broadcast hint on sizes: it is one row PER DOCUMENT — corpus-
-    # sized, so a forced broadcast would override the engine's size
-    # threshold and OOM the driver at the very scale this query is
-    # the production path for. AQE broadcasts it while it fits and
-    # falls back to a shuffle join when it doesn't (review r10).
-    return (
-        inter.join(sa, "d1")
-        .join(sb, "d2")
-        .withColumn(
-            # dround, not plain round: a raw-double round diverges
-            # across engines at .xx5 boundaries and would flip the
-            # >= threshold filter differently per engine.
-            "jaccard",
-            dround(
-                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
-                6,
-            ),
-        )
-        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("d1", "d2", "jaccard")
-    )
+    return _exact_jaccard_tail(inter, sizes)
 
 
 def _dup_doc_ids(bands: DataFrame, cap: int | None = None) -> DataFrame:
@@ -739,17 +724,22 @@ def neardup_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 # >= WINNOW_W + WINNOW_K - 1 contributes at least one shared
 # fingerprint. The argmin-with-tiebreak is encoded ARITHMETICALLY so
 # a plain window MIN computes it identically in Spark and DuckDB:
-# c(i) = h8(i) * 2^20 + (2^20 - 1 - i), h8 < 2^32 -> c < 2^52 (exact
-# in int64 and double); decode pos/fp back out of the winning value.
-# Positions must stay < 2^20 (1M chars/doc) — document-length
-# contract, far above the fixtures. K calibration: 5-char grams are
+# c(i) = h8(i) * 2^31 + (2^31 - 1 - i), h8 < 2^32 -> c <= 2^63 - 1
+# (fits int64 EXACTLY; both decodes are integer div/mod, never the
+# double path); decode pos/fp back out of the winning value. r14
+# review: the old 2^20 width silently CORRUPTED fingerprints for
+# documents >= 2^20 chars (a 1.1 MB web page) — position borrowed
+# into h8, decoding to fp-1 and garbage pos with no error. 2^31
+# supports 2 GiB documents (the engine's own string ceiling), and
+# selection is IDENTICAL for any in-range doc (h8 still dominates,
+# same tie-break), so fp/pos values are unchanged. K calibration: 5-char grams are
 # corpus-common in natural text (winnowing's min-selection then picks
 # the same globally-small hashes everywhere — measured: every doc
 # pair shared <= 2 under-cap fps); 10-char grams are discriminative
 # (fixture near-dups share 11-18 fps, random pairs 0-2).
 WINNOW_K = 10
 WINNOW_W = 8
-_POS_M = 1 << 20
+_POS_M = 1 << 31
 
 
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -794,7 +784,9 @@ def winnow_fingerprints_df(docs: DataFrame) -> DataFrame:
         wins.select(
             "doc_id",
             (_POS_M - 1 - F.col("m") % _POS_M).cast("int").alias("pos"),
-            F.floor(F.col("m") / _POS_M).cast("long").alias("fp"),
+            # integer div, NOT floor(m / M): the double division is
+            # only exact below 2^52 and c now fills int64
+            F.expr(f"m div {_POS_M}").cast("long").alias("fp"),
         )
         .distinct()
     )
@@ -1182,6 +1174,12 @@ def cluster_labels(spark: SparkSession, sf_dir: str,
         .select(F.col("d1").alias("doc_id"), "label")
         .cache()
     )
+    # handle to the round's CACHED frame: unpersist() only removes
+    # entries whose plan sameResults the receiver, so calling it on
+    # the derived select('doc_id','label') was a silent no-op from
+    # round 2 on — one leaked MEMORY_AND_DISK label relation per
+    # round per call until session end (r14 review)
+    prev_cached = labels
     converged = False
     # Diameter bound: label propagation needs O(graph diameter)
     # rounds; near-dup clusters are tiny (2-3) but a pathological
@@ -1205,16 +1203,23 @@ def cluster_labels(spark: SparkSession, sf_dir: str,
                 F.least(F.col("label"), F.col("nbr_label")).alias("label"),
                 (F.col("nbr_label") < F.col("label")).alias("chg"),
             )
-            .cache()
         )
         if persist_each_round:
             # materialize + truncate lineage: the plan below this
             # point starts from the checkpointed rows, not from
-            # `rounds` stacked joins
+            # `rounds` stacked joins. No .cache() underneath — reads
+            # go through the checkpoint RDD, so a pre-checkpoint
+            # cache entry would be pure leaked storage (r14 review).
             new_labels = new_labels.localCheckpoint()
+            new_cached = None
+        else:
+            new_labels = new_labels.cache()
+            new_cached = new_labels
         changed = new_labels.where("chg").limit(1).count()
-        # ^ materializes new_labels, so the old cache can go
-        labels.unpersist()
+        # ^ materializes new_labels, so the old round's cache can go
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = new_cached
         labels = new_labels.select("doc_id", "label")
         if changed == 0:
             converged = True
@@ -1426,11 +1431,13 @@ _VERIFIED_PAIRS_CTES = f""",
         GROUP BY c.d1, c.d2
     ),
     jpairs AS (
-        SELECT d1, d2 FROM inter
+        SELECT d1, d2,
+               {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} AS jaccard
+        FROM inter
         JOIN sizes sa ON sa.doc_id = d1
         JOIN sizes sb ON sb.doc_id = d2
-        WHERE {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)}
-              >= {JACCARD_THRESHOLD}
+        WHERE {JACCARD_T_DEN} * i
+              >= {JACCARD_T_NUM} * (sa.n_sh + sb.n_sh - i)
     )
 """
 
@@ -1495,7 +1502,321 @@ ORACLES = {
         FROM inter
         JOIN sizes sa ON sa.doc_id = d1
         JOIN sizes sb ON sb.doc_id = d2
-        WHERE {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} >= {JACCARD_THRESHOLD}
+        WHERE {JACCARD_T_DEN} * i
+              >= {JACCARD_T_NUM} * (sa.n_sh + sb.n_sh - i)
+    """,
+    "minhash_signatures": _MINHASH_SQL + """
+        SELECT doc_id, seed, minhash FROM sig
+    """,
+    "dedup_minhash_pairs": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        )
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM bands x JOIN bands y USING (band, band_key)
+        WHERE x.doc_id < y.doc_id
+    """,
+    "neardup_flags": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        ),
+        later AS (
+            SELECT DISTINCT y.doc_id
+            FROM bands x JOIN bands y USING (band, band_key)
+            WHERE x.doc_id < y.doc_id
+        )
+        SELECT d.doc_id, (l.doc_id IS NOT NULL) AS dup
+        FROM documents d LEFT JOIN later l ON l.doc_id = d.doc_id
+    """,
+    "neardup_flags_capped": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY band, band_key
+                                      ORDER BY doc_id) AS rn
+            FROM bands
+        ),
+        later AS (
+            SELECT DISTINCT doc_id FROM ranked
+            WHERE rn >= 2 AND rn <= {LSH_BUCKET_CAP} + 1
+        )
+        SELECT d.doc_id, (l.doc_id IS NOT NULL) AS dup
+        FROM documents d LEFT JOIN later l ON l.doc_id = d.doc_id
+    """,
+    "dedup_minhash_pairs_capped": _MINHASH_SQL + f""",
+        bands AS (
+            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+                   md5(string_agg(cast(minhash AS varchar), ','
+                                  ORDER BY seed)) AS band_key
+            FROM sig GROUP BY 1, 2
+        ),
+        sized AS (
+            SELECT doc_id, band, band_key,
+                   count(*) OVER (PARTITION BY band, band_key) AS bsz
+            FROM bands
+        ),
+        ok AS (SELECT doc_id, band, band_key FROM sized
+               WHERE bsz <= {LSH_BUCKET_CAP})
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM ok x JOIN ok y USING (band, band_key)
+        WHERE x.doc_id < y.doc_id
+    """,
+    # composed from the SAME CTE chain LABELS_CTE_SQL / the
+    # dedup_clusters oracle consume (_VERIFIED_PAIRS_CTES) — the r14
+    # review found a verbatim re-inline here, the exact two-copies
+    # drift the Spark side eliminated in r13
+    "dedup_verified_pairs": _MINHASH_SQL + _VERIFIED_PAIRS_CTES + """
+        SELECT d1, d2, jaccard FROM jpairs
+    """,
+    "minhash_jaccard_estimate": minhash_jaccard_estimate,
+    "simhash": simhash,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
+    "simhash_neardup_pairs_capped": simhash_neardup_pairs_capped,
+    "dedup_clusters": dedup_clusters,
+    "cdc_chunks": cdc_chunks,
+    "cdc_dup_chunks": cdc_dup_chunks,
+    "cdc_dedup_ratio": cdc_dedup_ratio,
+    "winnow_fingerprints": winnow_fingerprints,
+    "winnow_overlap_pairs": winnow_overlap_pairs,
+    "dup_span_stats": dup_span_stats,
+    "strip_dup_spans": strip_dup_spans,
+}
+
+# hex -> bigint by folding nibbles (DuckDB has no conv())
+_HEX2INT = ("list_reduce(list_prepend(cast(0 AS bigint),"
+            " list_transform(regexp_split_to_array({expr}, ''),"
+            " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
+            " (acc, v) -> acc * 16 + v)")
+
+# DuckDB twin of the winnowing pipeline: same arithmetic argmin
+# encoding, same window min — the selection is engine-portable by
+# construction.
+_WINNOW_SQL = f"""
+    WITH docs0 AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, i, n - {WINNOW_K - 1} AS g,
+               ({_HEX2INT.format(
+                   expr=f"substring(md5(substring(text, cast(i AS int),"
+                        f" {WINNOW_K})), 1, 8)")}) AS h8
+        FROM docs0, unnest(generate_series(1, n - {WINNOW_K - 1})) AS gs(i)
+    ),
+    comp AS (
+        SELECT doc_id, i, g,
+               h8 * {_POS_M} + ({_POS_M} - 1 - i) AS c
+        FROM grams
+    ),
+    wins AS (
+        SELECT doc_id, i, g,
+               min(c) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW
+                            AND {WINNOW_W - 1} FOLLOWING) AS m
+        FROM comp
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id,
+               cast({_POS_M} - 1 - (m % {_POS_M}) AS int) AS pos,
+               cast(m // {_POS_M} AS bigint) AS fp
+        FROM wins WHERE i <= g - {WINNOW_W - 1}
+    )
+"""
+
+# DuckDB twin of the duplicated-span pipeline (dup_span_stats /
+# strip_dup_spans): same token list, same 1-based window hashes.
+_DUPSPAN_SQL = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
+                           x -> x <> '') AS ts
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, cast(i AS int) AS p, ts[cast(i AS int)] AS tok,
+               CASE WHEN i + {DUP_SPAN_K - 1} <= len(ts) THEN
+                    md5(array_to_string(
+                        ts[cast(i AS int):cast(i + {DUP_SPAN_K - 1} AS int)],
+                        ' '))
+               END AS whash
+        FROM toks, unnest(generate_series(1, len(ts))) AS g(i)
+    ),
+    cnt AS (
+        SELECT whash, count(*) AS c FROM tok
+        WHERE whash IS NOT NULL GROUP BY whash
+    )
+"""
+
+# DuckDB twin of the CDC chunking pipeline (cdc_chunks).
+_CDC_CHUNKS_SQL = f"""
+    WITH docs0 AS (
+        SELECT doc_id, text, length(text) AS n FROM documents
+    ),
+    bnd AS (
+        SELECT doc_id, i
+        FROM docs0, unnest(generate_series(2, n - {CDC_K - 1})) AS g(i)
+        WHERE ({_HEX2INT.format(
+            expr=f"substring(md5(substring(text, cast(i AS int),"
+                 f" {CDC_K})), 1, 8)")}) % {CDC_P} = 0
+    ),
+    bl AS (
+        SELECT doc_id, list_sort(list(i)) AS bs FROM bnd GROUP BY doc_id
+    ),
+    wdocs AS (
+        SELECT d.doc_id, d.text, d.n,
+               coalesce(b.bs, cast([] AS bigint[])) AS bs
+        FROM docs0 d LEFT JOIN bl b USING (doc_id)
+    ),
+    spans AS (
+        SELECT doc_id, text, n, bs,
+               unnest(generate_series(1, len(bs) + 1)) AS j
+        FROM wdocs
+    ),
+    bounds AS (
+        SELECT doc_id, text, cast(j - 1 AS int) AS chunk_no,
+               cast(CASE WHEN j = 1 THEN 1
+                    ELSE bs[cast(j - 1 AS int)] END AS int) AS s,
+               cast(CASE WHEN j = len(bs) + 1 THEN n
+                    ELSE bs[cast(j AS int)] - 1 END AS int) AS e
+        FROM spans
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_no, cast(e - s + 1 AS int) AS chunk_len,
+               md5(substring(text, s, e - s + 1)) AS chunk_md5,
+               substring(text, s, e - s + 1) AS chunk_text
+        FROM bounds
+    )
+"""
+
+_MINHASH_SQL = _SHINGLES_SQL + f""",
+    hashed AS (
+        SELECT doc_id,
+               {_HEX2INT.format(expr="substring(md5(shingle), 1, 14)")} AS a,
+               {_HEX2INT.format(expr="substring(md5(shingle), 15, 14)")} AS b
+        FROM shingles_all
+    ),
+    sig AS (
+        SELECT doc_id, seed, min((a + seed * b) % {MINHASH_MOD}) AS minhash
+        FROM hashed, generate_series(0, {N_MINHASH - 1}) AS s(seed)
+        GROUP BY doc_id, seed
+    )
+"""
+
+# The capped-LSH candidate -> exact-Jaccard pair pipeline as reusable
+# CTEs over `sig` (from _MINHASH_SQL) — the DuckDB twin of
+# dedup_verified_pairs / neardup_edges' plan.
+_VERIFIED_PAIRS_CTES = f""",
+    bands AS (
+        SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
+               md5(string_agg(cast(minhash AS varchar), ','
+                              ORDER BY seed)) AS band_key
+        FROM sig GROUP BY 1, 2
+    ),
+    sized AS (
+        SELECT doc_id, band, band_key,
+               count(*) OVER (PARTITION BY band, band_key) AS bsz
+        FROM bands
+    ),
+    ok AS (SELECT doc_id, band, band_key FROM sized
+           WHERE bsz <= {LSH_BUCKET_CAP}),
+    cands AS (
+        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+        FROM ok x JOIN ok y USING (band, band_key)
+        WHERE x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles
+              GROUP BY doc_id),
+    inter AS (
+        SELECT c.d1, c.d2, count(*) AS i
+        FROM cands c
+        JOIN shingles a ON a.doc_id = c.d1
+        JOIN shingles b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        GROUP BY c.d1, c.d2
+    ),
+    jpairs AS (
+        SELECT d1, d2,
+               {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE {JACCARD_T_DEN} * i
+              >= {JACCARD_T_NUM} * (sa.n_sh + sb.n_sh - i)
+    )
+"""
+
+# Recursive connected-component labels over the PRODUCTION near-dup
+# graph (capped-LSH verified pairs, = neardup_edges) — shared by the
+# dedup_clusters oracle and pipeline.corpus_clean. Until r4 this CTE
+# (and the Spark side) clustered over the standalone quadratic
+# shingle self-join; both sides now feed on the verified pipeline.
+LABELS_CTE_SQL = _MINHASH_SQL.replace(
+    "WITH toks", "WITH RECURSIVE toks") + _VERIFIED_PAIRS_CTES + """,
+    edges AS (
+        SELECT d1, d2 FROM jpairs
+        UNION ALL SELECT d2, d1 FROM jpairs
+    ),
+    reach AS (
+        SELECT doc_id AS src, doc_id AS dst FROM documents
+        UNION
+        SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
+    ),
+    labels AS (
+        SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src
+    )
+"""
+
+_SIMHASH_CTE = f"""
+    WITH tf AS (
+        SELECT doc_id, tok, count(*) AS tf, md5(tok) AS h
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(text, '{NON_LETTER_RE}'))
+                         AS tok
+              FROM documents)
+        WHERE tok <> '' GROUP BY doc_id, tok
+    ),
+    perbit AS (
+        SELECT doc_id, j,
+               CASE WHEN sum(tf * (2 * ({_BIT_SQL.format(h='h', j='j')}) - 1)) > 0
+                    THEN '1' ELSE '0' END AS bit
+        FROM tf, generate_series(0, 63) AS g(j)
+        GROUP BY doc_id, j
+    ),
+    sigs AS (
+        SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
+        FROM perbit GROUP BY doc_id
+    )
+"""
+
+ORACLES = {
+    "dedup_exact": rf"""
+        SELECT md5(lower(regexp_replace(trim(text), '{FP_WS_SQL}', ' ', 'g'))) AS fp,
+               count(*) AS n_docs, min(doc_id) AS keeper
+        FROM documents GROUP BY fp
+    """,
+    "ngram_jaccard_pairs": _SHINGLES_SQL + f""",
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+            FROM shingles a JOIN shingles b USING (shingle)
+            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
+        )
+        SELECT d1, d2,
+               {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = d1
+        JOIN sizes sb ON sb.doc_id = d2
+        WHERE {JACCARD_T_DEN} * i
+              >= {JACCARD_T_NUM} * (sa.n_sh + sb.n_sh - i)
     """,
     "minhash_signatures": _MINHASH_SQL + """
         SELECT doc_id, seed, minhash FROM sig

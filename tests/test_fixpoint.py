@@ -56,3 +56,16 @@ def test_cluster_labels_persisted_plan_depth(spark, sf_dir):
     assert _njoins(deep) <= 2
     labels = dict(sorted(map(tuple, deep.collect())))
     assert all(labels[i] == 0 for i in range(10))
+
+
+def test_cluster_labels_leaves_no_cache_behind(spark, sf_dir):
+    """r14 review: unpersist() was called on a plan derived from the
+    cached round relation (a silent no-op from round 2 on), leaking
+    one MEMORY_AND_DISK label relation per round until session end.
+    After a full run on the default (checkpointing) path, the cache
+    manager must hold nothing from this call."""
+    from mapreduce_go_spark.operators import dedup
+
+    spark.catalog.clearCache()
+    dedup.cluster_labels(spark, sf_dir).collect()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
