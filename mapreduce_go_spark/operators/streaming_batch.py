@@ -221,7 +221,11 @@ def user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RECENT_K = 5                      # last-K events kept per user
 IDLE_GAP_MS = 6 * 3600 * 1000     # idle-flush gap (6 hours)
-FLUSH_DELAY_MS = 2 * 3600 * 1000  # == streaming/jobs.WATERMARK ("2 hours")
+# THE late-data horizon, in ms — streaming/jobs derives its WATERMARK
+# string from this constant, so the batch anchors and the streaming
+# jobs cannot be edited apart (r14 review: the coupling was a comment)
+WATERMARK_MS = 2 * 3600 * 1000
+FLUSH_DELAY_MS = WATERMARK_MS
 
 
 def user_recent_events(spark: SparkSession, sf_dir: str) -> DataFrame:

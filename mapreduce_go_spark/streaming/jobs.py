@@ -30,7 +30,13 @@ from mapreduce_go_spark.functions.num import dsum
 from mapreduce_go_spark.operators.dedup import LSH_BUCKET_CAP
 from mapreduce_go_spark.operators.streaming_batch import SESSION_GAP
 
-WATERMARK = "2 hours"
+# the ONE late-data horizon, derived from the batch anchors' ms
+# constant so the two sides cannot be edited apart (r14 review: the
+# coupling lived only in a comment)
+from mapreduce_go_spark.operators.streaming_batch import (  # noqa: E402
+    WATERMARK_MS)
+
+WATERMARK = f"{WATERMARK_MS // 60000} minutes"
 
 # Committed snapshot versions kept per incremental index/rollup chain.
 # Replay safety needs only the latest committed version below the
@@ -151,28 +157,37 @@ def dedup_within_watermark(stream: DataFrame) -> DataFrame:
 
 USER_STATS_SCHEMA = ("user_id bigint, n_events bigint, total double, "
                      "last_ts timestamp")
-_USER_STATE_SCHEMA = "n bigint, total double, last_us bigint"
+_USER_STATE_SCHEMA = "n bigint, total double, nn bigint, last_us bigint"
 
 
 def _user_stats_fn(key, pdf_iter, state):
     """Custom stateful operator: running per-user count / value sum /
-    last event time, carried across micro-batches in GroupState."""
+    last event time, carried across micro-batches in GroupState.
+    NULL semantics match the batch twin (r14 review): `nn` counts the
+    non-null values seen, and an all-NULL user emits total NULL like
+    F.sum — pandas' NaN-skipping .sum() otherwise returned 0.0 for a
+    group the batch side leaves NULL. (Accumulation stays double —
+    pandas' per-chunk pairwise sum then += — which is not perfectly
+    split-invariant in the last ulp; the parity test's round(,4) has
+    ~1e11 ulps of slack, and the tws processors' int64 grid is the
+    exact alternative where exactness is the contract.)"""
     import pandas as pd
 
     if state.exists:
-        n, total, last_us = state.get
+        n, total, nn, last_us = state.get
     else:
-        n, total, last_us = 0, 0.0, 0
+        n, total, nn, last_us = 0, 0.0, 0, 0
     for pdf in pdf_iter:
         n += len(pdf)
         total += float(pdf["value"].sum())
+        nn += int(pdf["value"].notna().sum())
         last_us = max(last_us,
                       int(pdf["ts"].max().value // 1000))
-    state.update((n, total, last_us))
+    state.update((n, total, nn, last_us))
     yield pd.DataFrame({
         "user_id": [key[0]],
         "n_events": [n],
-        "total": [total],
+        "total": [total if nn else None],
         "last_ts": [pd.Timestamp(last_us, unit="us")],
     })
 
@@ -244,52 +259,52 @@ class UserTypeProfileProcessor(StatefulProcessor):
 
     def init(self, handle) -> None:
         self._map = handle.getMapState(
-            "per_type", "event_type string", "n bigint, m bigint")
+            "per_type", "event_type string",
+            "n bigint, m bigint, nn bigint")
 
     def handleInputRows(self, key, rows, timerValues):
-        import numpy as np
         import pandas as pd
 
-        from mapreduce_go_spark.functions.simd import _grid
-
-        acc: dict[str, tuple[int, int]] = {}
+        acc: dict[object, tuple[int, int, int]] = {}
         for pdf in rows:
-            # Match the batch twin's NULL semantics BEFORE _grid
-            # (whose docstring requires pre-filtered input — NaN
-            # defeats its 2^51 check and casts to INT64_MIN,
-            # silently corrupting the total; ADVICE r11): n counts
+            # _values_to_micro is the shared NULL/Inf discipline
+            # (r14 review folded the inline copy into it): n counts
             # every row (count(*)), the total sums only non-null
-            # values (F.sum skips NULLs). Arrow->pandas collapses
-            # NULL and true NaN to NaN, so a real NaN — which the
-            # batch anchor would LOUDLY reject under ANSI — is
-            # treated as NULL here; ±Inf stays distinguishable and
-            # raises like the batch side's cast overflow.
-            v = pdf["value"].to_numpy(dtype="float64")
-            if np.isinf(v).any():
-                raise ValueError(
-                    "user_type_profile_stream: infinite value — the "
-                    "batch twin fails this row under ANSI; refusing "
-                    "to diverge silently")
-            ok = ~np.isnan(v)
-            micro = np.zeros(len(v), dtype=np.int64)
-            micro[ok] = _grid(v[ok] * 1e6)
+            # values on the 1e6 int grid, ±Inf raises like the batch
+            # side's ANSI cast. `nn` tracks non-null values so an
+            # all-NULL group emits total NULL exactly like F.sum —
+            # and groupby(dropna=False) keeps the NULL event_type
+            # group the batch groupBy keeps (both r14 review; the
+            # fixtures carry no NULLs, which is how the old
+            # 0.0-and-dropped behaviors stayed invisible).
+            micro, ok = _values_to_micro(pdf)
             for et, sub in pd.DataFrame(
-                    {"event_type": pdf["event_type"], "m": micro}
-            ).groupby("event_type"):
-                n0, m0 = acc.get(et, (0, 0))
-                acc[et] = (n0 + len(sub), m0 + int(sub["m"].sum()))
-        for et, (dn, dm) in acc.items():
+                    {"event_type": pdf["event_type"], "m": micro,
+                     "ok": ok}).groupby("event_type", dropna=False):
+                k = None if pd.isna(et) else et
+                n0, m0, nn0 = acc.get(k, (0, 0, 0))
+                acc[k] = (n0 + len(sub), m0 + int(sub["m"].sum()),
+                          nn0 + int(sub["ok"].sum()))
+        for et, (dn, dm, dnn) in acc.items():
             if self._map.containsKey((et,)):
-                n0, m0 = self._map.getValue((et,))
+                n0, m0, nn0 = self._map.getValue((et,))
             else:
-                n0, m0 = 0, 0
-            self._map.updateValue((et,), (n0 + dn, m0 + dm))
+                n0, m0, nn0 = 0, 0, 0
+            self._map.updateValue((et,), (n0 + dn, m0 + dm, nn0 + dnn))
         # emit the user's FULL converged map each batch (update-mode
         # snapshot; the parity test takes the max-n row per key)
-        yield pd.DataFrame(
-            [(key[0], k[0], v[0], v[1] / 1e6)
-             for k, v in self._map.iterator()],
-            columns=["user_id", "event_type", "n", "total"])
+        rows_out = [(key[0], k[0], v[0],
+                     v[1] / 1e6 if v[2] else None)
+                    for k, v in self._map.iterator()]
+        out = pd.DataFrame(
+            rows_out, columns=["user_id", "event_type", "n", "total"])
+        # nullable Float64, NOT float64: the plain dtype coerces None
+        # to NaN, and Spark's Arrow path keeps NaN as NaN — which is
+        # NOT SQL NULL, so the all-NULL group's total would still
+        # diverge from the batch twin (r14 review)
+        out["total"] = pd.array([r[3] for r in rows_out],
+                                dtype="Float64")
+        yield out
 
     def close(self) -> None:
         pass
@@ -459,7 +474,10 @@ class UserRecentEventsProcessor(StatefulProcessor):
             ts_us = _ts_ns(pdf) // 1_000
             seen += len(pdf)
             cur.extend(
-                (int(t), int(e), str(et),
+                # pd.isna, not str(): str(None) stored the literal
+                # 'None' where the batch twin keeps SQL NULL (r14)
+                (int(t), int(e),
+                 None if pd.isna(et) else str(et),
                  int(m) if k else None)
                 for t, e, et, m, k in zip(
                     ts_us, pdf["event_id"], pdf["event_type"],
@@ -632,11 +650,15 @@ def enriched_segment_counts(stream: DataFrame,
     )
 
 
-def stream_stream_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
-    """D21 stream-stream inner join: purchases joined to same-user
-    clicks within the preceding hour. Both sides watermarked; the
-    range condition bounds each side's join state to the watermark +
-    range window (without it, stream-stream state grows forever)."""
+def _attribution_join(purchases: DataFrame, clicks: DataFrame,
+                      how: str) -> DataFrame:
+    """ONE copy of the attribution join (r14 review: the inner and
+    outer variants were verbatim copies differing only in the join
+    type): both sides watermarked, purchases joined to same-user
+    clicks within the preceding hour — the range condition bounds
+    each side's join state to the watermark + range window (without
+    it, stream-stream state grows forever; Spark additionally
+    REQUIRES it for the outer form)."""
     p = (purchases.withWatermark("ts", WATERMARK)
          .select(F.col("user_id").alias("p_user"),
                  F.col("ts").alias("p_ts"),
@@ -650,7 +672,13 @@ def stream_stream_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
         (F.col("p_user") == F.col("c_user"))
         & (F.col("c_ts") <= F.col("p_ts"))
         & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+        how,
     ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+
+
+def stream_stream_join(purchases: DataFrame, clicks: DataFrame) -> DataFrame:
+    """D21 stream-stream inner join — see _attribution_join."""
+    return _attribution_join(purchases, clicks, "inner")
 
 
 def stream_stream_join_outer(purchases: DataFrame,
@@ -662,25 +690,9 @@ def stream_stream_join_outer(purchases: DataFrame,
     must be sure no qualifying click can still arrive), so purchases
     inside the final watermark horizon are withheld at end-of-stream
     — the parity test pins that exact emission rule rather than
-    papering over it. The time-range condition is REQUIRED here:
-    Spark rejects outer stream-stream joins without an event-time
-    constraint, because unbounded state could never be declared
-    complete for the null extension."""
-    p = (purchases.withWatermark("ts", WATERMARK)
-         .select(F.col("user_id").alias("p_user"),
-                 F.col("ts").alias("p_ts"),
-                 F.col("event_id").alias("purchase_id")))
-    c = (clicks.withWatermark("ts", WATERMARK)
-         .select(F.col("user_id").alias("c_user"),
-                 F.col("ts").alias("c_ts"),
-                 F.col("event_id").alias("click_id")))
-    return p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") <= F.col("p_ts"))
-        & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        "leftOuter",
-    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+    papering over it. Join condition shared with the inner form
+    (_attribution_join)."""
+    return _attribution_join(purchases, clicks, "leftOuter")
 
 
 def _drain_foreach(stream, checkpoint_dir: str, fn) -> None:
@@ -731,6 +743,12 @@ def _prune_old_versions(out_dir: str, keep: int = SNAPSHOT_RETAIN) -> None:
     overwrite). Called only AFTER a successful _SUCCESS commit, so the
     chain always retains the snapshot the next epoch will read. The
     parquet-only stand-in for Delta/Iceberg VACUUM."""
+    if keep < 1:
+        # keep=0 would delete EVERY committed snapshot including the
+        # newest — silently resetting the incremental chain instead
+        # of retaining the snapshot the next epoch reads (r14 review)
+        raise ValueError(f"_prune_old_versions: keep must be >= 1, "
+                         f"got {keep}")
     if not os.path.isdir(out_dir):
         return
     committed = sorted(
@@ -738,7 +756,7 @@ def _prune_old_versions(out_dir: str, keep: int = SNAPSHOT_RETAIN) -> None:
         if name.startswith("v=") and name[2:].isdigit()
         and os.path.exists(os.path.join(out_dir, name, "_SUCCESS"))
     )
-    for v in committed[:-keep] if keep else committed:
+    for v in committed[:-keep]:
         shutil.rmtree(os.path.join(out_dir, f"v={v}"), ignore_errors=True)
 
 
@@ -1264,30 +1282,24 @@ def run_to_memory(spark: SparkSession, streaming_df: DataFrame,
     return spark.sql(f"SELECT * FROM {name}")
 
 
-def _drained_from_ring(zeros: list[bool],
-                       saw_input: bool) -> tuple[bool, bool]:
+def _drained_from_ring(zeros: list[bool]) -> bool:
     """The drain decision over one recentProgress snapshot (`zeros` =
     per-batch numInputRows == 0, ring order), pure so the boundary
-    cases are unit-testable. `saw_input` accumulates across POLLS:
-    requiring the input sighting from the current ring alone would
-    race ring eviction — continuous cleanup batches can push the data
-    batch out before a poll (r13 review; ring ~100 entries).
+    cases are unit-testable: drained iff the TWO most recent batches
+    both consumed nothing.
 
-    The deciding zero must be the TRAILING entry: a zero anywhere in
-    the ring can PRECEDE the first data batch (stage still populating
-    at start), so 'input seen and any zero' would stop the query
-    mid-drain with staged files unprocessed (r14 review). A trailing
-    zero after an input sighting means no files remained at that
-    moment — the static-source drain. With no input ever sighted, two
-    consecutive trailing zeros are required, so a lone batch-0 zero
-    (empty-at-start race) doesn't stop the query the instant it
-    begins."""
-    saw_input = saw_input or (bool(zeros) and not all(zeros))
-    if saw_input and zeros and zeros[-1]:
-        return True, saw_input
-    if len(zeros) >= 2 and zeros[-1] and zeros[-2]:
-        return True, saw_input
-    return False, saw_input
+    Why exactly this rule (r13+r14 reviews): a zero anywhere in the
+    ring can PRECEDE the first data batch (stage still populating at
+    start); a SINGLE trailing zero can be a zero-ROW staged file with
+    later files still unread (maxFilesPerTrigger=1 assigns it its own
+    batch) — either would stop the query mid-drain and silently
+    truncate the sink. Two consecutive trailing zeros cannot be
+    either: the file source schedules every remaining file before
+    emitting back-to-back empty batches, and the processing-time jobs
+    this runner exists for emit continuous zero-input cleanup batches
+    after the true drain, so the condition is reached within a poll
+    or two. The same rule covers the genuinely-empty source."""
+    return len(zeros) >= 2 and zeros[-1] and zeros[-2]
 
 
 def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
@@ -1329,7 +1341,6 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
     try:
         deadline = _time.time() + timeout_s
         drained = False
-        saw_input = False
         while _time.time() < deadline:
             if not q.isActive:
                 # surface the real failure instead of spinning into a
@@ -1341,8 +1352,8 @@ def run_to_memory_drained(spark: SparkSession, streaming_df: DataFrame,
                 break
             progress = list(q.recentProgress)
             zeros = [p.get("numInputRows", 0) == 0 for p in progress]
-            drained, saw_input = _drained_from_ring(zeros, saw_input)
-            if drained:
+            if _drained_from_ring(zeros):
+                drained = True
                 break
             _time.sleep(1.0)
         if not drained:

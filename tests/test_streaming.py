@@ -134,7 +134,11 @@ class _FakeMapState:
         self.d[key] = value
 
     def iterator(self):
-        return iter(sorted(self.d.items()))
+        # None keys sort first (the real MapState iterator order is
+        # engine-defined; processors must not depend on it anyway)
+        return iter(sorted(self.d.items(),
+                           key=lambda kv: (kv[0][0] is not None,
+                                           kv[0][0] or "")))
 
 
 class _FakeHandle:
@@ -204,9 +208,12 @@ def test_tws_processor_null_and_inf_values():
         "value": [1.25, None, 2.5, None],
     })
     final = list(proc.handleInputRows((1,), iter([pdf]), None))[-1]
-    got = {r.event_type: (int(r.n), float(r.total))
+    got = {r.event_type: (int(r.n),
+                          None if pd.isna(r.total) else float(r.total))
            for r in final.itertuples()}
-    assert got == {"a": (3, 3.75), "b": (1, 0.0)}, got
+    # r14: an all-NULL group's total is SQL NULL (F.sum semantics),
+    # no longer 0.0 — the count still sees the rows
+    assert got == {"a": (3, 3.75), "b": (1, None)}, got
 
     bad = pd.DataFrame({
         "user_id": [1], "event_type": ["a"], "value": [np.inf]})
@@ -1426,8 +1433,8 @@ def test_stream_stream_outer_join_emission_rule(spark, sf_dir, staged):
         .agg(F.max("ts")).collect()[0][0]
     maxc = ev.where(F.col("event_type") == "click") \
         .agg(F.max("ts")).collect()[0][0]
-    hours = int(jobs.WATERMARK.split()[0])
-    wm = min(maxp, maxc) - dt.timedelta(hours=hours)
+    wm = min(maxp, maxc) - dt.timedelta(
+        milliseconds=streaming_batch.WATERMARK_MS)
     snull = sorted(r for r in srows if r[2] is None)
     want_null = sorted(r for r in brows
                        if r[2] is None and r[3] < wm)
@@ -1814,27 +1821,28 @@ def test_statestore_reader_exposes_tws_mapstate(spark, sf_dir, staged,
     assert got == want
 
 
-def test_drain_decision_requires_trailing_zero():
-    """r14 review: a zero-input entry that PRECEDES the first data
-    batch (stage still populating at query start) must not count as
-    the drain — only a TRAILING zero after an input sighting does;
-    and with no input ever sighted, two consecutive trailing zeros
-    are required (empty source), never a lone batch-0 zero."""
+def test_drain_decision_needs_two_trailing_zeros():
+    """r13+r14 reviews: the drain fires ONLY on two consecutive
+    trailing zero-input batches. A zero that precedes the first data
+    batch (stage populating at start) must not count, and neither
+    may a SINGLE trailing zero — a zero-ROW staged file gets its own
+    empty batch under maxFilesPerTrigger=1 while later files are
+    still unread; stopping there would silently truncate the sink."""
     d = jobs._drained_from_ring
     # mid-drain: batch0 zero (pre-populate race), batch1 consumed a
     # file, more files pending -> NOT drained
-    assert d([True, False], False) == (False, True)
-    # the genuine drain: input seen, trailing zero
-    assert d([True, False, True], False) == (True, True)
-    assert d([False, True], False) == (True, True)
-    # input seen on an EARLIER poll (ring may have evicted it)
-    assert d([True], True) == (True, True)
-    # lone batch-0 zero: not drained yet
-    assert d([True], False) == (False, False)
-    # empty source: two consecutive trailing zeros
-    assert d([True, True], False) == (True, False)
+    assert not d([True, False])
+    # a single trailing zero (possibly a zero-row file) -> NOT drained
+    assert not d([False, True])
+    assert not d([True, False, True])
+    assert not d([True])
+    # the genuine drain: two consecutive trailing zeros
+    assert d([False, True, True])
+    assert d([True, True])
+    # a data batch BETWEEN the zeros resets the drain
+    assert not d([True, False, True, False])
     # no progress at all
-    assert d([], False) == (False, False)
+    assert not d([])
 
 
 def test_drained_runner_rejects_empty_staged_dir(spark, tmp_path):
@@ -2145,3 +2153,34 @@ def test_tws_restart_with_evolved_processor(spark, sf_dir, tmp_path):
     st = (spark.read.format("statestore").option("path", ckpt)
           .option("stateVarName", "restarts").load())
     assert st.count() > 0
+
+
+def test_tws_processor_kernel_null_semantics():
+    """r14 review (the fixtures carry no NULL events, so these were
+    invisible): the type-profile kernel must keep a NULL event_type
+    group (batch groupBy keeps it; pandas' default dropna=True
+    silently dropped it) and must emit total NULL — not 0.0 — for a
+    group whose values are all NULL (F.sum semantics)."""
+    import pandas as pd
+
+    proc = jobs.UserTypeProfileProcessor()
+    proc.init(_FakeHandle())
+    pdf = pd.DataFrame({
+        "event_type": ["click", "click", None, None],
+        "value": [1.5, None, 2.0, None],
+    })
+    out = list(proc.handleInputRows((7,), iter([pdf]), None))[-1]
+    rows = {r.event_type: (r.n, r.total)
+            for r in out.itertuples(index=False)}
+    assert rows == {"click": (2, 1.5), None: (2, 2.0)}
+    # an all-NULL-value group: total must be SQL NULL, not 0.0
+    pdf2 = pd.DataFrame({"event_type": ["view"], "value": [None]})
+    out2 = list(proc.handleInputRows((7,), iter([pdf2]), None))[-1]
+    # the emission must carry a TRUE null (nullable Float64), not a
+    # float64 NaN — Spark's Arrow path keeps NaN as NaN, which is not
+    # SQL NULL
+    assert str(out2["total"].dtype) == "Float64"
+    view = [r for r in out2.itertuples(index=False)
+            if r.event_type == "view"][0]
+    import pandas as pd
+    assert view.n == 1 and pd.isna(view.total)
