@@ -92,15 +92,10 @@ def events_stream(spark: SparkSession, sf_dir: str,
         reader = reader.option("maxFilesPerTrigger",
                                str(max_files_per_trigger))
     stream = reader.parquet(src)
-    ts_type = dict(stream.dtypes).get("ts")
-    if ts_type == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        # same NTZ->LTZ normalization as tables.load (session tz = UTC);
-        # withWatermark rejects TIMESTAMP_NTZ event-time columns.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    # the SAME normalization as the batch reader — one shared helper
+    # (tables.normalize_event_ts), so stream and batch event times can
+    # never diverge (r14 review)
+    return tables.normalize_event_ts(stream)
 
 
 def tumbling_counts(stream: DataFrame) -> DataFrame:

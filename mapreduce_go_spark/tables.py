@@ -56,6 +56,31 @@ def _ensure_confs(spark: SparkSession) -> None:
     _CONFED_SESSIONS.add(app_id)
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """The events `ts` normalization — ONE copy, shared by the batch
+    reader (load) and the streaming source (streaming/jobs
+    .events_stream), so the two sides can never read different event
+    times (r14 review: the rule was duplicated verbatim).
+
+    - bigint: nanos-as-long -> microsecond timestamp. Integer
+      division — the ns epoch (~1.7e18) exceeds double's 2^53
+      integer range, so a float path would corrupt low-order digits.
+    - timestamp_ntz: micros TIMESTAMP_NTZ (isAdjustedToUTC=false) ->
+      session-tz timestamp. Session tz is pinned to UTC
+      (_ensure_confs), so the wall clock is preserved exactly and
+      matches DuckDB's naive TIMESTAMP; watermarks/windows require
+      LTZ."""
+    from pyspark.sql import functions as F
+
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from parquet."""
     if name not in TABLES:
@@ -63,21 +88,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        ts_type = dict(df.dtypes).get("ts")
-        from pyspark.sql import functions as F
-
-        if ts_type == "bigint":
-            # nanos-as-long -> microsecond timestamp. Integer division:
-            # the ns epoch (~1.7e18) exceeds double's 2^53 integer
-            # range, so a float path would corrupt low-order digits.
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif ts_type == "timestamp_ntz":
-            # micros TIMESTAMP_NTZ (isAdjustedToUTC=false) -> session-tz
-            # timestamp. Session tz is pinned to UTC (_ensure_confs), so
-            # the wall clock is preserved exactly and matches DuckDB's
-            # naive TIMESTAMP; watermarks/windows require LTZ.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        df = normalize_event_ts(df)
     return df
 
 
