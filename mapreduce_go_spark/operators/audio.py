@@ -61,13 +61,25 @@ def _audio_params(doc_id: int) -> tuple[int, int]:
             _SR_BASE + (doc_id % 4) * _SR_STEP)
 
 
+def _fmt_chunk(sample_rate: int) -> bytes:
+    """The PCM16-mono fmt chunk — ONE copy for the encoder and the
+    fixture synthesizer (r14 review: the pack lived verbatim in
+    both; a block-align tweak applied to one would silently diverge
+    the resample roundtrip's encoder from the corpus)."""
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate,
+                      sample_rate * 2, 2, 16)
+    return b"fmt " + struct.pack("<I", len(fmt)) + fmt
+
+
+def _data_chunk(samples: "np.ndarray") -> bytes:
+    data = samples.astype("<i2").tobytes()
+    return b"data" + struct.pack("<I", len(data)) + data
+
+
 def encode_wav(sample_rate: int, samples: "np.ndarray") -> bytes:
     """Minimal canonical PCM16 mono WAV: RIFF(12) + fmt(24) +
     data(8 + 2n) = 44 + 2n bytes."""
-    data = samples.astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
-    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
-            + b"data" + struct.pack("<I", len(data)) + data)
+    body = _fmt_chunk(sample_rate) + _data_chunk(samples)
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
 
 
@@ -82,11 +94,9 @@ def make_wav(doc_id: int, body: bytes) -> bytes:
     reps = (ns + len(body) - 1) // len(body)
     b = np.frombuffer((body * reps)[:ns], dtype=np.uint8)
     samples = (b.astype(np.int16) - 128) * 256
-    fmt = struct.pack("<HHIIHH", 1, 1, sr, sr * 2, 2, 16)
-    data = samples.astype("<i2").tobytes()
-    chunks = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks = (_fmt_chunk(sr)
               + b"LIST" + struct.pack("<I", 4) + b"INFO"
-              + b"data" + struct.pack("<I", len(data)) + data)
+              + _data_chunk(samples))
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
 

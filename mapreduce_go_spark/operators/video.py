@@ -138,6 +138,15 @@ def parse_avi(payload: bytes) -> dict:
             if cid == b"LIST":
                 walk(body0 + 4, body0 + size)   # skip list kind fourcc
             elif cid == b"avih":
+                if size < 40:
+                    # the fields below need 40 declared bytes: an
+                    # unpack past the declared chunk would either
+                    # leak struct.error (NOT ValueError — escaping
+                    # the corrupt-skip and killing the task) or
+                    # silently parse ADJACENT chunk bytes as
+                    # geometry (r14 review; decode_wav's 'short fmt
+                    # chunk' guard, never mirrored here)
+                    raise ValueError("short avih chunk")
                 mspf, _, _, _, nf = struct.unpack_from("<5I", payload, body0)
                 w, h = struct.unpack_from("<2I", payload, body0 + 32)
                 meta.update(n_frames=nf, width=w, height=h,
@@ -181,19 +190,30 @@ def _frame_sample_batches(
             try:
                 meta = parse_avi(
                     bytes(payload) if payload is not None else b"")
+                rows = []
+                for fno in range(0, meta["n_frames"],
+                                 FRAME_SAMPLE_STRIDE):
+                    # inside the SAME try: a clip that parses but
+                    # holds a truncated/garbage frame payload (or
+                    # off-geometry frames — the subtraction below
+                    # broadcasts-raises) must follow the documented
+                    # 'corrupt clips contribute zero rows' rule, not
+                    # kill the task (r14 review)
+                    dec = jpeg.decode_gray(meta["frames"][fno])
+                    ref = _frame_pixels(int(doc_id), fno, body)
+                    if dec.shape != ref.shape:
+                        raise ValueError("frame geometry mismatch")
+                    err = int(np.abs(dec.astype(np.int64)
+                                     - ref.astype(np.int64)).max())
+                    rows.append({
+                        "doc_id": doc_id, "frame_no": fno,
+                        "n_frames": meta["n_frames"],
+                        "width": dec.shape[1], "height": dec.shape[0],
+                        "quant_err_ok": err <= JPEG_ERR_TOL,
+                    })
             except ValueError:
                 continue   # corrupt clip: no sampled frames
-            for fno in range(0, meta["n_frames"], FRAME_SAMPLE_STRIDE):
-                dec = jpeg.decode_gray(meta["frames"][fno])
-                src = _frame_pixels(int(doc_id), fno, body)
-                err = int(np.abs(dec.astype(np.int64)
-                                 - src.astype(np.int64)).max())
-                out.append({
-                    "doc_id": doc_id, "frame_no": fno,
-                    "n_frames": meta["n_frames"],
-                    "width": dec.shape[1], "height": dec.shape[0],
-                    "quant_err_ok": err <= JPEG_ERR_TOL,
-                })
+            out.extend(rows)
         yield pd.DataFrame(out, columns=cols)
 
 
@@ -279,12 +299,20 @@ def _vphash_bands_from_avi(avi: bytes) -> list[int] | None:
 
     try:
         meta = parse_avi(avi)
+        acc = np.zeros(VPH_W * VPH_W, dtype=np.int64)
+        for f in range(0, meta["n_frames"], FRAME_SAMPLE_STRIDE):
+            # inside the try + explicit geometry guard: a decodable
+            # clip with off-size or garbage frames must be SKIPPED
+            # like corrupt, not kill the task via a broadcast
+            # ValueError outside the guard — the exact hazard the
+            # audio twin (_afp_bands_from_wav) fixed after r10 and
+            # this mirror never got (r14 review)
+            dec = jpeg.decode_gray(meta["frames"][f])
+            if dec.shape != (VPH_W, VPH_W):
+                raise ValueError("frame geometry mismatch")
+            acc += dec.astype(np.int64).reshape(-1)
     except ValueError:
         return None
-    acc = np.zeros(VPH_W * VPH_W, dtype=np.int64)
-    for f in range(0, meta["n_frames"], FRAME_SAMPLE_STRIDE):
-        acc += jpeg.decode_gray(meta["frames"][f]).astype(
-            np.int64).reshape(-1)
     cr = (np.arange(VPH_W) * 8) // VPH_W
     sums = np.zeros((8, 8), dtype=np.int64)
     np.add.at(sums, (np.repeat(cr, VPH_W), np.tile(cr, VPH_W)), acc)

@@ -171,3 +171,49 @@ def test_video_phash_lossy_codec_is_in_path():
     dec = jpeg.decode_gray(jpeg.encode_gray(px))
     err = int(np.abs(dec.astype(np.int64) - px.astype(np.int64)).max())
     assert 0 < err <= JPEG_ERR_TOL, err
+
+
+def test_parse_avi_rejects_short_avih_loudly():
+    """r14 review: an avih chunk declaring fewer than the 40 bytes
+    the geometry fields need must raise ValueError (the corrupt-skip
+    contract) — not leak struct.error past the skip, and never parse
+    adjacent chunk bytes as width/height."""
+    import struct
+
+    import pytest
+
+    from mapreduce_go_spark.operators import video
+
+    avih = b"avih" + struct.pack("<I", 4) + b"\x00" * 4
+    payload = b"RIFF" + struct.pack("<I", 4 + len(avih)) + b"AVI " + avih
+    with pytest.raises(ValueError, match="short avih"):
+        video.parse_avi(payload)
+
+
+def test_corrupt_frame_payload_skips_clip_not_task():
+    """r14 review: a clip that PARSES but holds a garbage frame
+    payload must follow the documented 'corrupt clips contribute
+    zero rows' rule in both video kernels — previously decode_gray
+    raised outside the corrupt-skip try and killed the whole task."""
+    import pandas as pd
+
+    from mapreduce_go_spark.operators import video
+
+    src = b"hello world " * 10
+    avi = bytearray(video.make_avi(3, src))
+    i = bytes(avi).index(b"00dc") + 8
+    avi[i:i + 16] = b"\x00" * 16  # no longer a JPEG
+    corrupt = bytes(avi)
+
+    # fingerprint kernel: corrupt clip -> None (skipped)
+    assert video._vphash_bands_from_avi(corrupt) is None
+
+    # frame-sample kernel: corrupt clip -> zero rows; the intact
+    # sibling clip in the same batch still samples
+    pdf = pd.DataFrame({
+        "doc_id": [3, 4],
+        "src": [src, src],
+        "payload": [corrupt, video.make_avi(4, src)],
+    })
+    out = pd.concat(list(video._frame_sample_batches(iter([pdf]))))
+    assert set(out["doc_id"]) == {4}
