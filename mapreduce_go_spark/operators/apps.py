@@ -141,10 +141,17 @@ def crash_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.array(
                 F.struct(F.lit("a").alias("k"), F.col("source").alias("v")),
+                # octet_length, not length: the reference's Go len()
+                # counts BYTES (crash.go:34-43); the char count is the
+                # same warc body_len char-vs-byte latent fixed in r11,
+                # invisible here only because the fixture is ASCII and
+                # the old oracle shared the bug (r14 review)
                 F.struct(F.lit("b").alias("k"),
-                         F.length("source").cast("string").alias("v")),
+                         F.octet_length("source").cast("string")
+                         .alias("v")),
                 F.struct(F.lit("c").alias("k"),
-                         F.length("text").cast("string").alias("v")),
+                         F.octet_length("text").cast("string")
+                         .alias("v")),
                 F.struct(F.lit("d").alias("k"), F.lit("xyzzy").alias("v")),
             )
         ).alias("p")
@@ -224,8 +231,10 @@ ORACLES = {
     "crash_payload": """
         WITH pairs AS (
             SELECT 'a' AS k, source AS v FROM documents
-            UNION ALL SELECT 'b', cast(length(source) AS varchar) FROM documents
-            UNION ALL SELECT 'c', cast(length(text) AS varchar) FROM documents
+            UNION ALL SELECT 'b', cast(octet_length(encode(source)) AS varchar)
+                FROM documents
+            UNION ALL SELECT 'c', cast(octet_length(encode(text)) AS varchar)
+                FROM documents
             UNION ALL SELECT 'd', 'xyzzy' FROM documents
         )
         SELECT k, string_agg(v, ' ' ORDER BY v) AS vals FROM pairs GROUP BY k

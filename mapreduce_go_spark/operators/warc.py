@@ -70,7 +70,15 @@ def make_warc(bucket: int, docs: list[tuple[int, str]]) -> bytes:
     corrupt buckets truncate inside the first record's payload."""
     stream = b"".join(make_warc_record(d, t) for d, t in docs)
     if bucket % WARC_CORRUPT_EVERY == 0:
-        return stream[: min(len(stream), 80)]
+        # cut INSIDE the first record's payload — 4 bytes past the
+        # WARC header terminator — as the docstring always claimed: a
+        # fixed 80-byte cut landed mid-header-line, so the parser's
+        # 'truncated record payload' branch was never exercised by
+        # the corpus's corrupt buckets (r14 review). Same observable
+        # result (ValueError -> bucket contributes zero docs), deeper
+        # parser branch coverage.
+        cut = stream.index(_CRLF + _CRLF) + 4 + 4
+        return stream[:cut]
     return stream
 
 
@@ -94,11 +102,24 @@ def parse_warc(payload: bytes) -> list[dict]:
             off = eol + 2
             if not line:
                 break
-            k, _, v = line.partition(b":")
+            k, sep, v = line.partition(b":")
+            if not sep:
+                # a colon-less header line is a corrupted record: the
+                # old partition-accepts-anything path stored the whole
+                # line as a key, and the consumer's WARC-Record-ID
+                # lookup then escaped the ValueError skip as KeyError,
+                # killing the task (r14 review) — fail loudly HERE
+                raise ValueError("malformed header line (no colon)")
             headers[k.decode().strip()] = v.decode().strip()
         if "Content-Length" not in headers:
             raise ValueError("missing Content-Length")
         n = int(headers["Content-Length"])
+        if n < 0:
+            # len(block) < n can never fire for a negative n: the
+            # offset would walk BACKWARDS onto the header terminator
+            # and emit a bogus empty record — the silent
+            # resync-on-corruption the module contract forbids (r14)
+            raise ValueError("negative Content-Length")
         block = payload[off:off + n]
         if len(block) < n:
             raise ValueError("truncated record payload")

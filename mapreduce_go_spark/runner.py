@@ -36,7 +36,6 @@ differential tests (tests/test_runner.py), mirroring
 
 from __future__ import annotations
 
-import os
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -104,19 +103,29 @@ def reduce_phase(kv: DataFrame, reducef: ReduceF, n_reduce: int) -> DataFrame:
 
     def apply_reduce(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # One partition = one reduce task: stream adjacent key groups.
-        cur_key: str | None = None
+        # _NO_KEY sentinel, not None: a None used to double as both
+        # "no group open" and a legitimate null key, silently merging
+        # null-keyed rows into the NEXT key's value list (r14 review);
+        # completed groups flush PER INPUT BATCH (the reference writes
+        # each key as it reduces, worker.go:92) so task memory is
+        # bounded by one batch + one open group, not the whole
+        # partition's output.
+        _NO_KEY = object()
+        cur_key = _NO_KEY
         vals: list[str] = []
-        out: list[tuple[str, str]] = []
         for pdf in batches:
+            out: list[tuple[str, str]] = []
             for k, v in zip(pdf["key"], pdf["value"]):
-                if cur_key is not None and k != cur_key:
+                if cur_key is not _NO_KEY and k != cur_key:
                     out.append((cur_key, reducef(cur_key, vals)))
                     vals = []
                 cur_key = k
                 vals.append(v)
-        if cur_key is not None:
-            out.append((cur_key, reducef(cur_key, vals)))
-        yield pd.DataFrame(out, columns=["key", "out"])
+            if out:
+                yield pd.DataFrame(out, columns=["key", "out"])
+        if cur_key is not _NO_KEY:
+            yield pd.DataFrame([(cur_key, reducef(cur_key, vals))],
+                               columns=["key", "out"])
 
     return (
         kv.repartition(n_reduce, "key")
@@ -137,6 +146,10 @@ def run_job(spark: SparkSession, corpus: DataFrame, mapf: MapF,
     ensure_package_on_workers(spark)
     result = reduce_phase(map_phase(corpus, mapf), reducef, n_reduce)
     if out_dir is not None:
+        # persist before the text write: the write is its own action,
+        # and an unpersisted handle would recompute the whole
+        # map+shuffle+reduce on the caller's next action (r14 review)
+        result = result.persist()
         (result.select(F.format_string("%s %s", "key", "out").alias("line"))
          .write.mode("overwrite").text(out_dir))
     return result
@@ -166,10 +179,15 @@ def run_sequential(corpus_rows: list[tuple[str, str]], mapf: MapF,
 
 def wc_map(filename: str, contents: str) -> list[tuple[str, str]]:
     """A1 wc map (/root/reference/mrapps/wc.go:21-34): letters-only
-    tokens, case-sensitive, one ("word", "1") per occurrence."""
+    tokens, case-sensitive, one ("word", "1") per occurrence. The
+    token class is the shared NON_LETTER_RE constant — one
+    tokenization contract across runner apps, DataFrame queries and
+    oracles (r14 review: the regex was inlined here)."""
     import re
 
-    return [(w, "1") for w in re.split(r"[^a-zA-Z]+", contents) if w]
+    from mapreduce_go_spark.functions.text import NON_LETTER_RE
+
+    return [(w, "1") for w in re.split(NON_LETTER_RE, contents) if w]
 
 
 def wc_reduce(key: str, values: list[str]) -> str:
@@ -182,7 +200,9 @@ def indexer_map(filename: str, contents: str) -> list[tuple[str, str]]:
     per-doc dedup before emitting (word, docname)."""
     import re
 
-    seen = {w for w in re.split(r"[^a-zA-Z]+", contents) if w}
+    from mapreduce_go_spark.functions.text import NON_LETTER_RE
+
+    seen = {w for w in re.split(NON_LETTER_RE, contents) if w}
     return [(w, filename) for w in seen]
 
 
@@ -196,9 +216,12 @@ def crash_map(filename: str, contents: str) -> list[tuple[str, str]]:
     """A5/A6 payload map (/root/reference/mrapps/crash.go:34-43),
     crash behavior excluded (that's task-retry, tests/test_faults.py)."""
     return [
+        # len of the UTF-8 BYTES: Go len(string) counts bytes
+        # (crash.go:34-43); Python len(str) counts code points —
+        # identical only on ASCII (r14 review)
         ("a", filename),
-        ("b", str(len(filename))),
-        ("c", str(len(contents))),
+        ("b", str(len(filename.encode("utf-8")))),
+        ("c", str(len(contents.encode("utf-8")))),
         ("d", "xyzzy"),
     ]
 

@@ -65,3 +65,46 @@ def test_body_len_is_bytes_not_chars(duck):
         "SELECT strlen(?), length(?)", [text, text]).fetchone()
     assert got == duck_bytes
     assert duck_chars == len(text)
+
+
+def test_parse_warc_rejects_negative_length_and_colonless_header():
+    """r14 review: a negative Content-Length slipped past the
+    short-payload guard (len(block) < n never fires for n < 0), the
+    offset walked BACKWARDS onto the header terminator and a bogus
+    empty record was emitted — the silent resync the module contract
+    forbids; a colon-less header line likewise parsed 'successfully'
+    and later escaped the corrupt-skip as KeyError."""
+    import pytest
+
+    from mapreduce_go_spark.operators import warc
+
+    good = warc.make_warc_record(1, "hello")
+    neg = good.replace(b"Content-Length: 63", b"Content-Length: -4")
+    # (the WARC-level length is the one the walker trusts)
+    neg2 = good.replace(
+        next(ln for ln in good.split(b"\r\n")
+             if ln.startswith(b"Content-Length:")),
+        b"Content-Length: -4")
+    with pytest.raises(ValueError, match="negative Content-Length"):
+        warc.parse_warc(neg2)
+    bad = good.replace(b"WARC-Type: response",
+                       b"WARC-Type response")
+    with pytest.raises(ValueError, match="no colon"):
+        warc.parse_warc(bad)
+
+
+def test_corrupt_bucket_truncates_inside_payload():
+    """r14 review: the corrupt fixture's cut must land INSIDE the
+    first record's payload (the docstring's claim) so the parser's
+    'truncated record payload' branch is the one the corpus
+    exercises — an 80-byte cut stopped mid-header-line."""
+    import pytest
+
+    from mapreduce_go_spark.operators import warc
+
+    b = warc.WARC_CORRUPT_EVERY
+    stream = warc.make_warc(b, [(1, "hello world")])
+    hdr_end = stream.index(b"\r\n\r\n") + 4
+    assert len(stream) > hdr_end  # the cut kept payload bytes
+    with pytest.raises(ValueError, match="truncated record payload"):
+        warc.parse_warc(stream)
