@@ -38,7 +38,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import (BinaryType, BooleanType, DoubleType, IntegerType, LongType,
+from pyspark.sql.types import (BooleanType, DoubleType, IntegerType, LongType,
                                StringType, StructField, StructType)
 
 from mapreduce_go_spark import tables
@@ -455,6 +455,11 @@ def decode_gif_indices(
                 palette = np.frombuffer(
                     payload[off:off + 3 * size], dtype=np.uint8
                 ).reshape(-1, 3)
+                if palette.shape[0] != size:
+                    # the global-table path guards exactly this; a
+                    # short LOCAL table silently shrank the palette
+                    # and could map indices to wrong RGB (r14 review)
+                    raise ValueError("truncated GIF color table")
                 off += 3 * size
             if palette is None:
                 raise ValueError("GIF image without a color table")
@@ -518,7 +523,11 @@ def decode_bmp_pixels(payload: bytes) -> tuple[int, int, int, bytes]:
     data_off = struct.unpack("<I", payload[10:14])[0]
     _hsz, w, h, _planes, bpp = struct.unpack("<IiiHH", payload[14:30])
     comp = struct.unpack("<I", payload[30:34])[0]
-    if comp != 0 or bpp not in (8, 24, 32) or h == 0 or w <= 0:
+    # 8-bpp is PALETTED (the color table is mandatory): returning its
+    # index bytes as samples reports palette-INDEX luma — silently
+    # wrong metadata; the docstring always promised ValueError for
+    # paletted layouts (r14 review)
+    if comp != 0 or bpp not in (24, 32) or h == 0 or w <= 0:
         raise ValueError("unsupported BMP pixel layout")
     channels = bpp // 8
     ah = abs(h)
@@ -798,7 +807,12 @@ def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled frames via the mapInPandas path). sequence+explode is a
     narrow map: no shuffle, payload never leaves the row."""
     docs = tables.load(spark, sf_dir, "documents")
-    nb = F.octet_length("text")
+    # F.length (CHARS), not octet_length: the frame content below is
+    # substring (char addressing), so the count and the cuts must use
+    # the same unit — mixed units disagree on any multi-byte UTF-8
+    # text (r14 review; the all-ASCII fixture hid it, and the DuckDB
+    # oracle is char-based too)
+    nb = F.length("text")
     n_frames = F.when(
         nb >= FRAME_BYTES,
         ((nb - FRAME_BYTES) / FRAME_STRIDE).cast("int") + 1,
@@ -887,10 +901,8 @@ def _png_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
     for pdf in batches:
         out = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
-            b = make_media_payload(int(doc_id),
-                                   bytes(payload) if payload is not None
-                                   else b"")
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)  # pre-encoded (media_table('img'))
             in_w, in_h, _ch, _px = decode_png_pixels(b)
             ow, oh, buf, png = resample_png_half(b)
             out.append({
@@ -911,11 +923,17 @@ def png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel hash pins the content). bmp_resize / gif_resize and the
     baseline-JPEG codec queries cover the other three formats — the
     whole synthesized corpus resizes at true pixel level."""
-    docs = tables.load(spark, sf_dir, "documents")
-    pngs = docs.where((F.col("doc_id") % 4 == 0)
-                      & (F.col("doc_id") % CORRUPT_EVERY != 0))
-    binary = pngs.select("doc_id", F.col("text").cast("binary").alias("img"))
-    return _spread(binary).mapInPandas(_png_resize_batches, PNG_RESIZE_SCHEMA)
+    from mapreduce_go_spark import media
+
+    # read the pre-encoded corpus (media_table('img') — the r14
+    # ingest boundary): the kernel is decode+resample+re-encode only,
+    # exactly what a production job pays; the old form re-SYNTHESIZED
+    # the source container per run (r14 review)
+    imgs = media.media_table(spark, sf_dir, "img").where(
+        (F.col("doc_id") % 4 == 0)
+        & (F.col("doc_id") % CORRUPT_EVERY != 0))
+    binary = imgs.select("doc_id", "payload")
+    return binary.mapInPandas(_png_resize_batches, PNG_RESIZE_SCHEMA)
 
 
 def _gif_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -923,10 +941,8 @@ def _gif_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
     for pdf in batches:
         out = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
-            b = make_media_payload(int(doc_id),
-                                   bytes(payload) if payload is not None
-                                   else b"")
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)  # pre-encoded (media_table('img'))
             _w, _h, iw, ih, _idx, _pal = decode_gif_indices(b)
             ow, oh, buf, gif = resample_gif_half(b)
             out.append({
@@ -942,10 +958,8 @@ def _bmp_resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
 
     for pdf in batches:
         out = []
-        for doc_id, payload in zip(pdf["doc_id"], pdf["img"]):
-            b = make_media_payload(int(doc_id),
-                                   bytes(payload) if payload is not None
-                                   else b"")
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            b = bytes(payload)  # pre-encoded (media_table('img'))
             in_w, in_h, _ch, _px = decode_bmp_pixels(b)
             ow, oh, buf, bmp = resample_bmp_half(b)
             out.append({
@@ -964,11 +978,17 @@ def bmp_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encode a real bottom-up padded BMP. The oracle value-checks
     geometry, the closed-form padded-row container size, and the
     sha256 of the exact resampled sample bytes."""
-    docs = tables.load(spark, sf_dir, "documents")
-    bmps = docs.where((F.col("doc_id") % 4 == 2)
-                      & (F.col("doc_id") % CORRUPT_EVERY != 0))
-    binary = bmps.select("doc_id", F.col("text").cast("binary").alias("img"))
-    return _spread(binary).mapInPandas(_bmp_resize_batches, PNG_RESIZE_SCHEMA)
+    from mapreduce_go_spark import media
+
+    # read the pre-encoded corpus (media_table('img') — the r14
+    # ingest boundary): the kernel is decode+resample+re-encode only,
+    # exactly what a production job pays; the old form re-SYNTHESIZED
+    # the source container per run (r14 review)
+    imgs = media.media_table(spark, sf_dir, "img").where(
+        (F.col("doc_id") % 4 == 2)
+        & (F.col("doc_id") % CORRUPT_EVERY != 0))
+    binary = imgs.select("doc_id", "payload")
+    return binary.mapInPandas(_bmp_resize_batches, PNG_RESIZE_SCHEMA)
 
 
 def gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,11 +998,17 @@ def gif_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     source palette. Like png_resize, the oracle value-checks geometry,
     the closed-form flat-LZW container size, and the sha256 of the
     exact resampled index bytes."""
-    docs = tables.load(spark, sf_dir, "documents")
-    gifs = docs.where((F.col("doc_id") % 4 == 1)
-                      & (F.col("doc_id") % CORRUPT_EVERY != 0))
-    binary = gifs.select("doc_id", F.col("text").cast("binary").alias("img"))
-    return _spread(binary).mapInPandas(_gif_resize_batches, PNG_RESIZE_SCHEMA)
+    from mapreduce_go_spark import media
+
+    # read the pre-encoded corpus (media_table('img') — the r14
+    # ingest boundary): the kernel is decode+resample+re-encode only,
+    # exactly what a production job pays; the old form re-SYNTHESIZED
+    # the source container per run (r14 review)
+    imgs = media.media_table(spark, sf_dir, "img").where(
+        (F.col("doc_id") % 4 == 1)
+        & (F.col("doc_id") % CORRUPT_EVERY != 0))
+    binary = imgs.select("doc_id", "payload")
+    return binary.mapInPandas(_gif_resize_batches, PNG_RESIZE_SCHEMA)
 
 
 # ---------------------------------------------------------------- #

@@ -102,21 +102,34 @@ def _topk(scored: DataFrame) -> DataFrame:
     )
 
 
+def _qc_frames(embn: DataFrame, *c_extra: str
+               ) -> tuple[DataFrame, DataFrame]:
+    """(q, c): the query-side (vec_id < N_QUERIES -> q_id/qe/qn) and
+    candidate-side (c_id/ce/cn, plus any `c_extra` passthrough
+    columns such as the cell id) projections over a normed embeddings
+    relation — the shared HEAD of every cosine variant, factored for
+    the same reason the shared TAIL became _topk (r14 review: the
+    8-line pair was restated in ten functions)."""
+    q = embn.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("norm").alias("qn"),
+    )
+    c = embn.select(
+        F.col("vec_id").alias("c_id"),
+        *c_extra,
+        F.col("embedding").alias("ce"),
+        F.col("norm").alias("cn"),
+    )
+    return q, c
+
+
 def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-10 for each query vector
     (vec_id < 8) over the whole table, self excluded."""
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"),
-    )
+    q, c = _qc_frames(emb)
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -242,17 +255,7 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probed = _ivf_nprobe_probe(spark, sf_dir)
     # exact cosine top-k among candidates in the probed cells
     emb = _with_norm(raw)
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("c_id"),
-        "label",
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"),
-    )
+    q, c = _qc_frames(emb, "label")
     scored = (
         F.broadcast(probed)
         .join(c, "label")
@@ -325,17 +328,7 @@ def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str,
         f"explode(transform(slice(array_sort({_dist_array_sql(centroids)}),"
         f" 1, {IVF_TRAINED_NPROBE}), s -> s.i)) as cluster",
     )
-    q = assigned.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    c = assigned.select(
-        F.col("vec_id").alias("c_id"),
-        "cluster",
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"),
-    )
+    q, c = _qc_frames(assigned, "cluster")
     scored = (
         F.broadcast(probed)
         .join(c, "cluster")
@@ -436,16 +429,7 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") <= BQ_COARSE_C)
             .select("q_id", "c_id"))
     embn = _with_norm(emb)
-    q = embn.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    c = embn.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"),
-    )
+    q, c = _qc_frames(embn)
     scored = (
         F.broadcast(cand)
         .join(c, "c_id")
@@ -580,16 +564,7 @@ def ann_ivf_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     value-exactly (_ivf_hamming_oracle_sql)."""
     cand = _ivf_hamming_cand(spark, sf_dir)
     embn = _with_norm(tables.load(spark, sf_dir, "embeddings"))
-    q = embn.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    c = embn.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"),
-    )
+    q, c = _qc_frames(embn)
     scored = (
         F.broadcast(cand)
         .join(c, "c_id")
@@ -663,16 +638,7 @@ def matryoshka_two_stage_topk(spark: SparkSession, sf_dir: str
             .where(F.col("rn") <= MRL_COARSE_C)
             .select("q_id", "c_id"))
     embn = _with_norm(emb)
-    q = embn.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    c = embn.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"),
-    )
+    q, c = _qc_frames(embn)
     scored = (
         F.broadcast(cand)
         .join(c, "c_id")
@@ -731,16 +697,7 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"),
-    )
+    q, c = _qc_frames(emb)
     wd = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc_nulls_last(), "c_id")
     dense = (
@@ -868,12 +825,7 @@ def hybrid_rrf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cand = _ivf_hamming_cand(spark, sf_dir)
     embn = _with_norm(tables.load(spark, sf_dir, "embeddings"))
-    q = embn.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
-    c = embn.select(
-        F.col("vec_id").alias("c_id"),
-        F.col("embedding").alias("ce"), F.col("norm").alias("cn"))
+    q, c = _qc_frames(embn)
     wd = Window.partitionBy("q_id").orderBy(
         F.col("cos").desc_nulls_last(), "c_id")
     dense = (
@@ -955,11 +907,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
         .distinct()
     )
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
-    c = emb.select(F.col("vec_id").alias("c_id"),
-                   F.col("embedding").alias("ce"), F.col("norm").alias("cn"))
+    q, c = _qc_frames(emb)
     scored = (
         cand.join(F.broadcast(q), "q_id")
         .join(c, "c_id")
@@ -1016,11 +964,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("q_id", "c_id")
         .distinct()
     )
-    q = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
-    c = emb.select(F.col("vec_id").alias("c_id"),
-                   F.col("embedding").alias("ce"), F.col("norm").alias("cn"))
+    q, c = _qc_frames(emb)
     scored = (
         cand.join(F.broadcast(q), "q_id")
         .join(c, "c_id")
@@ -1198,8 +1142,21 @@ PQ_RERANK = 100   # ADC shortlist size re-ranked with exact cosine
 from functools import lru_cache
 
 
-@lru_cache(maxsize=4)
 def _pq_codebooks(sf_dir: str):
+    """Content-key front door for _pq_codebooks_cached: the cache key
+    includes the embeddings parquet's mtime+size (the kmeans
+    _CODEBOOK_CACHE invalidation discipline), so regenerating the
+    fixture at an UNCHANGED path serves fresh codebooks instead of
+    silently pinning the old training for the process lifetime
+    (r14 review)."""
+    from mapreduce_go_spark.operators.kmeans import (
+        _embeddings_content_key)
+
+    return _pq_codebooks_cached(sf_dir, _embeddings_content_key(sf_dir))
+
+
+@lru_cache(maxsize=4)
+def _pq_codebooks_cached(sf_dir: str, _content_key: str):
     """Train M sub-codebooks with numpy Lloyd iterations on a bounded
     deterministic sample (lowest PQ_TRAIN_CAP vec_ids, L2-normalized).
 

@@ -22,6 +22,8 @@ workspace files (ADVICE r9 — the claim used to say "not executed").
   BatchEvalPythonUDTF is the engine's UDTF node and is allowed.
 """
 
+import pytest
+
 import re
 
 import __spark_entry__ as entry
@@ -31,6 +33,20 @@ import __spark_entry__ as entry
 CARTESIAN_ALLOWED: dict[str, str] = {}
 
 _ROW_UDF = re.compile(r"\bBatchEvalPython\b(?!UDTF)")
+
+
+
+
+@pytest.fixture(autouse=True)
+def _plan_assertions_see_no_cache(spark):
+    """Plan-shape assertions must be order-independent: queries that
+    register session-wide cached relations (ann_recall_dashboard's
+    shared embeddings scan — the _bucketed_table/media_table class of
+    deliberate session side effects) would otherwise substitute
+    InMemoryRelation into later-audited plans and flip scan-count /
+    codegen assertions depending on test order (r14 review)."""
+    spark.catalog.clearCache()
+    yield
 
 
 def test_no_cartesian_or_row_python_anywhere(spark, sf_dir):

@@ -14,8 +14,23 @@ import contextlib
 import io
 import re
 
+import pytest
+
 from mapreduce_go_spark.operators import apps, joins, pipeline, relational
 from mapreduce_go_spark.operators import similarity
+
+
+@pytest.fixture(autouse=True)
+def _plan_assertions_see_no_cache(spark):
+    """Plan-shape assertions must be order-independent: queries that
+    register session-wide cached relations (ann_recall_dashboard's
+    shared embeddings scan — the _bucketed_table/media_table class of
+    deliberate session side effects) would otherwise substitute
+    InMemoryRelation into later-audited plans and flip scan-count /
+    codegen assertions depending on test order (r14 review)."""
+    spark.catalog.clearCache()
+    yield
+
 
 
 def plan_of(df) -> str:
@@ -306,15 +321,21 @@ def test_pricing_summary_hot_path_sums_longs(spark, sf_dir):
 
 
 def test_corpus_bloom_probe_all_joins_broadcast(spark, sf_dir):
-    """bloom_decontaminate's joins (the broadcast filter row and the
-    exact-hit eval set) must ALL be broadcast — the corpus side never
-    shuffles for a join; its only exchanges are aggregations and the
-    input-split spread. A SortMergeJoin here would mean the constant-
-    size filter stopped being the broadcast side."""
+    """bloom_decontaminate's PROBE joins (the broadcast filter row and
+    the exact-hit eval set) must be broadcast — a SortMergeJoin there
+    would mean the constant-size filter stopped being the broadcast
+    side. The r14 membership join-back (train doc ids LEFT JOIN the
+    per-doc verdicts, so sub-shingle-width docs get explicit rows) is
+    the ONE allowed sort-merge join: both of its sides are
+    corpus-sized and co-keyed on doc_id, so SMJ is the correct 100 TB
+    shape there (a forced broadcast would OOM the driver; AQE
+    converts it at fixture scale)."""
     from mapreduce_go_spark.operators import corpus
 
     p = plan_of(corpus.bloom_decontaminate(spark, sf_dir))
-    assert "SortMergeJoin" not in p, p
+    smj = [ln for ln in p.splitlines()
+           if re.match(r"^\(\d+\) SortMergeJoin", ln)]
+    assert len(smj) <= 1, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p, p
 
 
