@@ -52,8 +52,8 @@ def register_udfs(spark: SparkSession) -> list[str]:
     spark.sql(f"""
         CREATE OR REPLACE TEMPORARY FUNCTION mrgs_fingerprint(t STRING)
         RETURNS STRING
-        RETURN md5(lower(regexp_replace(trim(t),
-            '{FP_WS.replace(chr(92), chr(92) * 2)}', ' ')))
+        RETURN md5(lower(trim(regexp_replace(t,
+            '{FP_WS.replace(chr(92), chr(92) * 2)}', ' '))))
     """)
     from mapreduce_go_spark.operators.quality import (EMAIL_RE, IPV4_RE,
                                                       PHONE_RE)

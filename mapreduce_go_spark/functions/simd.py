@@ -149,14 +149,18 @@ def grid_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     mask = _valid_rows(a, b)
     if mask.all():
         # fast path: float64 out (an object Series forces per-element
-        # Arrow conversion — measured ~0.25 s on knn at sf0.1)
+        # Arrow conversion — measured ~0.25 s on knn at sf0.1).
+        # _grid_sum, not raw .sum(): the per-element 2^51 bound does
+        # NOT protect the row total, and a silent int64 wrap is the
+        # exact divergence-from-ANSI the module bans (r14 review —
+        # the axis form raises loudly like the interpreted twin).
         A, B = _stack(a), _stack(b)
-        total = _grid(_check_finite(A * B * _SCALE)).sum(axis=1)
+        total = _grid_sum(_check_finite(A * B * _SCALE), axis=1)
         return pd.Series(total / _SCALE)
     out = np.full(len(a), None, dtype=object)
     if mask.any():
         A, B = _stack(a[mask]), _stack(b[mask])
-        total = _grid(_check_finite(A * B * _SCALE)).sum(axis=1)
+        total = _grid_sum(_check_finite(A * B * _SCALE), axis=1)
         out[mask] = total / _SCALE
     return pd.Series(out, dtype=object)
 
@@ -173,7 +177,12 @@ def make_band_keys(planes: list[list[int]], bits: int,
     interpreted per-plane grid dot sign.
     """
     H = np.asarray(planes, dtype=np.int64)          # (bands*bits, dim)
-    assert H.shape[0] == bands * bits
+    if H.shape[0] != bands * bits:
+        # raise, not assert: python -O strips asserts on workers and
+        # the shape contract must hold there too (r14 review)
+        raise ValueError(
+            f"make_band_keys: {H.shape[0]} planes != "
+            f"bands*bits = {bands * bits}")
 
     @pandas_udf(ArrayType(StringType()))
     def band_keys(emb: pd.Series) -> pd.Series:
@@ -184,6 +193,14 @@ def make_band_keys(planes: list[list[int]], bits: int,
         if mask.any():
             G = _grid(_check_finite(
                 _stack(emb[mask]) * _SCALE))        # (m, dim) int64
+            # loud overflow guard for the matmul total (the _grid_sum
+            # discipline): +-1 plane entries make each output a sum
+            # of dim grid values (r14 review)
+            m_abs = int(np.max(np.abs(G))) if G.size else 0
+            if m_abs and G.shape[1] > np.iinfo(np.int64).max // m_abs:
+                raise ValueError(
+                    "band-key matmul may overflow int64: rescale the "
+                    "embedding grid or reduce dim")
             S = G @ H.T                             # exact int64
             bit = S > 0                             # (m, bands*bits)
             keys = [
@@ -282,6 +299,15 @@ def make_rolling_hash(base: int, mod: int, chunk: int = 1024):
 
     NULL input -> NULL, matching the interpreted form.
     """
+    # factory-time bound check (r14 review): the int64-exactness
+    # proof needs max_codepoint * (mod-1) * chunk < 2^63 — a larger
+    # modulus (e.g. the 61-bit Mersenne prime) or a bigger chunk
+    # would make the chunk dot wrap silently and return wrong hashes
+    if 0x10FFFF * (mod - 1) * chunk >= (1 << 63):
+        raise ValueError(
+            f"make_rolling_hash: mod={mod} chunk={chunk} break the "
+            "int64 chunk-dot bound (codepoint * (mod-1) * chunk must "
+            "stay below 2^63); shrink chunk or mod")
     powers = np.empty(chunk, dtype=np.int64)
     powers[0] = 1
     for j in range(1, chunk):
@@ -361,9 +387,14 @@ def rep_counts(ts: pd.Series) -> pd.DataFrame:
         {k: v.astype(np.int32) for k, v in out_cols.items()})
 
 
-def _per_row_stats(codes: np.ndarray, crows: np.ndarray, n: int):
+def _per_row_stats(codes: np.ndarray, crows: np.ndarray, n: int,
+                   with_totals: bool = True):
     """(max multiplicity, total, distinct) per row for compact
-    non-negative gram codes with their row ids."""
+    non-negative gram codes with their row ids. with_totals=False
+    skips the total/distinct scatters — np.add.at is unbuffered and
+    among the slowest numpy ops, and two of the three call sites use
+    only the max (r14 review: two wasted passes over every token and
+    2-gram per batch in a kernel that exists for speed)."""
     mx, tot, dist = (np.zeros(n, dtype=np.int64) for _ in range(3))
     if len(codes):
         G = np.int64(int(codes.max()) + 1)
@@ -372,8 +403,9 @@ def _per_row_stats(codes: np.ndarray, crows: np.ndarray, n: int):
         ukeys, counts = np.unique(crows * G + codes, return_counts=True)
         urows = (ukeys // G).astype(np.int64)
         np.maximum.at(mx, urows, counts)
-        np.add.at(dist, urows, 1)
-        np.add.at(tot, crows, 1)
+        if with_totals:
+            np.add.at(dist, urows, 1)
+            np.add.at(tot, crows, 1)
     return mx, tot, dist
 
 
@@ -385,7 +417,8 @@ def _rep_counts_batch(ts: pd.Series, lens: np.ndarray, out: dict) -> None:
     uniq, inv1 = np.unique(flat, return_inverse=True)
     inv1 = inv1.astype(np.int64)
 
-    out["top_tok"][:] = _per_row_stats(inv1, rows, n)[0]
+    out["top_tok"][:] = _per_row_stats(inv1, rows, n,
+                                       with_totals=False)[0]
 
     if len(inv1) < 2:
         return
@@ -395,13 +428,16 @@ def _rep_counts_batch(ts: pd.Series, lens: np.ndarray, out: dict) -> None:
     inv2 = inv2.astype(np.int64)
     same2 = rows[:-1] == rows[1:]
     out["top_g2"][:] = _per_row_stats(
-        inv2[same2], rows[:-1][same2], n)[0]
+        inv2[same2], rows[:-1][same2], n, with_totals=False)[0]
 
     if len(inv1) < 3:
         return
     m2 = np.int64(len(u2) + 1)
     raw3 = inv2[:-1] * m1 + inv1[2:]          # pair-code x next token
-    assert int(m2) * int(m1) < (1 << 62)
+    if int(m2) * int(m1) >= (1 << 62):
+        # raise, not assert: stripped under python -O, and a wrapped
+        # key silently merges distinct 3-grams (r14 review)
+        raise ValueError("batch too large for int64 3-gram keys")
     same3 = same2[:-1] & (rows[1:-1] == rows[2:])
     u3, inv3 = np.unique(raw3, return_inverse=True)
     _, n3, d3 = _per_row_stats(

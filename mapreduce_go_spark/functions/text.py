@@ -70,5 +70,10 @@ def fingerprint(text) -> Column:
     whitespace-normalized, lowercased text. Cross-engine reproducible
     (DuckDB md5() matches Spark md5(); the whitespace class is the
     explicit FP_WS, not \\s — see its comment)."""
-    normalized = F.lower(F.regexp_replace(F.trim(text), FP_WS, " "))
+    # collapse FIRST, then trim: trim() strips SPACES only, so the
+    # old trim-then-collapse order left a leading/trailing tab or
+    # newline behind as a stray single space — 'hello\n' and 'hello'
+    # got different fingerprints (r14 review). Every SQL twin mirrors
+    # this order (textstats/dedup oracles, catalog.py macro).
+    normalized = F.lower(F.trim(F.regexp_replace(text, FP_WS, " ")))
     return F.md5(normalized)

@@ -1486,7 +1486,7 @@ _SIMHASH_CTE = f"""
 
 ORACLES = {
     "dedup_exact": rf"""
-        SELECT md5(lower(regexp_replace(trim(text), '{FP_WS_SQL}', ' ', 'g'))) AS fp,
+        SELECT md5(lower(trim(regexp_replace(text, '{FP_WS_SQL}', ' ', 'g')))) AS fp,
                count(*) AS n_docs, min(doc_id) AS keeper
         FROM documents GROUP BY fp
     """,
@@ -1799,7 +1799,7 @@ _SIMHASH_CTE = f"""
 
 ORACLES = {
     "dedup_exact": rf"""
-        SELECT md5(lower(regexp_replace(trim(text), '{FP_WS_SQL}', ' ', 'g'))) AS fp,
+        SELECT md5(lower(trim(regexp_replace(text, '{FP_WS_SQL}', ' ', 'g')))) AS fp,
                count(*) AS n_docs, min(doc_id) AS keeper
         FROM documents GROUP BY fp
     """,

@@ -113,7 +113,11 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from mapreduce_go_spark.functions.simd import rep_counts
 
     docs = tables.spread(tables.load(spark, sf_dir, "documents"))
-    ts = _toks(F.col("text"))
+    # coalesce: a NULL text row would reach rep_counts as a NULL
+    # array and raise, killing the query where the interpreted twin
+    # defines 0.0 rows (the kernel documents the pre-filter
+    # precondition; this caller now enforces it — r14 review)
+    ts = _toks(F.coalesce(F.col("text"), F.lit("")))
     n1 = F.col("n_tokens")
     n2 = F.greatest(n1 - 1, F.lit(0))
     rc = F.col("rc")

@@ -507,7 +507,7 @@ ORACLES = {
     """,
     "doc_fingerprint": rf"""
         SELECT doc_id,
-               md5(lower(regexp_replace(trim(text), '{FP_WS_SQL}', ' ', 'g')))
+               md5(lower(trim(regexp_replace(text, '{FP_WS_SQL}', ' ', 'g'))))
                    AS fp_md5,
                list_reduce(
                    list_prepend(cast(0 AS bigint),

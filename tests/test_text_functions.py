@@ -127,3 +127,24 @@ def test_text_stats_tolerate_degenerate_docs(spark, monkeypatch):
     r = {x.doc_id: x for x in ts.arrow_text_stats(spark, "i").collect()}
     assert r[2].letter_ratio_micro is None
     assert r[4].letter_ratio_micro is not None
+
+
+def test_fingerprint_normalizes_edge_whitespace_uniformly(spark, duck):
+    """r14 review: trim() strips SPACES only, so the old
+    trim-then-collapse order left a trailing tab/newline behind as a
+    stray single space — 'hello\\n' and 'hello' fingerprinted
+    differently. Collapse-then-trim makes every edge-whitespace
+    variant (and the SQL twin) agree."""
+    from mapreduce_go_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello world\n"), (3, "\thello world "),
+         (4, " hello\tworld\r\n")],
+        "doc_id long, text string")
+    fps = {r.fp for r in
+           df.select(fingerprint(F.col("text")).alias("fp")).collect()}
+    assert len(fps) == 1, fps
+    sql_fp = duck.execute(
+        "select md5(lower(trim(regexp_replace('hello world\n', "
+        "'[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))))").fetchone()[0]
+    assert fps == {sql_fp}
