@@ -111,6 +111,34 @@ def bloom_filter_bits(ev: DataFrame) -> DataFrame:
     )
 
 
+def _eval_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality.eval_shingles_df materialized ONCE per session as
+    parquet (the joins.session_scratch / media.materialize_once
+    discipline shared with joins._bucketed_table and
+    similarity._ivf_layout_table). The eval shingle set is consumed by
+    two lineages per bloom_decontaminate call; re-deriving it per
+    lineage double-scanned documents, and a per-call .persist() leaked
+    one cached relation per invocation (ADVICE r14). The set is tiny
+    (~1.5k rows at sf0.01, ~14k at sf0.1 — a real pipeline's benchmark
+    suite is a few MB of text), so one coalesced file is the right
+    shape."""
+    import hashlib
+    import os
+
+    from mapreduce_go_spark.media import materialize_once
+    from mapreduce_go_spark.operators.joins import session_scratch
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(session_scratch(spark), f"decon_eval_{tag}")
+
+    def build() -> None:
+        (eval_shingles_df(spark, sf_dir).coalesce(1)
+         .write.mode("overwrite").parquet(path))
+
+    materialize_once(path, build)
+    return spark.read.parquet(path)
+
+
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage screen via a Bloom filter — the constant-size
     broadcast twin of quality.decontaminate's exact shingle semi-join.
@@ -126,10 +154,13 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ev feeds TWO lineages (the bit build and the exact-hit join) —
     # unpersisted, the eval-side documents scan + shingle explode +
     # distinct ran twice per query (r14 review; the double-scan class
-    # ADVICE r10 removed from hll_distinct_by_source). The relation
-    # is small (distinct eval shingles: ~1.5k at sf0.01, ~14k at
-    # sf0.1), so the cache hand-off costs less than the re-derivation.
-    ev = eval_shingles_df(spark, sf_dir).persist()
+    # ADVICE r10 removed from hll_distinct_by_source). The r14
+    # .persist() had no matching unpersist and leaked one cached
+    # relation per CALL for the session lifetime (ADVICE r14), so the
+    # shared scan is now a session-materialized parquet instead: one
+    # derivation per (session, sf_dir), a plain scan per lineage, no
+    # cache handle to leak.
+    ev = _eval_shingles_table(spark, sf_dir)
     filt = bloom_filter_bits(ev)
     train = decon_shingles_df(
         docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0))

@@ -1573,352 +1573,13 @@ ORACLES = {
         WHERE x.doc_id < y.doc_id
     """,
     # composed from the SAME CTE chain LABELS_CTE_SQL / the
-    # dedup_clusters oracle consume (_VERIFIED_PAIRS_CTES) — the r14
-    # review found a verbatim re-inline here, the exact two-copies
-    # drift the Spark side eliminated in r13
+    # dedup_clusters oracle consume (_VERIFIED_PAIRS_CTES), whose
+    # jpairs filter is the exact rational threshold
+    # JACCARD_T_DEN*i >= JACCARD_T_NUM*union — identical to the Spark
+    # side's _exact_jaccard_tail, so no rounded-J boundary divergence
+    # (J in [t-5e-7, t)) can split the engines.
     "dedup_verified_pairs": _MINHASH_SQL + _VERIFIED_PAIRS_CTES + """
         SELECT d1, d2, jaccard FROM jpairs
-    """,
-    "minhash_jaccard_estimate": minhash_jaccard_estimate,
-    "simhash": simhash,
-    "simhash_neardup_pairs": simhash_neardup_pairs,
-    "simhash_neardup_pairs_capped": simhash_neardup_pairs_capped,
-    "dedup_clusters": dedup_clusters,
-    "cdc_chunks": cdc_chunks,
-    "cdc_dup_chunks": cdc_dup_chunks,
-    "cdc_dedup_ratio": cdc_dedup_ratio,
-    "winnow_fingerprints": winnow_fingerprints,
-    "winnow_overlap_pairs": winnow_overlap_pairs,
-    "dup_span_stats": dup_span_stats,
-    "strip_dup_spans": strip_dup_spans,
-}
-
-# hex -> bigint by folding nibbles (DuckDB has no conv())
-_HEX2INT = ("list_reduce(list_prepend(cast(0 AS bigint),"
-            " list_transform(regexp_split_to_array({expr}, ''),"
-            " c -> cast(strpos('0123456789abcdef', c) - 1 AS bigint))),"
-            " (acc, v) -> acc * 16 + v)")
-
-# DuckDB twin of the winnowing pipeline: same arithmetic argmin
-# encoding, same window min — the selection is engine-portable by
-# construction.
-_WINNOW_SQL = f"""
-    WITH docs0 AS (
-        SELECT doc_id, text, length(text) AS n FROM documents
-    ),
-    grams AS (
-        SELECT doc_id, i, n - {WINNOW_K - 1} AS g,
-               ({_HEX2INT.format(
-                   expr=f"substring(md5(substring(text, cast(i AS int),"
-                        f" {WINNOW_K})), 1, 8)")}) AS h8
-        FROM docs0, unnest(generate_series(1, n - {WINNOW_K - 1})) AS gs(i)
-    ),
-    comp AS (
-        SELECT doc_id, i, g,
-               h8 * {_POS_M} + ({_POS_M} - 1 - i) AS c
-        FROM grams
-    ),
-    wins AS (
-        SELECT doc_id, i, g,
-               min(c) OVER (PARTITION BY doc_id ORDER BY i
-                            ROWS BETWEEN CURRENT ROW
-                            AND {WINNOW_W - 1} FOLLOWING) AS m
-        FROM comp
-    ),
-    sel AS (
-        SELECT DISTINCT doc_id,
-               cast({_POS_M} - 1 - (m % {_POS_M}) AS int) AS pos,
-               cast(m // {_POS_M} AS bigint) AS fp
-        FROM wins WHERE i <= g - {WINNOW_W - 1}
-    )
-"""
-
-# DuckDB twin of the duplicated-span pipeline (dup_span_stats /
-# strip_dup_spans): same token list, same 1-based window hashes.
-_DUPSPAN_SQL = f"""
-    WITH toks AS (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(text, '{NON_LETTER_RE}'),
-                           x -> x <> '') AS ts
-        FROM documents
-    ),
-    tok AS (
-        SELECT doc_id, cast(i AS int) AS p, ts[cast(i AS int)] AS tok,
-               CASE WHEN i + {DUP_SPAN_K - 1} <= len(ts) THEN
-                    md5(array_to_string(
-                        ts[cast(i AS int):cast(i + {DUP_SPAN_K - 1} AS int)],
-                        ' '))
-               END AS whash
-        FROM toks, unnest(generate_series(1, len(ts))) AS g(i)
-    ),
-    cnt AS (
-        SELECT whash, count(*) AS c FROM tok
-        WHERE whash IS NOT NULL GROUP BY whash
-    )
-"""
-
-# DuckDB twin of the CDC chunking pipeline (cdc_chunks).
-_CDC_CHUNKS_SQL = f"""
-    WITH docs0 AS (
-        SELECT doc_id, text, length(text) AS n FROM documents
-    ),
-    bnd AS (
-        SELECT doc_id, i
-        FROM docs0, unnest(generate_series(2, n - {CDC_K - 1})) AS g(i)
-        WHERE ({_HEX2INT.format(
-            expr=f"substring(md5(substring(text, cast(i AS int),"
-                 f" {CDC_K})), 1, 8)")}) % {CDC_P} = 0
-    ),
-    bl AS (
-        SELECT doc_id, list_sort(list(i)) AS bs FROM bnd GROUP BY doc_id
-    ),
-    wdocs AS (
-        SELECT d.doc_id, d.text, d.n,
-               coalesce(b.bs, cast([] AS bigint[])) AS bs
-        FROM docs0 d LEFT JOIN bl b USING (doc_id)
-    ),
-    spans AS (
-        SELECT doc_id, text, n, bs,
-               unnest(generate_series(1, len(bs) + 1)) AS j
-        FROM wdocs
-    ),
-    bounds AS (
-        SELECT doc_id, text, cast(j - 1 AS int) AS chunk_no,
-               cast(CASE WHEN j = 1 THEN 1
-                    ELSE bs[cast(j - 1 AS int)] END AS int) AS s,
-               cast(CASE WHEN j = len(bs) + 1 THEN n
-                    ELSE bs[cast(j AS int)] - 1 END AS int) AS e
-        FROM spans
-    ),
-    chunks AS (
-        SELECT doc_id, chunk_no, cast(e - s + 1 AS int) AS chunk_len,
-               md5(substring(text, s, e - s + 1)) AS chunk_md5,
-               substring(text, s, e - s + 1) AS chunk_text
-        FROM bounds
-    )
-"""
-
-_MINHASH_SQL = _SHINGLES_SQL + f""",
-    hashed AS (
-        SELECT doc_id,
-               {_HEX2INT.format(expr="substring(md5(shingle), 1, 14)")} AS a,
-               {_HEX2INT.format(expr="substring(md5(shingle), 15, 14)")} AS b
-        FROM shingles_all
-    ),
-    sig AS (
-        SELECT doc_id, seed, min((a + seed * b) % {MINHASH_MOD}) AS minhash
-        FROM hashed, generate_series(0, {N_MINHASH - 1}) AS s(seed)
-        GROUP BY doc_id, seed
-    )
-"""
-
-# The capped-LSH candidate -> exact-Jaccard pair pipeline as reusable
-# CTEs over `sig` (from _MINHASH_SQL) — the DuckDB twin of
-# dedup_verified_pairs / neardup_edges' plan.
-_VERIFIED_PAIRS_CTES = f""",
-    bands AS (
-        SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
-               md5(string_agg(cast(minhash AS varchar), ','
-                              ORDER BY seed)) AS band_key
-        FROM sig GROUP BY 1, 2
-    ),
-    sized AS (
-        SELECT doc_id, band, band_key,
-               count(*) OVER (PARTITION BY band, band_key) AS bsz
-        FROM bands
-    ),
-    ok AS (SELECT doc_id, band, band_key FROM sized
-           WHERE bsz <= {LSH_BUCKET_CAP}),
-    cands AS (
-        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-        FROM ok x JOIN ok y USING (band, band_key)
-        WHERE x.doc_id < y.doc_id
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles
-              GROUP BY doc_id),
-    inter AS (
-        SELECT c.d1, c.d2, count(*) AS i
-        FROM cands c
-        JOIN shingles a ON a.doc_id = c.d1
-        JOIN shingles b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-        GROUP BY c.d1, c.d2
-    ),
-    jpairs AS (
-        SELECT d1, d2,
-               {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = d1
-        JOIN sizes sb ON sb.doc_id = d2
-        WHERE {JACCARD_T_DEN} * i
-              >= {JACCARD_T_NUM} * (sa.n_sh + sb.n_sh - i)
-    )
-"""
-
-# Recursive connected-component labels over the PRODUCTION near-dup
-# graph (capped-LSH verified pairs, = neardup_edges) — shared by the
-# dedup_clusters oracle and pipeline.corpus_clean. Until r4 this CTE
-# (and the Spark side) clustered over the standalone quadratic
-# shingle self-join; both sides now feed on the verified pipeline.
-LABELS_CTE_SQL = _MINHASH_SQL.replace(
-    "WITH toks", "WITH RECURSIVE toks") + _VERIFIED_PAIRS_CTES + """,
-    edges AS (
-        SELECT d1, d2 FROM jpairs
-        UNION ALL SELECT d2, d1 FROM jpairs
-    ),
-    reach AS (
-        SELECT doc_id AS src, doc_id AS dst FROM documents
-        UNION
-        SELECT r.src, e.d2 FROM reach r JOIN edges e ON r.dst = e.d1
-    ),
-    labels AS (
-        SELECT src AS doc_id, min(dst) AS label FROM reach GROUP BY src
-    )
-"""
-
-_SIMHASH_CTE = f"""
-    WITH tf AS (
-        SELECT doc_id, tok, count(*) AS tf, md5(tok) AS h
-        FROM (SELECT doc_id,
-                     unnest(regexp_split_to_array(text, '{NON_LETTER_RE}'))
-                         AS tok
-              FROM documents)
-        WHERE tok <> '' GROUP BY doc_id, tok
-    ),
-    perbit AS (
-        SELECT doc_id, j,
-               CASE WHEN sum(tf * (2 * ({_BIT_SQL.format(h='h', j='j')}) - 1)) > 0
-                    THEN '1' ELSE '0' END AS bit
-        FROM tf, generate_series(0, 63) AS g(j)
-        GROUP BY doc_id, j
-    ),
-    sigs AS (
-        SELECT doc_id, string_agg(bit, '' ORDER BY j) AS simhash
-        FROM perbit GROUP BY doc_id
-    )
-"""
-
-ORACLES = {
-    "dedup_exact": rf"""
-        SELECT md5(lower(trim(regexp_replace(text, '{FP_WS_SQL}', ' ', 'g')))) AS fp,
-               count(*) AS n_docs, min(doc_id) AS keeper
-        FROM documents GROUP BY fp
-    """,
-    "ngram_jaccard_pairs": _SHINGLES_SQL + f""",
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-            FROM shingles a JOIN shingles b USING (shingle)
-            WHERE a.doc_id < b.doc_id GROUP BY 1, 2
-        )
-        SELECT d1, d2,
-               {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = d1
-        JOIN sizes sb ON sb.doc_id = d2
-        WHERE {JACCARD_T_DEN} * i
-              >= {JACCARD_T_NUM} * (sa.n_sh + sb.n_sh - i)
-    """,
-    "minhash_signatures": _MINHASH_SQL + """
-        SELECT doc_id, seed, minhash FROM sig
-    """,
-    "dedup_minhash_pairs": _MINHASH_SQL + f""",
-        bands AS (
-            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
-                   md5(string_agg(cast(minhash AS varchar), ','
-                                  ORDER BY seed)) AS band_key
-            FROM sig GROUP BY 1, 2
-        )
-        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-        FROM bands x JOIN bands y USING (band, band_key)
-        WHERE x.doc_id < y.doc_id
-    """,
-    "neardup_flags": _MINHASH_SQL + f""",
-        bands AS (
-            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
-                   md5(string_agg(cast(minhash AS varchar), ','
-                                  ORDER BY seed)) AS band_key
-            FROM sig GROUP BY 1, 2
-        ),
-        later AS (
-            SELECT DISTINCT y.doc_id
-            FROM bands x JOIN bands y USING (band, band_key)
-            WHERE x.doc_id < y.doc_id
-        )
-        SELECT d.doc_id, (l.doc_id IS NOT NULL) AS dup
-        FROM documents d LEFT JOIN later l ON l.doc_id = d.doc_id
-    """,
-    "neardup_flags_capped": _MINHASH_SQL + f""",
-        bands AS (
-            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
-                   md5(string_agg(cast(minhash AS varchar), ','
-                                  ORDER BY seed)) AS band_key
-            FROM sig GROUP BY 1, 2
-        ),
-        ranked AS (
-            SELECT doc_id,
-                   row_number() OVER (PARTITION BY band, band_key
-                                      ORDER BY doc_id) AS rn
-            FROM bands
-        ),
-        later AS (
-            SELECT DISTINCT doc_id FROM ranked
-            WHERE rn >= 2 AND rn <= {LSH_BUCKET_CAP} + 1
-        )
-        SELECT d.doc_id, (l.doc_id IS NOT NULL) AS dup
-        FROM documents d LEFT JOIN later l ON l.doc_id = d.doc_id
-    """,
-    "dedup_minhash_pairs_capped": _MINHASH_SQL + f""",
-        bands AS (
-            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
-                   md5(string_agg(cast(minhash AS varchar), ','
-                                  ORDER BY seed)) AS band_key
-            FROM sig GROUP BY 1, 2
-        ),
-        sized AS (
-            SELECT doc_id, band, band_key,
-                   count(*) OVER (PARTITION BY band, band_key) AS bsz
-            FROM bands
-        ),
-        ok AS (SELECT doc_id, band, band_key FROM sized
-               WHERE bsz <= {LSH_BUCKET_CAP})
-        SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-        FROM ok x JOIN ok y USING (band, band_key)
-        WHERE x.doc_id < y.doc_id
-    """,
-    "dedup_verified_pairs": _MINHASH_SQL + f""",
-        bands AS (
-            SELECT doc_id, cast(floor(seed / {LSH_ROWS}.0) AS int) AS band,
-                   md5(string_agg(cast(minhash AS varchar), ','
-                                  ORDER BY seed)) AS band_key
-            FROM sig GROUP BY 1, 2
-        ),
-        sized AS (
-            SELECT doc_id, band, band_key,
-                   count(*) OVER (PARTITION BY band, band_key) AS bsz
-            FROM bands
-        ),
-        ok AS (SELECT doc_id, band, band_key FROM sized
-               WHERE bsz <= {LSH_BUCKET_CAP}),
-        cands AS (
-            SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
-            FROM ok x JOIN ok y USING (band, band_key)
-            WHERE x.doc_id < y.doc_id
-        ),
-        sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles
-                  GROUP BY doc_id),
-        inter AS (
-            SELECT c.d1, c.d2, count(*) AS i
-            FROM cands c
-            JOIN shingles a ON a.doc_id = c.d1
-            JOIN shingles b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-            GROUP BY c.d1, c.d2
-        )
-        SELECT d1, d2,
-               {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = d1
-        JOIN sizes sb ON sb.doc_id = d2
-        WHERE {dround_sql('i / (sa.n_sh + sb.n_sh - i)', 6)} >= {JACCARD_THRESHOLD}
     """,
     "minhash_jaccard_estimate": _MINHASH_SQL + f""",
         bands AS (

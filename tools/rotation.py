@@ -64,6 +64,19 @@ sys.path.insert(0, REPO)
 
 PERMANENT = ["wc", "indexer", "crash_payload"]
 
+# P2 refinement (r15, VERDICT r14 item 1): a query whose RESULT SCHEMA
+# changed in round N is, for hold purposes, a new first green — greens
+# recorded before N verified a shape that no longer exists, so they
+# must not count toward releasing the seat. name -> first round whose
+# green covers the current schema.
+SCHEMA_RESETS = {
+    # r14 added the oracle-backed n_probed_cells cost-knob column
+    # (VERDICT r13 item 7); the r13 green verified the 11-variant
+    # dashboard without it. One post-change green => P2 hold until a
+    # second confirms.
+    "ann_recall_dashboard": 14,
+}
+
 # P3 anchors, each with the property it pins:
 ANCHORS = [
     "join_inner_bucketed",    # zero-Exchange co-located join+agg plan
@@ -267,9 +280,13 @@ def history(as_of: int | None = None,
     latest_red: set[str] = set()
     for f in rounds:
         d = json.load(open(f))
+        n = int(re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
         ok = {k for k, v in d.items()
               if v.get("rows_match") and v.get("schema_match")
-              and v.get("hash_match") in (True, None)}
+              and v.get("hash_match") in (True, None)
+              # a green recorded before the query's schema reset
+              # verified a result shape that no longer exists
+              and n >= SCHEMA_RESETS.get(k, 0)}
         per_round.append(ok)
         latest_red = set(d) - ok
         for k in ok:
