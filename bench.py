@@ -245,6 +245,10 @@ HEADLINE = [
     # layout — the cell-pruned coarse scan that retires the registry's
     # last full-table dense scan (also now hybrid_rrf_ann_topk's pool)
     "ann_ivf_hamming_topk",
+    # NEW in r15: the FAISS-standard IVF-PQ composition — ADC scoring
+    # only inside the probed cells of the same layout table, retiring
+    # ann_pq_topk's full (32x-compressed) code scan
+    "ann_ivf_pq_topk",
 ]
 
 # FROZEN cross-round comparable subset: the exact 37-query set

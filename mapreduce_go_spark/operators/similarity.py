@@ -452,19 +452,24 @@ IVF_HAM_NPROBE = 3   # cells the composed variant probes — one MORE
 
 
 def _ivf_layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (vec_id, cluster, w0, w1) CELL LAYOUT the composed
-    IVF-Hamming variants ride: every vector's trained-cell assignment
-    plus its packed sign words, materialized ONCE per session as
-    parquet PARTITIONED BY cluster (the joins._bucketed_table /
+    """The (vec_id, cluster, w0, w1, codes) CELL LAYOUT the composed
+    IVF variants ride: every vector's trained-cell assignment plus its
+    packed sign words AND its PQ codes, materialized ONCE per session
+    as parquet PARTITIONED BY cluster (the joins._bucketed_table /
     media.media_table amortization discipline — keyed by
     applicationId + the embeddings content key, self-healing on a
-    vanished path). This is the deployment shape made literal: at
-    100 TB assignment + sign-packing is the one-time layout step, and
-    a query's probe is a partition-pruned scan of nprobe/k of the
-    table at 16 bytes/vector — the Zipf x100 sweep (SCALE.md r14)
-    measured the per-query re-derivation of exactly this layout as
-    the composed hybrid's dominant residual, so fixture queries now
-    price only what deployments pay per query."""
+    vanished path). This is the deployment shape made literal — one
+    layout pass emits every per-vector index artifact, the way a FAISS
+    IVF index file carries both the coarse assignment and the codes:
+    at 100 TB assignment + sign-packing + PQ encode is the one-time
+    layout step, and a query's probe is a partition-pruned scan of
+    nprobe/k of the table reading ONLY the column its variant needs
+    (16 bytes of sign words for IVF-Hamming, M=8 code bytes for
+    IVF-PQ — columnar pruning keeps each path at its own width). The
+    Zipf x100 sweep (SCALE.md r14) measured the per-query
+    re-derivation of exactly this layout as the composed hybrid's
+    dominant residual, so fixture queries price only what deployments
+    pay per query."""
     import hashlib
     import os
 
@@ -476,21 +481,45 @@ def _ivf_layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K)
     tag = hashlib.md5("|".join(
         [os.path.abspath(sf_dir), str(IVF_TRAINED_K),
+         f"pq{PQ_M}x{PQ_K}",
          _embeddings_content_key(sf_dir)]).encode()).hexdigest()[:8]
     path = os.path.join(session_scratch(spark), f"ivf_layout_{tag}")
 
     def build() -> None:
+        enc = _pq_encode_udf(_pq_codebooks(sf_dir))
         raw = tables.load(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding")
-        (_assign(raw, centroids).selectExpr(
-            "vec_id", "cluster",
-            f"{_sign_word_sql(0)} as w0",
-            f"{_sign_word_sql(1)} as w1")
+        (_assign(raw, centroids)
+         .withColumn("codes", enc("embedding"))
+         .selectExpr(
+             "vec_id", "cluster", "codes",
+             f"{_sign_word_sql(0)} as w0",
+             f"{_sign_word_sql(1)} as w1")
          .write.mode("overwrite").partitionBy("cluster")
          .parquet(path))
 
     materialize_once(path, build)
     return spark.read.parquet(path)
+
+
+def _probed_cells(spark: SparkSession, sf_dir: str,
+                  nprobe: int) -> DataFrame:
+    """(q_id, cluster): each query's `nprobe` nearest trained-IVF
+    cells by exact grid distance — the broadcast probe list whose
+    join against the cluster-partitioned layout table dynamically
+    prunes the scan to nprobe/k of the index. Shared by the
+    IVF-Hamming and IVF-PQ compositions."""
+    from mapreduce_go_spark.operators.kmeans import (
+        _dist_array_sql, kmeans_centroids)
+
+    centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K)
+    raw = tables.load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding")
+    return raw.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id",
+        f"explode(transform(slice(array_sort({_dist_array_sql(centroids)}),"
+        f" 1, {nprobe}), s -> s.i)) as cluster",
+    )
 
 
 def _ivf_hamming_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,18 +545,8 @@ def _ivf_hamming_cand(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-bounded."""
     from pyspark.sql import Window
 
-    from mapreduce_go_spark.operators.kmeans import (
-        _dist_array_sql, kmeans_centroids)
-
-    centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K)
     words = _ivf_layout_table(spark, sf_dir)
-    raw = tables.load(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding")
-    probed = raw.where(F.col("vec_id") < N_QUERIES).selectExpr(
-        "vec_id as q_id",
-        f"explode(transform(slice(array_sort({_dist_array_sql(centroids)}),"
-        f" 1, {IVF_HAM_NPROBE}), s -> s.i)) as cluster",
-    )
+    probed = _probed_cells(spark, sf_dir, IVF_HAM_NPROBE)
     qw = words.where(F.col("vec_id") < N_QUERIES).selectExpr(
         "vec_id as q_id", "w0 as qw0", "w1 as qw1")
     ham = (
@@ -576,6 +595,95 @@ def ann_ivf_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _topk(scored)
+
+
+IVF_PQ_NPROBE = 3    # cells the IVF-PQ composition probes — the
+                     # IVF_HAM_NPROBE rationale: ADC codes are 32x
+                     # smaller than floats, so the composition spends
+                     # some of the per-cell saving on a wider probe
+                     # than ann_ivf_trained_topk's 2 (recall knob;
+                     # floor pinned in tests/test_approx.py)
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS-standard IVF-PQ composition (VERDICT r14's named
+    successor to ann_pq_topk): ADC scoring runs ONLY inside the
+    trained-IVF probed cells instead of over every code in the table.
+    ann_pq_topk's ADC pass is 32x-compressed but still linear — the
+    registry's last full-table scan of any kind. Here the codes live
+    in the cluster-partitioned layout table (_ivf_layout_table, the
+    same artifact the IVF-Hamming composition rides), the broadcast
+    probe list dynamically prunes the scan to IVF_PQ_NPROBE/k of the
+    index, and the per-candidate ADC gather is a pure-JVM expression:
+    each query's (M x K) int64 lookup table is a SQL map literal, and
+    the score is an 8-element zip_with/aggregate fold over the code
+    array — no Python anywhere in the per-query path (the one encode
+    pass happened at layout-build time).
+
+    100 TB shape: probe = partition-pruned scan of nprobe/k of the
+    table at M=8 code bytes/vector (vs 16 sign bytes for IVF-Hamming,
+    vs 256 float bytes for the trained scan); shortlist = top-
+    PQ_RERANK per query by (adist, c_id) bounded BEFORE the exchange
+    (WindowGroupLimit); re-rank = exact grid cosine on PQ_RERANK
+    candidates only.
+
+    Value-level oracle: cell assignment, probe ranking, codes and ADC
+    totals are all exact int64 grid arithmetic on both engines
+    (codebooks and centroids are literal constants trained by the
+    shared Spark-free twins), so the whole composition is
+    differentially checked (_ivf_pq_oracle_sql), not recall-floored."""
+    from pyspark.sql import Window
+
+    CB = _pq_codebooks(sf_dir)                 # (M, K, sub)
+    layout = _ivf_layout_table(spark, sf_dir)
+    probed = _probed_cells(spark, sf_dir, IVF_PQ_NPROBE)
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    q_rows = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding").orderBy("vec_id")
+        .collect()  # allow-bounded-collect: N_QUERIES rows (ADC tables)
+    )
+    Q = np.asarray([r.embedding for r in q_rows], dtype=np.float64)
+    LUT = _adc_luts(Q, CB)                     # (n_q, M, K) int64
+    # the ADC tables as ONE map literal q_id -> array<array<bigint>>,
+    # built as a SQL string (parsed JVM-side in one call — the py4j
+    # per-operator-node discipline from simhash)
+    luts_sql = "map(" + ", ".join(
+        f"{int(r.vec_id)}L, array(" + ", ".join(
+            "array(" + ", ".join(f"{int(v)}L" for v in row) + ")"
+            for row in LUT[i]) + ")"
+        for i, r in enumerate(q_rows)) + ")"
+    scored = (
+        F.broadcast(probed)
+        .join(layout, "cluster")  # cell-pruned: only probed cells scan
+        .where(F.col("vec_id") != F.col("q_id"))
+        .selectExpr(
+            "q_id", "vec_id as c_id",
+            # gather+fold over M=8 elements: interpreted HOF, but the
+            # per-row work is 8 map lookups — measured fine (the
+            # interpreted-HOF penalty is per-element over LONG arrays)
+            f"aggregate(zip_with(codes, element_at({luts_sql}, q_id),"
+            f" (c, r) -> element_at(r, c + 1)),"
+            f" cast(0 as bigint), (acc, x) -> acc + x) as adist",
+        )
+    )
+    w_ad = Window.partitionBy("q_id").orderBy("adist", "c_id")
+    shortlist = (
+        scored.withColumn("ark", F.row_number().over(w_ad))
+        .where(F.col("ark") <= PQ_RERANK)
+        .select("q_id", "c_id")
+    )
+    q, c = _qc_frames(emb)
+    rerank = (
+        F.broadcast(shortlist)
+        .join(c, "c_id")
+        .join(F.broadcast(q), "q_id")
+        .select(
+            "q_id", "c_id",
+            _cosine(F.col("qe"), F.col("ce"), F.col("qn"), F.col("cn"))
+            .alias("cos"))
+    )
+    return _topk(rerank)
 
 
 MRL_DIM = 16         # matryoshka coarse prefix length (16 of 64 dims)
@@ -1206,6 +1314,64 @@ def _pq_codebooks_cached(sf_dir: str, _content_key: str):
     return np.stack(books)  # (M, K, sub)
 
 
+def _grid_normalize(X: np.ndarray) -> np.ndarray:
+    """x / sqrt(grid_self_dot(x)) — the engine-portable norm (zero
+    vectors pass through unscaled, both engines). Shared by the PQ
+    encode kernel, the driver-side ADC tables, and the layout build."""
+    from mapreduce_go_spark.functions.simd import _grid
+
+    n2 = _grid(X * X * 1e12).sum(1, keepdims=True)
+    n = np.sqrt(n2 / 1e12)
+    return np.where(n > 0, X / np.where(n == 0, 1, n), X)
+
+
+def _adc_luts(Q: np.ndarray, CB: np.ndarray) -> np.ndarray:
+    """Per-query ADC lookup tables: grid-exact squared L2 from each
+    normalized query sub-vector to each sub-centroid -> (n_q, M, K)
+    int64. A few KB — small enough to ride a kernel closure
+    (ann_pq_topk) or a SQL map literal (ann_ivf_pq_topk)."""
+    from mapreduce_go_spark.functions.simd import _grid
+
+    M, _K, sub = CB.shape
+    QS = _grid_normalize(Q).reshape(len(Q), M, sub)
+    return _grid(((QS[:, :, None, :] - CB[None, :, :, :]) ** 2)
+                 * 1e12).sum(-1)
+
+
+def _pq_encode_udf(CB: np.ndarray):
+    """pandas-UDF factory: the M int32 sub-codebook argmins (PQ codes)
+    of the grid-normalized embedding — one Arrow-vectorized pass,
+    shared by ann_pq_topk's in-plan encode and _ivf_layout_table's
+    one-time layout build."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    from mapreduce_go_spark.functions.simd import _grid
+
+    M, _K, sub = CB.shape
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def pq_encode(e: pd.Series) -> pd.Series:
+        from mapreduce_go_spark.functions.simd import (_check_finite,
+                                                       _stack)
+
+        # _stack, not raw np.vstack: Arrow hands float32 arrays, and
+        # a float32 X*X*1e12 norm diverges from the float64 oracle /
+        # driver LUT path by ~1e3 grid units — enough to flip a
+        # near-tie sub-codebook argmin between engines (review r10,
+        # confirmed by repro). _check_finite mirrors every sibling
+        # kernel: NaN must fail loudly, not grid to INT64_MIN.
+        if not len(e):
+            return pd.Series([], dtype=object)
+        X = _grid_normalize(_check_finite(_stack(e)))
+        S = X.reshape(len(X), M, sub)
+        d = _grid(((S[:, :, None, :] - CB[None, :, :, :]) ** 2)
+                  * 1e12).sum(-1)
+        return pd.Series(list(d.argmin(-1).astype(np.int32)))
+
+    return pq_encode
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN with ADC scoring and exact re-rank — the
     memory-bounded scale path for 100 TB embedding corpora: each
@@ -1235,19 +1401,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just recall-floored."""
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType, LongType
-
-    from mapreduce_go_spark.functions.simd import _grid
+    from pyspark.sql.types import ArrayType, LongType
 
     CB = _pq_codebooks(sf_dir)                 # (M, K, sub)
     M, K, sub = CB.shape
-
-    def _grid_normalize(X: np.ndarray) -> np.ndarray:
-        """x / sqrt(grid_self_dot(x)) — the engine-portable norm
-        (zero vectors pass through unscaled, both engines)."""
-        n2 = _grid(X * X * 1e12).sum(1, keepdims=True)
-        n = np.sqrt(n2 / 1e12)
-        return np.where(n > 0, X / np.where(n == 0, 1, n), X)
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     q_rows = (
@@ -1256,33 +1413,11 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()  # allow-bounded-collect: N_QUERIES rows (ADC tables)
     )
     Q = np.asarray([r.embedding for r in q_rows], dtype=np.float64)
-    Qn = _grid_normalize(Q)
     q_ids = np.asarray([r.vec_id for r in q_rows])
-    # ADC tables: grid-exact squared L2 from each query sub-vector to
-    # each centroid -> (n_q, M, K) int64; a few KB, baked into the
-    # kernel closure
-    QS = Qn.reshape(len(Qn), M, sub)
-    LUT = _grid(((QS[:, :, None, :] - CB[None, :, :, :]) ** 2)
-                * 1e12).sum(-1)
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def pq_encode(e: pd.Series) -> pd.Series:
-        from mapreduce_go_spark.functions.simd import (_check_finite,
-                                                       _stack)
-
-        # _stack, not raw np.vstack: Arrow hands float32 arrays, and
-        # a float32 X*X*1e12 norm diverges from the float64 oracle /
-        # driver LUT path by ~1e3 grid units — enough to flip a
-        # near-tie sub-codebook argmin between engines (review r10,
-        # confirmed by repro). _check_finite mirrors every sibling
-        # kernel: NaN must fail loudly, not grid to INT64_MIN.
-        if not len(e):
-            return pd.Series([], dtype=object)
-        X = _grid_normalize(_check_finite(_stack(e)))
-        S = X.reshape(len(X), M, sub)
-        d = _grid(((S[:, :, None, :] - CB[None, :, :, :]) ** 2)
-                  * 1e12).sum(-1)
-        return pd.Series(list(d.argmin(-1).astype(np.int32)))
+    # ADC tables: (n_q, M, K) int64; a few KB, baked into the kernel
+    # closure
+    LUT = _adc_luts(Q, CB)
+    pq_encode = _pq_encode_udf(CB)
 
     @pandas_udf(ArrayType(LongType()))
     def adc_scores(codes: pd.Series) -> pd.Series:
@@ -1338,7 +1473,8 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: drop there is just as much a regression signal.
 ANN_RECALL_VARIANTS = (
     "ann_ivf_topk", "ann_ivf_nprobe_topk", "ann_ivf_trained_topk",
-    "ann_ivf_sampled_topk", "ann_ivf_hamming_topk", "ann_lsh_topk",
+    "ann_ivf_sampled_topk", "ann_ivf_hamming_topk", "ann_ivf_pq_topk",
+    "ann_lsh_topk",
     "ann_lsh_multiprobe_topk", "ann_pq_topk", "ann_binary_hamming_topk",
     "matryoshka_two_stage_topk", "hybrid_rrf_topk",
     "hybrid_rrf_ann_topk",
@@ -1385,7 +1521,7 @@ def ann_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     item 4): every variant subtree that reads the table (they all
     build the identical tables.load / _with_norm plans) is
     substituted with the in-memory relation by Catalyst's cache
-    manager, so the 12 variants stop re-scanning the parquet +
+    manager, so the 13 variants stop re-scanning the parquet +
     re-deriving norms per plan. persist() is lazy — the first
     executing variant materializes it; bench clears the cache
     between queries.
@@ -1424,6 +1560,8 @@ def ann_recall_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
             sample_frac=IVF_SAMPLE_FRAC),
         "ann_ivf_hamming_topk": _ivf_trained_probe(
             spark, sf_dir, IVF_HAM_NPROBE),
+        "ann_ivf_pq_topk": _ivf_trained_probe(
+            spark, sf_dir, IVF_PQ_NPROBE),
     }
     probes = None
     for name, pf in probe_frames.items():
@@ -1455,6 +1593,7 @@ QUERIES = {
     "ann_ivf_trained_topk": ann_ivf_trained_topk,
     "ann_ivf_sampled_topk": ann_ivf_sampled_topk,
     "ann_ivf_hamming_topk": ann_ivf_hamming_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "ann_binary_hamming_topk": ann_binary_hamming_topk,
     "matryoshka_two_stage_topk": matryoshka_two_stage_topk,
     "hybrid_rrf_topk": hybrid_rrf_topk,
@@ -2164,6 +2303,97 @@ def _ivf_ham_cand_ctes(p: str) -> str:
     )"""
 
 
+def _pq_code_ctes(CB) -> str:
+    """pqcb/pels/pqd/pcodes CTE block: PQ sub-codebook literals, the
+    exact grid squared L2 of every NORMALIZED vector's sub-vectors to
+    every sub-centroid, and the per-(vector, subspace) argmin code
+    (ORDER BY d, k — the argmin-first tie-break) — the DuckDB twin of
+    _pq_encode_udf, prefixed so it composes with _ivf_rank_ctes
+    (which owns cb/dists). Expects `norms` upstream; no leading
+    WITH."""
+    M, K, sub = CB.shape
+    dim = M * sub
+    vals = ", ".join(
+        f"({m}, {k}, {j}, {float(CB[m, k, j])!r})"
+        for m in range(M) for k in range(K) for j in range(sub)
+    )
+    return f""",
+    pqcb(m, k, j, c) AS (VALUES {vals}),
+    pels AS (
+        SELECT vec_id, cast(floor((g.j - 1) / {sub}) AS int) AS m,
+               (g.j - 1) % {sub} AS jj,
+               CASE WHEN norm = 0 THEN cast(embedding[g.j] AS double)
+                    ELSE cast(embedding[g.j] AS double) / norm END AS s
+        FROM norms CROSS JOIN generate_series(1, {dim}) g(j)
+    ),
+    pqd AS (
+        SELECT e.vec_id, e.m, pqcb.k,
+               sum(cast(round((e.s - pqcb.c) * (e.s - pqcb.c) * 1e12)
+                        AS bigint)) AS d
+        FROM pels e JOIN pqcb ON pqcb.m = e.m AND pqcb.j = e.jj
+        GROUP BY 1, 2, 3
+    ),
+    pcodes AS (
+        SELECT vec_id, m, k FROM (
+            SELECT vec_id, m, k,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY d, k) AS rn
+            FROM pqd)
+        WHERE rn = 1
+    )"""
+
+
+def _ivf_pq_oracle_sql(sf_dir: str) -> str:
+    """DuckDB twin of ann_ivf_pq_topk: the trained-centroid ranking
+    block (_ivf_rank_ctes), assignment + per-query IVF_PQ_NPROBE
+    probed cells, the PQ code block (_pq_code_ctes), ADC totals
+    restricted to probed-cell members (candidate codes gathered
+    against the QUERY's sub-distance table — exactly the LUT gather),
+    the (ad, c_id) shortlist, then the shared exact-cosine re-rank
+    tail."""
+    from mapreduce_go_spark.operators.kmeans import _kmeans_twin
+
+    C, _sizes = _kmeans_twin(sf_dir, k=IVF_TRAINED_K)
+    CB = _pq_codebooks(sf_dir)
+    return (_NORMS_SQL + "," + _ivf_rank_ctes(C) + f""",
+    assign AS (SELECT vec_id, i AS cluster FROM ranked WHERE rn = 1),
+    probed AS (
+        SELECT vec_id AS q_id, i AS cluster
+        FROM ranked
+        WHERE vec_id < {N_QUERIES} AND rn <= {IVF_PQ_NPROBE}
+    )""" + _pq_code_ctes(CB) + f""",
+    adist AS (
+        SELECT pr.q_id, a.vec_id AS c_id, sum(d.d) AS ad
+        FROM probed pr
+        JOIN assign a ON a.cluster = pr.cluster
+                     AND a.vec_id <> pr.q_id
+        JOIN pcodes c ON c.vec_id = a.vec_id
+        JOIN pqd d ON d.vec_id = pr.q_id AND d.m = c.m AND d.k = c.k
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT q_id, c_id FROM (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY ad, c_id) AS ark
+            FROM adist)
+        WHERE ark <= {PQ_RERANK}
+    )""" + _CAND_RERANK_TAIL)
+
+
+def _ivf_pq_oracle_lazy() -> str | None:
+    """LAZY oracle for ann_ivf_pq_topk — same contract as
+    _ivf_hamming_oracle_lazy (twin centroids + PQ codebooks trained at
+    oracle-collection time from TEST_SF_DIR; failure -> rows-only)."""
+    import os
+
+    sf_dir = os.environ.get("TEST_SF_DIR", "/root/testdata/sf0.01")
+    try:
+        return _ivf_pq_oracle_sql(sf_dir)
+    except Exception:
+        return None
+
+
 def _ivf_hamming_oracle_sql(sf_dir: str) -> str:
     """DuckDB twin of ann_ivf_hamming_topk: the trained-centroid
     ranking block (_ivf_rank_ctes — twin centroids as literals), the
@@ -2369,6 +2599,7 @@ def _recall_oracle_lazy() -> str | None:
                 ("ann_ivf_trained_topk", _ivf_trained_oracle_lazy),
                 ("ann_ivf_sampled_topk", _ivf_sampled_oracle_lazy),
                 ("ann_ivf_hamming_topk", _ivf_hamming_oracle_lazy),
+                ("ann_ivf_pq_topk", _ivf_pq_oracle_lazy),
                 ("hybrid_rrf_ann_topk", _hybrid_ann_oracle_lazy)):
             sql = _memo_thunk(name, thunk)()
             if sql is None:
@@ -2401,7 +2632,8 @@ def _recall_oracle_lazy() -> str | None:
                 ("ann_ivf_trained_topk", None, IVF_TRAINED_NPROBE),
                 ("ann_ivf_sampled_topk", IVF_SAMPLE_FRAC,
                  IVF_TRAINED_NPROBE),
-                ("ann_ivf_hamming_topk", None, IVF_HAM_NPROBE)):
+                ("ann_ivf_hamming_topk", None, IVF_HAM_NPROBE),
+                ("ann_ivf_pq_topk", None, IVF_PQ_NPROBE)):
             C, _sizes = _kmeans_twin(sf_dir, k=IVF_TRAINED_K,
                                      sample_frac=frac)
             probe_rows.append(
@@ -2445,6 +2677,8 @@ LAZY_ORACLES = {
                                         _ivf_sampled_oracle_lazy),
     "ann_ivf_hamming_topk": _memo_thunk("ann_ivf_hamming_topk",
                                         _ivf_hamming_oracle_lazy),
+    "ann_ivf_pq_topk": _memo_thunk("ann_ivf_pq_topk",
+                                   _ivf_pq_oracle_lazy),
     "hybrid_rrf_ann_topk": _memo_thunk("hybrid_rrf_ann_topk",
                                        _hybrid_ann_oracle_lazy),
     "ann_recall_dashboard": _recall_oracle_lazy,

@@ -27,6 +27,7 @@ _PRIORITY: list[str] = [
     "orc_roundtrip",  # HOLD greens=4
     "q10_returned_items",  # HOLD greens=5
     "q18_large_orders",  # HOLD greens=5
+    "ann_ivf_pq_topk",  # FILL greens=0
     "q4_order_priority",  # FILL greens=6
     "q6_forecast_revenue",  # FILL greens=6
     "q7_volume_shipping",  # FILL greens=6
@@ -59,5 +60,4 @@ _PRIORITY: list[str] = [
     "pii_stats",  # FILL greens=2
     "cdc_dup_chunks",  # FILL greens=3
     "local_supplier_volume_bucketed",  # FILL greens=2
-    "image_phash_pairs",  # FILL greens=2
 ]

@@ -556,6 +556,40 @@ def test_ann_ivf_hamming_recall_floor_and_exact_scores(spark, sf_dir):
         assert cos_comp[key] == cos_knn[key], key
 
 
+def test_ann_ivf_pq_recall_floor_and_exact_scores(spark, sf_dir):
+    """IVF-PQ composition (VERDICT r14's named successor to the plain
+    ADC scan): restricting ADC to the IVF_PQ_NPROBE probed cells must
+    not cost recall vs the full-code scan — the cell restriction
+    actually HELPS, because distant vectors that quantization error
+    would promote into the ADC shortlist never enter it. Measured
+    composed-vs-plain recall@10: 0.9375 vs 0.8625 (sf0.001), 0.9000
+    vs 0.8375 (sf0.01), 0.7000 vs 0.6750 (sf0.1) — composed >= plain
+    at every scale; assert a 0.5 floor at the default fixture plus
+    the ordering. Scores shared with exact knn are identical — the
+    re-rank is the same grid cosine."""
+    from collections import defaultdict
+
+    from mapreduce_go_spark.operators import similarity
+
+    knn, comp, plain = defaultdict(set), defaultdict(set), defaultdict(set)
+    cos_knn, cos_comp = {}, {}
+    for r in similarity.knn_cosine_topk(spark, sf_dir).collect():
+        knn[r.q_id].add(r.c_id)
+        cos_knn[(r.q_id, r.c_id)] = r.cos
+    for r in similarity.ann_ivf_pq_topk(spark, sf_dir).collect():
+        comp[r.q_id].add(r.c_id)
+        cos_comp[(r.q_id, r.c_id)] = r.cos
+    for r in similarity.ann_pq_topk(spark, sf_dir).collect():
+        plain[r.q_id].add(r.c_id)
+    n = len(knn)
+    r_comp = sum(len(comp[q] & knn[q]) / len(knn[q]) for q in knn) / n
+    r_plain = sum(len(plain[q] & knn[q]) / len(knn[q]) for q in knn) / n
+    assert r_comp >= 0.5, r_comp
+    assert r_comp >= r_plain - 1e-9, (r_comp, r_plain)
+    for key in set(cos_comp) & set(cos_knn):
+        assert cos_comp[key] == cos_knn[key], key
+
+
 def test_hybrid_rrf_fuses_both_systems(spark, sf_dir):
     """RRF sanity: the fused top-10 must actually draw on both
     systems — some fused hits come from the dense top-10 and some do

@@ -546,6 +546,28 @@ def test_ivf_hamming_coarse_is_cell_pruned(spark, sf_dir):
         assert "dynamicpruningexpression(cluster" in p, (q.__name__, p)
 
 
+def test_ivf_pq_scan_is_cell_pruned_and_code_width(spark, sf_dir):
+    """ann_ivf_pq_topk (the FAISS-standard IVF-PQ composition) exists
+    to retire ann_pq_topk's full ADC code scan: its coarse stage must
+    read the cluster-partitioned layout table through the broadcast
+    probe list's DYNAMIC partition pruning (only nprobe/k of the codes
+    are ever read), the ADC gather must be pure JVM (the one encode
+    pass happened at layout-build time — no row-Python in the query
+    plan), and the layout scan must be COLUMN-pruned to the code
+    array: reading the sign words here would silently double the
+    scan width the 100 TB claim prices at M=8 bytes/vector."""
+    p = plan_of(similarity.ann_ivf_pq_topk(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in p, p
+    assert "CartesianProduct" not in p, p
+    assert "WindowGroupLimit" in p, p
+    assert "dynamicpruningexpression(cluster" in p, p
+    layout_scans = [ln for ln in p.splitlines()
+                    if "ReadSchema" in ln and "codes" in ln]
+    assert layout_scans, p
+    for ln in layout_scans:
+        assert "w0" not in ln and "w1" not in ln, ln
+
+
 def test_dsir_selection_avoids_global_window(spark, sf_dir):
     """dsir_importance_sample emits EVERY document (score + flag), so
     a global rank would drag the whole scored corpus through one

@@ -181,6 +181,11 @@ FILL_QUEUE = [
     # retires the last full-table dense scan; hybrid_rrf_ann_topk's
     # dense pool swaps onto its candidates the same round
     "ann_ivf_hamming_topk",
+    # registered in r15 (1 new vs 13 freed at round open — inside the
+    # budget): the FAISS-standard IVF-PQ composition (VERDICT r14's
+    # named successor to ann_pq_topk's full ADC scan) — ADC gathers
+    # only inside the probed cells of the shared layout table
+    "ann_ivf_pq_topk",
 ]
 
 # P6: the curated family prefixes — every family keeps >= 1 window
