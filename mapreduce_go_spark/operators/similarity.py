@@ -1353,7 +1353,8 @@ def _pq_encode_udf(CB: np.ndarray):
     @pandas_udf(ArrayType(IntegerType()))
     def pq_encode(e: pd.Series) -> pd.Series:
         from mapreduce_go_spark.functions.simd import (_check_finite,
-                                                       _stack)
+                                                       _stack,
+                                                       _valid_rows)
 
         # _stack, not raw np.vstack: Arrow hands float32 arrays, and
         # a float32 X*X*1e12 norm diverges from the float64 oracle /
@@ -1361,13 +1362,28 @@ def _pq_encode_udf(CB: np.ndarray):
         # near-tie sub-codebook argmin between engines (review r10,
         # confirmed by repro). _check_finite mirrors every sibling
         # kernel: NaN must fail loudly, not grid to INT64_MIN.
+        def encode(ev: pd.Series) -> np.ndarray:
+            X = _grid_normalize(_check_finite(_stack(ev)))
+            S = X.reshape(len(X), M, sub)
+            d = _grid(((S[:, :, None, :] - CB[None, :, :, :]) ** 2)
+                      * 1e12).sum(-1)
+            return d.argmin(-1).astype(np.int32)
+
         if not len(e):
             return pd.Series([], dtype=object)
-        X = _grid_normalize(_check_finite(_stack(e)))
-        S = X.reshape(len(X), M, sub)
-        d = _grid(((S[:, :, None, :] - CB[None, :, :, :]) ** 2)
-                  * 1e12).sum(-1)
-        return pd.Series(list(d.argmin(-1).astype(np.int32)))
+        mask = _valid_rows(e)
+        if mask.all():
+            return pd.Series(list(encode(e)))
+        # NULL embedding -> NULL codes, the make_centroid_assign
+        # contract (the layout build shares a row pipeline with the
+        # null-propagating sign-word exprs; a NULL must not crash it)
+        out = np.full(len(e), None, dtype=object)
+        if mask.any():
+            codes = encode(e[mask])
+            rows = np.empty(len(codes), dtype=object)
+            rows[:] = list(codes)
+            out[mask] = rows
+        return pd.Series(out, dtype=object)
 
     return pq_encode
 

@@ -181,7 +181,7 @@ def main() -> None:
         hll_distinct_by_source, hll_distinct_tokens, repetition_stats)
     from mapreduce_go_spark.operators.similarity import (
         ann_binary_hamming_topk, ann_ivf_hamming_topk, ann_ivf_nprobe_topk,
-        ann_ivf_sampled_topk, ann_ivf_trained_topk,
+        ann_ivf_pq_topk, ann_ivf_sampled_topk, ann_ivf_trained_topk,
         ann_lsh_multiprobe_topk, ann_pq_topk,
         embedding_neardup_pairs_blocked, hybrid_rrf_ann_topk,
         hybrid_rrf_topk, matryoshka_two_stage_topk)
@@ -254,6 +254,7 @@ def main() -> None:
                      ("ann_ivf_sampled_topk", ann_ivf_sampled_topk),
                      ("ann_binary_hamming_topk", ann_binary_hamming_topk),
                      ("ann_ivf_hamming_topk", ann_ivf_hamming_topk),
+                     ("ann_ivf_pq_topk", ann_ivf_pq_topk),
                      ("bm25_search", bm25_search),
                      ("matryoshka_two_stage_topk", matryoshka_two_stage_topk),
                      ("dsir_importance_sample", dsir_importance_sample),
