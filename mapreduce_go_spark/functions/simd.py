@@ -136,6 +136,34 @@ def _check_finite(m: np.ndarray) -> np.ndarray:
     return m
 
 
+def _null_propagate(e: pd.Series, dense, fast_dtype: str | None = None
+                    ) -> pd.Series:
+    """Shared NULL-in -> NULL-out scaffolding for the single-column
+    Arrow kernels (the make_centroid_assign contract, ADVICE r11 —
+    the r15 review found the mask/fill dance copy-pasted per kernel).
+    `dense` maps a Series of non-NULL array values to an ndarray of
+    results: (n,) scalars (pass fast_dtype for the all-valid fast
+    path — an object Series forces per-element Arrow conversion, the
+    grid_dot lesson) or (n, m) arrays (emitted as an object Series of
+    rows)."""
+    if not len(e):
+        return pd.Series([], dtype=fast_dtype or object)
+    mask = _valid_rows(e)
+    if mask.all():
+        vals = dense(e)
+        return (pd.Series(vals) if vals.ndim == 1
+                else pd.Series(list(vals)))
+    out = np.full(len(e), None, dtype=object)
+    if mask.any():
+        vals = dense(e[mask])
+        if vals.ndim > 1:
+            rows = np.empty(len(vals), dtype=object)
+            rows[:] = list(vals)
+            vals = rows
+        out[mask] = vals
+    return pd.Series(out, dtype=object)
+
+
 @pandas_udf(DoubleType())
 def grid_dot(a: pd.Series, b: pd.Series) -> pd.Series:
     """Vectorized twin of similarity._dot_dec: exact dot product on
@@ -243,28 +271,17 @@ def make_centroid_assign(centroids: list[list[float]]):
 
     @pandas_udf(IntegerType())
     def assign(emb: pd.Series) -> pd.Series:
-        if not len(emb):
-            return pd.Series([], dtype="int32")
-        mask = _valid_rows(emb)
-        if mask.all():
-            # fast path: int32 out (object Series forces per-element
-            # Arrow conversion — the grid_dot lesson)
-            X = _check_finite(_stack(emb))       # (n, dim)
+        # NULL embedding -> NULL cluster via the shared scaffolding
+        # (_null_propagate) — a NULL used to reach _stack and crash
+        # the task (ADVICE r11)
+        def dense(ev: pd.Series) -> np.ndarray:
+            X = _check_finite(_stack(ev))        # (n, dim)
             D = _grid_sum(
                 ((X[:, None, :] - C[None, :, :]) ** 2) * _SCALE,
                 axis=-1)                         # (n, k) exact int64
-            return pd.Series(D.argmin(1).astype("int32"))
-        # NULL embedding -> NULL cluster, the same contract as the
-        # interpreted array_min form and every sibling kernel (a NULL
-        # used to reach _stack and crash the task — ADVICE r11)
-        out = np.full(len(emb), None, dtype=object)
-        if mask.any():
-            X = _check_finite(_stack(emb[mask]))
-            D = _grid_sum(
-                ((X[:, None, :] - C[None, :, :]) ** 2) * _SCALE,
-                axis=-1)
-            out[mask] = D.argmin(1).astype("int32")
-        return pd.Series(out, dtype=object)
+            return D.argmin(1).astype("int32")
+
+        return _null_propagate(emb, dense, fast_dtype="int32")
 
     return assign
 

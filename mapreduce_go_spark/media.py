@@ -159,27 +159,42 @@ def materialize_once(path: str, build) -> None:
             build()
 
 
+def session_parquet(spark: SparkSession, family: str, sf_dir: str,
+                    extra: str, build) -> DataFrame:
+    """ONE parquet write per (session, family, fixture, extra) then a
+    plain scan — the shared front door over materialize_once +
+    session_scratch for every parquet-shaped session materialization
+    (media_table here, similarity._ivf_layout_table,
+    corpus._eval_shingles_table; joins._bucketed_table stays separate
+    because bucketing metadata needs the catalog protocol). sf_dir is
+    keyed by its ABSPATH so 'testdata/sf0.01' and
+    '/root/testdata/sf0.01' dedup to one artifact (the r15 review
+    found the call sites disagreeing on this). `build(path)` writes
+    the parquet; session_scratch registers the per-application atexit
+    cleanup once for every family (r11 unification)."""
+    import hashlib
+    import os
+
+    from mapreduce_go_spark.operators.joins import session_scratch
+
+    tag = hashlib.md5("|".join(
+        [os.path.abspath(sf_dir), extra]).encode()).hexdigest()[:8]
+    path = os.path.join(session_scratch(spark), f"{family}_{tag}")
+    materialize_once(path, lambda: build(path))
+    return spark.read.parquet(path)
+
+
 def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
     """The encoded-media corpus for `kind` at `sf_dir`: (doc_id, src,
     payload). Materialized distributed on first request this session,
     then a plain parquet scan — consumer operators never pay
     synthesis again (and bench's min-of-3 measures walk+decode, not
     fixture manufacture)."""
-    import hashlib
-    import os
-
-    from mapreduce_go_spark.operators.joins import session_scratch
-
     kernel, cols = _KINDS[kind]
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    # session_scratch registers the per-application atexit cleanup
-    # once for every materialization family (r11 unification)
-    path = os.path.join(session_scratch(spark), f"media_{kind}_{tag}")
 
-    def build() -> None:
+    def build(path: str) -> None:
         src = tables.load(spark, sf_dir, "documents").select(*cols)
         (tables.spread(src).mapInPandas(kernel, MEDIA_SCHEMA)
          .write.mode("overwrite").parquet(path))
 
-    materialize_once(path, build)
-    return spark.read.parquet(path)
+    return session_parquet(spark, f"media_{kind}", sf_dir, "", build)

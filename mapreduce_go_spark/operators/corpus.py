@@ -122,21 +122,13 @@ def _eval_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~1.5k rows at sf0.01, ~14k at sf0.1 — a real pipeline's benchmark
     suite is a few MB of text), so one coalesced file is the right
     shape."""
-    import hashlib
-    import os
+    from mapreduce_go_spark.media import session_parquet
 
-    from mapreduce_go_spark.media import materialize_once
-    from mapreduce_go_spark.operators.joins import session_scratch
-
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(session_scratch(spark), f"decon_eval_{tag}")
-
-    def build() -> None:
+    def build(path: str) -> None:
         (eval_shingles_df(spark, sf_dir).coalesce(1)
          .write.mode("overwrite").parquet(path))
 
-    materialize_once(path, build)
-    return spark.read.parquet(path)
+    return session_parquet(spark, "decon_eval", sf_dir, "", build)
 
 
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -470,22 +470,13 @@ def _ivf_layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derivation of exactly this layout as the composed hybrid's
     dominant residual, so fixture queries price only what deployments
     pay per query."""
-    import hashlib
-    import os
-
-    from mapreduce_go_spark.media import materialize_once
-    from mapreduce_go_spark.operators.joins import session_scratch
+    from mapreduce_go_spark.media import session_parquet
     from mapreduce_go_spark.operators.kmeans import (
         _assign, _embeddings_content_key, kmeans_centroids)
 
     centroids = kmeans_centroids(spark, sf_dir, k=IVF_TRAINED_K)
-    tag = hashlib.md5("|".join(
-        [os.path.abspath(sf_dir), str(IVF_TRAINED_K),
-         f"pq{PQ_M}x{PQ_K}",
-         _embeddings_content_key(sf_dir)]).encode()).hexdigest()[:8]
-    path = os.path.join(session_scratch(spark), f"ivf_layout_{tag}")
 
-    def build() -> None:
+    def build(path: str) -> None:
         enc = _pq_encode_udf(_pq_codebooks(sf_dir))
         raw = tables.load(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding")
@@ -498,8 +489,10 @@ def _ivf_layout_table(spark: SparkSession, sf_dir: str) -> DataFrame:
          .write.mode("overwrite").partitionBy("cluster")
          .parquet(path))
 
-    materialize_once(path, build)
-    return spark.read.parquet(path)
+    return session_parquet(
+        spark, "ivf_layout", sf_dir,
+        f"{IVF_TRAINED_K}|pq{PQ_M}x{PQ_K}|"
+        f"{_embeddings_content_key(sf_dir)}", build)
 
 
 def _probed_cells(spark: SparkSession, sf_dir: str,
@@ -1353,15 +1346,18 @@ def _pq_encode_udf(CB: np.ndarray):
     @pandas_udf(ArrayType(IntegerType()))
     def pq_encode(e: pd.Series) -> pd.Series:
         from mapreduce_go_spark.functions.simd import (_check_finite,
-                                                       _stack,
-                                                       _valid_rows)
+                                                       _null_propagate,
+                                                       _stack)
 
         # _stack, not raw np.vstack: Arrow hands float32 arrays, and
         # a float32 X*X*1e12 norm diverges from the float64 oracle /
         # driver LUT path by ~1e3 grid units — enough to flip a
         # near-tie sub-codebook argmin between engines (review r10,
         # confirmed by repro). _check_finite mirrors every sibling
-        # kernel: NaN must fail loudly, not grid to INT64_MIN.
+        # kernel: NaN must fail loudly, not grid to INT64_MIN. NULL
+        # embedding -> NULL codes via the shared scaffolding (the
+        # layout build shares a row pipeline with the null-propagating
+        # sign-word exprs; a NULL must not crash it).
         def encode(ev: pd.Series) -> np.ndarray:
             X = _grid_normalize(_check_finite(_stack(ev)))
             S = X.reshape(len(X), M, sub)
@@ -1369,21 +1365,7 @@ def _pq_encode_udf(CB: np.ndarray):
                       * 1e12).sum(-1)
             return d.argmin(-1).astype(np.int32)
 
-        if not len(e):
-            return pd.Series([], dtype=object)
-        mask = _valid_rows(e)
-        if mask.all():
-            return pd.Series(list(encode(e)))
-        # NULL embedding -> NULL codes, the make_centroid_assign
-        # contract (the layout build shares a row pipeline with the
-        # null-propagating sign-word exprs; a NULL must not crash it)
-        out = np.full(len(e), None, dtype=object)
-        if mask.any():
-            codes = encode(e[mask])
-            rows = np.empty(len(codes), dtype=object)
-            rows[:] = list(codes)
-            out[mask] = rows
-        return pd.Series(out, dtype=object)
+        return _null_propagate(e, encode)
 
     return pq_encode
 

@@ -17,7 +17,6 @@ _PRIORITY: list[str] = [
     "pretrain_corpus",  # ANCH greens=10
     "sessionize",  # ANCH greens=12
     "winnow_overlap_pairs",  # ANCH greens=10
-    "ann_recall_dashboard",  # HOLD greens=1
     "ann_ivf_hamming_topk",  # HOLD greens=1
     "purchase_click_attribution",  # HOLD greens=3
     "warc_source_extract",  # HOLD greens=3
@@ -27,6 +26,7 @@ _PRIORITY: list[str] = [
     "orc_roundtrip",  # HOLD greens=4
     "q10_returned_items",  # HOLD greens=5
     "q18_large_orders",  # HOLD greens=5
+    "ann_recall_dashboard",  # FILL greens=0
     "ann_ivf_pq_topk",  # FILL greens=0
     "q4_order_priority",  # FILL greens=6
     "q6_forecast_revenue",  # FILL greens=6

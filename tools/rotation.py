@@ -70,11 +70,16 @@ PERMANENT = ["wc", "indexer", "crash_payload"]
 # must not count toward releasing the seat. name -> first round whose
 # green covers the current schema.
 SCHEMA_RESETS = {
-    # r14 added the oracle-backed n_probed_cells cost-knob column
-    # (VERDICT r13 item 7); the r13 green verified the 11-variant
-    # dashboard without it. One post-change green => P2 hold until a
-    # second confirms.
-    "ann_recall_dashboard": 14,
+    # "Schema" here means the RESULT SHAPE — columns OR row set: the
+    # driver's canonical compare hashes both, so a green only speaks
+    # for the shape it hashed. r14 added the oracle-backed
+    # n_probed_cells column (VERDICT r13 item 7) — the r13 green
+    # verified the 11-variant dashboard without it; r15 adds the
+    # 13th variant row (ann_ivf_pq_topk), so the r14 green verified a
+    # row set that no longer exists either. Reset follows the latest
+    # shape change: zero-green debt seat this round, then the normal
+    # P2 first-green/confirming-green discipline on the new shape.
+    "ann_recall_dashboard": 15,
 }
 
 # P3 anchors, each with the property it pins:
@@ -284,16 +289,25 @@ def history(as_of: int | None = None,
     per_round: list[set[str]] = []
     latest_red: set[str] = set()
     for f in rounds:
+        # guarded like latest_round(): the glob also matches
+        # non-canonical names (CORRECTNESS_r14_backup.json) — skip
+        # them instead of AttributeError-ing the whole policy
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if not m:
+            continue
+        n = int(m.group(1))
         d = json.load(open(f))
-        n = int(re.search(r"CORRECTNESS_r(\d+)\.json$", f).group(1))
-        ok = {k for k, v in d.items()
-              if v.get("rows_match") and v.get("schema_match")
-              and v.get("hash_match") in (True, None)
-              # a green recorded before the query's schema reset
-              # verified a result shape that no longer exists
-              and n >= SCHEMA_RESETS.get(k, 0)}
+        ok_raw = {k for k, v in d.items()
+                  if v.get("rows_match") and v.get("schema_match")
+                  and v.get("hash_match") in (True, None)}
+        # a green recorded before the query's schema reset verified a
+        # result shape that no longer exists — VOID for greens/streak,
+        # but NOT a red: latest_red means "ran and mismatched" (the
+        # P2 never-rotate-a-red rule), and a reset-filtered green did
+        # not mismatch
+        ok = {k for k in ok_raw if n >= SCHEMA_RESETS.get(k, 0)}
         per_round.append(ok)
-        latest_red = set(d) - ok
+        latest_red = set(d) - ok_raw
         for k in ok:
             greens[k] = greens.get(k, 0) + 1
     streak: dict[str, int] = {}
