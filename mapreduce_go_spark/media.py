@@ -165,7 +165,7 @@ def session_parquet(spark: SparkSession, family: str, sf_dir: str,
     plain scan — the shared front door over materialize_once +
     session_scratch for every parquet-shaped session materialization
     (media_table here, similarity._ivf_layout_table,
-    corpus._eval_shingles_table; joins._bucketed_table stays separate
+    quality.eval_shingles_table; joins._bucketed_table stays separate
     because bucketing metadata needs the catalog protocol). sf_dir is
     keyed by its ABSPATH so 'testdata/sf0.01' and
     '/root/testdata/sf0.01' dedup to one artifact (the r15 review

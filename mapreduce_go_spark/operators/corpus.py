@@ -56,7 +56,7 @@ from mapreduce_go_spark.operators.quality import (
     _grams_sql,
     _toks,
     decon_shingles_df,
-    eval_shingles_df,
+    eval_shingles_table,
 )
 
 # ---------------------------------------------------------------- #
@@ -111,26 +111,6 @@ def bloom_filter_bits(ev: DataFrame) -> DataFrame:
     )
 
 
-def _eval_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quality.eval_shingles_df materialized ONCE per session as
-    parquet (the joins.session_scratch / media.materialize_once
-    discipline shared with joins._bucketed_table and
-    similarity._ivf_layout_table). The eval shingle set is consumed by
-    two lineages per bloom_decontaminate call; re-deriving it per
-    lineage double-scanned documents, and a per-call .persist() leaked
-    one cached relation per invocation (ADVICE r14). The set is tiny
-    (~1.5k rows at sf0.01, ~14k at sf0.1 — a real pipeline's benchmark
-    suite is a few MB of text), so one coalesced file is the right
-    shape."""
-    from mapreduce_go_spark.media import session_parquet
-
-    def build(path: str) -> None:
-        (eval_shingles_df(spark, sf_dir).coalesce(1)
-         .write.mode("overwrite").parquet(path))
-
-    return session_parquet(spark, "decon_eval", sf_dir, "", build)
-
-
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage screen via a Bloom filter — the constant-size
     broadcast twin of quality.decontaminate's exact shingle semi-join.
@@ -152,7 +132,7 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shared scan is now a session-materialized parquet instead: one
     # derivation per (session, sf_dir), a plain scan per lineage, no
     # cache handle to leak.
-    ev = _eval_shingles_table(spark, sf_dir)
+    ev = eval_shingles_table(spark, sf_dir)
     filt = bloom_filter_bits(ev)
     train = decon_shingles_df(
         docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0))

@@ -502,7 +502,13 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     neg = docs.select(F.col("doc_id").alias("neg_id"),
                       F.col("source").alias("neg_source"))
     return (
-        pairs.join(neg, "neg_id")
+        pairs
+        # contract: a negative is never the anchor. The +1 remap
+        # guarantees that for n_docs >= 2; a single-document corpus
+        # has NO valid negative ((d+1) % 1 == d again — r15 review),
+        # so it emits zero pairs rather than self-contradiction pairs
+        .where(F.col("neg_id") != F.col("doc_id"))
+        .join(neg, "neg_id")
         .select(
             "doc_id", "k", "neg_id", "anchor_source", "neg_source",
             (F.col("anchor_source") == F.col("neg_source"))
@@ -603,14 +609,18 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long") % DSIR_BUCKETS
     )
     tb = tok.select("doc_id", "lang", bucket.alias("b"))
-    raw = tb.groupBy("b").agg(F.count("*").alias("cr"))
-    tgt = (tb.where(F.col("lang") == DSIR_TARGET_LANG)
-           .groupBy("b").agg(F.count("*").alias("ct")))
+    # ONE conditional aggregation builds both distributions — as two
+    # separate groupBys the split+explode of every document ran twice
+    # (r15 review); identical integer outputs, oracle unchanged
+    both = tb.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum((F.col("lang") == DSIR_TARGET_LANG).cast("long"))
+        .alias("ct"))
     # dense 0..B-1 frame: a bucket absent from either side still
     # carries its add-1 smoothing mass
     frame = spark.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
     dist = (
-        frame.join(raw, "b", "left").join(tgt, "b", "left")
+        frame.join(both, "b", "left")
         .select("b",
                 F.coalesce("cr", F.lit(0)).alias("cr"),
                 F.coalesce("ct", F.lit(0)).alias("ct"))
@@ -666,35 +676,33 @@ QUERIES = {
     "dsir_importance_sample": dsir_importance_sample,
 }
 
-_TOKS = ("len(list_filter(regexp_split_to_array(text, '[^a-zA-Z]+'),"
-         " x -> x <> ''))")
+# token_count's DuckDB twin — interpolates the SHARED tokenizer
+# pattern (functions/text.py), not a hand-expanded copy: a tokenizer
+# change (e.g. the documented UNICODE_NON_LETTER_RE switch) must move
+# every oracle with it (r15 review)
+_TOKS = (f"len(list_filter(regexp_split_to_array(text,"
+         f" '{NON_LETTER_RE}'), x -> x <> ''))")
 
 def _corpus_clean_sql() -> str:
-    from mapreduce_go_spark.functions.num import dround_sql
+    """Oracle twin of corpus_clean, composed the way the Spark side
+    is: the quality column comes from textstats' OWN registered
+    quality_score oracle nested verbatim (the _pretrain_sql
+    discipline) — until r15 this function carried a third copy of the
+    quality blend, so a hardening of textstats (weights, saturation,
+    the ANSI NULL guard ba94de9 added) would have silently left this
+    oracle on the old semantics."""
+    from mapreduce_go_spark.operators import textstats
     from mapreduce_go_spark.operators.dedup import LABELS_CTE_SQL
-    from mapreduce_go_spark.operators.textstats import (STOPWORDS,
-                                                        _marker_sql)
 
-    quality_expr = ("0.4 * (stop_hits * 1.0 / n_toks)"
-                    " + 0.4 * alpha_ratio + 0.2 * len_sat")
     return LABELS_CTE_SQL + f""",
         keepers AS (SELECT doc_id FROM labels WHERE label = doc_id),
-        features AS (
-            SELECT doc_id,
-                   {_marker_sql(STOPWORDS)} AS stop_hits,
-                   {_TOKS} AS n_toks,
-                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
-                       / length(text) AS alpha_ratio,
-                   least(length(text) / 2000.0, 1.0) AS len_sat
-            FROM documents
-        ),
         q AS (
-            SELECT doc_id, {dround_sql(quality_expr, 6)} AS quality,
-                   n_toks AS n_tokens
-            FROM features
-        )
+            SELECT doc_id, quality
+            FROM ({textstats.ORACLES["quality_score"]})
+        ),
+        ntk AS (SELECT doc_id, {_TOKS} AS n_tokens FROM documents)
         SELECT doc_id, quality, n_tokens
-        FROM keepers JOIN q USING (doc_id)
+        FROM keepers JOIN q USING (doc_id) JOIN ntk USING (doc_id)
         WHERE quality >= 0.38 AND n_tokens >= 20
     """
 
@@ -768,7 +776,7 @@ def _retrieval_sql() -> str:
         SELECT doc_id, chunk_no, t AS tok FROM (
             SELECT doc_id, chunk_no,
                    unnest(regexp_split_to_array(chunk_text,
-                                                '[^a-zA-Z]+')) AS t
+                                                '{NON_LETTER_RE}')) AS t
             FROM chunks)
         WHERE t <> ''
     ),
@@ -906,6 +914,7 @@ ORACLES = {
                d2.source AS neg_source,
                w.anchor_source = d2.source AS same_source
         FROM withneg w JOIN documents d2 ON w.neg_id = d2.doc_id
+        WHERE w.neg_id <> w.doc_id
     """,
     "corpus_clean": _corpus_clean_sql(),
     "pretrain_corpus": _pretrain_sql(),
@@ -962,7 +971,7 @@ ORACLES["weighted_sample_per_source"] = f"""
     WITH keyed AS (
         SELECT source, doc_id, n_chars,
                ln(({_md5_fold_sql("'ws:' || cast(doc_id AS varchar)", 13)} + 1)
-                  / 4503599627370497.0)
+                  / {float(2**52 + 1)!r})
                    / cast(greatest(n_chars, 1) AS double) AS key
         FROM documents
     ),
@@ -973,6 +982,6 @@ ORACLES["weighted_sample_per_source"] = f"""
         FROM keyed
     )
     SELECT source, doc_id, n_chars, cast(rk AS bigint) AS rk,
-           cast(round(key * 1000000000) AS bigint) AS key_nano
-    FROM ranked WHERE rk <= 5
+           cast(round(key * {10**9}) AS bigint) AS key_nano
+    FROM ranked WHERE rk <= {WS_K}
 """

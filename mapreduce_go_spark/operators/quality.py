@@ -260,6 +260,24 @@ def eval_shingles_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def eval_shingles_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eval_shingles_df materialized ONCE per session as parquet (the
+    media.session_parquet discipline shared with media_table and
+    similarity._ivf_layout_table). Every decon consumer — the exact
+    semi-join here, bloom_decontaminate's two lineages — re-derived
+    the eval scan+explode+distinct per use (r14/r15 reviews); the set
+    is tiny (~1.5k rows at sf0.01, ~14k at sf0.1 — a real pipeline's
+    benchmark suite is a few MB of text), so one coalesced file is
+    the right shape and there is no cache handle to leak."""
+    from mapreduce_go_spark.media import session_parquet
+
+    def build(path: str) -> None:
+        (eval_shingles_df(spark, sf_dir).coalesce(1)
+         .write.mode("overwrite").parquet(path))
+
+    return session_parquet(spark, "decon_eval", sf_dir, "", build)
+
+
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train-split documents sharing >=1 word-5-gram with the eval
     split, with overlap counts — the standard test-set-leakage check
@@ -272,7 +290,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vanishing fraction — reach the count shuffle. The corpus itself
     is never exchanged."""
     docs = tables.load(spark, sf_dir, "documents")
-    ev = eval_shingles_df(spark, sf_dir)
+    ev = eval_shingles_table(spark, sf_dir)
     train = decon_shingles_df(
         docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0))
     return (
@@ -547,6 +565,24 @@ def cms_token_sketch(docs: DataFrame) -> DataFrame:
     return cells.groupBy("r", "bucket").agg(F.count("*").alias("cnt"))
 
 
+def _cms_cells_from_counts(vocab_counts: DataFrame) -> DataFrame:
+    """Sketch cells (r, bucket, cnt) derived from a per-token count
+    relation (tok, n_tok) instead of the raw token stream: counter
+    addition is associative, so summing per-token totals into cells
+    equals counting the exploded stream — identical integers, oracle
+    unchanged. A query that already derives the vocabulary builds the
+    sketch from the SAME relation, and Spark reuses the vocabulary
+    shuffle across the consumers (ReusedExchange) — the corpus is
+    scanned and tokenized ONCE per run instead of once per lineage
+    (r15 review; the hll_tokens single-scan discipline from r10)."""
+    cells = vocab_counts.select(
+        "n_tok",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("tok"), r)
+                      for r in range(CMS_DEPTH)])).alias("r", "bucket"))
+    return cells.groupBy("r", "bucket").agg(F.sum("n_tok").alias("cnt"))
+
+
 def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch over the corpus token stream, probed for a
     fixed term set — the mergeable-sketch pattern for distributed
@@ -567,7 +603,12 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
-    sketch = cms_token_sketch(docs)
+    # ONE scan+explode: the sketch and the exact probe counts both
+    # derive from the same per-token count relation (its shuffle is
+    # reused across the two consumers) — as independent lineages the
+    # corpus tokenized twice per run (r15 review)
+    vocab_counts = tok.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    sketch = _cms_cells_from_counts(vocab_counts)
     probes = spark.range(1).select(
         F.explode(F.array(*[F.lit(t) for t in CMS_PROBES])).alias("tok"))
     probe_cells = probes.select(
@@ -581,9 +622,14 @@ def cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.min("cnt").alias("est"))
     )
+    # join against the broadcast probe relation, NOT an isin filter:
+    # Catalyst pushes a filter through the aggregate down to the
+    # token stream, which makes this lineage's vocabulary exchange
+    # differ from the sketch's and defeats the ReusedExchange that
+    # makes the query single-scan
     exact = (
-        tok.where(F.col("tok").isin(*CMS_PROBES))
-        .groupBy("tok").agg(F.count("*").alias("exact"))
+        vocab_counts.join(F.broadcast(probes), "tok")
+        .select("tok", F.col("n_tok").alias("exact"))
     )
     return (
         est.join(exact, "tok", "left")
@@ -724,28 +770,30 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
-    sketch = cms_token_sketch(docs)
-    vocab = tok.select("tok").distinct()
-    probe_cells = vocab.select(
+    # ONE scan+explode+shuffle: this query already derives the full
+    # vocabulary for the candidate screen, and a groupBy(tok).count()
+    # costs the SAME shuffle as the old .distinct() (map-side combine
+    # reduces both to vocab-sized partials) — so the exact counts ride
+    # the vocabulary relation for free, the sketch cells sum off it
+    # (_cms_cells_from_counts), and the shuffle is reused across all
+    # three consumers. The old three-lineage form scanned and
+    # tokenized the corpus three times per run (r15 review; the
+    # screen still gates which tokens are REPORTED — CMS's one-sided
+    # error keeps it sound, `confirmed` exposes false candidates).
+    vocab_counts = tok.groupBy("tok").agg(F.count("*").alias("n_tok"))
+    sketch = _cms_cells_from_counts(vocab_counts)
+    probe_cells = vocab_counts.select(
         "tok",
+        F.col("n_tok").alias("n_exact"),
         F.posexplode(
             F.array(*[_cms_bucket(F.col("tok"), r)
                       for r in range(CMS_DEPTH)])).alias("r", "bucket"))
     cands = (
         probe_cells.join(F.broadcast(sketch), ["r", "bucket"])
-        .groupBy("tok").agg(F.min("cnt").alias("est_cms"))
+        .groupBy("tok", "n_exact").agg(F.min("cnt").alias("est_cms"))
         .where(F.col("est_cms") >= HH_MIN_COUNT)
     )
-    # pass 2 exact-counts ONLY the candidates: the token stream is
-    # semi-joined against the (vocab-bounded, screened) candidate set
-    # before any exact counting — the old form exact-counted the
-    # ENTIRE vocabulary in the candidate aggregate, making the sketch
-    # screen decorative (review r10)
-    exact = (
-        tok.join(F.broadcast(cands), "tok")
-        .groupBy("tok", "est_cms").agg(F.count("*").alias("n_exact"))
-    )
-    return exact.select(
+    return cands.select(
         "tok", "est_cms", "n_exact",
         (F.col("n_exact") >= HH_MIN_COUNT).alias("confirmed"),
     )
@@ -1142,10 +1190,36 @@ _DECON_SHINGLES_CTES = f"""
 
 _DECON_SHINGLES_SQL = "\n    WITH " + _DECON_SHINGLES_CTES.lstrip()
 
+# WITH-less tok/cells/sketch derivation shared by BOTH CMS oracles —
+# one copy so a CMS_DEPTH / tokenizer / cell-expression change lands
+# exactly once (r15 review; the _HLL_FOLD_SQL single-copy discipline
+# from r10)
+_CMS_SKETCH_CTES = f"""
+    tok AS (
+        SELECT t AS tok FROM (
+            SELECT unnest(regexp_split_to_array(
+                text, '{NON_LETTER_RE}')) AS t FROM documents)
+        WHERE t <> ''
+    ),
+    cells AS (
+        SELECT g.r AS r, {_cms_bucket_sql('tok', 'g.r')} AS bucket
+        FROM tok CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) g(r)
+    ),
+    sketch AS (
+        SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
+    )"""
+
 ORACLES = {
+    # docs0's coalesce mirrors the Spark side's r14 NULL-text guard:
+    # without it a NULL text row yields n_tokens = NULL here vs 0
+    # there (r15 review, verified live). No SQL-side `--` comments:
+    # oracle strings survive whitespace-collapsing composition.
     "repetition_stats": f"""
-        WITH base AS (
-            SELECT doc_id, {_TOKS_SQL} AS ts FROM documents
+        WITH docs0 AS (
+            SELECT doc_id, coalesce(text, '') AS text FROM documents
+        ),
+        base AS (
+            SELECT doc_id, {_TOKS_SQL} AS ts FROM docs0
         ),
         g AS (
             SELECT doc_id, ts,
@@ -1285,19 +1359,7 @@ ORACLES = {
         FROM vals GROUP BY doc_id
     """,
     "cms_token_counts": f"""
-        WITH tok AS (
-            SELECT t AS tok FROM (
-                SELECT unnest(regexp_split_to_array(
-                    text, '{NON_LETTER_RE}')) AS t FROM documents)
-            WHERE t <> ''
-        ),
-        cells AS (
-            SELECT g.r AS r, {_cms_bucket_sql('tok', 'g.r')} AS bucket
-            FROM tok CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) g(r)
-        ),
-        sketch AS (
-            SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2
-        ),
+        WITH {_CMS_SKETCH_CTES.lstrip()},
         probes(tok) AS (VALUES {", ".join(f"('{t}')" for t in CMS_PROBES)}),
         pcells AS (
             SELECT tok, g.r AS r, {_cms_bucket_sql('tok', 'g.r')} AS bucket
@@ -1390,19 +1452,7 @@ def _domain_mix_sql() -> str:
 
 ORACLES["domain_mix_sample"] = _domain_mix_sql()
 ORACLES["cms_heavy_hitters"] = f"""
-    WITH tok AS (
-        SELECT t AS tok FROM (
-            SELECT unnest(regexp_split_to_array(
-                text, '{NON_LETTER_RE}')) AS t FROM documents)
-        WHERE t <> ''
-    ),
-    cells AS (
-        SELECT g.r AS r, {_cms_bucket_sql('tok', 'g.r')} AS bucket
-        FROM tok CROSS JOIN generate_series(0, {CMS_DEPTH - 1}) g(r)
-    ),
-    sketch AS (
-        SELECT r, bucket, count(*) AS cnt FROM cells GROUP BY r, bucket
-    ),
+    WITH {_CMS_SKETCH_CTES.lstrip()},
     vocab AS (SELECT tok, count(*) AS n_exact FROM tok GROUP BY tok),
     probe AS (
         SELECT vocab.tok, vocab.n_exact, g.r AS r,

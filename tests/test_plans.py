@@ -508,6 +508,28 @@ def test_hll_single_scan_of_documents(spark, sf_dir):
         assert len(scans) == 1, (q.__name__, p)
 
 
+def test_cms_single_scan_of_documents(spark, sf_dir):
+    """r15: both CMS queries derive sketch cells, vocabulary and
+    exact counts from ONE per-token count relation whose shuffle is
+    reused (before: three/two independent scan+split+explode lineages
+    per run). The reuse is an exchange-level decision, so the pin
+    reads the EXECUTED plan's final section: exactly one parquet scan
+    and at least one ReusedExchange. Also pins the join-not-isin
+    probe shape in cms_token_counts — an isin filter pushes through
+    the aggregate and forks the vocabulary exchange."""
+    from mapreduce_go_spark.operators import quality
+
+    for q in (quality.cms_heavy_hitters, quality.cms_token_counts):
+        df = q(spark, sf_dir)
+        df.collect()
+        p = df._jdf.queryExecution().executedPlan().toString()
+        final = p.split("== Initial Plan ==")[0]
+        scans = [ln for ln in final.splitlines()
+                 if "FileScan parquet" in ln]
+        assert len(scans) == 1, (q.__name__, final)
+        assert "ReusedExchange" in final, (q.__name__, final)
+
+
 def test_binary_hamming_coarse_is_windowgrouplimit(spark, sf_dir):
     """ann_binary_hamming_topk's coarse stage emits N_table x
     N_QUERIES (q_id, c_id, hamming) rows; the constant rn <=
