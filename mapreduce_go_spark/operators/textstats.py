@@ -51,9 +51,13 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     length — one narrow pass, exact integer arithmetic."""
     docs = tables.load(spark, sf_dir, "documents")
     toks = _toks(F.col("text"))
+    # long seed: an int accumulator ANSI-overflows (aborting the
+    # query) on a document with >= 2^31 token chars while the
+    # oracle's hugeint list_sum succeeds — the _roll_interpreted
+    # widened-accumulator convention (r15 review)
     tok_chars = F.aggregate(
         F.transform(toks, F.length),
-        F.lit(0),
+        F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     return docs.select(
@@ -90,7 +94,11 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), F.lit(0))
     # whitespace runs are themselves matches of the last alternative;
     # exclude them from the BPE token count.
-    bpe_toks = F.filter(bpe, lambda t: ~t.rlike(f"^{FP_WS}$"))
+    # \A...\z, not ^...$: Java's $ matches before a final line
+    # terminator (NEL/LS/PS), RE2's does not, so a token ending in
+    # U+0085 would be filtered here but counted by the oracle (r15
+    # review, verified on both engines); \A/\z agree exactly
+    bpe_toks = F.filter(bpe, lambda t: ~t.rlike(rf"\A{FP_WS}\z"))
     return docs.select(
         "doc_id",
         F.size(ws).alias("n_ws_tokens"),
@@ -169,7 +177,7 @@ def bpe_subword_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fertility",
             F.when(F.col("n_words") > 0,
                    dround(F.col("n_subword_tokens") / F.col("n_words"), 6))
-            .otherwise(F.lit(0).cast("decimal(18,6)")))
+            .otherwise(F.lit(0.0)))
     )
 
 
@@ -293,7 +301,12 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     alpha_chars = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", ""))
     alpha_ratio = F.when(F.length("text") > 0,
                          alpha_chars / F.length("text"))
-    len_sat = F.least(F.length("text") / F.lit(2000.0), F.lit(1.0))
+    # guard like its siblings: least() SKIPS NULLs on both engines,
+    # so an unguarded len_sat reports 1.0 (max saturation) for a
+    # NULL-text document (r15 review)
+    len_sat = F.when(F.col("text").isNotNull(),
+                     F.least(F.length("text") / F.lit(2000.0),
+                             F.lit(1.0)))
     score = 0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_sat
     return docs.select(
         "doc_id",
@@ -461,7 +474,7 @@ ORACLES = {
                                    x -> x <> '')) AS n_ws_tokens,
                    len(list_filter(
                        regexp_extract_all(text, '{BPE_RE.replace("'", "''")}'),
-                       x -> NOT regexp_matches(x, '^{FP_WS_SQL}$')))
+                       x -> NOT regexp_matches(x, '\\A{FP_WS_SQL}\\z')))
                        AS n_bpe_tokens
             FROM documents
         )
@@ -494,7 +507,9 @@ ORACLES = {
                        AS stop_ratio,
                    length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
                        / length(text) AS alpha_ratio,
-                   least(length(text) / 2000.0, 1.0) AS len_sat
+                   CASE WHEN text IS NULL THEN NULL
+                        ELSE least(length(text) / 2000.0, 1.0)
+                   END AS len_sat
             FROM documents
         )
         SELECT doc_id,
@@ -600,7 +615,7 @@ def _bpe_oracle_lazy() -> str | None:
            CASE WHEN n_words > 0
                 THEN {dround_sql(
                     'n_subword_tokens * 1.0 / n_words', 6)}
-                ELSE cast(0 AS decimal(18,6)) END AS fertility
+                ELSE 0.0 END AS fertility
     FROM ext
     """
 
