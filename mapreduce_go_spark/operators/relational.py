@@ -25,8 +25,8 @@ from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
 from mapreduce_go_spark.functions.num import (dround, dround_sql,
-                                              dround_wide, dsum, dsum_sql,
-                                              gavg_sql, gsum_sql,
+                                              dround_wide, gavg_sql, grid,
+                                              gsum_sql,
                                               partitioned_grid_sums)
 
 
@@ -162,22 +162,28 @@ def top_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D13a: UNION (distinct) — concatenated inputs + dedup
-    (/root/reference/mr/master.go:131 takes a file list)."""
+def _nationkeys(spark: SparkSession, sf_dir: str
+               ) -> tuple[DataFrame, DataFrame]:
+    """The (customer, supplier) nationkey projections every D13 set
+    op compares — one derivation (r15 review: the pair was rebuilt
+    inline in all five queries)."""
     c = tables.load(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nationkey"))
     s = tables.load(spark, sf_dir, "supplier").select(
         F.col("s_nationkey").alias("nationkey"))
+    return c, s
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D13a: UNION (distinct) — concatenated inputs + dedup
+    (/root/reference/mr/master.go:131 takes a file list)."""
+    c, s = _nationkeys(spark, sf_dir)
     return c.union(s).distinct()
 
 
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D13b: INTERSECT."""
-    c = tables.load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"))
-    s = tables.load(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"))
+    c, s = _nationkeys(spark, sf_dir)
     return c.intersect(s)
 
 
@@ -186,8 +192,7 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     which would wrongly keep values that merely lost multiplicity).
     Right side restricted to high-balance suppliers so the difference
     is non-empty (suppliers cover every nation)."""
-    c = tables.load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"))
+    c, _ = _nationkeys(spark, sf_dir)
     s = tables.load(spark, sf_dir, "supplier").where(
         F.col("s_acctbal") > 5000).select(
         F.col("s_nationkey").alias("nationkey"))
@@ -197,39 +202,55 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D13d: INTERSECT ALL — multiset semantics (min multiplicity),
     distinct from D13b's set semantics."""
-    c = tables.load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"))
-    s = tables.load(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"))
+    c, s = _nationkeys(spark, sf_dir)
     return c.intersectAll(s)
 
 
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D13e: EXCEPT ALL — multiplicity subtraction."""
-    c = tables.load(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey"))
-    s = tables.load(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey"))
+    c, s = _nationkeys(spark, sf_dir)
     return c.exceptAll(s)
 
 
 def rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D14a: ROLLUP — multi-level aggregate in one pass, replacing the
     reference idiom of chaining two MR jobs through mr-out files
-    (SURVEY §2.4 D14)."""
+    (SURVEY §2.4 D14). Sums ride the pricing_summary int64 grid
+    recipe instead of the decimal Int128 sum buffer (measured ~4x
+    slower per row — r15 review): integer addition is associative,
+    so ROLLUP over per-partition grid partials equals ROLLUP over
+    rows, and the wide-decimal work happens only on the tiny partial
+    set."""
     li = tables.load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        dsum(F.col("l_quantity")).alias("sum_qty"),
-        F.count("*").alias("n"),
+    partial = li.groupBy(
+        "l_returnflag", "l_linestatus",
+        F.spark_partition_id().alias("_pid"),
+    ).agg(
+        F.sum(grid(F.col("l_quantity"), 100)).alias("_gq"),
+        F.count("*").alias("_n"),
+    )
+    return partial.rollup("l_returnflag", "l_linestatus").agg(
+        dround_wide(F.sum(F.col("_gq").cast("decimal(28,0)"))
+                    .cast("double") / 100, 2).alias("sum_qty"),
+        F.sum("_n").alias("n"),
     )
 
 
 def cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D14b: CUBE over order status x priority."""
+    """D14b: CUBE over order status x priority — same grid-partial
+    recipe as rollup_agg."""
     o = tables.load(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        dsum(F.col("o_totalprice")).alias("total"),
-        F.count("*").alias("n"),
+    partial = o.groupBy(
+        "o_orderstatus", "o_orderpriority",
+        F.spark_partition_id().alias("_pid"),
+    ).agg(
+        F.sum(grid(F.col("o_totalprice"), 100)).alias("_gt"),
+        F.count("*").alias("_n"),
+    )
+    return partial.cube("o_orderstatus", "o_orderpriority").agg(
+        dround_wide(F.sum(F.col("_gt").cast("decimal(28,0)"))
+                    .cast("double") / 100, 2).alias("total"),
+        F.sum("_n").alias("n"),
     )
 
 
@@ -349,10 +370,13 @@ ORACLES = {
                count(DISTINCT l_partkey) AS n_part
         FROM lineitem GROUP BY l_returnflag
     """,
+    # coalesce: Spark's collect_list drops NULLs so an all-NULL
+    # group joins to '' — string_agg over all-NULL input is NULL
+    # (r15 review; fixture-unreachable, the r11 variant-latent class)
     "collect_sorted_lists": """
         SELECT l_orderkey,
-               string_agg(cast(l_linenumber AS varchar), ','
-                          ORDER BY l_linenumber) AS lines
+               coalesce(string_agg(cast(l_linenumber AS varchar), ','
+                                   ORDER BY l_linenumber), '') AS lines
         FROM lineitem GROUP BY l_orderkey
     """,
     "global_sort": f"""
@@ -385,12 +409,12 @@ ORACLES = {
     """,
     "rollup_agg": f"""
         SELECT l_returnflag, l_linestatus,
-               {dsum_sql('l_quantity')} AS sum_qty, count(*) AS n
+               {gsum_sql('l_quantity', 100)} AS sum_qty, count(*) AS n
         FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
     "cube_agg": f"""
         SELECT o_orderstatus, o_orderpriority,
-               {dsum_sql('o_totalprice')} AS total, count(*) AS n
+               {gsum_sql('o_totalprice', 100)} AS total, count(*) AS n
         FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "scalar_pack": f"""
