@@ -175,7 +175,7 @@ def session_parquet(spark: SparkSession, family: str, sf_dir: str,
     import hashlib
     import os
 
-    from mapreduce_go_spark.operators.joins import session_scratch
+    from mapreduce_go_spark.workspace import session_scratch
 
     tag = hashlib.md5("|".join(
         [os.path.abspath(sf_dir), extra]).encode()).hexdigest()[:8]

@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
-from mapreduce_go_spark.functions.num import dsum, dsum_sql
+from mapreduce_go_spark.functions.num import dsum, dsum_sql, grid
+from mapreduce_go_spark.workspace import session_scratch
 
 
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -44,42 +45,6 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BUCKETS = 8
-
-
-_CLEANUP_REGISTERED: set[str] = set()
-
-
-def _workspace_dir() -> str:
-    """Directory the engine owns for materialized layouts:
-    $SPARK_GRAFT_WORKSPACE, else <repo>/.bucketed_cache. NOT the OS
-    temp dir — tmp cleaners delete long-lived session files out from
-    under the catalog (the advisory's failure mode)."""
-    import os
-    import pathlib
-
-    return os.environ.get(
-        "SPARK_GRAFT_WORKSPACE",
-        str(pathlib.Path(__file__).resolve().parents[2] / ".bucketed_cache"),
-    )
-
-
-def session_scratch(spark: SparkSession) -> str:
-    """Per-application scratch directory under the workspace, removed
-    at interpreter exit. EVERY session-lifetime materialization
-    (bucketed layouts, the partitioned events copy, format-roundtrip
-    exports) must live under this path: before r11 the jsonl/orc/csv/
-    events_by_day copies were appId-tagged at the workspace ROOT and
-    never cleaned, so every pytest/bench/driver session leaked its
-    copies onto disk permanently."""
-    import atexit
-    import os
-    import shutil
-
-    base = os.path.join(_workspace_dir(), spark.sparkContext.applicationId)
-    if base not in _CLEANUP_REGISTERED:
-        _CLEANUP_REGISTERED.add(base)
-        atexit.register(shutil.rmtree, base, True)
-    return base
 
 
 # Canonical bucketed layouts — ONE bucketed copy per fact table,
@@ -123,9 +88,10 @@ def _bucketed_table(spark: SparkSession, sf_dir: str, table: str,
     name = f"{table}_bucketed_{tag}"
     path = os.path.join(session_scratch(spark), name)
     files_ok = os.path.exists(os.path.join(path, "_SUCCESS"))
-    if spark.catalog.tableExists(name) and files_ok:
+    exists = spark.catalog.tableExists(name)  # one catalog RPC
+    if exists and files_ok:
         return spark.table(name)
-    if spark.catalog.tableExists(name):
+    if exists:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
     (tables.load(spark, sf_dir, table).select(*cols)
      .write.bucketBy(BUCKETS, key).sortBy(key)
@@ -157,10 +123,18 @@ def join_inner_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D10: left outer — every customer with order count and spend,
-    zero-filled for the orderless."""
+    """D10: left outer — every customer with 1995 order count and
+    spend, zero-filled for customers with no 1995 order. Scoped like
+    join_anti: EVERY fixture customer has some order, so the unscoped
+    form degenerated to an inner join and the zero-fill branch was
+    never exercised by the differential test (the fb12460
+    vacuously-green class, r15 review; 34/326/3305 zero-filled rows
+    at sf0.001/0.01/0.1 with the 1995 scope)."""
     c = tables.load(spark, sf_dir, "customer")
-    o = tables.load(spark, sf_dir, "orders")
+    o = tables.load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
     return (
         c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
         .groupBy("c_custkey", "c_name")
@@ -172,23 +146,35 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D10b: full outer — customer vs supplier counts per nationkey."""
-    c = (
-        tables.load(spark, sf_dir, "customer")
-        .groupBy(F.col("c_nationkey").alias("ck"))
-        .agg(F.count("*").alias("n_cust"))
+    """D10b: full outer — per (user_id, day) error-event count vs
+    signup-event count, zero-filled on both sides. Until r15 this was
+    customer-vs-supplier per nationkey, which is VACUOUS on every
+    fixture: all 25 nations carry both sides, so the plan degenerated
+    to an inner join and none of the three coalesce branches was ever
+    exercised by the differential test (the fb12460 vacuously-green
+    class). (user, day) slices of two sparse event types populate all
+    three branches at every scale (error-only/signup-only/both:
+    105/102/54 at sf0.001 ... 10205/10533/5774 at sf0.1)."""
+    ev = tables.load(spark, sf_dir, "events")
+    day = F.to_date(F.date_trunc("day", F.col("ts")))
+    e = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(F.col("user_id").alias("eu"), day.alias("ed"))
+        .agg(F.count("*").alias("n_err"))
     )
-    s = (
-        tables.load(spark, sf_dir, "supplier")
-        .groupBy(F.col("s_nationkey").alias("sk"))
-        .agg(F.count("*").alias("n_supp"))
+    g = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy(F.col("user_id").alias("su"), day.alias("sd"))
+        .agg(F.count("*").alias("n_signup"))
     )
     return (
-        c.join(s, F.col("ck") == F.col("sk"), "full")
+        e.join(g, (F.col("eu") == F.col("su"))
+               & (F.col("ed") == F.col("sd")), "full")
         .select(
-            F.coalesce("ck", "sk").alias("nationkey"),
-            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
-            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("eu", "su").alias("user_id"),
+            F.coalesce("ed", "sd").alias("day"),
+            F.coalesce("n_err", F.lit(0)).alias("n_err"),
+            F.coalesce("n_signup", F.lit(0)).alias("n_signup"),
         )
     )
 
@@ -319,9 +305,13 @@ def skewed_fact(li: DataFrame) -> DataFrame:
         F.when(F.col("l_orderkey") % 100 < SKEW_HOT_PCT, F.lit(0))
         .otherwise(F.col("l_orderkey") % 23 + 1)
     )
+    # grid(qty, 1), not cast("long"): Spark's double->long cast
+    # TRUNCATES while the oracle's cast(... AS bigint) rounds — any
+    # non-integral l_quantity would diverge the engines (r15 review;
+    # fixture quantities are integral, so values are unchanged)
     return tables.spread(
         li.select(key.cast("long").alias("k"),
-                  F.col("l_quantity").cast("long").alias("qty")))
+                  grid(F.col("l_quantity"), 1).alias("qty")))
 
 
 def skew_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,7 +354,7 @@ ORACLES = {
         WITH fact AS (
             SELECT CASE WHEN l_orderkey % 100 < {SKEW_HOT_PCT}
                         THEN 0 ELSE l_orderkey % 23 + 1 END AS k,
-                   cast(l_quantity AS bigint) AS qty
+                   cast(round(l_quantity) AS bigint) AS qty
             FROM lineitem
         )
         SELECT k, n_name,
@@ -396,18 +386,29 @@ ORACLES = {
         SELECT c_custkey, c_name,
                count(o_orderkey) AS n_orders,
                coalesce({dsum_sql('o_totalprice')}, 0) AS spend
-        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        FROM customer LEFT JOIN (
+            SELECT * FROM orders
+            WHERE o_orderdate >= '1995-01-01'
+              AND o_orderdate < '1996-01-01'
+        ) ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name
     """,
     "join_full_outer": """
-        WITH c AS (SELECT c_nationkey AS ck, count(*) AS n_cust
-                   FROM customer GROUP BY c_nationkey),
-             s AS (SELECT s_nationkey AS sk, count(*) AS n_supp
-                   FROM supplier GROUP BY s_nationkey)
-        SELECT coalesce(ck, sk) AS nationkey,
-               coalesce(n_cust, 0) AS n_cust,
-               coalesce(n_supp, 0) AS n_supp
-        FROM c FULL OUTER JOIN s ON ck = sk
+        WITH e AS (SELECT user_id AS eu,
+                          cast(date_trunc('day', ts) AS date) AS ed,
+                          count(*) AS n_err
+                   FROM events WHERE event_type = 'error'
+                   GROUP BY 1, 2),
+             g AS (SELECT user_id AS su,
+                          cast(date_trunc('day', ts) AS date) AS sd,
+                          count(*) AS n_signup
+                   FROM events WHERE event_type = 'signup'
+                   GROUP BY 1, 2)
+        SELECT coalesce(eu, su) AS user_id,
+               coalesce(ed, sd) AS day,
+               coalesce(n_err, 0) AS n_err,
+               coalesce(n_signup, 0) AS n_signup
+        FROM e FULL OUTER JOIN g ON eu = su AND ed = sd
     """,
     "join_semi": """
         SELECT c_custkey, c_name, c_mktsegment FROM customer

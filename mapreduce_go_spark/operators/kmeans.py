@@ -144,7 +144,7 @@ def _codebook_disk_path(cache_key: tuple) -> str:
     import hashlib
     import os
 
-    from mapreduce_go_spark.operators.joins import _workspace_dir
+    from mapreduce_go_spark.workspace import _workspace_dir
 
     tag = hashlib.md5(
         "|".join(str(p) for p in (_CODEBOOK_FORMAT, *cache_key))

@@ -34,7 +34,7 @@ from mapreduce_go_spark.functions.num import dround, dround_sql
 def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Day-partitioned parquet copy of events (partition column
     event_date = to_date(ts)), written once per session."""
-    from mapreduce_go_spark.operators.joins import session_scratch
+    from mapreduce_go_spark.workspace import session_scratch
 
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = os.path.join(session_scratch(spark), f"events_by_day_{tag}")

@@ -159,7 +159,7 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the warc_sink_roundtrip discipline); JSONL is splittable so the
     re-read parallelizes per-split regardless of file count.
     """
-    from mapreduce_go_spark.operators.joins import session_scratch
+    from mapreduce_go_spark.workspace import session_scratch
 
     cols = ["doc_id", "lang", "source", "n_chars", "text"]
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -185,7 +185,7 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     are splittable and carry min/max indexes, so the re-read
     parallelizes and filter-prunes like parquet; sources/io.read_orc
     is the library entry."""
-    from mapreduce_go_spark.operators.joins import session_scratch
+    from mapreduce_go_spark.workspace import session_scratch
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"]
@@ -211,7 +211,7 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same derived string computed straight from the source table,
     so any mangling (lost quote, split field, header drift) fails the
     differential."""
-    from mapreduce_go_spark.operators.joins import session_scratch
+    from mapreduce_go_spark.workspace import session_scratch
 
     def derive(df: DataFrame) -> DataFrame:
         return df.select(

@@ -310,7 +310,7 @@ def ensure_warc_files(spark, sf_dir: str) -> str:
     (bucket % WARC_CORRUPT_EVERY == 0) are written too — truncated
     mid-record exactly like the in-plan synthesis — so the source's
     skip/fail postures face real malformed archives."""
-    from mapreduce_go_spark.operators.joins import session_scratch
+    from mapreduce_go_spark.workspace import session_scratch
     from mapreduce_go_spark.operators.warc import WARC_BUCKET, make_warc
 
     tag = os.path.basename(sf_dir.rstrip("/"))
@@ -596,7 +596,7 @@ def warc_sink_roundtrip(spark, sf_dir: str):
     from mapreduce_go_spark import tables
     from mapreduce_go_spark.operators.warc import WARC_BUCKET
 
-    from mapreduce_go_spark.operators.joins import session_scratch
+    from mapreduce_go_spark.workspace import session_scratch
     from mapreduce_go_spark.session import ensure_package_on_workers
 
     # the writer kernel imports this package on EXECUTORS — ship it

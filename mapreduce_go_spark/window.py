@@ -28,6 +28,8 @@ _PRIORITY: list[str] = [
     "q18_large_orders",  # HOLD greens=5
     "ann_recall_dashboard",  # FILL greens=0
     "ann_ivf_pq_topk",  # FILL greens=0
+    "join_left_outer",  # FILL greens=0
+    "join_full_outer",  # FILL greens=0
     "q4_order_priority",  # FILL greens=6
     "q6_forecast_revenue",  # FILL greens=6
     "q7_volume_shipping",  # FILL greens=6
@@ -58,6 +60,4 @@ _PRIORITY: list[str] = [
     "dup_span_stats",  # FILL greens=2
     "bm25_top_terms",  # FILL greens=2
     "pii_stats",  # FILL greens=2
-    "cdc_dup_chunks",  # FILL greens=3
-    "local_supplier_volume_bucketed",  # FILL greens=2
 ]

@@ -62,7 +62,8 @@ def test_bucketed_table_self_heals_after_path_loss(spark, sf_dir):
                                 ["o_orderkey", "o_totalprice"])
     n1 = df1.count()
     assert n1 > 0
-    base = os.path.join(joins._workspace_dir(),
+    from mapreduce_go_spark.workspace import _workspace_dir
+    base = os.path.join(_workspace_dir(),
                         spark.sparkContext.applicationId)
     shutil.rmtree(base)  # simulate the tmp cleaner
     df2 = joins._bucketed_table(spark, sf_dir, "orders", "o_orderkey",

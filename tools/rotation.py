@@ -80,6 +80,13 @@ SCHEMA_RESETS = {
     # shape change: zero-green debt seat this round, then the normal
     # P2 first-green/confirming-green discipline on the new shape.
     "ann_recall_dashboard": 15,
+    # r15 de-vacuified both outer joins (the fb12460 class): the full
+    # outer moved to (user, day) error-vs-signup counts (new columns
+    # AND rows) and the left outer scoped orders to 1995 so the
+    # zero-fill branch carries real rows — every prior green verified
+    # the old, inner-join-degenerate shapes.
+    "join_full_outer": 15,
+    "join_left_outer": 15,
 }
 
 # P3 anchors, each with the property it pins:

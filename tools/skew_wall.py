@@ -54,10 +54,11 @@ def main() -> None:
         big = parts[0]
         for p in parts[1:]:
             big = big.unionByName(p)
-        key = (F.when(F.col("l_orderkey") % 100 < 97, F.lit(0))
-               .otherwise(F.col("l_orderkey") % 23 + 1))
-        (big.select(key.cast("long").alias("k"),
-                    F.col("l_quantity").cast("long").alias("qty"))
+        # the PRODUCTION skew formula, not a restated literal copy: a
+        # SKEW_HOT_PCT/cold-modulus retune in joins.py must move this
+        # measurement with it (r15 review)
+        from mapreduce_go_spark.operators.joins import skewed_fact
+        (skewed_fact(big)
          .repartition(32).write.mode("overwrite").parquet(args.out))
 
     dim = tables.load(spark, args.base, "nation").select(
