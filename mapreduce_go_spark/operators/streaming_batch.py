@@ -70,9 +70,13 @@ def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming share one formulation instead of the old lag+cumsum
     fork. The DuckDB oracle keeps the portable lag+cumsum form, which
     makes the differential check a cross-engine proof of Spark's
-    session-merge semantics (gap boundary: an event exactly `gap`
-    after the last one starts a NEW session — session windows are
-    half-open [start, last+gap)). One shuffle on user_id, sort-scan
+    session-merge semantics (gap boundary INCLUSIVE: an event exactly
+    `gap` after the last one still MERGES — a new session starts only
+    when the gap is EXCEEDED; verified against native session_window,
+    r15 review, which also found the oracle and this docstring
+    pinning the opposite rule). NULL-ts events carry no event time
+    and are dropped by the window generator; the oracle filters them
+    to match. One shuffle on user_id, sort-scan
     per user; the sess_no ranking rides the same partitioning."""
     from pyspark.sql import Window
 
@@ -103,12 +107,45 @@ def dedup_first_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     order (not Spark's nondeterministic dropDuplicates)."""
     from pyspark.sql import Window
 
-    ev = tables.load(spark, sf_dir, "events")
+    # a NULL ts carries no event time, and the engines disagree on
+    # NULL sort position (Spark ASC = NULLS FIRST, DuckDB = NULLS
+    # LAST — r15 review), so "first by event time" excludes them
+    ev = tables.load(spark, sf_dir, "events").where(
+        F.col("ts").isNotNull())
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         ev.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "ts")
+    )
+
+
+def _attribution(spark: SparkSession, sf_dir: str,
+                 how: str) -> DataFrame:
+    """The purchase<-click attribution join both batch twins share,
+    parameterized by join type — the streaming side already factored
+    its pair into one helper (streaming/jobs._attribution_join, r14);
+    the batch pair was still a verbatim fork (r15 review)."""
+    ev = tables.load(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") <= F.col("p_ts"))
+            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+            how,
+        )
+        .select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
     )
 
 
@@ -128,26 +165,7 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the streaming twin's state stays bounded by watermark + 1h range
     for the same reason the batch join's per-key match set is bounded
     by the hour window."""
-    ev = tables.load(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-        F.col("event_id").alias("purchase_id"),
-    )
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-        F.col("event_id").alias("click_id"),
-    )
-    return (
-        p.join(
-            c,
-            (F.col("p_user") == F.col("c_user"))
-            & (F.col("c_ts") <= F.col("p_ts"))
-            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-        )
-        .select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
-    )
+    return _attribution(spark, sf_dir, "inner")
 
 
 def purchase_click_attribution_outer(spark: SparkSession,
@@ -164,27 +182,7 @@ def purchase_click_attribution_outer(spark: SparkSession,
 
     100 TB shape: same SortMergeJoin-on-user_id as the inner twin;
     the outer side adds no state beyond the null-extension."""
-    ev = tables.load(spark, sf_dir, "events")
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("p_ts"),
-        F.col("event_id").alias("purchase_id"),
-    )
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("user_id").alias("c_user"),
-        F.col("ts").alias("c_ts"),
-        F.col("event_id").alias("click_id"),
-    )
-    return (
-        p.join(
-            c,
-            (F.col("p_user") == F.col("c_user"))
-            & (F.col("c_ts") <= F.col("p_ts"))
-            & (F.col("c_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-            "left_outer",
-        )
-        .select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
-    )
+    return _attribution(spark, sf_dir, "left_outer")
 
 
 def user_type_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -291,7 +289,12 @@ def idle_user_flush(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("m_micro"),
         F.max("ts").alias("last_ts"),
     )
-    mx = ev.agg(F.expr("unix_micros(max(ts)) div 1000").alias("max_ms"))
+    # global max from the per-user aggregate, not a second full
+    # events scan: max over per-user maxes == global max, and the
+    # identical groupBy subtree lets Spark reuse the exchange — one
+    # corpus scan instead of two (r15 review)
+    mx = per.agg(F.expr("unix_micros(max(last_ts)) div 1000")
+                 .alias("max_ms"))
     return (
         per.crossJoin(F.broadcast(mx))
         .where(F.expr("unix_micros(last_ts) div 1000")
@@ -331,6 +334,18 @@ QUERIES = {
     "idle_user_flush": idle_user_flush,
 }
 
+# one attribution formulation, join type spliced (mirrors the Spark
+# side's _attribution helper — r15 review)
+_ATTRIB_SQL = """
+        SELECT p.user_id AS p_user, p.event_id AS purchase_id,
+               c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        {join} (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.ts <= p.ts
+         AND c.ts > p.ts - INTERVAL 1 HOUR
+    """
+
 ORACLES = {
     "user_recent_events": f"""
         SELECT user_id, rk, event_id, event_type, v_micro FROM (
@@ -369,7 +384,7 @@ ORACLES = {
                time_bucket(INTERVAL '1 day', ts) + INTERVAL '1 day' AS win_end,
                event_type, count(*) AS n,
                {dsum_sql('value')} AS total
-        FROM events GROUP BY 1, 2, 3
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2, 3
     """,
     "sliding_window": f"""
         WITH assigned AS (
@@ -377,23 +392,29 @@ ORACLES = {
                        - o.off * INTERVAL '30 minutes' AS win_start,
                    event_type, value
             FROM events, (VALUES (0), (1)) AS o(off)
+            WHERE ts IS NOT NULL
         )
         SELECT win_start, win_start + INTERVAL '1 hour' AS win_end,
                event_type, count(*) AS n,
                {dsum_sql('value')} AS total
         FROM assigned GROUP BY 1, 2, 3
     """,
-    # lag+cumsum twin of Spark's native session_window: >= gap in
-    # MICROSECONDS starts a new session (half-open [start, last+gap));
+    # lag+cumsum twin of Spark's native session_window: STRICTLY
+    # MORE than gap microseconds starts a new session (the boundary
+    # is inclusive-merge: Spark merges an event exactly `gap` after
+    # the last — the r15 review found the old >= here inverted, and
+    # the fixture's microsecond-random timestamps never exercised it);
+    # NULL-ts rows are dropped like the window generator drops them;
     # cumsum+1 gives the 1-based per-user ordinal row_number produces
     # on the Spark side.
     "sessionize": f"""
         WITH gapped AS (
             SELECT user_id, ts, event_id, value,
                    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                             >= 1800 * 1000000
+                             > 1800 * 1000000
                         THEN 1 ELSE 0 END AS new_sess
             FROM events
+            WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         numbered AS (
@@ -413,27 +434,12 @@ ORACLES = {
         FROM (SELECT user_id, event_type, event_id, ts,
                      row_number() OVER (PARTITION BY user_id, event_type
                                         ORDER BY ts, event_id) AS rn
-              FROM events)
+              FROM events WHERE ts IS NOT NULL)
         WHERE rn = 1
     """,
-    "purchase_click_attribution": """
-        SELECT p.user_id AS p_user, p.event_id AS purchase_id,
-               c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        JOIN (SELECT * FROM events WHERE event_type = 'click') c
-          ON p.user_id = c.user_id
-         AND c.ts <= p.ts
-         AND c.ts > p.ts - INTERVAL 1 HOUR
-    """,
-    "purchase_click_attribution_outer": """
-        SELECT p.user_id AS p_user, p.event_id AS purchase_id,
-               c.event_id AS click_id, p.ts AS p_ts, c.ts AS c_ts
-        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
-          ON p.user_id = c.user_id
-         AND c.ts <= p.ts
-         AND c.ts > p.ts - INTERVAL 1 HOUR
-    """,
+    "purchase_click_attribution": _ATTRIB_SQL.format(join="JOIN"),
+    "purchase_click_attribution_outer": _ATTRIB_SQL.format(
+        join="LEFT JOIN"),
     # int64 grid sum is associative -> DuckDB's hugeint sum of the
     # same per-row integers matches Spark's long sum bit-for-bit; the
     # /1e6 finalization is the identical IEEE division (hugeint ->

@@ -36,7 +36,10 @@ from mapreduce_go_spark.operators.streaming_batch import SESSION_GAP
 from mapreduce_go_spark.operators.streaming_batch import (  # noqa: E402
     WATERMARK_MS)
 
-WATERMARK = f"{WATERMARK_MS // 60000} minutes"
+# lossless: "// 60000 minutes" silently floored any non-minute
+# WATERMARK_MS, breaking the batch/stream parity the constant's
+# cannot-edit-apart contract promises (r15 review)
+WATERMARK = f"{WATERMARK_MS} milliseconds"
 
 # Committed snapshot versions kept per incremental index/rollup chain.
 # Replay safety needs only the latest committed version below the

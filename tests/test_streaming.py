@@ -2184,3 +2184,59 @@ def test_tws_processor_kernel_null_semantics():
             if r.event_type == "view"][0]
     import pandas as pd
     assert view.n == 1 and pd.isna(view.total)
+
+
+def test_session_gap_boundary_is_inclusive_merge(spark):
+    """The session_window gap-boundary rule the sessionize oracle must
+    mirror (r15 review: the oracle shipped the INVERTED >= rule, and
+    the fixture's microsecond-random timestamps never landed exactly
+    gap apart): an event arriving EXACTLY the gap after the last one
+    still MERGES — Spark starts a new session only when the gap is
+    strictly exceeded. Pinned on crafted exact-gap data against the
+    native operator AND the oracle's lag-form rewritten on the same
+    rows, so the two formulations cannot drift apart again."""
+    import datetime
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 1),
+        (1, t0 + datetime.timedelta(seconds=1800), 2),       # == gap
+        (1, t0 + datetime.timedelta(seconds=1800 + 3601), 3),  # > gap
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, "
+                                     "event_id long")
+    native = (
+        df.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("session_window.start")
+        .collect()
+    )
+    assert [r.n for r in native] == [2, 1], native
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ev (user_id BIGINT, ts TIMESTAMP,"
+                " event_id BIGINT)")
+    con.executemany("INSERT INTO ev VALUES (?, ?, ?)", rows)
+    for op, expect in ((">", [2, 1]), (">=", [1, 1, 1])):
+        got = [r[0] for r in con.execute(f"""
+            WITH gapped AS (
+                SELECT *, CASE WHEN epoch_us(ts)
+                                    - epoch_us(lag(ts) OVER w)
+                                    {op} 1800 * 1000000
+                               THEN 1 ELSE 0 END AS new_sess
+                FROM ev WINDOW w AS (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+            ),
+            numbered AS (
+                SELECT *, sum(new_sess) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    + 1 AS sess_no
+                FROM gapped
+            )
+            SELECT count(*) FROM numbered
+            GROUP BY user_id, sess_no ORDER BY min(ts)""").fetchall()]
+        assert got == expect, (op, got)
