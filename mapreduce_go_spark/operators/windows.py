@@ -10,8 +10,15 @@ partitions, single streaming pass — with external sort for groups that
 don't fit memory (which the reference's slurp-all reduce lacks,
 SURVEY §4.2 P4).
 
-Determinism: every orderBy carries a unique tiebreak column so rank /
-lag / running sums are reproducible across engines and partitionings.
+Determinism: every orderBy that feeds an order-SENSITIVE function
+(row_number, lag/lead, running sums, ntile) carries a unique tiebreak
+column so results are reproducible across engines and partitionings.
+prio_rank's window orders by o_orderpriority alone — rank() assigns
+tied rows the same value, so no tiebreak is needed there. Running
+sums/averages go through the decimal(18,6) image inside the frame
+(dsum_over/davg_over): raw-double windowed sums are engine-internal
+arithmetic (DuckDB segment tree vs Spark sequential fold) and diverge
+bitwise even when both engines are correct.
 """
 
 from __future__ import annotations
@@ -20,7 +27,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
-from mapreduce_go_spark.functions.num import dround, dround_sql
+from mapreduce_go_spark.functions.num import (
+    davg_over,
+    davg_over_sql,
+    dround,
+    dround_sql,
+    dsum_over,
+    dsum_over_sql,
+    grid,
+)
 
 
 def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -36,10 +51,9 @@ def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("o_custkey").orderBy("o_orderpriority")
         ).alias("prio_rank"),
         dround(F.lag("o_totalprice").over(w), 2).alias("prev_total"),
-        dround(
-            F.sum("o_totalprice").over(
-                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            ),
+        dsum_over(
+            F.col("o_totalprice"),
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow),
             2,
         ).alias("cum_spend"),
     )
@@ -75,7 +89,7 @@ def moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id",
         "event_id",
-        dround(F.avg("value").over(w), 6).alias("ma7"),
+        davg_over(F.col("value"), w, 6).alias("ma7"),
     )
 
 
@@ -90,8 +104,6 @@ def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal where the decimal-cast dround diverges cross-engine —
     grid()'s half-integer argument is exactly representable, so
     round() agrees (the quality_probe lesson)."""
-    from mapreduce_go_spark.functions.num import grid
-
     o = tables.load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return o.select(
@@ -110,14 +122,14 @@ QUERIES = {
     "moving_average": moving_average,
 }
 
-_CUM_SPEND = dround_sql(
-    "sum(o_totalprice) OVER ("
-    " PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
-    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+_CUM_SPEND = dsum_over_sql(
+    "o_totalprice",
+    "( PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
 )
-_MA7 = dround_sql(
-    "avg(value) OVER ("
-    " PARTITION BY user_id ORDER BY ts, event_id"
+_MA7 = davg_over_sql(
+    "value",
+    "( PARTITION BY user_id ORDER BY ts, event_id"
     " ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)",
     6,
 )
@@ -148,16 +160,14 @@ ORACLES = {
     """,
 }
 
-ORACLES["window_navigation"] = """
+ORACLES["window_navigation"] = f"""
     SELECT o_custkey, o_orderkey,
            ntile(4) OVER w AS quartile,
            cast(round(percent_rank() OVER w * 1000000) AS bigint)
                AS pct_rank_micro,
            cast(round(cume_dist() OVER w * 1000000) AS bigint)
                AS cume_dist_micro,
-           cast(round(cast(lead(o_totalprice) OVER w
-                           AS decimal(18,6)), 2) AS double)
-               AS next_total
+           {dround_sql('lead(o_totalprice) OVER w')} AS next_total
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
                  ORDER BY o_orderdate, o_orderkey)
