@@ -650,6 +650,13 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(probed)
         .join(layout, "cluster")  # cell-pruned: only probed cells scan
         .where(F.col("vec_id") != F.col("q_id"))
+        # NULL embedding -> NULL codes -> NULL adist, and the (adist,
+        # c_id) window sorts NULLS FIRST — NULL-code rows would crowd
+        # the PQ_RERANK shortlist while the oracle's pcodes (ORDER BY
+        # d, k with NULL d last) assigns them arbitrary codes (ADVICE
+        # r15). Excluded symmetrically: here, and in the oracle via
+        # pqd's d IS NOT NULL (_pq_code_ctes / _ivf_rank_ctes).
+        .where(F.col("codes").isNotNull())
         .selectExpr(
             "q_id", "vec_id as c_id",
             # gather+fold over M=8 elements: interpreted HOF, but the
@@ -1419,17 +1426,29 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf(ArrayType(LongType()))
     def adc_scores(codes: pd.Series) -> pd.Series:
-        if not len(codes):
-            return pd.Series([], dtype=object)
-        C = np.vstack(codes.to_numpy())            # (n, M) int codes
-        cols = np.arange(M)[None, :]
-        out = np.stack(
-            [LUT[qi][cols, C].sum(1) for qi in range(len(LUT))], axis=1
-        )                                          # (n, n_q) int64
-        return pd.Series(list(out))
+        from mapreduce_go_spark.functions.simd import _null_propagate
+
+        # NULL codes (null-propagated from a NULL embedding) -> NULL
+        # scores; Catalyst collapses chained pandas UDFs into one
+        # evaluation node, so the codes-IS-NOT-NULL filter downstream
+        # runs AFTER this kernel sees the raw batch (ADVICE r15) —
+        # the kernel itself must null-propagate like every sibling.
+        def dense(cs: pd.Series) -> np.ndarray:
+            C = np.vstack(cs.to_numpy())           # (n, M) int codes
+            cols = np.arange(M)[None, :]
+            return np.stack(
+                [LUT[qi][cols, C].sum(1) for qi in range(len(LUT))],
+                axis=1)                            # (n, n_q) int64
+
+        return _null_propagate(codes, dense)
 
     coded = tables.spread(emb).select(
         "vec_id", "embedding", "norm", pq_encode("embedding").alias("codes"))
+    # NULL codes (null-propagated from a NULL embedding) would crash
+    # the vstack in adc_scores and, were it total, crowd the NULLS-
+    # FIRST (adist, c_id) shortlist — excluded symmetrically with the
+    # oracle's pcodes d IS NOT NULL guard (ADVICE r15).
+    coded = coded.where(F.col("codes").isNotNull())
     scored = coded.select(
         "vec_id", adc_scores("codes").alias("ad")
     ).select(
@@ -2258,7 +2277,7 @@ def _ivf_rank_ctes(C) -> str:
         SELECT vec_id, i,
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY d, i) AS rn
-        FROM dists
+        FROM dists WHERE d IS NOT NULL
     )"""
 
 
@@ -2336,7 +2355,7 @@ def _pq_code_ctes(CB) -> str:
             SELECT vec_id, m, k,
                    row_number() OVER (PARTITION BY vec_id, m
                                       ORDER BY d, k) AS rn
-            FROM pqd)
+            FROM pqd WHERE d IS NOT NULL)
         WHERE rn = 1
     )"""
 

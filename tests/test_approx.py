@@ -611,3 +611,73 @@ def test_hybrid_rrf_fuses_both_systems(spark, sf_dir):
         assert sorted(ranks) == list(range(1, similarity.RRF_TOP + 1)), q
     in_dense = sum(1 for r in rows if r.c_id in dense[r.q_id])
     assert 0 < in_dense < len(rows), in_dense
+
+
+def test_null_embedding_vector_excluded_symmetrically(spark, sf_dir):
+    """ADVICE r15: a NULL embedding null-propagates to NULL codes and
+    NULL adist, and Spark's (adist, c_id) shortlist window sorts
+    NULLS FIRST — without a guard, NULL-code rows crowd the PQ_RERANK
+    shortlist (and crash ann_pq_topk's vstack), while the DuckDB
+    oracle's pcodes/ranked (ORDER BY d with NULL d last) hand them
+    arbitrary codes and cells instead. Both sides now EXCLUDE
+    null-embedding vectors: Spark via codes IS NOT NULL, the oracle
+    via d IS NOT NULL in _ivf_rank_ctes.ranked and _pq_code_ctes.pqd.
+    Pinned end-to-end on the Spark PQ path and at the CTE level on
+    the oracle blocks, over a crafted table with one NULL row."""
+    import duckdb
+    import numpy as np
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import similarity
+    from mapreduce_go_spark.operators.similarity import (
+        _NORMS_SQL, _ivf_rank_ctes, _pq_code_ctes, _pq_codebooks)
+
+    NULL_ID = 999998
+    orig = tables.load
+    try:
+        def with_null(s, d, name):
+            df = orig(s, d, name)
+            if name != "embeddings":
+                return df
+            nullrow = s.createDataFrame(
+                [(NULL_ID, None, 0)],
+                "vec_id long, embedding array<float>, label int")
+            return df.unionByName(nullrow)
+        tables.load = with_null
+        # end-to-end: the guard keeps the NULL row out of the ADC
+        # scan (pre-guard this CRASHED in adc_scores' np.vstack)
+        rows = similarity.ann_pq_topk(spark, sf_dir).collect()
+        assert len(rows) > 0
+        assert all(r.c_id != NULL_ID for r in rows)
+    finally:
+        tables.load = orig
+
+    # oracle blocks: the NULL vec must appear in neither ranked
+    # (cell assignment/probes) nor pcodes (PQ codes)
+    con = duckdb.connect()
+    emb_pq = f"{sf_dir}/embeddings.parquet"
+    con.execute(f"""
+        CREATE VIEW embeddings AS
+        SELECT * FROM '{emb_pq}'
+        UNION ALL
+        SELECT {NULL_ID} AS vec_id, NULL AS embedding, 0 AS label
+    """)
+    C = np.asarray([[0.1] * 64, [-0.1] * 64])  # toy centroids: the
+    # exclusion is structural (NULL d), independent of training
+    CB = _pq_codebooks(sf_dir)
+    n_ranked, n_pcodes = con.execute(
+        _NORMS_SQL + "," + _ivf_rank_ctes(C) + _pq_code_ctes(CB) + f"""
+        SELECT (SELECT count(*) FROM ranked WHERE vec_id = {NULL_ID}),
+               (SELECT count(*) FROM pcodes WHERE vec_id = {NULL_ID})
+    """).fetchone()
+    assert (n_ranked, n_pcodes) == (0, 0)
+    # ...while a real vector is present in both
+    some_id = con.execute(
+        f"SELECT min(vec_id) FROM '{emb_pq}'").fetchone()[0]
+    n_r2, n_p2 = con.execute(
+        _NORMS_SQL + "," + _ivf_rank_ctes(C) + _pq_code_ctes(CB) + f"""
+        SELECT (SELECT count(*) FROM ranked WHERE vec_id = {some_id}),
+               (SELECT count(*) FROM pcodes WHERE vec_id = {some_id})
+    """).fetchone()
+    assert n_r2 == 2 and n_p2 == CB.shape[0]
+    con.close()
