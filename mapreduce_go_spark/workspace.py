@@ -39,7 +39,19 @@ def session_scratch(spark: SparkSession) -> str:
     exports) must live under this path: before r11 the jsonl/orc/csv/
     events_by_day copies were appId-tagged at the workspace ROOT and
     never cleaned, so every pytest/bench/driver session leaked its
-    copies onto disk permanently."""
+    copies onto disk permanently.
+
+    The atexit removal is best-effort (a SIGKILLed session never runs
+    it), so the first call of a session also SWEEPS siblings left by
+    dead sessions (VERDICT r15 item 7: ~90 MB of orphans had
+    accumulated across rounds). Ownership is a pidfile: each scratch
+    carries .owner_pid; a sibling whose pid is gone is sweepable, a
+    live one is left alone (concurrent pytest + driver sessions
+    coexist). Legacy appId-patterned dirs with no pidfile are swept
+    too; anything else under the workspace (the codebooks store) is
+    durable and untouched. Every session-parquet consumer is
+    self-healing on a vanished path, so a mis-sweep of a live legacy
+    dir costs a rebuild, not correctness."""
     import atexit
     import os
     import shutil
@@ -48,4 +60,41 @@ def session_scratch(spark: SparkSession) -> str:
     if base not in _CLEANUP_REGISTERED:
         _CLEANUP_REGISTERED.add(base)
         atexit.register(shutil.rmtree, base, True)
+        _sweep_dead_sessions(base)
+        os.makedirs(base, exist_ok=True)
+        with open(os.path.join(base, ".owner_pid"), "w") as fh:
+            fh.write(str(os.getpid()))
     return base
+
+
+def _sweep_dead_sessions(current: str) -> None:
+    """Remove sibling scratch dirs whose owning process is dead: a
+    pidfile with a gone pid, or a legacy appId-patterned dir with no
+    pidfile at all. PermissionError from kill(pid, 0) means ALIVE
+    (another user's process) — kept."""
+    import os
+    import re
+    import shutil
+
+    ws = os.path.dirname(current)
+    try:
+        entries = os.listdir(ws)
+    except FileNotFoundError:
+        return
+    for name in entries:
+        path = os.path.join(ws, name)
+        if path == current or not os.path.isdir(path):
+            continue
+        try:
+            with open(os.path.join(path, ".owner_pid")) as fh:
+                pid = int(fh.read().strip())
+        except (OSError, ValueError):
+            if re.fullmatch(r"(local|app)-[\w.-]+", name):
+                shutil.rmtree(path, True)
+            continue
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            shutil.rmtree(path, True)
+        except OSError:
+            pass

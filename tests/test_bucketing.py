@@ -69,3 +69,37 @@ def test_bucketed_table_self_heals_after_path_loss(spark, sf_dir):
     df2 = joins._bucketed_table(spark, sf_dir, "orders", "o_orderkey",
                                 ["o_orderkey", "o_totalprice"])
     assert df2.count() == n1
+
+
+def test_dead_session_scratch_is_swept_on_startup(spark, tmp_path,
+                                                  monkeypatch):
+    """VERDICT r15 item 7: atexit cleanup is best-effort (hard-killed
+    sessions leave their scratch behind — ~90 MB of orphans had
+    accumulated), so the first session_scratch call sweeps siblings
+    whose owning pid is dead or that carry no pidfile (legacy appId
+    dirs), while live-pid siblings and the durable codebooks store
+    survive."""
+    import os
+
+    from mapreduce_go_spark import workspace
+
+    ws = str(tmp_path / "ws")
+    monkeypatch.setenv("SPARK_GRAFT_WORKSPACE", ws)
+    legacy = os.path.join(ws, "local-1786847808652")
+    dead = os.path.join(ws, "app-dead")
+    live = os.path.join(ws, "local-other-live")
+    books = os.path.join(ws, "codebooks")
+    for d in (legacy, dead, live, books):
+        os.makedirs(d)
+    with open(os.path.join(dead, ".owner_pid"), "w") as fh:
+        fh.write("999999999")  # beyond pid_max: guaranteed dead
+    with open(os.path.join(live, ".owner_pid"), "w") as fh:
+        fh.write(str(os.getpid()))
+
+    base = workspace.session_scratch(spark)
+    assert not os.path.exists(legacy)
+    assert not os.path.exists(dead)
+    assert os.path.isdir(live)
+    assert os.path.isdir(books)
+    with open(os.path.join(base, ".owner_pid")) as fh:
+        assert fh.read() == str(os.getpid())
