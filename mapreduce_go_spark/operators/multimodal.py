@@ -17,9 +17,12 @@ TRUE pixel/sample mean for ALL FOUR formats since r14 (VERDICT r13
 item 6): the synthesized corpus's JPEG quarter is codec-real
 (make_media_payload encodes through functions/jpeg.py) and
 decode_image runs the REAL entropy decode for single-component
-baseline payloads — the last byte-prefix luma stand-in is deleted;
-only the committed multi-component color fixture stays header-only
-(mean_luma NULL, honestly). `png_resize` is a TRUE nearest-neighbor
+baseline payloads — the last byte-prefix luma stand-in is deleted.
+Since r16 MULTI-component JPEGs decode too (baseline interleaved
+4:2:0/4:2:2/4:4:4 and progressive spectral selection — the committed
+color fixture's shape); only coding processes outside that envelope
+(successive approximation, arithmetic) keep an honest NULL luma.
+`png_resize` is a TRUE nearest-neighbor
 pixel resample + re-encode (encode_png). The Spark-side plumbing —
 binary column in, `mapInPandas` over Arrow batches, typed feature
 schema out — is real and fully value-oracled.
@@ -618,13 +621,15 @@ def decode_image(payload: bytes) -> dict:
     ALL FOUR formats decode to PIXELS for mean_luma — an exact
     integer-sum / count double, identical across engines: PNG via
     IDAT inflate + unfilter, GIF via real LZW + palette mapping, BMP
-    via the raw bottom-up pixel array, and (r14) single-component
-    baseline JPEG via the from-scratch entropy decoder
-    (functions/jpeg.decode_gray). The one exception is a
-    MULTI-component JPEG (the committed real color fixture): header
-    metadata parses as always, but mean_luma is honestly NULL — the
-    codec is single-component; the retired byte-prefix summary is
-    gone."""
+    via the raw bottom-up pixel array, and JPEG via the from-scratch
+    entropy decoders (functions/jpeg: decode_gray for the
+    single-component corpus since r14; decode_luma for
+    multi-component baseline/progressive files since r16, the
+    committed color fixture included — luma is the decoded Y-plane
+    mean). Multi-component files OUTSIDE the codec's envelope
+    (successive approximation, arithmetic coding, restart intervals,
+    corrupt entropy) keep header metadata with an honest NULL luma;
+    the retired byte-prefix summary stays gone."""
     if payload is None or len(payload) < 16:
         raise ValueError("truncated payload")
     if payload[:8] == PNG_MAGIC:
@@ -701,11 +706,22 @@ def decode_image(payload: bytes) -> dict:
             dec = _jpeg_codec.decode_gray(payload)
             luma = float(int(dec.sum(dtype="uint64")) / dec.size)
         else:
-            # multi-component (the committed real color fixture):
-            # chroma-subsampled interleaved scans are outside the
-            # single-component codec — header metadata only, luma
-            # honestly NULL instead of a fake byte summary.
-            luma = None
+            # multi-component: REAL entropy decode through the r16
+            # color extension (baseline interleaved 4:4:4/4:2:2/4:2:0
+            # and progressive spectral selection — the committed color
+            # fixture's exact shape). mean_luma is the true mean of
+            # the decoded Y plane. Files outside the supported
+            # envelope (successive approximation, arithmetic coding,
+            # restart intervals) or with a corrupt entropy stream
+            # keep the honest NULL — metadata still parses, exactly
+            # the pre-r16 posture for everything we cannot decode.
+            from mapreduce_go_spark.functions import jpeg as _jpeg_codec
+
+            try:
+                y = _jpeg_codec.decode_luma(payload)
+                luma = float(int(y.sum(dtype="uint64")) / y.size)
+            except ValueError:
+                luma = None
         return {"format": "jpeg", "width": int(w), "height": int(h),
                 "channels": int(nf), "mean_luma": luma}
     else:

@@ -739,3 +739,34 @@ def test_prefix_join_equals_plain_jaccard_join(spark, sf_dir):
     pref = sorted(map(tuple, dedup.ngram_jaccard_pairs_prefix(
         spark, sf_dir).collect()))
     assert plain == pref and plain
+
+
+@given(st.binary(min_size=0, max_size=400), st.integers(0, 2**31 - 1))
+@settings(max_examples=60, deadline=None)
+def test_color_jpeg_decoder_total_on_garbage(junk, seed):
+    """decode_components (the r16 multi-component walker) holds the
+    same totality contract as decode_gray: arbitrary bytes either
+    decode or raise ValueError — never IndexError/KeyError/
+    struct.error. Three adversarial families: forced-SOI fuzz,
+    truncations of a valid BASELINE color file, and truncations of a
+    valid PROGRESSIVE file (each re-terminated with EOI so the
+    damage lands inside scans, exercising the per-scan truncation
+    guards and the reconstruct-with-missing-scans path)."""
+    import numpy as np
+
+    from mapreduce_go_spark.functions import jpeg
+
+    rng = np.random.default_rng(seed)
+    rgb = rng.integers(0, 256, (13, 19, 3), dtype=np.uint8)
+    base = jpeg.encode_color(rgb)
+    prog = jpeg.encode_progressive_color(rgb)
+    candidates = [b"\xff\xd8" + junk]
+    for valid in (base, prog):
+        cut = int(rng.integers(2, len(valid)))
+        candidates.append(valid[:cut] + b"\xff\xd9")
+    for data in candidates:
+        try:
+            _h, _w, planes = jpeg.decode_components(data)
+            assert planes.dtype == np.uint8
+        except ValueError:
+            pass
