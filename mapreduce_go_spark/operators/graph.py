@@ -88,13 +88,20 @@ _EDGES_SQL = f"""
 """
 
 
-def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-node degree over the distinct undirected edge set — one
-    explode + one count shuffle."""
-    docs = tables.load(spark, sf_dir, "documents")
-    e = edges_df(docs)
+def _degrees(e: DataFrame) -> DataFrame:
+    """(node, degree) over the distinct undirected edge set — one
+    explode + one count shuffle. The SINGLE definition both the
+    published degree stats and the triangle orientation order use
+    (r16 review: two verbatim copies could desynchronize the
+    orientation from the published degrees)."""
     nodes = e.select(F.explode(F.array("a", "b")).alias("node"))
     return nodes.groupBy("node").agg(F.count("*").alias("degree"))
+
+
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node degree over the distinct undirected edge set."""
+    docs = tables.load(spark, sf_dir, "documents")
+    return _degrees(edges_df(docs))
 
 
 def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,14 +111,14 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (out-degree is O(sqrt(m))-bounded by the orientation — no
     last-reducer blowup), close them against the oriented edge set,
     and credit all three corners. Each triangle is found exactly once:
-    at its minimum corner in the (degree, id) total order, with the
-    closing join also on oriented edges."""
+    at its minimum corner in the (degree, id) total order. The wedge
+    CLOSES against the UNDIRECTED canonical edge set (x < y already
+    matches the a < b canonical form) — closing on oriented edges
+    would be equivalent but costs re-deriving the orientation for the
+    probe side."""
     docs = tables.load(spark, sf_dir, "documents")
     e = edges_df(docs)
-    deg = (
-        e.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node").agg(F.count("*").alias("degree"))
-    )
+    deg = _degrees(e)
     # Degree lookups are plain equi-joins — NO broadcast hint. The
     # degree relation is |V| rows, and on a web graph |V| is billions:
     # a forced broadcast would be exactly the single-node bottleneck

@@ -165,6 +165,10 @@ def _codebook_disk_load(path: str, cache_key: tuple):
     try:
         with open(path, encoding="utf-8") as f:
             doc = json.load(f)
+        # valid JSON whose top level is not an object must hit the
+        # None-on-corruption contract, not AttributeError (r16 review)
+        if not isinstance(doc, dict):
+            return None
         if doc.get("key") != [str(p) for p in cache_key]:
             return None
         return [[float.fromhex(h) for h in row]
@@ -183,6 +187,7 @@ def _codebook_disk_store(path: str, cache_key: tuple,
     import os
     import tempfile
 
+    tmp = None
     try:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         fd, tmp = tempfile.mkstemp(
@@ -195,7 +200,13 @@ def _codebook_disk_store(path: str, cache_key: tuple,
             }, f)
         os.replace(tmp, path)
     except OSError:
-        pass
+        # swallowed per contract, but don't leave the mkstemp file
+        # behind in the never-wiped codebooks dir (r16 review)
+        if tmp is not None:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
 
 
 # Deterministic sampling for codebook training at scale: keep vec_id
@@ -241,6 +252,10 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str,
         return loaded
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
+    # NULL embeddings carry no training signal and would crash the
+    # seed collect / silently vanish from the grid sums (r16 review —
+    # the PQ/IVF NULL-symmetry class); the twin filters identically
+    emb = emb.where(F.col("embedding").isNotNull())
     if sample_frac is not None:
         emb = emb.where(
             F.pmod(F.xxhash64("vec_id"), F.lit(_SAMPLE_MOD))
@@ -278,10 +293,21 @@ def kmeans_fit(spark: SparkSession, sf_dir: str,
     centroid_norm) — norm rounded to 6dp for stable comparison."""
     emb = tables.load(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding")
+    # NULL embeddings are excluded symmetrically with the oracle's
+    # d IS NOT NULL assignment guard (r16 review): _assign would
+    # null-propagate them into a cluster-NULL group the oracle
+    # cannot derive
+    emb = emb.where(F.col("embedding").isNotNull())
     centroids = kmeans_centroids(spark, sf_dir, k, iterations)
     final = _assign(emb, centroids)
+    import numpy as np
+
+    # numpy pairwise sum, the IDENTICAL IEEE sequence the oracle's
+    # (C[ci] ** 2).sum() runs — a Python left-fold can differ by an
+    # ulp and flip the 6dp round at a midpoint (r16 review)
     norms = [
-        (ci, round(float(sum(v * v for v in c) ** 0.5), 6))
+        (ci, round(float((np.asarray(c, dtype=np.float64) ** 2)
+                         .sum() ** 0.5), 6))
         for ci, c in enumerate(centroids)
     ]
     norm_map = F.create_map(
@@ -339,7 +365,13 @@ def _kmeans_twin(sf_dir: str, k: int = K, iterations: int = ITERATIONS,
     ids = t.column("vec_id").to_numpy()
     order = np.argsort(ids, kind="stable")
     ids = ids[order]
-    X = np.asarray(t.take(order).column("embedding").to_pylist(),
+    rows = t.take(order).column("embedding").to_pylist()
+    # mirror the Spark side's embedding IS NOT NULL training filter
+    # (r16 review: a None row makes np.asarray raise and silently
+    # degraded the oracle to rows-only)
+    valid = np.asarray([r is not None for r in rows])
+    ids = ids[valid]
+    X = np.asarray([r for r in rows if r is not None],
                    dtype=np.float64)
     if sample_frac is not None:
         keep = np.asarray(sample_mask(ids, sample_frac, _SAMPLE_MOD))
@@ -419,7 +451,7 @@ def _kmeans_oracle_lazy() -> str | None:
             SELECT vec_id, i,
                    row_number() OVER (PARTITION BY vec_id
                                       ORDER BY d, i) AS rn
-            FROM dists)
+            FROM dists WHERE d IS NOT NULL)
         WHERE rn = 1
     )
     SELECT a.i AS cluster, count(*) AS size,
