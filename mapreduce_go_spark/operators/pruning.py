@@ -28,22 +28,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_go_spark import tables
-from mapreduce_go_spark.functions.num import dround, dround_sql
+from mapreduce_go_spark.functions.num import dsum, dsum_sql
 
 
 def ensure_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
     """Day-partitioned parquet copy of events (partition column
     event_date = to_date(ts)), written once per session."""
-    from mapreduce_go_spark.workspace import session_scratch
+    from mapreduce_go_spark.sources.io import write_parquet
+    from mapreduce_go_spark.workspace import materialize_once
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(session_scratch(spark), f"events_by_day_{tag}")
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
-        ev = tables.load(spark, sf_dir, "events")
-        (ev.withColumn("event_date", F.to_date("ts"))
-         .write.mode("overwrite").partitionBy("event_date")
-         .parquet(out))
-    return out
+    return materialize_once(
+        spark, f"events_by_day_{tag}",
+        lambda p: write_parquet(
+            tables.load(spark, sf_dir, "events")
+            .withColumn("event_date", F.to_date("ts")),
+            p, partition_by=["event_date"]))
 
 
 def partition_pruned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,8 +58,7 @@ def partition_pruned_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                  & (F.col("event_date") <= "2024-01-11"))
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"),
-             dround(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-             .alias("total_value"))
+             dsum(F.col("value")).alias("total_value"))
     )
 
 
@@ -86,8 +85,7 @@ def dpp_enriched_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(dim, "event_date")
         .groupBy("day_label", "event_type")
         .agg(F.count("*").alias("n_events"),
-             dround(F.sum(F.col("value").cast("decimal(18,6)")), 2)
-             .alias("total_value"))
+             dsum(F.col("value")).alias("total_value"))
     )
 
 
@@ -100,23 +98,26 @@ ORACLES = {
     "partition_pruned_daily": f"""
         SELECT event_type,
                cast(count(*) AS bigint) AS n_events,
-               {dround_sql(
-                   "sum(cast(value AS decimal(18,6)))", 2)}
-                   AS total_value
+               {dsum_sql("value")} AS total_value
         FROM events
         WHERE ts >= timestamp '2024-01-05'
           AND ts < timestamp '2024-01-12'
         GROUP BY event_type
     """,
+    # the ts range bound mirrors the QUERY's dim definition (dates
+    # 2024-01-01..2024-01-30): without it the oracle would count any
+    # out-of-January row with day%5=0 that the Spark join drops
+    # (r16 review — the fixture never leaves January, so the bound
+    # is the tie that keeps the two definitions from drifting)
     "dpp_enriched_revenue": f"""
         SELECT 'audit-day-' || day(ts) AS day_label,
                event_type,
                cast(count(*) AS bigint) AS n_events,
-               {dround_sql(
-                   "sum(cast(value AS decimal(18,6)))", 2)}
-                   AS total_value
+               {dsum_sql("value")} AS total_value
         FROM events
         WHERE day(ts) % 5 = 0
+          AND ts >= timestamp '2024-01-01'
+          AND ts < timestamp '2024-01-31'
         GROUP BY 1, 2
     """,
 }

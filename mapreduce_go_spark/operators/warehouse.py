@@ -70,6 +70,13 @@ def scd2_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     own event count (AQE skew handling applies to the exchange).
     """
     ev = tables.load(spark, sf_dir, "events")
+    # NULL ts rows are excluded up front: Spark's ASC window order
+    # puts NULLs FIRST, DuckDB's puts them LAST, so a NULL-ts event
+    # would shift every version/eff_to on one engine only — the
+    # dedup_first_event guard (r15), applied here by the r16 review.
+    # An event with no timestamp carries no validity information for
+    # an interval build anyway.
+    ev = ev.where(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
         ev.select("user_id", "event_type", "ts", "event_id")
@@ -77,15 +84,17 @@ def scd2_user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("prev").isNull()
                | (F.col("prev") != F.col("event_type")))
     )
-    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # the interval windows reuse w verbatim: the "SAME partitioning,
+    # prefix-compatible order" single-exchange invariant is
+    # structural, not a convention two copies must uphold
     return (
         changes.select(
             "user_id",
             F.col("event_type").alias("attr"),
             F.col("ts").alias("eff_from"),
-            F.lead("ts").over(w2).alias("eff_to"),
-            F.row_number().over(w2).cast("long").alias("version"),
-            F.lead("ts").over(w2).isNull().alias("is_current"),
+            F.lead("ts").over(w).alias("eff_to"),
+            F.row_number().over(w).cast("long").alias("version"),
+            F.lead("ts").over(w).isNull().alias("is_current"),
         )
     )
 
@@ -110,8 +119,7 @@ def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         tables.load(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(dsum(F.col("o_totalprice")).alias("spend"),
-             F.count("*").alias("n_orders"))
+        .agg(dsum(F.col("o_totalprice")).alias("spend"))
     )
     updates = agg.select(
         F.col("o_custkey").alias("key"),
@@ -159,20 +167,18 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the warc_sink_roundtrip discipline); JSONL is splittable so the
     re-read parallelizes per-split regardless of file count.
     """
-    from mapreduce_go_spark.workspace import session_scratch
+    from mapreduce_go_spark.sources import io
+    from mapreduce_go_spark.workspace import materialize_once
 
     cols = ["doc_id", "lang", "source", "n_chars", "text"]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(session_scratch(spark), f"jsonl_{tag}")
-    if not os.path.exists(os.path.join(out, "_WRITTEN")):
-        (tables.load(spark, sf_dir, "documents")
-         .select(*cols)
-         .write.mode("overwrite").json(out))
-        with open(os.path.join(out, "_WRITTEN"), "w") as f:
-            f.write("ok")
+    out = materialize_once(
+        spark, f"jsonl_{tag}",
+        lambda p: io.write_json(
+            tables.load(spark, sf_dir, "documents").select(*cols), p))
     schema = ("doc_id long, lang string, source string, "
               "n_chars long, text string")
-    return spark.read.json(out, schema=schema).select(*cols)
+    return io.read_json(spark, out, schema).select(*cols)
 
 
 def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -185,19 +191,17 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     are splittable and carry min/max indexes, so the re-read
     parallelizes and filter-prunes like parquet; sources/io.read_orc
     is the library entry."""
-    from mapreduce_go_spark.workspace import session_scratch
+    from mapreduce_go_spark.sources import io
+    from mapreduce_go_spark.workspace import materialize_once
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderdate", "o_orderpriority"]
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(session_scratch(spark), f"orc_{tag}")
-    if not os.path.exists(os.path.join(out, "_WRITTEN")):
-        (tables.load(spark, sf_dir, "orders")
-         .select(*cols)
-         .write.mode("overwrite").orc(out))
-        with open(os.path.join(out, "_WRITTEN"), "w") as f:
-            f.write("ok")
-    return spark.read.orc(out).select(*cols)
+    out = materialize_once(
+        spark, f"orc_{tag}",
+        lambda p: io.write_orc(
+            tables.load(spark, sf_dir, "orders").select(*cols), p))
+    return io.read_orc(spark, out).select(*cols)
 
 
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -211,7 +215,8 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same derived string computed straight from the source table,
     so any mangling (lost quote, split field, header drift) fails the
     differential."""
-    from mapreduce_go_spark.workspace import session_scratch
+    from mapreduce_go_spark.sources import io
+    from mapreduce_go_spark.workspace import materialize_once
 
     def derive(df: DataFrame) -> DataFrame:
         return df.select(
@@ -222,16 +227,13 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     tag = os.path.basename(sf_dir.rstrip("/"))
-    out = os.path.join(session_scratch(spark), f"csv_{tag}")
-    opts = {"header": "true", "quote": '"', "escape": '"'}
-    if not os.path.exists(os.path.join(out, "_WRITTEN")):
-        (derive(tables.load(spark, sf_dir, "documents"))
-         .write.mode("overwrite").options(**opts).csv(out))
-        with open(os.path.join(out, "_WRITTEN"), "w") as f:
-            f.write("ok")
+    out = materialize_once(
+        spark, f"csv_{tag}",
+        lambda p: io.write_csv(
+            derive(tables.load(spark, sf_dir, "documents")), p))
     schema = ("doc_id long, lang string, source string, "
               "n_chars long, tricky string")
-    return (spark.read.options(**opts).schema(schema).csv(out)
+    return (io.read_csv(spark, out, schema)
             .select("doc_id", "lang", "source", "n_chars", "tricky"))
 
 
@@ -251,6 +253,7 @@ ORACLES = {
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS prev
             FROM events
+            WHERE ts IS NOT NULL
         ),
         chg AS (
             SELECT user_id, event_type AS attr, ts AS eff_from,

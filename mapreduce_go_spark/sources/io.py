@@ -15,10 +15,16 @@ from pyspark.sql.types import StructType
 
 
 def read_csv(spark: SparkSession, path: str, schema: StructType,
-             header: bool = True) -> DataFrame:
+             header: bool = True, **options: str) -> DataFrame:
     """CSV with an explicit schema — never inferSchema (extra full
-    scan) outside exploration."""
-    return spark.read.csv(path, schema=schema, header=header)
+    scan) outside exploration. Defaults to the RFC 4180 dialect
+    (quote-doubling, escape='\"'): Spark's native backslash-escape
+    default is NOT what most CSV consumers emit or expect (r16
+    review; csv_roundtrip documents the same position). Pass
+    options to override."""
+    opts = {"quote": '"', "escape": '"', **options}
+    return spark.read.options(**opts).csv(path, schema=schema,
+                                          header=header)
 
 
 def read_json(spark: SparkSession, path: str,
@@ -41,8 +47,11 @@ def write_parquet(df: DataFrame, path: str,
     w.parquet(path)
 
 
-def write_csv(df: DataFrame, path: str, header: bool = True) -> None:
-    df.write.mode("overwrite").csv(path, header=header)
+def write_csv(df: DataFrame, path: str, header: bool = True,
+              **options: str) -> None:
+    """RFC 4180 dialect by default — see read_csv."""
+    opts = {"quote": '"', "escape": '"', **options}
+    df.write.mode("overwrite").options(**opts).csv(path, header=header)
 
 
 def write_json(df: DataFrame, path: str) -> None:

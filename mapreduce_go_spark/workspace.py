@@ -67,6 +67,23 @@ def session_scratch(spark: SparkSession) -> str:
     return base
 
 
+def materialize_once(spark: SparkSession, name: str, write) -> str:
+    """Session-scoped materialize-once under the scratch dir: calls
+    `write(path)` unless the path already carries Spark's task-commit
+    _SUCCESS marker, and returns the path. ONE commit convention for
+    every format export (r16 review: the roundtrip jobs hand-rolled a
+    private _WRITTEN marker next to the _SUCCESS the Hadoop committer
+    already publishes, in a thrice-copied check/write/stamp block).
+    _SUCCESS is atomic with the committed data — a crashed write
+    leaves no marker and the next session (or retry) rewrites."""
+    import os
+
+    out = os.path.join(session_scratch(spark), name)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        write(out)
+    return out
+
+
 def _sweep_dead_sessions(current: str) -> None:
     """Remove sibling scratch dirs whose owning process is dead: a
     pidfile with a gone pid, or a legacy appId-patterned dir with no
