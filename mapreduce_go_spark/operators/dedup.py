@@ -104,6 +104,23 @@ def _shingles(docs: DataFrame) -> DataFrame:
     return _shingles_all(docs).distinct()
 
 
+def _shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, ss, n_sh): each document's SORTED distinct shingle
+    array plus its size — the single-relation base the multi-consumer
+    dedup queries derive everything from (r16 optimization, guide
+    §2.3/§2.4): `sort_array(collect_set(...))` dedupes while it
+    groups, so the separate `.distinct()` exchange disappears; the
+    per-doc size rides the row for free (no second groupBy over the
+    shingle stream); and re-deriving the (doc_id, shingle) stream is
+    one in-row explode instead of a fresh corpus scan + tokenize.
+    A query that consumes the shingle stream K times re-paid the
+    whole scan+explode+distinct lineage K times under the old shape
+    (ngram_jaccard_pairs_prefix: 7 lineages, 16 parquet scans)."""
+    return _shingles_all(docs).groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("shingle")).alias("ss"),
+    ).withColumn("n_sh", F.size("ss"))
+
+
 # DuckDB twin of _shingles, shared by several oracles.
 _SHINGLES_SQL = f"""
     WITH toks AS (
@@ -175,14 +192,18 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_jaccard_tail(inter, sizes)
 
 
-def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
-    """PPJoin candidate generation over a (doc_id, shingle) set
-    relation: prefix + length + positional filters, distinct (d1, d2)
-    with d1 < d2. ONE copy — the registered query's verify join and
-    the Zipf-regime candidate measurements (tests/test_zipf.py) both
-    consume it, so the measured candidate counts are always counts of
-    the shipped plan (r13 review)."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+def _ppjoin_candidates(sets: DataFrame) -> DataFrame:
+    """PPJoin candidate generation over a `_shingle_sets` relation
+    (doc_id, ss, n_sh): prefix + length + positional filters, distinct
+    (d1, d2) with d1 < d2. ONE copy — the registered query's verify
+    join and the Zipf-regime candidate measurements (tests/test_zipf
+    .py) both consume it, so the measured candidate counts are always
+    counts of the shipped plan (r13 review). r16: consumes the sets
+    relation instead of a (doc_id, shingle) stream — the per-doc size
+    is already on the row (the old per-consumer `sizes` groupBy and
+    its join are gone), and the shingle stream is an in-row explode of
+    the array (guide §2.3: aggregate once, re-derive narrow)."""
+    sh = sets.select("doc_id", "n_sh", F.explode("ss").alias("shingle"))
     dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
     wp = Window.partitionBy("doc_id").orderBy("df", "shingle")
     N, D = JACCARD_T_NUM, JACCARD_T_DEN
@@ -191,7 +212,6 @@ def _ppjoin_candidates(sh: DataFrame) -> DataFrame:
     # non-dyadic t and shorten the prefix by one (ADVICE r12).
     prefix = (
         sh.join(dfreq, "shingle")
-        .join(sizes, "doc_id")
         .withColumn("pos", F.row_number().over(wp))
         .where(F.col("pos") <= F.col("n_sh")
                - F.expr(f"({N} * n_sh + {D - 1}) div {D}") + 1)
@@ -267,10 +287,21 @@ def ngram_jaccard_pairs_prefix(spark: SparkSession,
     post only the docs for which they are locally rare. 10x curve
     measured alongside the plain form in SCALE.md."""
     docs = tables.load(spark, sf_dir, "documents")
-    sh = _shingles(docs)
-    cand = _ppjoin_candidates(sh)
-    sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("shingle")).alias("ss"))
+    # ONE materialized shingle-set relation drives the whole query
+    # (r16 optimization, guide §2.4/§8 "move heavy bytes once"): the
+    # prefix index references it twice (d1/d2 sides of the inverted-
+    # index join), the verify tail twice more — under the lazy DAG
+    # each reference re-ran the full scan+explode+aggregate lineage
+    # (16 parquet scans, 58 Exchanges in the before-plan).
+    # localCheckpoint materializes the corpus-bounded relation (one
+    # row per doc) inside the timed query and truncates the lineage,
+    # so every consumer reads blocks instead of recomputing. Measured
+    # (interleaved min-of-4, sf0.1): 4.50 -> 3.46 s; after-plan: 1
+    # parquet scan. At 100 TB the same move replaces 5 corpus
+    # scans+tokenizes with one materialization of the (doc_id,
+    # shingle-set) proxy — the guide §8 decision-pass shape.
+    sets = _shingle_sets(docs).localCheckpoint()
+    cand = _ppjoin_candidates(sets)
     return (
         cand.join(sets.select(F.col("doc_id").alias("d1"),
                               F.col("ss").alias("s1")), "d1")
@@ -430,11 +461,39 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     drive two key-joins against the shingle index; the intersection
     count exists only for candidate pairs, so the hot-shingle blowup of
     the standalone self-join cannot occur. ngram_jaccard_pairs remains
-    registered as the fixture-scale recall oracle for this pipeline."""
+    registered as the fixture-scale recall oracle for this pipeline.
+
+    r16 optimization (guide §2.3/§2.4): everything derives from ONE
+    `_shingle_sets` relation — the MinHash signature (min over an
+    affine permutation is multiplicity-invariant, so hashing the
+    DISTINCT per-doc shingles from the set array gives bit-identical
+    mh_i to the old multiplicity stream; pinned in
+    tests/test_properties.py::test_verified_pairs_sets_based_sig_identical),
+    the verify index's d1/d2 sides (in-row explodes of the array) and
+    the per-doc sizes (already on the row). The old shape re-derived
+    the corpus tokenize 4x (sig stream, a-side, b-side, sizes — 10
+    parquet scans, 36 Exchanges in the before-plan; after: 4 scans,
+    and measured 2.81 -> 2.23 s interleaved min-of-4 at sf0.1). NOT
+    localCheckpoint'ed: with only 3 set-consumers the re-derivation
+    is cheaper than materializing the arrays (measured 2.84 vs
+    2.23 s) — unlike the prefix query's 5-consumer diamond."""
     docs = tables.load(spark, sf_dir, "documents")
-    cands = _bucket_pairs(_lsh_bands(spark, sf_dir), LSH_BUCKET_CAP)
-    sh = _shingles(docs)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sets = _shingle_sets(docs)
+    sh = sets.select("doc_id", "n_sh",
+                     F.explode("ss").alias("shingle"))
+    h = F.md5("shingle")
+    a56 = F.conv(F.substring(h, 1, 14), 16, 10).cast("long")
+    b56 = F.conv(F.substring(h, 15, 14), 16, 10).cast("long")
+    hashed = sh.select("doc_id", a56.alias("a"), b56.alias("b"))
+    aggs = [
+        F.min(
+            (F.col("a") + F.lit(i) * F.col("b")) % F.lit(MINHASH_MOD)
+        ).alias(f"mh{i}")
+        for i in range(N_MINHASH)
+    ]
+    wide = hashed.groupBy("doc_id").agg(*aggs)
+    cands = _bucket_pairs(_lsh_bands_df(wide), LSH_BUCKET_CAP)
+    sizes = sets.select("doc_id", "n_sh")
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (

@@ -77,6 +77,36 @@ def test_minhash_pipeline_partition_invariant(spark, sf_dir):
     assert f1 == f2
 
 
+def test_verified_pairs_sets_based_sig_identical(spark, sf_dir):
+    """dedup_verified_pairs (r16) derives its MinHash signature from
+    the DISTINCT per-doc shingle array (_shingle_sets explode) instead
+    of the multiplicity stream (_shingles_all). min over an affine
+    permutation is multiplicity-invariant, so the signatures must be
+    bit-identical — pinned here so a future tokenizer/hash change
+    can't silently decouple the two derivations."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators import dedup
+
+    docs = tables.load(spark, sf_dir, "documents")
+    base = sorted(map(tuple, dedup._minhash_sig_df(docs).collect()))
+    sh = dedup._shingle_sets(docs).select(
+        "doc_id", F.explode("ss").alias("shingle"))
+    h = F.md5("shingle")
+    a56 = F.conv(F.substring(h, 1, 14), 16, 10).cast("long")
+    b56 = F.conv(F.substring(h, 15, 14), 16, 10).cast("long")
+    aggs = [
+        F.min((F.col("a") + F.lit(i) * F.col("b"))
+              % F.lit(dedup.MINHASH_MOD)).alias(f"mh{i}")
+        for i in range(dedup.N_MINHASH)
+    ]
+    from_sets = sorted(map(tuple, (
+        sh.select("doc_id", a56.alias("a"), b56.alias("b"))
+        .groupBy("doc_id").agg(*aggs).collect())))
+    assert from_sets == base
+
+
 @given(st.binary(min_size=0, max_size=2000),
        st.integers(min_value=1, max_value=80),
        st.integers(min_value=1, max_value=60))

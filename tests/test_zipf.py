@@ -106,23 +106,25 @@ def test_ppjoin_matches_plain_join_under_zipf(spark, zipf_dir):
     # the measured drop is the production plan's.
     from mapreduce_go_spark import tables
     from mapreduce_go_spark.operators.dedup import (
-        _ppjoin_candidates, _shingles)
+        _ppjoin_candidates, _shingle_sets)
 
-    sh = _shingles(tables.load(spark, zipf_dir, "documents")).cache()
+    sets = _shingle_sets(
+        tables.load(spark, zipf_dir, "documents")).cache()
     try:
+        sh = sets.select("doc_id", F.explode("ss").alias("shingle"))
         plain_cand = (
             sh.select(F.col("doc_id").alias("d1"), "shingle")
             .join(sh.select(F.col("doc_id").alias("d2"), "shingle"),
                   "shingle")
             .where(F.col("d1") < F.col("d2"))
             .select("d1", "d2").distinct().count())
-        pref_cand = _ppjoin_candidates(sh).count()
+        pref_cand = _ppjoin_candidates(sets).count()
         assert pref_cand * 3 <= plain_cand, (pref_cand, plain_cand)
         print(f"\nzipf ppjoin candidates: plain={plain_cand} "
               f"prefix+len+pos={pref_cand} "
               f"drop={plain_cand / max(pref_cand, 1):.1f}x")
     finally:
-        sh.unpersist()
+        sets.unpersist()
 
 
 def test_bm25_search_filter_is_a_sliver_under_zipf(spark, zipf_dir):
