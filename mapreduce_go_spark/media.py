@@ -181,7 +181,20 @@ def session_parquet(spark: SparkSession, family: str, sf_dir: str,
         [os.path.abspath(sf_dir), extra]).encode()).hexdigest()[:8]
     path = os.path.join(session_scratch(spark), f"{family}_{tag}")
     materialize_once(path, lambda: build(path))
-    return spark.read.parquet(path)
+    # memoized handle per (application, path): the artifact is
+    # immutable once its _SUCCESS exists, and each read.parquet call
+    # costs ~90 ms of driver py4j + footer read (r16 profile — the
+    # tables.load rationale; layout-table consumers re-open the same
+    # artifact several times per dashboard construction).
+    key = (spark.sparkContext.applicationId, path)
+    df = _SESSION_PARQUET_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(path)
+        _SESSION_PARQUET_MEMO[key] = df
+    return df
+
+
+_SESSION_PARQUET_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:

@@ -81,14 +81,33 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
     return df
 
 
+#: (applicationId, abspath(sf_dir), table) -> lazy DataFrame handle.
+#: A DataFrame is an immutable logical plan; handing every caller the
+#: same object is semantically identical to re-building it — but each
+#: `spark.read.parquet` call costs ~90 ms of py4j round-trips plus a
+#: footer/schema read on the DRIVER (r16 profile: 8 loads = 0.72 s of
+#: a single dashboard CONSTRUCTION; the suite calls load() hundreds
+#: of times). This memoizes the HANDLE only: no data, no results —
+#: every action still scans the parquet (guide §1: this is plan-
+#: construction overhead, not compute, and it was a fifth of many
+#: short queries' bench wall).
+_LOAD_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table from parquet."""
+    """Load one fixture table from parquet (memoized per session —
+    see _LOAD_MEMO)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     _ensure_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events":
-        df = normalize_event_ts(df)
+    key = (spark.sparkContext.applicationId,
+           os.path.abspath(sf_dir), name)
+    df = _LOAD_MEMO.get(key)
+    if df is None:
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        if name == "events":
+            df = normalize_event_ts(df)
+        _LOAD_MEMO[key] = df
     return df
 
 
@@ -106,7 +125,23 @@ def spread(df: DataFrame) -> DataFrame:
     default parallelism when the scan has fewer splits; at production
     scale the table has plenty of file splits and this is a no-op.
     Only the narrow input rows shuffle — results never re-shuffle."""
+    key = (df.sparkSession.sparkContext.applicationId, id(df))
+    hit = _SPREAD_MEMO.get(key)
+    if hit is not None and hit[0] is df:
+        return hit[1]
     target = df.sparkSession.sparkContext.defaultParallelism
+    out = df
     if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+        out = df.repartition(target)
+    _SPREAD_MEMO[key] = (df, out)
+    return out
+
+
+#: (applicationId, id(df)) -> (df, spread(df)). df.rdd.getNumPartitions
+#: converts the plan to an RDD on the driver — a full QueryExecution
+#: per call (~60-100 ms). The memo holds a strong ref to the input df,
+#: so the id() can't be recycled while the entry lives; with load()
+#: itself memoized, repeat callers hit this for every re-derivation of
+#: the same spread relation (r16 profile: the shingle/media pipelines
+#: call spread once per lineage copy).
+_SPREAD_MEMO: dict[tuple[str, int], tuple[DataFrame, DataFrame]] = {}
