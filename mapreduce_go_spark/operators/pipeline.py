@@ -561,7 +561,8 @@ DSIR_TARGET_LANG = "en"  # target distribution: the English slice
 DSIR_KEEP = 100          # documents selected
 
 
-def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dsir_importance_sample(spark: SparkSession, sf_dir: str,
+                           checkpoint_per_doc: bool = True) -> DataFrame:
     """DSIR data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every raw
     document by its hashed-n-gram importance under a target
@@ -640,6 +641,21 @@ def dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_tokens"),
              F.sum("g").alias("logw_micro"))
     )
+    if checkpoint_per_doc:
+        # r16: materialize the per-doc weights once (lazy checkpoint —
+        # the kth TakeOrdered action below computes it). Both the
+        # K-th-threshold probe and the final flag projection consume
+        # per_doc; under the lazy DAG each re-ran the whole
+        # tokenize+score lineage (12 parquet scans in the before-
+        # plan). One narrow row per document — exactly the guide §8
+        # "decide on the small table" materialization; measured
+        # 2.38 -> 1.86 s at sf0.1 (interleaved min-of-4), value-
+        # identical. The checkpoint replaces the scoring lineage with
+        # a Scan ExistingRDD in the FINAL plan, so the plan pins
+        # (broadcast scoring join, TakeOrdered, no Window) are
+        # asserted on the checkpoint_per_doc=False logical twin in
+        # tests/test_plans.py — same lineage object, same execution.
+        per_doc = per_doc.localCheckpoint(eager=False)
     kth = (
         per_doc.orderBy(F.col("logw_micro").desc(), "doc_id")
         .limit(DSIR_KEEP)

@@ -824,25 +824,41 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lex_probe_frames(spark: SparkSession, sf_dir: str
-                      ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """(toks, qt, qprobe) for the selective-term lexical pool: the
-    distinct (doc_id, tok) relation, the query-side tokens, and each
-    query's RRF_PROBE rarest terms ((df, tok) rank — cross-engine
-    exact). ONE copy — the fusion tail and the Zipf selectivity
-    measurement (tests/test_zipf.py) both consume it, so the
-    measured posting-row counts are counts of the shipped probe
-    (r13 review)."""
+                      ) -> tuple[DataFrame, DataFrame, DataFrame,
+                                 DataFrame]:
+    """(tsets, toks, qt, qprobe) for the selective-term lexical pool:
+    the per-doc sorted distinct token ARRAY with its size, the
+    (doc_id, tok) stream derived from it, the query-side tokens, and
+    each query's RRF_PROBE rarest terms ((df, tok) rank —
+    cross-engine exact). ONE copy — the fusion tail and the Zipf
+    selectivity measurement (tests/test_zipf.py) both consume it, so
+    the measured posting-row counts are counts of the shipped probe
+    (r13 review).
+
+    r16: the base is the token-SETS relation (sort_array(collect_set)
+    — the dedup._shingle_sets recipe): `.distinct()`'s exchange
+    disappears into the aggregation, per-doc sizes ride the row (the
+    fusion tail's separate groupBy-count and its join are gone), and
+    every re-derivation of the token stream is an in-row explode of
+    the array. Measured 2.66 -> 2.18 s on hybrid_rrf_topk at sf0.1
+    (interleaved min-of-4); NOT localCheckpoint'ed — re-deriving the
+    aggregation was measured cheaper than materializing the arrays
+    (2.18 vs 2.27 s), the same 3-consumer trade as
+    dedup_verified_pairs."""
     from pyspark.sql import Window
 
     from mapreduce_go_spark.functions.text import NON_LETTER_RE
 
     docs = tables.load(spark, sf_dir, "documents")
-    toks = (
+    tsets = (
         docs.select("doc_id",
                     F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("tok")).alias("ts"))
+        .withColumn("sz", F.size("ts"))
     )
+    toks = tsets.select("doc_id", F.explode("ts").alias("tok"))
     qt = toks.where(F.col("doc_id") < N_QUERIES).select(
         F.col("doc_id").alias("q_id"), "tok")
     dfreq = toks.groupBy("tok").agg(F.count("*").alias("df"))
@@ -853,7 +869,7 @@ def _lex_probe_frames(spark: SparkSession, sf_dir: str
         .where(F.col("pr") <= RRF_PROBE)
         .select("q_id", "tok")
     )
-    return toks, qt, qprobe
+    return tsets, toks, qt, qprobe
 
 
 def _rrf_lex_and_fuse(spark: SparkSession, sf_dir: str,
@@ -865,8 +881,8 @@ def _rrf_lex_and_fuse(spark: SparkSession, sf_dir: str,
     a probe or fusion change lands once for both."""
     from pyspark.sql import Window
 
-    toks, qt, qprobe = _lex_probe_frames(spark, sf_dir)
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    tsets, toks, qt, qprobe = _lex_probe_frames(spark, sf_dir)
+    sizes = tsets.select("doc_id", "sz")
     cand = (
         F.broadcast(qprobe)
         .join(toks.select(F.col("doc_id").alias("c_id"), "tok"), "tok")

@@ -599,11 +599,21 @@ def test_dsir_selection_avoids_global_window(spark, sf_dir):
     join against the 128-row ratio relation must be broadcast."""
     from mapreduce_go_spark.operators import pipeline as pl
 
-    p = plan_of(pl.dsir_importance_sample(spark, sf_dir))
+    # the un-checkpointed logical twin: the shipped default
+    # localCheckpoints per_doc (r16), which replaces everything below
+    # it with a Scan ExistingRDD in the final plan — same lineage,
+    # same execution, but the nodes pinned here would be invisible
+    p = plan_of(pl.dsir_importance_sample(spark, sf_dir,
+                                          checkpoint_per_doc=False))
     assert "BroadcastHashJoin" in p, p
     assert "TakeOrderedAndProject" in p, p
     assert "Window" not in p, p
     assert "CartesianProduct" not in p, p
+    # and the shipped default DOES checkpoint (the per-doc relation
+    # appears as an RDD scan exactly once)
+    pc = plan_of(pl.dsir_importance_sample(spark, sf_dir))
+    assert "ExistingRDD" in pc, pc
+    assert "Window" not in pc, pc
 
 
 def test_hybrid_rrf_pools_are_bounded(spark, sf_dir):

@@ -76,7 +76,7 @@ def test_rare_term_probe_is_selective_under_zipf(spark, zipf_dir):
     from mapreduce_go_spark.operators.similarity import (
         _lex_probe_frames)
 
-    toks, qt, qprobe = _lex_probe_frames(spark, zipf_dir)
+    _tsets, toks, qt, qprobe = _lex_probe_frames(spark, zipf_dir)
     postings = toks.select(F.col("doc_id").alias("c_id"), "tok")
     probed = qprobe.join(postings, "tok").count()
     all_rows = qt.join(postings, "tok").count()
