@@ -93,8 +93,14 @@ def symspell_typo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " transform(sequence(1, length(w)), i ->"
         "  concat(substring(w, 1, i - 1), substring(w, i + 1))))) AS v")
     capw = Window.partitionBy("v")
+    # r16: the capped deletion-key index feeds BOTH sides of the
+    # self-join below — lazily materialized once (vocab-bounded: ~10
+    # variant rows per word) instead of re-running the tokenize +
+    # vocab union + window per side. Measured 1.23 -> 1.05 s at
+    # sf0.1 (interleaved min-of-4), value-identical.
     capped = (variants.withColumn("_k", F.count("*").over(capw))
-              .where(F.col("_k") <= FUZZY_KEY_CAP).drop("_k"))
+              .where(F.col("_k") <= FUZZY_KEY_CAP).drop("_k")
+              .localCheckpoint(eager=False))
     a = capped.select(F.col("w").alias("w1"), F.col("n").alias("n1"), "v")
     b = capped.select(F.col("w").alias("w2"), F.col("n").alias("n2"), "v")
     return (
@@ -122,11 +128,19 @@ def typo_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = tables.load(spark, sf_dir, "documents").select("doc_id", "text")
+    # r16: clean feeds three lineages (vocab counts for cv, the OOV
+    # anti-join, and through it the final left join), noisy two (the
+    # variant probe and the final left join) — both are vocabulary-
+    # bounded aggregates, so they're lazily materialized once (guide
+    # §8 "decide on the small table") instead of re-running the
+    # corpus tokenize per consumer. Measured 1.84 -> 1.46 s at sf0.1
+    # (interleaved min-of-4), value-identical.
     clean = (
         docs.select(F.explode(F.split(F.lower("text"), "[^a-z]+"))
                     .alias("w"))
         .where(F.length("w").between(FUZZY_MIN_LEN, FUZZY_MAX_LEN))
         .groupBy("w").agg(F.count("*").alias("n"))
+        .localCheckpoint(eager=False)
     )
     noisy = (
         docs.selectExpr("doc_id", "split(lower(text), '[^a-z]+') AS ws")
@@ -139,6 +153,7 @@ def typo_corrections(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(f"{_TYPO_SQL} AS w")
         .select("w").distinct()
         .join(clean.select("w"), "w", "left_anti")  # OOV only
+        .localCheckpoint(eager=False)
     )
     var_expr = (
         "explode(array_union(array(w), "
