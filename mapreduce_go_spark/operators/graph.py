@@ -117,7 +117,12 @@ def triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     would be equivalent but costs re-deriving the orientation for the
     probe side."""
     docs = tables.load(spark, sf_dir, "documents")
-    e = edges_df(docs)
+    # r16: the canonical edge set feeds three lineages (degrees, the
+    # orientation join, the wedge-closing probe) — lazily
+    # materialized once (|E|-bounded; every multi-pass triangle
+    # counter materializes its edge list). 0.94 -> 0.82 s at sf0.1,
+    # value-identical.
+    e = edges_df(docs).localCheckpoint(eager=False)
     deg = _degrees(e)
     # Degree lookups are plain equi-joins — NO broadcast hint. The
     # degree relation is |V| rows, and on a web graph |V| is billions:

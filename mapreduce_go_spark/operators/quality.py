@@ -320,7 +320,13 @@ def bm25_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
-    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    # r16: tf feeds three lineages (doc lengths, document frequency,
+    # the scoring join) — lazily materialized once instead of
+    # re-tokenizing the corpus per consumer (this is the posting-list
+    # build every search engine materializes; 1.55 -> 1.12 s at
+    # sf0.1, interleaved min-of-4, value-identical)
+    tf = (tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=False))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
     scalars = dl.agg(
