@@ -823,6 +823,15 @@ def hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rrf_lex_and_fuse(spark, sf_dir, dense)
 
 
+#: (applicationId, abspath(sf_dir)) -> the four lazy lexical frames.
+#: Pure plan construction (no embedded action anywhere in the
+#: builder), so the memo caches py4j plan objects only — the
+#: tables._LOAD_MEMO rationale. Both hybrids and the dashboard (which
+#: re-runs both) rebuild the identical head: ~0.25 s of driver
+#: round-trips per construction, several times per bench run.
+_LEX_FRAMES_MEMO: dict[tuple[str, str], tuple] = {}
+
+
 def _lex_probe_frames(spark: SparkSession, sf_dir: str
                       ) -> tuple[DataFrame, DataFrame, DataFrame,
                                  DataFrame]:
@@ -844,10 +853,19 @@ def _lex_probe_frames(spark: SparkSession, sf_dir: str
     (interleaved min-of-4); NOT localCheckpoint'ed — re-deriving the
     aggregation was measured cheaper than materializing the arrays
     (2.18 vs 2.27 s), the same 3-consumer trade as
-    dedup_verified_pairs."""
+    dedup_verified_pairs. Memoized per (session, fixture) — see
+    _LEX_FRAMES_MEMO."""
     from pyspark.sql import Window
 
     from mapreduce_go_spark.functions.text import NON_LETTER_RE
+
+    import os
+
+    memo_key = (spark.sparkContext.applicationId,
+                os.path.abspath(sf_dir))
+    hit = _LEX_FRAMES_MEMO.get(memo_key)
+    if hit is not None:
+        return hit
 
     docs = tables.load(spark, sf_dir, "documents")
     tsets = (
@@ -869,7 +887,9 @@ def _lex_probe_frames(spark: SparkSession, sf_dir: str
         .where(F.col("pr") <= RRF_PROBE)
         .select("q_id", "tok")
     )
-    return tsets, toks, qt, qprobe
+    out = (tsets, toks, qt, qprobe)
+    _LEX_FRAMES_MEMO[memo_key] = out
+    return out
 
 
 def _rrf_lex_and_fuse(spark: SparkSession, sf_dir: str,
