@@ -133,8 +133,17 @@ def spread(df: DataFrame) -> DataFrame:
     out = df
     if df.rdd.getNumPartitions() < target:
         out = df.repartition(target)
+    if len(_SPREAD_MEMO) >= _SPREAD_MEMO_CAP:
+        # bound the strong refs: a long streaming session spreading
+        # fresh micro-batch frames would otherwise accumulate one
+        # plan object per batch forever. Dropping the memo only
+        # costs the next caller one re-derivation.
+        _SPREAD_MEMO.clear()
     _SPREAD_MEMO[key] = (df, out)
     return out
+
+
+_SPREAD_MEMO_CAP = 256
 
 
 #: (applicationId, id(df)) -> (df, spread(df)). df.rdd.getNumPartitions

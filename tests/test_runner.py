@@ -65,3 +65,24 @@ def test_whole_text_file_corpus(spark, tmp_path):
         ).collect()
     }
     assert got == {"hello": "2", "world": "2", "of": "1", "spark": "1"}
+
+
+def test_table_handle_memos(spark, sf_dir):
+    """r16: tables.load / tables.spread memoize LAZY handles per
+    session — same immutable plan object back, no data cached, and
+    the spread memo stays bounded (a streaming session spreading
+    fresh micro-batch frames must not accumulate refs forever)."""
+    from mapreduce_go_spark import tables
+
+    a = tables.load(spark, sf_dir, "documents")
+    b = tables.load(spark, sf_dir, "documents")
+    assert a is b
+    assert tables.spread(a) is tables.spread(b)
+    # no Spark-side caching involved: the handle memo must leave the
+    # catalog cache untouched
+    assert not a.is_cached
+    # cap: filling the memo past the bound clears it rather than grow
+    tables._SPREAD_MEMO.clear()
+    for i in range(tables._SPREAD_MEMO_CAP + 3):
+        tables.spread(a.limit(i + 1))
+    assert len(tables._SPREAD_MEMO) <= tables._SPREAD_MEMO_CAP
