@@ -181,12 +181,19 @@ def session_parquet(spark: SparkSession, family: str, sf_dir: str,
         [os.path.abspath(sf_dir), extra]).encode()).hexdigest()[:8]
     path = os.path.join(session_scratch(spark), f"{family}_{tag}")
     materialize_once(path, lambda: build(path))
-    # memoized handle per (application, path): the artifact is
-    # immutable once its _SUCCESS exists, and each read.parquet call
-    # costs ~90 ms of driver py4j + footer read (r16 profile — the
-    # tables.load rationale; layout-table consumers re-open the same
-    # artifact several times per dashboard construction).
-    key = (spark.sparkContext.applicationId, path)
+    # memoized handle per (application, path, _SUCCESS mtime): the
+    # artifact is immutable while its _SUCCESS lives, and each
+    # read.parquet call costs ~90 ms of driver py4j + footer read
+    # (r16 profile — the tables.load rationale; layout-table
+    # consumers re-open the same artifact several times per dashboard
+    # construction). The mtime in the key preserves materialize_once's
+    # self-healing: after a tmp-cleaner wipes the path and the next
+    # caller rebuilds it, the rebuilt _SUCCESS is new and the stale
+    # handle (whose cached file index points at deleted part files)
+    # is never served (tests/test_bucketing.py's rmtree scenario —
+    # caught live by the r16 close pytest run).
+    key = (spark.sparkContext.applicationId, path,
+           os.stat(os.path.join(path, "_SUCCESS")).st_mtime_ns)
     df = _SESSION_PARQUET_MEMO.get(key)
     if df is None:
         df = spark.read.parquet(path)
@@ -194,7 +201,7 @@ def session_parquet(spark: SparkSession, family: str, sf_dir: str,
     return df
 
 
-_SESSION_PARQUET_MEMO: dict[tuple[str, str], DataFrame] = {}
+_SESSION_PARQUET_MEMO: dict[tuple[str, str, int], DataFrame] = {}
 
 
 def media_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:

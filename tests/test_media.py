@@ -37,3 +37,19 @@ def test_media_table_written_once_per_session(spark, sf_dir):
     df2 = media.media_table(spark, sf_dir, "png")
     assert os.path.getmtime(os.path.join(base, "_SUCCESS")) == mtime
     assert df2.count() == df1.count()
+
+
+def test_media_table_self_heals_after_path_loss(spark, sf_dir):
+    """r16: session_parquet memoizes the lazy reader handle keyed on
+    the artifact's _SUCCESS mtime — after a tmp-cleaner wipes the
+    session scratch (the test_bucketing rmtree scenario), the next
+    call must rebuild AND serve a fresh handle, not the stale one
+    whose cached file index points at deleted part files."""
+    import shutil
+
+    df1 = media.media_table(spark, sf_dir, "afp")
+    n1 = df1.count()
+    base = os.path.dirname(df1.inputFiles()[0].removeprefix("file:"))
+    shutil.rmtree(base)  # simulate the tmp cleaner
+    df2 = media.media_table(spark, sf_dir, "afp")
+    assert df2.count() == n1
