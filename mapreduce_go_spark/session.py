@@ -67,6 +67,17 @@ def get_spark(app_name: str = "mapreduce_go_spark",
         .config("spark.speculation", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # PySpark 4 wraps EVERY DataFrame API call in a call-site
+        # capture (pyspark/errors/utils._with_origin): one
+        # getActiveSession + one conf.get + a PySparkCurrentOrigin
+        # set/clear per operation — 3-4 extra py4j round-trips each.
+        # Profiled r16: ~15k round-trips to build the 13-variant
+        # dashboard plan, and the wrapper was ~35% of warm
+        # construction (interleaved min-of-4: 6.23 s -> 3.84 s with
+        # it off). Pure driver-side fixed cost, scale-independent;
+        # the price is error messages without Python call-site
+        # context, which the test suite never relies on.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     _apply_sql_confs(spark, n_shuffle)
@@ -94,6 +105,11 @@ def _apply_sql_confs(spark: SparkSession, n_shuffle: int) -> None:
     # query functions also set it — the driver's vanilla session
     # never passes through here)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # NOTE: spark.python.sql.dataFrameDebugging.enabled (builder
+    # config above) is a STATIC conf — it cannot be applied to an
+    # already-active session here (CANNOT_MODIFY_STATIC_CONFIG), so
+    # the driver's own pre-built session keeps call-site capture on.
+    # That path is correctness-only, never timed.
 
 
 _SHIPPED_CONTEXTS: set[str] = set()
