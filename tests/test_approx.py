@@ -681,3 +681,35 @@ def test_null_embedding_vector_excluded_symmetrically(spark, sf_dir):
     """).fetchone()
     assert n_r2 == 2 and n_p2 == CB.shape[0]
     con.close()
+
+
+def test_query_vec_rows_match_spark_collect(spark, sf_dir):
+    """r16: the PQ variants' ADC tables are built from a Spark-free
+    pyarrow read of the N_QUERIES query rows (_query_vec_rows)
+    instead of a per-construction Spark collect job. The replacement
+    must be VALUE-IDENTICAL to the collect it replaced — same rows,
+    same vec_id order, and bitwise-equal embedding doubles (pyarrow
+    and Spark both widen the parquet float32 the same way) — and the
+    content-key cache must serve the same object within a process
+    while a changed key misses."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.operators.similarity import (
+        N_QUERIES, _query_vec_rows, _query_vec_rows_cached)
+
+    got = _query_vec_rows(sf_dir)
+    ref = (
+        tables.load(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding").orderBy("vec_id")
+        .collect()
+    )
+    assert [qid for qid, _ in got] == [r.vec_id for r in ref]
+    for (_, e_got), r in zip(got, ref):
+        assert list(e_got) == list(r.embedding)  # exact ==, no eps
+
+    # same content key -> same cached object; different key -> miss
+    assert _query_vec_rows(sf_dir) is got
+    fresh = _query_vec_rows_cached(sf_dir, "other-content-key")
+    assert fresh is not got and fresh == got
