@@ -89,16 +89,24 @@ def _topk(scored: DataFrame) -> DataFrame:
     """Shared top-k tail: rank candidates per query by exact cosine
     (desc, c_id tie-break), keep TOP_K, round for display — the one
     copy of the block that appeared verbatim in all six top-k queries
-    (review r10; a tie-break or rounding change now lands once)."""
-    from pyspark.sql import Window
+    (review r10; a tie-break or rounding change now lands once).
 
-    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), "c_id")
+    Built as selectExpr strings (r16): the Window/withColumn/select
+    form cost ~14 py4j round-trips per call and this tail is built
+    12+ times per dashboard construction; the string form parses
+    JVM-side in 3 calls and analyzes to the IDENTICAL plan
+    (WindowGroupLimit still fires off the rk filter — plan-diffed
+    before landing)."""
     return (
-        scored.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= TOP_K)
-        .select("q_id", "c_id", "rk",
-                F.round(F.col("cos").cast(_DEC), 6).cast("double")
-                .alias("cos"))
+        scored.selectExpr(
+            "q_id", "c_id",
+            "row_number() OVER (PARTITION BY q_id"
+            " ORDER BY cos DESC, c_id) AS rk",
+            "cos")
+        .where(f"rk <= {TOP_K}")
+        .selectExpr("q_id", "c_id", "rk",
+                    f"cast(round(cast(cos AS {_DEC}), 6)"
+                    " AS double) AS cos")
     )
 
 
@@ -109,18 +117,12 @@ def _qc_frames(embn: DataFrame, *c_extra: str
     columns such as the cell id) projections over a normed embeddings
     relation — the shared HEAD of every cosine variant, factored for
     the same reason the shared TAIL became _topk (r14 review: the
-    8-line pair was restated in ten functions)."""
-    q = embn.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("embedding").alias("qe"),
-        F.col("norm").alias("qn"),
-    )
-    c = embn.select(
-        F.col("vec_id").alias("c_id"),
-        *c_extra,
-        F.col("embedding").alias("ce"),
-        F.col("norm").alias("cn"),
-    )
+    8-line pair was restated in ten functions). selectExpr strings
+    for the same py4j reason as _topk."""
+    q = embn.where(f"vec_id < {N_QUERIES}").selectExpr(
+        "vec_id AS q_id", "embedding AS qe", "norm AS qn")
+    c = embn.selectExpr(
+        "vec_id AS c_id", *c_extra, "embedding AS ce", "norm AS cn")
     return q, c
 
 
