@@ -473,9 +473,15 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     dl = docs.select("doc_id", token_count(F.col("text")).alias("dl"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
-    scalars = docs.agg(
-        F.count("*").cast("double").alias("n_docs")).crossJoin(
-        dl.agg(F.avg("dl").alias("avgdl")))
+    # ONE aggregate over the dl relation: dl has exactly one row per
+    # document, so count(*) here IS n_docs — the old docs.agg(count)
+    # + crossJoin(dl.agg(avg)) shape paid a second full text scan for
+    # a value the same pass already had (r16: interleaved min-of-4
+    # 0.52 -> 0.43 s at sf0.1, value-identical; a localCheckpoint of
+    # tf was also measured — no win, 2 consumers only)
+    scalars = dl.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     tf_norm = (F.col("tf") * (BM25_K1 + 1.0)) / (
