@@ -105,6 +105,20 @@ def _apply_sql_confs(spark: SparkSession, n_shuffle: int) -> None:
     # query functions also set it — the driver's vanilla session
     # never passes through here)
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Arrow batch size for every pandas/Arrow kernel (guide §4.2):
+    # the 10,000-row default means 1-2 batches per task at fixture
+    # scale — no producer/consumer overlap across the JVM<->Python
+    # boundary — and for large binary cells (media blobs) it also
+    # sets the per-batch memory high-water mark. 1000 measured best
+    # overall (r16 interleaved min-of-5 over six Arrow-heavy queries:
+    # 4.13 s at 10000 -> 3.82 s at 1000; 500 wins another 3% on the
+    # binary-heavy kernels but starts to tax narrow-numeric ones,
+    # zscore 0.25 -> 0.29). Batch size is value-invariant for every
+    # kernel in this repo (per-row vectorized ops; GROUPED_AGG gets
+    # whole groups regardless) — re-verified by the full oracle run.
+    # Env-overridable for cluster tuning without a code change.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch",
+                   os.environ.get("SPARK_GRAFT_ARROW_BATCH", "1000"))
     # NOTE: spark.python.sql.dataFrameDebugging.enabled (builder
     # config above) is a STATIC conf — it cannot be applied to an
     # already-active session here (CANNOT_MODIFY_STATIC_CONFIG), so
