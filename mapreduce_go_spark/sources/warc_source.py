@@ -6,17 +6,19 @@ ISO-28500 stream walker in operators/warc.py.
 Reference analog: the reference's only input surface is whole text
 files handed to map tasks (/root/reference/mr/master.go:21-40 splits
 by file); this is that surface done Spark-natively for a real archive
-format: each .warc FILE is one InputPartition (the framework's
-file-split parallelism), the reader streams records lazily, and
-corrupt archives either fail the task (strict mode) or contribute
-zero rows (skip mode) — the same two postures warc_extract's error
-path tests.
+format: the ARCHIVE is the parse unit, archives are bin-packed into
+InputPartitions with Spark's own file-source split sizing
+(maxPartitionBytes/openCostInBytes — small dumps share a task, big
+dumps get their own), the reader streams records lazily, and corrupt
+archives either fail the task (strict mode) or contribute zero rows
+(skip mode) — the same two postures warc_extract's error path tests.
 
 Scale posture: partitions() is O(#files) driver metadata; each task
-walks only its own archive with the strict single-pass parser (no
-whole-directory state). At 100 TB the partition list is the manifest
-and every archive streams through one task — the shape a crawl
-ingest actually has.
+walks only its bin's archives with the strict single-pass parser (no
+whole-directory state). At 100 TB the partition list is the manifest,
+real crawl dumps exceed the open-cost weight so the packing degrades
+to one archive per task, and every archive streams through exactly
+one task — the shape a crawl ingest actually has.
 
 Fixture boundary: ensure_warc_files() materializes the deterministic
 per-bucket streams (identical bytes to warc_extract's in-plan
@@ -82,11 +84,26 @@ def _parse_doc_id(uri: str) -> int | None:
 
 
 class WarcReader(DataSourceReader):
+    # Spark's own file-source split sizing (FilePartition.maxSplitBytes):
+    # default split ceiling and the per-file open-cost weight that stops
+    # tiny archives from each claiming a whole task. Same defaults as
+    # spark.sql.files.{maxPartitionBytes,openCostInBytes}.
+    MAX_PARTITION_BYTES = 128 * 1024 * 1024
+    OPEN_COST_BYTES = 4 * 1024 * 1024
+
     def __init__(self, options) -> None:
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc source requires option 'path'")
         self.on_corrupt = options.get("on_corrupt", "fail")
+        self.max_partition_bytes = int(options.get(
+            "maxPartitionBytes", self.MAX_PARTITION_BYTES))
+        self.open_cost_bytes = int(options.get(
+            "openCostInBytes", self.OPEN_COST_BYTES))
+        # callers pass the session's defaultParallelism so split sizing
+        # adapts to the core count (never hard-coded); 1 keeps a bare
+        # WarcReader({...}) deterministic for unit tests
+        self.min_partitions = int(options.get("minPartitions", 1))
         self._buckets: set[int] | None = None  # None = no pruning
 
     def pushFilters(self, filters):
@@ -122,15 +139,35 @@ class WarcReader(DataSourceReader):
                 f for f in files
                 if int(os.path.basename(f).split("=")[1].split(".")[0])
                 in self._buckets]
-        # one file = one InputPartition = one task: the reference's
-        # file-split granularity (mr/master.go:21-40), Spark-native
-        return [InputPartition(f) for f in files]
+        # Bin-pack archives into splits exactly like Spark's native
+        # file source (FilePartition.getFilePartitions): an archive is
+        # still the parse unit — a task walks its bin's archives
+        # sequentially — but 200 tiny fixture archives no longer cost
+        # 200 Python-worker dispatches (measured: the WHOLE sf0.1
+        # parse+md5 workload is 26 ms serial vs ~1.5 s of per-task
+        # scheduling at file granularity). maxSplitBytes = min(ceiling,
+        # max(openCost, bytesPerCore)) degrades to one-archive-per-task
+        # the moment archives approach real crawl-dump sizes.
+        sized = [(f, os.path.getsize(f)) for f in files]
+        total = sum(s + self.open_cost_bytes for _, s in sized)
+        bytes_per_core = total // max(self.min_partitions, 1)
+        max_split = min(self.max_partition_bytes,
+                        max(self.open_cost_bytes, bytes_per_core))
+        parts, bin_, bin_bytes = [], [], 0
+        for f, s in sized:
+            w = s + self.open_cost_bytes
+            if bin_ and bin_bytes + w > max_split:
+                parts.append(InputPartition(bin_))
+                bin_, bin_bytes = [], 0
+            bin_.append(f)
+            bin_bytes += w
+        if bin_:
+            parts.append(InputPartition(bin_))
+        return parts
 
     def read(self, partition):
         # imports here: this body runs ON EXECUTORS (pickled)
         import pyarrow as pa
-
-        from mapreduce_go_spark.operators.warc import parse_warc
 
         if partition is None:
             # pyspark substitutes [None] when partitions() returns []
@@ -139,7 +176,12 @@ class WarcReader(DataSourceReader):
             # or contradictory EqualTo filters intersecting to the
             # empty set). An empty result, not a crash (r13 review).
             return
-        fname = partition.value
+        for fname in partition.value:
+            yield from self._read_archive(fname, pa)
+
+    def _read_archive(self, fname: str, pa):
+        from mapreduce_go_spark.operators.warc import parse_warc
+
         bucket = int(os.path.basename(fname).split("=")[1]
                      .split(".")[0])
         with open(fname, "rb") as fh:
@@ -346,8 +388,8 @@ def warc_source_extract(spark, sf_dir: str):
     """The DataSource in action: read the session's .warc files
     through format("warc") in skip mode — identical output (and the
     identical oracle) to warc_extract's in-plan walk, but arriving
-    through the engine's connector surface with file-granular
-    partitions."""
+    through the engine's connector surface with bin-packed archive
+    splits (one task per bin, one parse per archive)."""
     from mapreduce_go_spark.session import ensure_package_on_workers
 
     ensure_package_on_workers(spark)  # read() imports the parser
@@ -357,6 +399,10 @@ def warc_source_extract(spark, sf_dir: str):
     return (spark.read.format("warc")
             .option("path", path)
             .option("on_corrupt", "skip")
+            # split sizing adapts to the session's core count, like
+            # the native file source's bytesPerCore term
+            .option("minPartitions",
+                    spark.sparkContext.defaultParallelism)
             .load())
 
 
@@ -619,6 +665,8 @@ def warc_sink_roundtrip(spark, sf_dir: str):
     return (spark.read.format("warc")
             .option("path", out)
             .option("on_corrupt", "fail")
+            .option("minPartitions",
+                    spark.sparkContext.defaultParallelism)
             .load())
 
 

@@ -116,7 +116,7 @@ def test_warc_datasource_matches_inplan_walk(spark, sf_dir):
     """format('warc') (Spark 4 Python DataSource) over the session's
     .warc files must produce exactly the rows the in-plan
     warc_extract walk produces — same bytes, same parser, different
-    engine surface — with one InputPartition per archive file."""
+    engine surface — through bin-packed archive splits."""
     from mapreduce_go_spark.operators.warc import warc_extract
     from mapreduce_go_spark.sources.warc_source import (
         warc_source_extract)
@@ -146,17 +146,70 @@ def test_warc_datasource_strict_mode_fails_on_corrupt(spark, sf_dir):
         strict.count()
 
 
-def test_warc_datasource_file_granular_partitions(spark, sf_dir):
+def test_warc_datasource_bin_packed_partitions(spark, sf_dir):
+    """partitions() bin-packs archives with the native file-source
+    split sizing: tiny fixture archives share tasks (fewer partitions
+    than files — the r16 small-files fix: the whole sf0.1 parse is
+    26 ms serial vs ~1.5 s of 200-task dispatch at file granularity),
+    parallelism is kept (more than one bin), every file lands in
+    exactly one bin, and an archive bigger than maxPartitionBytes
+    still gets its own task."""
     import glob
     import os
 
     from mapreduce_go_spark.sources.warc_source import (
-        ensure_warc_files, warc_source_extract)
+        WarcReader, ensure_warc_files, warc_source_extract)
 
     path = ensure_warc_files(spark, sf_dir)
-    n_files = len(glob.glob(os.path.join(path, "*.warc")))
+    files = sorted(glob.glob(os.path.join(path, "*.warc")))
+    n_files = len(files)
     df = warc_source_extract(spark, sf_dir)
-    assert df.rdd.getNumPartitions() == n_files > 1
+    n_parts = df.rdd.getNumPartitions()
+    assert 1 < n_parts < n_files
+
+    # exact cover: each archive in exactly one bin, order preserved
+    r = WarcReader({"path": path, "on_corrupt": "skip",
+                    "minPartitions": str(
+                        spark.sparkContext.defaultParallelism)})
+    parts = r.partitions()
+    assert [f for p in parts for f in p.value] == files
+    assert len(parts) == n_parts
+
+    # degrades to one-archive-per-task when archives outweigh the
+    # split ceiling (the 100 TB crawl-dump regime)
+    big = WarcReader({"path": path, "on_corrupt": "skip",
+                      "maxPartitionBytes": "1", "openCostInBytes": "0"})
+    assert len(big.partitions()) == n_files
+
+
+def test_warc_reader_skip_mode_is_per_archive_within_bin(spark, sf_dir):
+    """A bin holding [good, corrupt, good] in skip mode must yield
+    both good archives' rows — the corrupt archive contributes zero
+    rows without poisoning its bin-mates (the parse unit stayed the
+    archive when bins became multi-file)."""
+    import glob
+    import os
+
+    from pyspark.sql.datasource import InputPartition
+
+    from mapreduce_go_spark.operators.warc import WARC_CORRUPT_EVERY
+    from mapreduce_go_spark.sources.warc_source import (
+        WarcReader, ensure_warc_files)
+
+    path = ensure_warc_files(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(path, "*.warc")))
+    def bucket(f):
+        return int(os.path.basename(f).split("=")[1].split(".")[0])
+    corrupt = [f for f in files if bucket(f) % WARC_CORRUPT_EVERY == 0]
+    good = [f for f in files if bucket(f) % WARC_CORRUPT_EVERY != 0]
+    assert corrupt and len(good) >= 2
+
+    r = WarcReader({"path": path, "on_corrupt": "skip"})
+    mixed = [good[0], corrupt[0], good[1]]
+    batches = list(r.read(InputPartition(mixed)))
+    got_buckets = {b for batch in batches
+                   for b in batch.column("bucket").to_pylist()}
+    assert got_buckets == {bucket(good[0]), bucket(good[1])}
 
 
 def test_warc_sink_roundtrip_complete(spark, sf_dir):
@@ -367,7 +420,7 @@ def test_warc_reader_skip_tolerates_non_docid_records(tmp_path):
     f.write_bytes(good + odd)
 
     r = WarcReader({"path": str(tmp_path), "on_corrupt": "skip"})
-    batches = list(r.read(InputPartition(str(f))))
+    batches = list(r.read(InputPartition([str(f)])))
     assert sum(b.num_rows for b in batches) == 1
     assert batches[0].column("doc_id").to_pylist() == [7]
     rows = list(_archive_rows(str(f), "skip"))
@@ -375,7 +428,7 @@ def test_warc_reader_skip_tolerates_non_docid_records(tmp_path):
 
     strict = WarcReader({"path": str(tmp_path), "on_corrupt": "fail"})
     with pytest.raises(ValueError, match="page.html"):
-        list(strict.read(InputPartition(str(f))))
+        list(strict.read(InputPartition([str(f)])))
     with pytest.raises(ValueError, match="page.html"):
         list(_archive_rows(str(f), "fail"))
 
@@ -521,20 +574,25 @@ def test_warc_reader_filter_pushdown_prunes_archives(spark, sf_dir):
     from mapreduce_go_spark.sources.warc_source import WarcReader
 
     path = warc_source.ensure_warc_files(spark, sf_dir)
-    all_files = len(WarcReader({"path": path,
-                                "on_corrupt": "skip"}).partitions())
+    all_files = sum(
+        len(p.value)
+        for p in WarcReader({"path": path,
+                             "on_corrupt": "skip"}).partitions())
     assert all_files > 2
+
+    def pruned_files(r):
+        return [f for p in r.partitions() for f in p.value]
 
     r = WarcReader({"path": path, "on_corrupt": "skip"})
     rest = list(r.pushFilters([EqualTo(("bucket",), 3)]))
     assert rest == []          # fully absorbed
-    assert len(r.partitions()) == 1
+    assert len(pruned_files(r)) == 1
 
     r2 = WarcReader({"path": path, "on_corrupt": "skip"})
     rest2 = list(r2.pushFilters([In(("bucket",), (1, 2)),
                                  GreaterThan(("doc_id",), 5)]))
     assert len(rest2) == 1     # doc_id predicate stays with Spark
-    assert len(r2.partitions()) == 2
+    assert len(pruned_files(r2)) == 2
 
     # end-to-end value parity: pruned read == unpruned read + filter
     spark.dataSource.register(warc_source.WarcDataSource)
