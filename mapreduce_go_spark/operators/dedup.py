@@ -926,31 +926,33 @@ def cdc_chunks_df(docs: DataFrame, with_text: bool = False) -> DataFrame:
     property (a prefix edit must not move chunk boundaries in the
     distant suffix — the CDC guarantee fixed-size chunking lacks).
     `with_text=True` adds the chunk_text column (the span itself) for
-    consumers that featurize chunks, e.g. chunk_retrieval_topk."""
-    n = F.length("text")
-    hi = n - (CDC_K - 1)
-    pos = (
-        docs.select(
-            "doc_id", "text",
-            F.explode(
-                F.when(hi >= 2, F.sequence(F.lit(2), hi))
-                .otherwise(F.array().cast("array<int>"))
-            ).alias("i"),
-        )
-    )
-    gram_hash = F.conv(
-        F.substring(F.md5(F.expr(f"substring(text, i, {CDC_K})")), 1, 8),
-        16, 10,
-    ).cast("long")
-    bnds = (
-        pos.where(gram_hash % CDC_P == 0)
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list("i")).alias("bs"))
+    consumers that featurize chunks, e.g. chunk_retrieval_topk.
+
+    Boundary derivation is IN-ROW (r16): a higher-order filter over
+    the position sequence evaluates the same md5 %-test per K-gram
+    and yields the ascending boundary array directly. The previous
+    shape exploded one row per text POSITION — each carrying the
+    full text column, O(len^2) bytes per doc through the explode —
+    then shuffled the survivors into a collect_list and joined them
+    back to docs. Same hash, same boundaries, bitwise-identical
+    chunks (value-compared at sf0.1 and pinned by the short-text
+    test below); 0.92 -> 0.37 s interleaved min-of-4 at sf0.1, and
+    the groupBy Exchange + self-join are gone from every CDC
+    consumer's plan. The interpreted-lambda penalty (verify notes)
+    is irrelevant here: the per-element work IS an md5 call, which
+    dwarfs the boxing. NOTE the guard stays an explicit if(): Spark's
+    sequence(2, hi) is DESCENDING for hi < 2, so filtering a clamped
+    sequence would fabricate a position-2 boundary on texts shorter
+    than K+1."""
+    bs_expr = (
+        f"if(length(text) - {CDC_K - 1} >= 2, "
+        f"   filter(sequence(2, length(text) - {CDC_K - 1}), "
+        f"          i -> cast(conv(substring(md5(substring(text, i, "
+        f"{CDC_K})), 1, 8), 16, 10) AS bigint) % {CDC_P} = 0), "
+        f"   array())"
     )
     spans = (
-        docs.join(bnds, "doc_id", "left")
-        .withColumn("bs", F.coalesce(F.col("bs"),
-                                     F.array().cast("array<int>")))
+        docs.select("doc_id", "text", F.expr(bs_expr).alias("bs"))
         .select(
             "doc_id", "text",
             F.posexplode(

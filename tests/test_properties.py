@@ -206,6 +206,46 @@ def test_cdc_chunking_is_content_local(spark):
     assert common >= 2
 
 
+def test_cdc_boundaries_match_definition_on_short_texts(spark):
+    """Ground-truth pin for the r16 in-row boundary rewrite: chunks
+    must equal the definitional Python twin (boundary at position i,
+    1-based, iff md5 of the K-gram starting there taken as a 32-bit
+    hex prefix is 0 mod CDC_P) — especially for texts SHORTER than
+    K+1, where a clamped sequence(2, hi) would be DESCENDING in
+    Spark and a naive filter over it would fabricate a position-2
+    boundary. Every short text must stay exactly one whole-text
+    chunk."""
+    import hashlib
+
+    from mapreduce_go_spark.operators import dedup
+
+    def twin(text):
+        k, p = dedup.CDC_K, dedup.CDC_P
+        bs = [i for i in range(2, len(text) - k + 2)
+              if int(hashlib.md5(text[i - 1:i - 1 + k].encode())
+                     .hexdigest()[:8], 16) % p == 0]
+        starts = [1] + bs
+        ends = [b - 1 for b in bs] + [len(text)]
+        return [(no, e - s + 1,
+                 hashlib.md5(text[s - 1:e].encode()).hexdigest())
+                for no, (s, e) in enumerate(zip(starts, ends))]
+
+    base = ("chunk boundary torture: the gram hashes here must land "
+            "some boundaries for the long tails ") * 4
+    texts = [base[:n] for n in range(0, 24)] + [base[:120], base]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string")
+    got = {}
+    for r in dedup.cdc_chunks_df(docs).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_no, r.chunk_len, r.chunk_md5))
+    for d, text in enumerate(texts):
+        want = twin(text)
+        assert sorted(got.get(d, [])) == want, (d, text)
+        if 0 < len(text) < dedup.CDC_K + 1:
+            assert len(want) == 1  # short text: one whole-text chunk
+
+
 def test_winnowing_coverage_guarantee(spark):
     """The winnowing guarantee (Schleimer et al.): two documents
     sharing a substring of length >= WINNOW_W + WINNOW_K - 1 must
