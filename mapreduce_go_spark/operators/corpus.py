@@ -72,6 +72,7 @@ from mapreduce_go_spark.operators.quality import (
 # billions of eval shingles at the same FP rate).
 BLOOM_M = 32768
 BLOOM_K = 3
+BLOOM_WORDS = BLOOM_M // 64  # the same bitmap packed 64 bits/long
 
 
 def _bloom_bit(col: Column, k: int) -> Column:
@@ -94,6 +95,14 @@ def _bloom_bit_sql(expr: str, k: int) -> str:
     )
 
 
+def _bloom_bit_rows(ev: DataFrame) -> DataFrame:
+    """(bit): one row per (shingle, hash) bit index — the shared
+    prefix of the sorted-set and packed-word filter forms."""
+    return ev.select(F.explode(F.array(
+        *[_bloom_bit(F.col("shingle"), k) for k in range(BLOOM_K)]
+    )).alias("bit"))
+
+
 def bloom_filter_bits(ev: DataFrame) -> DataFrame:
     """The filter as a 1-row relation holding the sorted set-bit
     array (<= BLOOM_M ints — the exact content of the bitmap, so the
@@ -102,13 +111,54 @@ def bloom_filter_bits(ev: DataFrame) -> DataFrame:
     bit sets (Bloom's defining property), so partial aggregation is
     just distinct-union — collect_set here is bounded by BLOOM_M, not
     by eval size."""
-    bits = ev.select(F.explode(F.array(
-        *[_bloom_bit(F.col("shingle"), k) for k in range(BLOOM_K)]
-    )).alias("bit"))
-    return bits.agg(
+    return _bloom_bit_rows(ev).agg(
         F.sort_array(F.collect_set("bit")).alias("bits"),
         F.count_distinct("bit").alias("n_set"),
     )
+
+
+def bloom_packed_words(bits: DataFrame) -> DataFrame:
+    """The SAME bitmap as bloom_filter_bits, as a 1-row relation of
+    BLOOM_WORDS longs (64 bits/word) — the representation a probe
+    reads in O(1) (element_at + AND) instead of array_contains's
+    linear scan of the set-bit array. r16: the linear probe was ~1.0 s
+    of bloom_decontaminate's 1.4 s at sf0.1 (3 probes x 237k train
+    shingles x 22.8k set bits); at a production-sized M the packed
+    form is the only viable one (a real filter is a bitset, the
+    sorted-set array is the ORACLE-inspectable twin). Mergeable like
+    the set form: bit_or of word vectors = union of bit sets. Input:
+    any (bit) relation."""
+    words = (
+        bits.groupBy((F.col("bit") / 64).cast("int").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(cast(1 as bigint),"
+                    " cast(bit % 64 as int)))").alias("word"))
+    )
+    return (
+        words.agg(F.map_from_entries(
+            F.collect_list(F.struct("w", "word"))).alias("m"))
+        .select(F.expr(
+            f"transform(sequence(0, {BLOOM_WORDS - 1}),"
+            " i -> coalesce(m[i], cast(0 as bigint)))").alias("words"))
+    )
+
+
+def bloom_maybe_sql(expr: str) -> str:
+    """Spark-SQL membership test of `expr`'s BLOOM_K bits against the
+    broadcast packed `words` column — truth-value identical to
+    array_contains over the sorted set-bit array by construction (bit
+    b is set iff word b div 64 has bit b % 64; pinned against the
+    array_contains form in tests/test_corpus.py). The bit index is the
+    Spark-SQL twin of _bloom_bit; its repeated md5 subtree is
+    eliminated by codegen CSE."""
+    terms = []
+    for k in range(BLOOM_K):
+        b = (f"(cast(conv(substring(md5('bloom{k}:' || {expr}), 1, 8),"
+             f" 16, 10) as bigint) % {BLOOM_M})")
+        terms.append(
+            f"((element_at(words, cast({b} div 64 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast({b} % 64 as int)))"
+            " != 0)")
+    return "(" + " AND ".join(terms) + ")"
 
 
 def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,8 +170,11 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact query uses), false-positive count, and the per-doc soundness
     verdict (a Bloom filter admits false positives, NEVER false
     negatives — n_missed below is identically 0, asserted per row and
-    again in tests). Probe is mapper-only: BLOOM_K array_contains
-    against the broadcast bit array inside one codegen stage."""
+    again in tests). Probe is mapper-only: BLOOM_K O(1) word tests
+    against the broadcast packed bitmap inside one codegen stage
+    (r16: was array_contains over the sorted set-bit array — a linear
+    scan per probe that cost ~1.0 s of the query's 1.4 s at sf0.1;
+    see bloom_packed_words)."""
     docs = tables.load(spark, sf_dir, "documents")
     # ev feeds TWO lineages (the bit build and the exact-hit join) —
     # unpersisted, the eval-side documents scan + shingle explode +
@@ -133,21 +186,17 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # derivation per (session, sf_dir), a plain scan per lineage, no
     # cache handle to leak.
     ev = eval_shingles_table(spark, sf_dir)
-    filt = bloom_filter_bits(ev)
+    filt = bloom_packed_words(_bloom_bit_rows(ev))
     train = decon_shingles_df(
         docs.where(F.col("doc_id") % DECON_EVAL_MOD != 0))
-    maybe = F.lit(True)
-    for k in range(BLOOM_K):
-        maybe = maybe & F.array_contains(
-            F.col("bits"), _bloom_bit(F.col("shingle"), k))
     probed = (
-        train.crossJoin(F.broadcast(filt.select("bits")))
+        train.crossJoin(F.broadcast(filt))
         .join(F.broadcast(ev.withColumn("is_eval", F.lit(1))),
               "shingle", "left")
-        .select(
+        .selectExpr(
             "doc_id",
-            maybe.cast("int").alias("maybe"),
-            F.coalesce(F.col("is_eval"), F.lit(0)).alias("is_eval"),
+            f"cast({bloom_maybe_sql('shingle')} as int) as maybe",
+            "coalesce(is_eval, 0) as is_eval",
         )
     )
     verdicts = (

@@ -1701,18 +1701,15 @@ def read_bloom_membership(spark: SparkSession, out_dir: str,
                           shingles: DataFrame) -> DataFrame:
     """Probe a shingle relation against the maintained filter:
     adds the Bloom 'maybe' verdict. The filter travels as one
-    broadcast array row — the same constant-size probe shape as the
-    batch anchor."""
-    from mapreduce_go_spark.operators.corpus import BLOOM_K, _bloom_bit
+    broadcast packed-bitmap row — the same constant-size O(1) probe
+    shape as the batch anchor (r16, see corpus.bloom_packed_words)."""
+    from mapreduce_go_spark.operators.corpus import (
+        bloom_maybe_sql, bloom_packed_words)
 
-    filt = read_bloom_bits(spark, out_dir).agg(
-        F.sort_array(F.collect_set("bit")).alias("bits"))
-    maybe = F.lit(True)
-    for k in range(BLOOM_K):
-        maybe = maybe & F.array_contains(
-            F.col("bits"), _bloom_bit(F.col("shingle"), k))
+    filt = bloom_packed_words(read_bloom_bits(spark, out_dir))
     return (shingles.crossJoin(F.broadcast(filt))
-            .select(*shingles.columns, maybe.alias("maybe")))
+            .selectExpr(*shingles.columns,
+                        f"{bloom_maybe_sql('shingle')} as maybe"))
 
 
 # ------------------------------------------------------------------ #

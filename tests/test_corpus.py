@@ -43,6 +43,36 @@ def test_bloom_filter_bits_bounded(spark, sf_dir):
     assert all(0 <= b < corpus.BLOOM_M for b in bits)
 
 
+def test_bloom_packed_probe_equals_array_contains(spark, sf_dir):
+    """The r16 packed-bitmap probe (bloom_maybe_sql over
+    bloom_packed_words) is truth-value identical to the original
+    array_contains probe over the sorted set-bit array, for every
+    distinct shingle in the corpus — probed against the REAL eval
+    filter, so both hit and miss paths carry mass."""
+    from mapreduce_go_spark.operators.quality import (
+        decon_shingles_df, eval_shingles_df)
+    from mapreduce_go_spark.tables import load
+
+    ev = eval_shingles_df(spark, sf_dir)
+    probes = (decon_shingles_df(load(spark, sf_dir, "documents"))
+              .select("shingle").distinct())
+    packed = corpus.bloom_packed_words(corpus._bloom_bit_rows(ev))
+    sorted_bits = corpus.bloom_filter_bits(ev).select("bits")
+    old = F.lit(True)
+    for k in range(corpus.BLOOM_K):
+        old = old & F.array_contains(
+            F.col("bits"), corpus._bloom_bit(F.col("shingle"), k))
+    both = (probes.crossJoin(F.broadcast(packed))
+            .crossJoin(F.broadcast(sorted_bits))
+            .select("shingle",
+                    F.expr(corpus.bloom_maybe_sql("shingle")).alias("new"),
+                    old.alias("old")))
+    rows = both.collect()
+    assert rows
+    assert all(r["new"] == r["old"] for r in rows)
+    assert any(r["new"] for r in rows) and not all(r["new"] for r in rows)
+
+
 def test_bloom_agrees_with_exact_decontaminate(spark, sf_dir):
     """Every doc the exact query flags must be a Bloom 'maybe' doc
     with at least that many hits — the screen never loses a leak."""
