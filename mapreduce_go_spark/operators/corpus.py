@@ -696,12 +696,15 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc negative mean log-likelihood under the corpus unigram
     model, with the CCNet-style keep-the-head verdict.
 
-    Plan shape (the 100 TB one): one token shuffle builds the unigram
-    count relation (Zipf-bounded: |vocab| << corpus), the corpus
-    total rides as a broadcast scalar, tokens join counts ON THE
-    TOKEN KEY (shuffle join — the vocab side is too big to assume
-    broadcast at scale, AQE may still choose it when small), and the
-    per-doc reduce is a sum of exact per-token micro-nat integers.
+    Plan shape (the 100 TB one): one token shuffle builds the per-doc
+    tf posting relation (r16 — see below), the unigram counts and the
+    corpus-total broadcast scalar derive from it (Zipf-bounded:
+    |vocab| << corpus), postings join counts ON THE TOKEN KEY
+    (shuffle join — the vocab side is too big to assume broadcast at
+    scale, AQE may still choose it when small), and the per-doc
+    reduce is a sum of exact tf-weighted per-token micro-nat
+    integers: sum over occurrences of g == sum over distinct tokens
+    of tf*g, exact int64 arithmetic either way.
 
     Determinism: ln() is the correctly-rounded libm call the green
     BM25/tfidf queries already rely on; each token's
@@ -715,17 +718,29 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
         .where(F.col("tok") != "")
     )
-    counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # r16: the tf posting relation feeds three lineages (unigram
+    # counts, the corpus total via counts, the scoring join's probe
+    # side) — lazily materialized once instead of re-tokenizing the
+    # corpus per consumer (the bm25 posting-list discipline; the
+    # occurrence-stream join this replaces carried one row per token
+    # instead of per distinct (doc, tok) and scanned documents 4x:
+    # 8 scans/20 Exchange -> 2/14, 1.07 -> 0.84 s interleaved
+    # min-of-4 at sf0.1, value-identical — the non-checkpointed tf
+    # form measured 1.25 s, i.e. the restructure only pays WITH the
+    # materialization, matching the >=3-consumer rule).
+    tf = (tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+          .localCheckpoint(eager=False))
+    counts = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))
     total = counts.agg(F.sum("cnt").alias("total"))
     lnval = F.log(F.col("total").cast("double") / F.col("cnt"))
     per_tok = (
-        tok.join(counts, "tok")
+        tf.join(counts, "tok")
         .crossJoin(F.broadcast(total))
-        .select("doc_id", grid(lnval, 10**6).alias("nat_micro"))
+        .select("doc_id", "tf", grid(lnval, 10**6).alias("nat_micro"))
     )
     per_doc = per_tok.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.sum("nat_micro").alias("sum_micro"),
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("nat_micro")).alias("sum_micro"),
     )
     nll = F.round(F.col("sum_micro") / F.col("n_tokens")).cast("long")
     scored = per_doc.select(

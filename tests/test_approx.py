@@ -48,6 +48,29 @@ def test_hist_quantiles_error_bound_holds(spark, sf_dir):
         assert 0 < err <= advanced.HIST_BIN_W, r
 
 
+def test_hist_quantiles_exact_rank_is_order_statistic(spark, sf_dir):
+    """r16: the exact-rank rider no longer sorts the whole table (the
+    bin-targeted probe finds rank ceil(q*n) inside the one histogram
+    bin the sketch brackets it into) — pin exact_q against the
+    DEFINITIONAL order statistic: the rank-ceil(q*n) element of the
+    fully sorted per-group price list, computed in plain Python."""
+    import math
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    prices = {}
+    for r in li.select("l_returnflag", "l_extendedprice").collect():
+        prices.setdefault(r.l_returnflag, []).append(r.l_extendedprice)
+    for v in prices.values():
+        v.sort()
+    rows = advanced.hist_quantiles(spark, sf_dir).collect()
+    assert {r.l_returnflag for r in rows} == set(prices)
+    assert len(rows) == len(prices) * len(advanced.HIST_QS)
+    for r in rows:
+        v = prices[r.l_returnflag]
+        want = v[math.ceil(r.q * len(v)) - 1]
+        assert r.exact_q == round(want, 4), (r, want)
+
+
 def test_embedding_neardup_blocked_recall(spark, sf_dir):
     """embedding_neardup_pairs_blocked's recall contract vs its exact
     all-pairs oracle (embedding_neardup_pairs): blocked results are a

@@ -368,6 +368,49 @@ def test_domain_mix_rate_tolerates_digitless_source(spark):
     assert rows == {"web": None, "src3": 3}
 
 
+def test_unigram_tf_weighted_sum_equals_occurrence_stream(spark, sf_dir):
+    """r16: unigram_logprob_filter sums tf * grid(ln(total/cnt)) over
+    the per-(doc, tok) posting relation instead of grid(ln(total/cnt))
+    over the per-occurrence stream — exact integer algebra, pinned
+    here against the definitional occurrence form over the real
+    corpus (same discipline as the verified-pairs sets-based
+    signature pin)."""
+    from mapreduce_go_spark import tables
+    from mapreduce_go_spark.functions.num import grid
+    from mapreduce_go_spark.operators.quality import NON_LETTER_RE
+
+    docs = tables.load(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", NON_LETTER_RE)).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    lnval = F.log(F.col("total").cast("double") / F.col("cnt"))
+    ref = {
+        r.doc_id: (r.n_tokens, r.sum_micro)
+        for r in (
+            tok.join(counts, "tok")
+            .crossJoin(F.broadcast(total))
+            .select("doc_id", grid(lnval, 10**6).alias("nat_micro"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum("nat_micro").alias("sum_micro"))
+            .collect()
+        )
+    }
+    got = {r.doc_id: (r.n_tokens, r.nll_micro)
+           for r in corpus.unigram_logprob_filter(spark, sf_dir).collect()
+           if r.n_tokens > 0}
+    assert set(got) == set(ref)
+    from decimal import ROUND_HALF_UP, Decimal
+    for d, (n, s) in ref.items():
+        # Spark round(double) = BigDecimal(double).setScale(0, HALF_UP)
+        want = int(Decimal(s / n).quantize(Decimal(1), ROUND_HALF_UP))
+        assert got[d] == (n, want), (d, got[d], n, s)
+
+
 def test_cleaning_verdicts_preserve_corpus_membership(spark,
                                                       monkeypatch):
     """r14 review: unigram_logprob_filter dropped docs with zero
