@@ -385,6 +385,36 @@ def _sign_word_sql(word: int, col: str = "embedding") -> str:
     return f"({terms})"
 
 
+def _bq_cand(emb: DataFrame) -> DataFrame:
+    """(q_id, c_id): ann_binary_hamming_topk's coarse stage — top-
+    BQ_COARSE_C per query by Hamming distance over the packed sign
+    words, tie-broken on (hamming, c_id). Extracted (r17) so the
+    dashboard can join the same candidate set against its shared
+    scored-base relation; the standalone variant's plan is unchanged
+    (the code moved verbatim)."""
+    from pyspark.sql import Window
+
+    words = emb.selectExpr(
+        "vec_id",
+        f"{_sign_word_sql(0)} as w0",
+        f"{_sign_word_sql(1)} as w1",
+    )
+    qw = words.where(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id as q_id", "w0 as qw0", "w1 as qw1")
+    ham = (
+        F.broadcast(qw)
+        .crossJoin(words)
+        .where(F.col("vec_id") != F.col("q_id"))
+        .selectExpr(
+            "q_id", "vec_id as c_id",
+            "bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) as hamming")
+    )
+    wnd = Window.partitionBy("q_id").orderBy("hamming", "c_id")
+    return (ham.withColumn("rn", F.row_number().over(wnd))
+            .where(F.col("rn") <= BQ_COARSE_C)
+            .select("q_id", "c_id"))
+
+
 def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-quantization ANN: 1-bit sign quantization (bit j =
     embedding[j] > 0 — the random-rotation-free form of e.g.
@@ -408,28 +438,8 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid-cosine _topk — the DuckDB oracle re-derives all three stages
     (per-bit unnest instead of bit_count: the oracle needs identical
     VALUES, not engine bit ops)."""
-    from pyspark.sql import Window
-
     emb = tables.load(spark, sf_dir, "embeddings")
-    words = emb.selectExpr(
-        "vec_id",
-        f"{_sign_word_sql(0)} as w0",
-        f"{_sign_word_sql(1)} as w1",
-    )
-    qw = words.where(F.col("vec_id") < N_QUERIES).selectExpr(
-        "vec_id as q_id", "w0 as qw0", "w1 as qw1")
-    ham = (
-        F.broadcast(qw)
-        .crossJoin(words)
-        .where(F.col("vec_id") != F.col("q_id"))
-        .selectExpr(
-            "q_id", "vec_id as c_id",
-            "bit_count(qw0 ^ w0) + bit_count(qw1 ^ w1) as hamming")
-    )
-    wnd = Window.partitionBy("q_id").orderBy("hamming", "c_id")
-    cand = (ham.withColumn("rn", F.row_number().over(wnd))
-            .where(F.col("rn") <= BQ_COARSE_C)
-            .select("q_id", "c_id"))
+    cand = _bq_cand(emb)
     embn = _with_norm(emb)
     q, c = _qc_frames(embn)
     scored = (
@@ -600,39 +610,18 @@ IVF_PQ_NPROBE = 3    # cells the IVF-PQ composition probes — the
                      # floor pinned in tests/test_approx.py)
 
 
-def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The FAISS-standard IVF-PQ composition (VERDICT r14's named
-    successor to ann_pq_topk): ADC scoring runs ONLY inside the
-    trained-IVF probed cells instead of over every code in the table.
-    ann_pq_topk's ADC pass is 32x-compressed but still linear — the
-    registry's last full-table scan of any kind. Here the codes live
-    in the cluster-partitioned layout table (_ivf_layout_table, the
-    same artifact the IVF-Hamming composition rides), the broadcast
-    probe list dynamically prunes the scan to IVF_PQ_NPROBE/k of the
-    index, and the per-candidate ADC gather is a pure-JVM expression:
-    each query's (M x K) int64 lookup table is a SQL map literal, and
-    the score is an 8-element zip_with/aggregate fold over the code
-    array — no Python anywhere in the per-query path (the one encode
-    pass happened at layout-build time).
-
-    100 TB shape: probe = partition-pruned scan of nprobe/k of the
-    table at M=8 code bytes/vector (vs 16 sign bytes for IVF-Hamming,
-    vs 256 float bytes for the trained scan); shortlist = top-
-    PQ_RERANK per query by (adist, c_id) bounded BEFORE the exchange
-    (WindowGroupLimit); re-rank = exact grid cosine on PQ_RERANK
-    candidates only.
-
-    Value-level oracle: cell assignment, probe ranking, codes and ADC
-    totals are all exact int64 grid arithmetic on both engines
-    (codebooks and centroids are literal constants trained by the
-    shared Spark-free twins), so the whole composition is
-    differentially checked (_ivf_pq_oracle_sql), not recall-floored."""
+def _ivf_pq_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, c_id): ann_ivf_pq_topk's cell-pruned ADC shortlist —
+    codes read from the cluster-partitioned layout table through the
+    broadcast probe list's dynamic partition pruning, pure-JVM ADC
+    gather, top-PQ_RERANK per query by (adist, c_id). Extracted (r17)
+    for the dashboard's shared scored-base re-rank; the standalone
+    variant's plan is unchanged (verbatim move)."""
     from pyspark.sql import Window
 
     CB = _pq_codebooks(sf_dir)                 # (M, K, sub)
     layout = _ivf_layout_table(spark, sf_dir)
     probed = _probed_cells(spark, sf_dir, IVF_PQ_NPROBE)
-    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     # N_QUERIES rows, Spark-free + content-key cached (was a per-
     # construction collect job — see _query_vec_rows)
     q_rows = _query_vec_rows(sf_dir)
@@ -668,11 +657,42 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w_ad = Window.partitionBy("q_id").orderBy("adist", "c_id")
-    shortlist = (
+    return (
         scored.withColumn("ark", F.row_number().over(w_ad))
         .where(F.col("ark") <= PQ_RERANK)
         .select("q_id", "c_id")
     )
+
+
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FAISS-standard IVF-PQ composition (VERDICT r14's named
+    successor to ann_pq_topk): ADC scoring runs ONLY inside the
+    trained-IVF probed cells instead of over every code in the table.
+    ann_pq_topk's ADC pass is 32x-compressed but still linear — the
+    registry's last full-table scan of any kind. Here the codes live
+    in the cluster-partitioned layout table (_ivf_layout_table, the
+    same artifact the IVF-Hamming composition rides), the broadcast
+    probe list dynamically prunes the scan to IVF_PQ_NPROBE/k of the
+    index, and the per-candidate ADC gather is a pure-JVM expression:
+    each query's (M x K) int64 lookup table is a SQL map literal, and
+    the score is an 8-element zip_with/aggregate fold over the code
+    array — no Python anywhere in the per-query path (the one encode
+    pass happened at layout-build time).
+
+    100 TB shape: probe = partition-pruned scan of nprobe/k of the
+    table at M=8 code bytes/vector (vs 16 sign bytes for IVF-Hamming,
+    vs 256 float bytes for the trained scan); shortlist = top-
+    PQ_RERANK per query by (adist, c_id) bounded BEFORE the exchange
+    (WindowGroupLimit); re-rank = exact grid cosine on PQ_RERANK
+    candidates only.
+
+    Value-level oracle: cell assignment, probe ranking, codes and ADC
+    totals are all exact int64 grid arithmetic on both engines
+    (codebooks and centroids are literal constants trained by the
+    shared Spark-free twins), so the whole composition is
+    differentially checked (_ivf_pq_oracle_sql), not recall-floored."""
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    shortlist = _ivf_pq_shortlist(spark, sf_dir)
     q, c = _qc_frames(emb)
     rerank = (
         F.broadcast(shortlist)
@@ -690,31 +710,14 @@ MRL_DIM = 16         # matryoshka coarse prefix length (16 of 64 dims)
 MRL_COARSE_C = 40    # prefix-cosine candidates per query
 
 
-def matryoshka_two_stage_topk(spark: SparkSession, sf_dir: str
-                              ) -> DataFrame:
-    """Matryoshka two-stage retrieval (Kusupati et al. 2022, the MRL
-    serving pattern): coarse top-MRL_COARSE_C per query by exact
-    cosine over the FIRST MRL_DIM dimensions only, then exact
-    full-dimension grid-cosine re-rank of the survivors.
-
-    Why it scales: MRL-trained embeddings front-load information, so
-    the coarse pass reads a 4x-narrower prefix — at 100 TB the prefix
-    is materialized as its own column in the bucketed layout (or the
-    parquet page skips trailing dims), making stage 1 a narrow
-    columnar scan with the query prefixes broadcast; stage 2 touches
-    full vectors only for C candidates per query. The fixture vectors
-    are near-random (worst case: the prefix carries only 1/4 of the
-    signal), so recall here is the floor, not the claim — the
-    SEMANTIC (exact prefix-cosine candidate set, exact re-rank) is
-    what the oracle value-checks.
-
-    Exactness: both stages are the shared 1e-12 grid cosine (prefix
-    norms from the same grid), candidate selection tie-breaks on
-    (cos DESC, c_id), re-rank is _topk — the oracle re-derives both
-    stages over embedding[1:MRL_DIM] list slices."""
+def _mrl_cand(emb: DataFrame) -> DataFrame:
+    """(q_id, c_id): matryoshka_two_stage_topk's coarse stage — top-
+    MRL_COARSE_C per query by exact cosine over the first MRL_DIM
+    dimensions, tie-broken on (pcos DESC, c_id). Extracted (r17) for
+    the dashboard's shared scored-base re-rank; the standalone
+    variant's plan is unchanged (verbatim move)."""
     from pyspark.sql import Window
 
-    emb = tables.load(spark, sf_dir, "embeddings")
     pre = emb.select(
         "vec_id", "embedding",
         F.slice("embedding", 1, MRL_DIM).alias("prefix"),
@@ -742,9 +745,35 @@ def matryoshka_two_stage_topk(spark: SparkSession, sf_dir: str
     )
     wnd = Window.partitionBy("q_id").orderBy(
         F.col("pcos").desc_nulls_last(), "c_id")
-    cand = (coarse.withColumn("rn", F.row_number().over(wnd))
+    return (coarse.withColumn("rn", F.row_number().over(wnd))
             .where(F.col("rn") <= MRL_COARSE_C)
             .select("q_id", "c_id"))
+
+
+def matryoshka_two_stage_topk(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Matryoshka two-stage retrieval (Kusupati et al. 2022, the MRL
+    serving pattern): coarse top-MRL_COARSE_C per query by exact
+    cosine over the FIRST MRL_DIM dimensions only, then exact
+    full-dimension grid-cosine re-rank of the survivors.
+
+    Why it scales: MRL-trained embeddings front-load information, so
+    the coarse pass reads a 4x-narrower prefix — at 100 TB the prefix
+    is materialized as its own column in the bucketed layout (or the
+    parquet page skips trailing dims), making stage 1 a narrow
+    columnar scan with the query prefixes broadcast; stage 2 touches
+    full vectors only for C candidates per query. The fixture vectors
+    are near-random (worst case: the prefix carries only 1/4 of the
+    signal), so recall here is the floor, not the claim — the
+    SEMANTIC (exact prefix-cosine candidate set, exact re-rank) is
+    what the oracle value-checks.
+
+    Exactness: both stages are the shared 1e-12 grid cosine (prefix
+    norms from the same grid), candidate selection tie-breaks on
+    (cos DESC, c_id), re-rank is _topk — the oracle re-derives both
+    stages over embedding[1:MRL_DIM] list slices."""
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cand = _mrl_cand(emb)
     embn = _with_norm(emb)
     q, c = _qc_frames(embn)
     scored = (
@@ -1021,6 +1050,48 @@ _BAND_KEYS_E = make_band_keys(_HP, LSH_BITS, LSH_BANDS_E)
 _BAND_KEYS_ND = make_band_keys(_HP_ND, ND_BITS, ND_BANDS)
 
 
+def _lsh_bands(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, bkey): every vector's sign-random-projection
+    band keys, one row per band — the shared signature relation of
+    both LSH variants. Extracted (r17) so the dashboard computes the
+    band-keys kernel once for both probes; standalone plans are
+    unchanged (verbatim move)."""
+    return emb.select(
+        "vec_id",
+        F.posexplode(_BAND_KEYS_E(F.col("embedding")))
+        .alias("band", "bkey"),
+    )
+
+
+def _lsh_cand(bands: DataFrame, multiprobe: bool) -> DataFrame:
+    """(q_id, c_id): bucket-sharing candidate pairs over a band-keys
+    relation — ann_lsh_topk's single probe, or (multiprobe=True)
+    ann_lsh_multiprobe_topk's 1 + LSH_BITS Hamming-distance-1 probes
+    per band."""
+    qb = bands.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"), "band", "bkey")
+    if multiprobe:
+        flips = [F.col("bkey")] + [
+            F.concat(
+                F.substring("bkey", 1, i),
+                F.when(F.substring("bkey", i + 1, 1) == "1",
+                       F.lit("0")).otherwise(F.lit("1")),
+                F.substring("bkey", i + 2, LSH_BITS),
+            )
+            for i in range(LSH_BITS)
+        ]
+        qb = qb.select(
+            "q_id", "band", F.explode(F.array(*flips)).alias("bkey"))
+    return (
+        F.broadcast(qb)
+        .join(bands.select(F.col("vec_id").alias("c_id"), "band", "bkey"),
+              ["band", "bkey"])
+        .where(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id")
+        .distinct()
+    )
+
+
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN (the prompt's 'LSH-bucketed variant'): sign-
     random-projection signatures — bit j = sign(e . r_j) for a fixed
@@ -1035,22 +1106,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals and the sign sums use the scaled-long grid."""
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
-
-    bands = emb.select(
-        "vec_id",
-        F.posexplode(_BAND_KEYS_E(F.col("embedding")))
-        .alias("band", "bkey"),
-    )
-    qb = bands.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "band", "bkey")
-    cand = (
-        F.broadcast(qb)
-        .join(bands.select(F.col("vec_id").alias("c_id"), "band", "bkey"),
-              ["band", "bkey"])
-        .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
+    cand = _lsh_cand(_lsh_bands(emb), multiprobe=False)
     q, c = _qc_frames(emb)
     scored = (
         cand.join(F.broadcast(q), "q_id")
@@ -1082,32 +1138,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     set — and therefore the result — stays exactly oracle-checkable."""
 
     emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
-    bands = emb.select(
-        "vec_id",
-        F.posexplode(_BAND_KEYS_E(F.col("embedding")))
-        .alias("band", "bkey"),
-    )
-    qb = bands.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"), "band", "bkey")
-    flips = [F.col("bkey")] + [
-        F.concat(
-            F.substring("bkey", 1, i),
-            F.when(F.substring("bkey", i + 1, 1) == "1",
-                   F.lit("0")).otherwise(F.lit("1")),
-            F.substring("bkey", i + 2, LSH_BITS),
-        )
-        for i in range(LSH_BITS)
-    ]
-    qprobes = qb.select(
-        "q_id", "band", F.explode(F.array(*flips)).alias("bkey"))
-    cand = (
-        F.broadcast(qprobes)
-        .join(bands.select(F.col("vec_id").alias("c_id"), "band", "bkey"),
-              ["band", "bkey"])
-        .where(F.col("q_id") != F.col("c_id"))
-        .select("q_id", "c_id")
-        .distinct()
-    )
+    cand = _lsh_cand(_lsh_bands(emb), multiprobe=True)
     q, c = _qc_frames(emb)
     scored = (
         cand.join(F.broadcast(q), "q_id")
@@ -1446,33 +1477,12 @@ def _pq_encode_udf(CB: np.ndarray):
     return pq_encode
 
 
-def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed ANN with ADC scoring and exact re-rank — the
-    memory-bounded scale path for 100 TB embedding corpora: each
-    vector is stored as PQ_M 4-bit codes (32x smaller than the
-    float32 vector), queries scan the CODES, and only the PQ_RERANK
-    shortlist ever touches full vectors again.
-
-    Plan: (1) one narrow Arrow pass encodes normalized vectors
-    against the trained codebooks (mapper-only); (2) each query's
-    (M x K) ADC lookup table rides the kernel closure (queries are
-    N_QUERIES rows — the same O(k x dim) driver exchange kmeans
-    uses); scoring is a table-gather per batch, mapper-only;
-    (3) per-query top-PQ_RERANK by approximate distance (tiny
-    shuffle: R x Q rows); (4) exact cosine re-rank of the shortlist
-    via the audited grid-dot kernel -> top-10. On normalized vectors
-    ||q-x||^2 = 2 - 2 cos, so ADC distance order approximates cosine
-    order; recall vs exact knn is pinned in tests/test_approx.py.
-
-    Value-level oracle: every distance is computed on the 1e-12
-    integer grid (per-term half-away round of (s-c)^2 * 1e12, int64
-    sums — the same rounding-parity proof as functions/simd.py), the
-    vectors are normalized by the SAME grid norm both engines use
-    (_NORMS_SQL), and the codebooks are literal constants shared with
-    the DuckDB side (_pq_codebooks is Spark-free and builds both) —
-    so encode argmin, ADC totals and the shortlist are bit-identical
-    across engines and the whole query is differentially checked,
-    not just recall-floored."""
+def _pq_shortlist(sf_dir: str, emb: DataFrame) -> DataFrame:
+    """(q_id, c_id): ann_pq_topk's ADC shortlist — every vector PQ-
+    encoded in one Arrow pass, per-query ADC table-gather, top-
+    PQ_RERANK per query by (adist, c_id). Extracted (r17) for the
+    dashboard's shared scored-base re-rank; the standalone variant's
+    plan is unchanged (verbatim move)."""
     from pyspark.sql import Window
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
@@ -1480,7 +1490,6 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     CB = _pq_codebooks(sf_dir)                 # (M, K, sub)
     M, K, sub = CB.shape
 
-    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
     # N_QUERIES rows, Spark-free + content-key cached (was a per-
     # construction collect job — see _query_vec_rows)
     q_rows = _query_vec_rows(sf_dir)
@@ -1528,11 +1537,42 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qi") + 1),
     ).where(F.col("q_id") != F.col("c_id"))
     w_ad = Window.partitionBy("q_id").orderBy("adist", "c_id")
-    shortlist = (
+    return (
         scored.withColumn("ark", F.row_number().over(w_ad))
         .where(F.col("ark") <= PQ_RERANK)
         .select("q_id", "c_id")
     )
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with ADC scoring and exact re-rank — the
+    memory-bounded scale path for 100 TB embedding corpora: each
+    vector is stored as PQ_M 4-bit codes (32x smaller than the
+    float32 vector), queries scan the CODES, and only the PQ_RERANK
+    shortlist ever touches full vectors again.
+
+    Plan: (1) one narrow Arrow pass encodes normalized vectors
+    against the trained codebooks (mapper-only); (2) each query's
+    (M x K) ADC lookup table rides the kernel closure (queries are
+    N_QUERIES rows — the same O(k x dim) driver exchange kmeans
+    uses); scoring is a table-gather per batch, mapper-only;
+    (3) per-query top-PQ_RERANK by approximate distance (tiny
+    shuffle: R x Q rows); (4) exact cosine re-rank of the shortlist
+    via the audited grid-dot kernel -> top-10. On normalized vectors
+    ||q-x||^2 = 2 - 2 cos, so ADC distance order approximates cosine
+    order; recall vs exact knn is pinned in tests/test_approx.py.
+
+    Value-level oracle: every distance is computed on the 1e-12
+    integer grid (per-term half-away round of (s-c)^2 * 1e12, int64
+    sums — the same rounding-parity proof as functions/simd.py), the
+    vectors are normalized by the SAME grid norm both engines use
+    (_NORMS_SQL), and the codebooks are literal constants shared with
+    the DuckDB side (_pq_codebooks is Spark-free and builds both) —
+    so encode argmin, ADC totals and the shortlist are bit-identical
+    across engines and the whole query is differentially checked,
+    not just recall-floored."""
+    emb = _with_norm(tables.load(spark, sf_dir, "embeddings"))
+    shortlist = _pq_shortlist(sf_dir, emb)
     q = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("qe"), F.col("norm").alias("qn"))
