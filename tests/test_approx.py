@@ -736,3 +736,31 @@ def test_query_vec_rows_match_spark_collect(spark, sf_dir):
     assert _query_vec_rows(sf_dir) is got
     fresh = _query_vec_rows_cached(sf_dir, "other-content-key")
     assert fresh is not got and fresh == got
+
+
+def test_dashboard_rows_match_standalone_variants(spark, sf_dir):
+    """r17: the dashboard no longer executes the standalone variant
+    plans — every variant's exact-cosine re-rank is re-derived from
+    one shared scored-base relation. This differential pins the
+    claim that the derivation is value-identical: each dashboard row
+    must equal the row recomputed in PYTHON from the standalone
+    variant's own (separately oracle-checked) top-k output and the
+    anchor pairs."""
+    from mapreduce_go_spark.operators import similarity as S
+
+    anchor = set(map(tuple, S.knn_cosine_topk(spark, sf_dir)
+                     .select("q_id", "c_id").collect()))
+    dash = {r.variant: r for r in
+            S.ann_recall_dashboard(spark, sf_dir).collect()}
+    assert set(dash) == set(S.ANN_RECALL_VARIANTS)
+    for name in S.ANN_RECALL_VARIANTS:
+        got = dash[name]
+        rows = set(map(tuple, S.QUERIES[name](spark, sf_dir)
+                       .select("q_id", "c_id").collect()))
+        n_hits = len(rows & anchor)
+        assert got.n_returned == len(rows), (name, got)
+        assert got.n_hits == n_hits, (name, got)
+        assert got.n_anchor == len(anchor), (name, got)
+        expected_recall = round(n_hits / len(anchor), 6)
+        assert abs(got.recall - expected_recall) < 1e-9, (name, got)
+    spark.catalog.clearCache()
