@@ -523,7 +523,17 @@ def pagerank_fixed(spark: SparkSession, sf_dir: str,
     (Also measured: .cache() on edges/outdeg inside the LAZY plan is
     ~2x WORSE at sf0.1 — 3.8 -> 8.3 s warm — the single plan already
     reuses the edge exchange, and InMemoryRelation scans cost more
-    than the re-run. Don't add it back.)"""
+    than the re-run. Don't add it back.)
+
+    Re-measured r17 (VERDICT r16 item 4) on this tree, interleaved
+    min-of-4 in one session, all variants value-identical: lazy
+    4.11 s; ranks-only localCheckpoint(eager=False) every 2nd
+    iteration 7.31 s; the same plus lazily checkpointed edges/outdeg
+    6.19 s; persist_each_round=True 7.21 s. Every checkpoint boundary
+    splits the single plan into segments that can no longer share the
+    edges Exchange (ReusedExchange is per-plan), so each segment
+    re-derives it — the lazy unroll stays the measured default at
+    iters=5."""
     edges = _pagerank_edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select(F.col("src").alias("node")).distinct()
