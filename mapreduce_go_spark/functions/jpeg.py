@@ -214,6 +214,129 @@ def _encode_block(bw: "_BitWriter", blk, prev_dc: int, dc_enc: dict,
     return prev_dc
 
 
+# --- vectorized luma entropy coder (r17) ----------------------------
+# _encode_block walks coefficients in interpreted Python: profiling
+# jpeg_pixel_roundtrip's kernel put 88% of encode wall in the
+# _encode_block/_BitWriter.put/_magnitude loops (6.6M put calls over
+# 2000 fixture images). Unlike DECODING, Huffman ENCODING has no
+# sequential data dependency — the DC predictor chain is np.diff, the
+# run/ZRL/EOB structure is nonzero-position algebra, and bit packing
+# is a masked bit-matrix + packbits — so the whole entropy pass
+# vectorizes BIT-EXACTLY. _encode_block stays for the color and
+# progressive emitters (different tables/interleaving, off the
+# benched hot path). Bitwise-equality with the loop form is pinned by
+# tests over the whole fixture corpus and adversarial blocks.
+
+# bit_length LUT (F.1.2.1 category): quantized baseline coefficients
+# and DC diffs fit well inside 16 bits.
+_BITLEN_LUT = np.zeros(1 << 16, dtype=np.int64)
+for _v in range(1, 16):
+    _BITLEN_LUT[1 << (_v - 1): 1 << _v] = _v
+_BITLEN_LUT[1 << 15:] = 16
+
+
+def _enc_arrays(enc: dict) -> tuple[np.ndarray, np.ndarray]:
+    """{symbol: (code, length)} -> (code[sym], length[sym]) arrays."""
+    codes = np.zeros(256, dtype=np.int64)
+    lens = np.zeros(256, dtype=np.int64)
+    for sym, (code, length) in enc.items():
+        codes[sym] = code
+        lens[sym] = length
+    return codes, lens
+
+
+_DC_CODES, _DC_LENS = _enc_arrays(_DC_ENC)
+_AC_CODES, _AC_LENS = _enc_arrays(_AC_ENC)
+
+
+def _encode_blocks_vec(zz: np.ndarray) -> bytes:
+    """F.1.2 entropy coding of ALL zig-zag blocks at once — the
+    vectorized twin of the _encode_block loop over the standard luma
+    tables, bit-identical by construction (same symbols, same order,
+    same F.1.2.3 padding and byte stuffing)."""
+    nb = zz.shape[0]
+    blk_ids = np.arange(nb, dtype=np.int64)
+
+    # DC: diff chain -> (symbol item, value-bits item) per block
+    dc = zz[:, 0].astype(np.int64)
+    diff = np.diff(dc, prepend=np.int64(0))
+    dsize = _BITLEN_LUT[np.abs(diff)]
+    dbits = np.where(diff > 0, diff, diff + (1 << dsize) - 1)
+    # AC: nonzero positions; run/ZRL/EOB structure
+    nz_b, nz_k = np.nonzero(zz[:, 1:])
+    pos1 = nz_k.astype(np.int64) + 1          # 1-based zigzag index
+    nz_b = nz_b.astype(np.int64)
+    first = np.empty(len(nz_b), dtype=bool)
+    if len(nz_b):
+        first[0] = True
+        first[1:] = nz_b[1:] != nz_b[:-1]
+    prev = np.where(first, 0, np.roll(pos1, 1))
+    run = pos1 - prev - 1
+    zrl_n = run >> 4
+    v = zz[nz_b, pos1].astype(np.int64)
+    asize = _BITLEN_LUT[np.abs(v)]
+    abits = np.where(v > 0, v, v + (1 << asize) - 1)
+    asym = ((run & 15) << 4) | asize
+    # EOB for blocks whose last nonzero AC index < 63
+    last = np.zeros(nb, dtype=np.int64)
+    if len(nz_b):
+        np.maximum.at(last, nz_b, pos1)
+    eob_b = blk_ids[last < 63]
+
+    # emit items as (value, nbits) with a (block, pos, seq) sort key.
+    # seq: DC symbol 0, DC bits 1 at pos 0; per AC coefficient at pos
+    # k: ZRLs 0..z-1, symbol z, bits z+1; EOB at pos 64.
+    zrl_rows = np.repeat(np.arange(len(nz_b)), zrl_n)
+    parts_val = [
+        _DC_CODES[dsize], dbits,
+        np.full(len(zrl_rows), _AC_CODES[0xF0], dtype=np.int64),
+        _AC_CODES[asym], abits,
+        np.full(len(eob_b), _AC_CODES[0x00], dtype=np.int64),
+    ]
+    parts_len = [
+        _DC_LENS[dsize], dsize,
+        np.full(len(zrl_rows), _AC_LENS[0xF0], dtype=np.int64),
+        _AC_LENS[asym], asize,
+        np.full(len(eob_b), _AC_LENS[0x00], dtype=np.int64),
+    ]
+    zrl_seq = (np.arange(len(zrl_rows), dtype=np.int64)
+               - np.repeat(np.cumsum(zrl_n) - zrl_n, zrl_n))
+    parts_blk = [blk_ids, blk_ids, nz_b[zrl_rows], nz_b, nz_b, eob_b]
+    parts_pos = [
+        np.zeros(nb, dtype=np.int64), np.zeros(nb, dtype=np.int64),
+        pos1[zrl_rows], pos1, pos1,
+        np.full(len(eob_b), 64, dtype=np.int64),
+    ]
+    parts_seq = [
+        np.zeros(nb, dtype=np.int64), np.ones(nb, dtype=np.int64),
+        zrl_seq, zrl_n, zrl_n + 1,
+        np.zeros(len(eob_b), dtype=np.int64),
+    ]
+    vals = np.concatenate(parts_val)
+    lens = np.concatenate(parts_len)
+    order = np.lexsort((np.concatenate(parts_seq),
+                        np.concatenate(parts_pos),
+                        np.concatenate(parts_blk)))
+    vals = vals[order] & ((np.int64(1) << lens[order]) - 1)
+    lens = lens[order]
+
+    # bit packing: expand each item to its bits (row-major boolean
+    # indexing preserves emission order), pad with 1-bits to a byte
+    # boundary (F.1.2.3), pack, then stuff 0x00 after every 0xFF.
+    ar16 = np.arange(16, dtype=np.int64)
+    shifts = lens[:, None] - 1 - ar16[None, :]
+    bits = ((vals[:, None] >> np.maximum(shifts, 0)) & 1).astype(np.uint8)
+    stream = bits[shifts >= 0]
+    pad = (-len(stream)) % 8
+    if pad:
+        stream = np.concatenate([stream, np.ones(pad, dtype=np.uint8)])
+    raw = np.packbits(stream)
+    ff = np.nonzero(raw == 0xFF)[0]
+    if len(ff):
+        raw = np.insert(raw, ff + 1, 0)
+    return raw.tobytes()
+
+
 def encode_gray(px: np.ndarray, return_recon: bool = False):
     """Encode a (h, w) uint8 array as a baseline greyscale JPEG.
     With return_recon=True also returns the encoder-side
@@ -229,11 +352,7 @@ def encode_gray(px: np.ndarray, return_recon: bool = False):
     qc = _quantize(blocks, STD_LUMA_Q)
     zz = qc.reshape(-1, 64)[:, ZIGZAG]
 
-    bw = _BitWriter()
-    prev_dc = 0
-    for blk in zz:
-        prev_dc = _encode_block(bw, blk, prev_dc, _DC_ENC, _AC_ENC)
-    entropy = bw.flush()
+    entropy = _encode_blocks_vec(zz)
 
     dqt = b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
         int(STD_LUMA_Q.reshape(64)[ZIGZAG[k]]) for k in range(64))
