@@ -149,7 +149,14 @@ def bloom_maybe_sql(expr: str) -> str:
     b is set iff word b div 64 has bit b % 64; pinned against the
     array_contains form in tests/test_corpus.py). The bit index is the
     Spark-SQL twin of _bloom_bit; its repeated md5 subtree is
-    eliminated by codegen CSE."""
+    eliminated by codegen CSE.
+
+    CONTRACT (ADVICE r16): `expr` is interpolated VERBATIM into raw
+    SQL — pass a plain identifier or an expression that is already
+    valid Spark SQL in the consumer's scope. A quoted/reserved or
+    computed column name must be backtick-quoted by the CALLER; this
+    helper does not parse or escape (current internal callers pass
+    the literal column name 'shingle')."""
     terms = []
     for k in range(BLOOM_K):
         b = (f"(cast(conv(substring(md5('bloom{k}:' || {expr}), 1, 8),"
@@ -696,8 +703,10 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc negative mean log-likelihood under the corpus unigram
     model, with the CCNet-style keep-the-head verdict.
 
-    Plan shape (the 100 TB one): one token shuffle builds the per-doc
-    tf posting relation (r16 — see below), the unigram counts and the
+    Plan shape: one token shuffle builds the per-doc tf posting
+    relation (r16 — see below; the SHAPE scales, but the in-query
+    localCheckpoint of tf does not — see the scale caveat at the
+    checkpoint site), the unigram counts and the
     corpus-total broadcast scalar derive from it (Zipf-bounded:
     |vocab| << corpus), postings join counts ON THE TOKEN KEY
     (shuffle join — the vocab side is too big to assume broadcast at
@@ -728,6 +737,18 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min-of-4 at sf0.1, value-identical — the non-checkpointed tf
     # form measured 1.25 s, i.e. the restructure only pays WITH the
     # materialization, matching the >=3-consumer rule).
+    #
+    # SCALE CAVEAT (ADVICE r16): tf is O(distinct (doc, tok)) — a
+    # CORPUS-scale relation, unlike this module's other checkpoints
+    # (vocab-, bin- or edge-bounded). localCheckpoint is
+    # non-fault-tolerant: at 100 TB an executor loss makes the blocks
+    # unrecoverable and fails the query, and the blocks stay pinned
+    # until driver-side GC. A production deployment of this plan
+    # shape materializes tf as a RELIABLE artifact instead (write the
+    # posting relation to the warehouse and read it back — the bm25
+    # index-build analog) or recomputes it; the in-query
+    # localCheckpoint is the fixture-scale stand-in for that
+    # materialization, not the 100 TB recipe itself.
     tf = (tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
           .localCheckpoint(eager=False))
     counts = tf.groupBy("tok").agg(F.sum("tf").alias("cnt"))

@@ -76,8 +76,15 @@ def get_spark(app_name: str = "mapreduce_go_spark",
         # construction (interleaved min-of-4: 6.23 s -> 3.84 s with
         # it off). Pure driver-side fixed cost, scale-independent;
         # the price is error messages without Python call-site
-        # context, which the test suite never relies on.
-        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
+        # context, which the test suite never relies on. Env-
+        # overridable (ADVICE r16): a debugging session restores
+        # call-site context with SPARK_GRAFT_CALLSITE_CAPTURE=true —
+        # it is a STATIC conf, so set it before the process's first
+        # get_spark.
+        .config("spark.python.sql.dataFrameDebugging.enabled",
+                "true" if os.environ.get(
+                    "SPARK_GRAFT_CALLSITE_CAPTURE", ""
+                ).lower() in ("1", "true", "yes") else "false")
     )
     spark = builder.getOrCreate()
     _apply_sql_confs(spark, n_shuffle)

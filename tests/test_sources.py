@@ -165,7 +165,12 @@ def test_warc_datasource_bin_packed_partitions(spark, sf_dir):
     n_files = len(files)
     df = warc_source_extract(spark, sf_dir)
     n_parts = df.rdd.getNumPartitions()
-    assert 1 < n_parts < n_files
+    # host-independent bound only (ADVICE r16): with ~as many cores
+    # as fixture archives, bytes_per_core drops below openCostInBytes
+    # and the packing legitimately degrades to one archive per bin,
+    # so n_parts == n_files is CORRECT there — the strict packing
+    # claim is pinned below with a pinned small minPartitions.
+    assert 1 <= n_parts <= n_files
 
     # exact cover: each archive in exactly one bin, order preserved
     r = WarcReader({"path": path, "on_corrupt": "skip",
@@ -174,6 +179,13 @@ def test_warc_datasource_bin_packed_partitions(spark, sf_dir):
     parts = r.partitions()
     assert [f for p in parts for f in p.value] == files
     assert len(parts) == n_parts
+
+    # the packing claim itself, host-independent: with minPartitions
+    # pinned small, tiny fixture archives MUST share bins
+    packed = WarcReader({"path": path, "on_corrupt": "skip",
+                         "minPartitions": "4"}).partitions()
+    assert 1 < len(packed) < n_files
+    assert [f for p in packed for f in p.value] == files
 
     # degrades to one-archive-per-task when archives outweigh the
     # split ceiling (the 100 TB crawl-dump regime)
